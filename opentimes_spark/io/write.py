@@ -1,0 +1,81 @@
+"""Layout-aware partitioned parquet sink (SURVEY.md T4/T5/T6).
+
+The reference writes its public files single-threaded so each origin's
+rows land contiguously in one row group ("sorted for efficient
+compression", opentimes data/src/create_public_files.py:64-96;
+order_by_columns data/src/utils/constants.py:24-27). Spark gets the same
+layout guarantee *in parallel*: ``repartitionByRange`` on the leading sort
+key co-locates each key's rows in one task, ``sortWithinPartitions``
+orders them, and the parquet writer then emits tight, non-overlapping
+row-group min/max stats — which is exactly what makes the point-lookup
+path (SURVEY.md §3.3) skip row groups. At 100 TB this is the difference
+between a point query touching one row group and touching every file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_sorted_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    order_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    compression: str = "zstd",
+    num_range_partitions: int | None = None,
+) -> None:
+    """Write ``df`` Hive-partitioned, range-sorted on ``order_by``.
+
+    - ``partition_by``: Hive partition keys (directory layout; pruning).
+    - ``order_by``: in-file sort keys → tight row-group zone maps.
+    - ``max_records_per_file``: caps file size (reference targets ≤475 MB
+      per file via FILE_SIZE_BYTES, create_public_files.py:95).
+    """
+    out = df
+    if order_by:
+        range_cols = [c for c in order_by if not partition_by or c not in partition_by]
+        if range_cols:
+            if num_range_partitions:
+                out = out.repartitionByRange(num_range_partitions, *range_cols)
+            else:
+                out = out.repartitionByRange(*range_cols)
+        out = out.sortWithinPartitions(*order_by)
+    writer = out.write.mode("overwrite").option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def row_group_stats(path: str, column: str) -> list[tuple[str, object, object]]:
+    """Per-row-group (file, min, max) for ``column`` — layout property
+    check: after a sorted write, ranges on the sort key must be tight and
+    (within a file) non-overlapping. Mirrors the zone-map pruning the
+    reference's browser reader performs (site/assets/js/map.js:702-724).
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    stats: list[tuple[str, object, object]] = []
+    files = (
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        schema_names = meta.schema.names
+        if column not in schema_names:
+            continue
+        idx = schema_names.index(column)
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(idx)
+            st = col.statistics
+            if st is not None:
+                stats.append((f, st.min, st.max))
+    return stats

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the same conf block is what we would
+ship to a 1000-executor cluster — AQE on (runtime coalesce + skew-join
+handling), partition-column type inference off (the reference keeps Hive
+partition values as zero-padded strings: opentimes
+data/src/create_public_files.py:79 ``hive_types_autocast=false``), and
+Arrow enabled for the pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "opentimes_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Every conf here scales: AQE re-plans shuffles at runtime so the static
+    ``shuffle.partitions`` is only an upper bound; broadcast threshold is
+    left at default (10 MB) because dimension tables (region/nation/
+    supplier, state polygons) stay well under it at any scale factor.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # reference parity: partition values stay strings ('01' != 1)
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
