@@ -29,7 +29,20 @@ TESTDATA_TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one corpus table: ``{sf_dir}/{name}.parquet`` (file or dir)."""
+    """Read one corpus table: ``{sf_dir}/{name}.parquet`` (file or dir).
+
+    ``events`` is written with nanosecond timestamps, which Spark's parquet
+    reader rejects; read the raw int64 nanos (legacy conf, runtime-settable)
+    and downcast to a microsecond TimestampType with exact integer division.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -514,3 +514,369 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.distinct().subtract(s.distinct())
+
+
+# ---------------------------------------------------------------------------
+# Window functions / ordered computation (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    """
+    SELECT nation, c_custkey, ROUND(c_acctbal, 2) AS acctbal, rnk
+    FROM (
+        SELECT n.n_name AS nation, c.c_custkey, c.c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY c.c_acctbal DESC, c.c_custkey
+               ) AS rnk
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    WHERE rnk <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext row_number window, top-3 per group (SURVEY.md §2.5 Ext);
+    tie-break by key for determinism."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "c_custkey", "c_acctbal")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("nation", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rnk")
+    )
+
+
+@query(
+    "window_lag_lead",
+    """
+    SELECT event_id, user_id,
+           ROUND(value, 4) AS value,
+           ROUND(LAG(value)  OVER w, 4) AS prev_value,
+           ROUND(LEAD(value) OVER w, 4) AS next_value
+    FROM events
+    WHERE user_id <= 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext lag/lead over per-user event sequences (SURVEY.md §2.5 Ext)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+    )
+
+
+@query(
+    "window_moving_sum",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS moving_sum_3,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS running_sum
+    FROM events
+    WHERE user_id <= 50
+    """,
+)
+def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext frame-spec windows: 3-row moving sum + running sum
+    (SURVEY.md §2.5 Ext rowsBetween)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_sum_3"),
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
+            "running_sum"
+        ),
+    )
+
+
+@query(
+    "window_ntile",
+    """
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext ntile — the reference's chunk-splitting shape (W1) expressed as
+    a built-in window (utils/utils.py:55-138 analogue)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("price_quartile"))
+
+
+@query(
+    "chunk_ranges",
+    """
+    WITH numbered AS (
+        SELECT c_custkey,
+               ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rn,
+               COUNT(*) OVER () AS n
+        FROM customer
+    ),
+    sized AS (
+        SELECT c_custkey, rn, n,
+               GREATEST(100, n // 8) AS chunk_size
+        FROM numbered
+    )
+    SELECT c_custkey,
+           CAST(LEAST(rn // chunk_size, GREATEST(n // chunk_size, 1) - 1) AS INT)
+               AS chunk_idx,
+           LPAD(CAST(LEAST(rn // chunk_size, GREATEST(n // chunk_size, 1) - 1)
+                     * chunk_size AS VARCHAR), 8, '0')
+           || '-' ||
+           LPAD(CAST(CASE WHEN LEAST(rn // chunk_size, GREATEST(n // chunk_size, 1) - 1)
+                               = GREATEST(n // chunk_size, 1) - 1
+                          THEN n
+                          ELSE (LEAST(rn // chunk_size, GREATEST(n // chunk_size, 1) - 1) + 1)
+                               * chunk_size
+                     END AS VARCHAR), 8, '0') AS chunk_label
+    FROM sized
+    """,
+)
+def chunk_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 row-range chunking with zero-padded labels (reference
+    split_range/split_file_to_str, utils/utils.py:55-138): ≤8 chunks of
+    ≥100 rows, remainder folded into the last chunk."""
+    from opentimes_spark.operators.chunking import with_chunk_id
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return with_chunk_id(
+        c, order_col="c_custkey", n_chunks=8, min_chunk_size=100
+    ).select("c_custkey", "chunk_idx", "chunk_label")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "geoid_split",
+    """
+    WITH geoids AS (
+        SELECT LPAD(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+               || LPAD(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+               || LPAD(CAST(c_custkey * 37 % 1000000 AS VARCHAR), 6, '0')
+               || LPAD(CAST(c_custkey * 7919 % 10000 AS VARCHAR), 4, '0')
+               AS geoid
+        FROM customer WHERE c_custkey <= 500
+        UNION ALL
+        SELECT LPAD(CAST(n_nationkey % 100 AS VARCHAR), 2, '0') AS geoid
+        FROM nation
+        UNION ALL
+        SELECT LPAD(CAST(s_suppkey % 100 AS VARCHAR), 2, '0')
+               || LPAD(CAST(s_suppkey * 13 % 1000 AS VARCHAR), 3, '0') AS geoid
+        FROM supplier WHERE s_suppkey <= 50
+    )
+    SELECT geoid,
+           CASE LENGTH(geoid) WHEN 2 THEN 'state' WHEN 5 THEN 'county'
+                WHEN 11 THEN 'tract' WHEN 12 THEN 'block_group'
+                WHEN 15 THEN 'block' END AS geography,
+           CASE WHEN LENGTH(geoid) >= 2  THEN SUBSTRING(geoid, 1, 2) END AS state,
+           CASE WHEN LENGTH(geoid) >= 5  THEN SUBSTRING(geoid, 3, 3) END AS county,
+           CASE WHEN LENGTH(geoid) >= 11 THEN SUBSTRING(geoid, 6, 6) END AS tract,
+           CASE WHEN LENGTH(geoid) >= 12 THEN SUBSTRING(geoid, 12, 1) END AS block_group,
+           CASE WHEN LENGTH(geoid) >= 15 THEN SUBSTRING(geoid, 12, 4) END AS block
+    FROM geoids
+    """,
+)
+def geoid_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 GEOID substring decomposition dispatched on length (reference
+    split_geoid, utils/census.py:110-156) over synthetic zero-padded
+    GEOIDs of lengths 15, 2, and 5 built from corpus keys."""
+    from opentimes_spark.functions.geoid import split_geoid
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select(
+            F.concat(
+                F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0"),
+                F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+                F.lpad((F.col("c_custkey") * 37 % 1000000).cast("string"), 6, "0"),
+                F.lpad((F.col("c_custkey") * 7919 % 10000).cast("string"), 4, "0"),
+            ).alias("geoid")
+        )
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.lpad((F.col("n_nationkey") % 100).cast("string"), 2, "0").alias("geoid")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 50)
+        .select(
+            F.concat(
+                F.lpad((F.col("s_suppkey") % 100).cast("string"), 2, "0"),
+                F.lpad((F.col("s_suppkey") * 13 % 1000).cast("string"), 3, "0"),
+            ).alias("geoid")
+        )
+    )
+    geoids = c.unionByName(n).unionByName(s)
+    parts = split_geoid(F.col("geoid"))
+    return geoids.select("geoid", *[expr.alias(name) for name, expr in parts.items()])
+
+
+@query(
+    "scalar_strings",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand)                                   AS brand_upper,
+           LOWER(p_type)                                    AS type_lower,
+           SUBSTRING(p_name, 1, 10)                         AS name_prefix,
+           LENGTH(p_name)                                   AS name_len,
+           CONCAT(p_brand, ':', CAST(p_size AS VARCHAR))    AS brand_size,
+           LPAD(CAST(p_partkey AS VARCHAR), 10, '0')        AS padded_key,
+           REPLACE(p_type, ' ', '_')                        AS type_snake
+    FROM part
+    WHERE p_partkey <= 1000
+    """,
+)
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5/F6 string surface: case transforms, substring, concat,
+    zero-pad (reference lpad: utils/utils.py:70-74), replace."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(year  FROM o_orderdate) AS INT)     AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT)     AS order_month,
+           CAST(EXTRACT(day   FROM o_orderdate) AS INT)     AS order_day,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(FLOOR(EXTRACT(year FROM o_orderdate) / 10) * 10 AS INT) AS decade
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 date/time surface incl. the reference's decennial floor
+    (create_blockloc.py:35 floor(year/10)*10); truncated month formatted
+    to string on both sides for a stable hash."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        (F.floor(F.year("o_orderdate") / 10) * 10).cast("int").alias("decade"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount >= 0.05 THEN 'high'
+                WHEN l_discount >= 0.02 THEN 'mid'
+                ELSE 'low' END                              AS discount_band,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none')      AS return_state,
+           ROUND(GREATEST(l_extendedprice * (1 - l_discount), 900.0), 4) AS floor_price,
+           CAST(l_quantity AS INT)                          AS qty_int
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F12 conditionals + coalesce/nullif + casts (reference coalesce
+    of snapped coords, utils/times.py:680-681)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") >= 0.05, "high")
+        .when(F.col("l_discount") >= 0.02, "mid")
+        .otherwise("low")
+        .alias("discount_band"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "return_state"
+        ),
+        F.round(
+            F.greatest(F.col("l_extendedprice") * (1 - F.col("l_discount")), F.lit(900.0)),
+            4,
+        ).alias("floor_price"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: batch windowed aggregation (SURVEY.md §2.10 extension surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*)            AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table — batch twin of
+    the Structured Streaming recipe in streaming/events.py (same window
+    semantics, F.window 1-hour tumble)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
