@@ -1,0 +1,98 @@
+"""Text-analysis column expressions for large-scale training-data
+pipelines: tokenization, quality scoring, language ID, fingerprinting.
+
+All pure `pyspark.sql.functions` compositions — JVM-side, whole-stage
+codegen, no Python UDFs — so they run at full scan speed over a 100 TB
+documents table. Each has an exact ANSI-SQL twin used by the DuckDB
+oracle (see plans/queries.py), which forces determinism: no RNG, no
+float-order dependence, md5 as the only hash (identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small deterministic English stopword list shared with the SQL oracle.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_token_len(text: Column, round_to: int = 4) -> Column:
+    toks = tokens(text)
+    return F.round(
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+        / F.size(toks),
+        round_to,
+    )
+
+
+def stopword_ratio(text: Column, round_to: int = 6) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return F.round(n_stop / F.size(toks), round_to)
+
+
+def punct_ratio(text: Column, round_to: int = 6) -> Column:
+    """Fraction of characters that are not alphanumeric or whitespace."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.round(F.length(stripped) / F.length(text), round_to)
+
+
+def stable_round(x: Column, digits: int) -> Column:
+    """Engine-portable rounding: floor(x·10^d + 0.5)/10^d computed in
+    IEEE double. Unlike ROUND — where Spark rounds the shortest decimal
+    repr half-up while DuckDB rounds the binary value, disagreeing on
+    exact .5 boundaries — this is the same double arithmetic in any
+    engine, so results are bit-identical."""
+    scale = float(10**digits)
+    return F.floor(x * scale + 0.5) / scale
+
+
+def quality_score(text: Column, round_to: int = 4) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    vocabulary diversity. Deterministic arithmetic only; stable_round so
+    the oracle matches bit-for-bit on .5 boundaries."""
+    n_tok = token_count(text)
+    diversity = distinct_token_count(text) / n_tok
+    length_band = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).otherwise(0.5)
+    raw_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")) / F.length(text)
+    return stable_round(
+        0.4 * length_band + 0.3 * (1 - raw_punct) + 0.3 * diversity, round_to
+    )
+
+
+def langid_en(text: Column, threshold: float = 0.03) -> Column:
+    """Heuristic language ID: stopword-ratio thresholding ('en' vs
+    'unknown'). The scale path for real language ID is a Pandas-UDF model
+    scorer; this built-in variant exists for the oracle-checked surface."""
+    return F.when(stopword_ratio(text, 10) >= threshold, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 of the normalized
+    (lowercased, whitespace-collapsed, trimmed) text."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def prefix_fingerprint(text: Column, n_tokens: int = 3) -> Column:
+    """Blocking key: md5 of the first ``n_tokens`` tokens — groups
+    documents that share an opening phrase (near-dup blocking)."""
+    toks = tokens(text)
+    return F.md5(F.array_join(F.slice(toks, 1, n_tokens), " "))

@@ -1,0 +1,177 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of doing this in Spark):
+
+- **Exact** dedup is a hash groupBy on a fingerprint — one shuffle keyed
+  by a uniformly-distributed md5, so no skew; map-side partial
+  aggregation ships one row per (fingerprint, partition).
+- **MinHash+LSH** avoids the O(n²) pairwise comparison: per-document
+  signatures are a single explode+groupBy pass; candidate generation is
+  an equi-join on band keys (shuffle keyed by band hash). Only candidates
+  get the exact Jaccard verification. At 100 TB the band join is the only
+  quadratic-risk step, and its fan-out is bounded by collision rate, not
+  corpus size.
+- **SimHash** is one linear pass producing a compact integer per doc;
+  near-dup lookup becomes a self-join on rotated bit-bands (same LSH
+  trick) rather than pairwise Hamming.
+
+Hash parity: the oracle-checked variants use md5 (identical in Spark and
+DuckDB). The fast path at scale would swap md5 → xxhash64 (JVM intrinsic,
+~5× faster) — semantics identical, hashes engine-specific, so that
+variant is oracle-exempt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opentimes_spark.functions.text import fingerprint, tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint: one row per
+    group with the canonical (minimum) id and the group size."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) pairs, distinct — the unit for set-based similarity."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-document MinHash signature: h_i = min over tokens of
+    md5(i || '|' || token). One explode + one groupBy with ``num_hashes``
+    conditional-min aggregates — a single shuffle regardless of k."""
+    toks = token_sets(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature (rows of ``minhash_signatures``) and emit
+    distinct candidate pairs (id_a < id_b) sharing ≥1 band. The join is
+    an equi-join on (band_idx, band_hash) — broadcastable when one side
+    is small, shuffle-partitioned by band hash otherwise."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_hash"
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs: |A∩B| via a join of
+    the exploded token sets on the candidate pairs, |A∪B| = |A|+|B|−|A∩B|.
+    Cost is proportional to candidate count × doc length, never n²."""
+    toks = token_sets(df, id_col, text_col)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        candidates.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
+    raw = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        # filter on the raw double (identical in any engine), round only
+        # for output — keeps the threshold boundary oracle-exact
+        .filter(raw >= min_jaccard)
+        .select("id_a", "id_b", F.round(raw, round_to).alias("jaccard"))
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 32,
+) -> DataFrame:
+    """SimHash over distinct tokens: bit_j = sign of Σ_tokens (±1 by
+    md5-bit j). md5 nibbles are decoded arithmetically (position in hex
+    alphabet) so the SQL oracle can reproduce the value exactly.
+
+    One explode + groupBy; the per-bit sums are conditional aggregates —
+    linear in corpus size, and the result is a single BIGINT per doc."""
+    toks = token_sets(df, id_col, text_col)
+    h = F.md5(F.col("tok"))
+    bit_sums = []
+    for j in range(num_bits):
+        char_idx = j // 4 + 1
+        mask = 1 << (3 - j % 4)
+        nibble = F.instr(F.lit("0123456789abcdef"), F.substring(h, char_idx, 1)) - 1
+        bit = (nibble.bitwiseAND(F.lit(mask)) > 0).cast("int")
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    summed = toks.groupBy(id_col).agg(*bit_sums)
+    value = F.lit(0).cast("bigint")
+    for j in range(num_bits):
+        value = value + F.when(F.col(f"s{j}") > 0, F.lit(1 << (num_bits - 1 - j))).otherwise(
+            F.lit(0)
+        ).cast("bigint")
+    return summed.select(F.col(id_col), value.alias("simhash"))

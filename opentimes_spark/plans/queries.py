@@ -880,3 +880,432 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+
+@query(
+    "text_tokens",
+    f"""
+    SELECT doc_id,
+           LENGTH(toks)                       AS n_tokens,
+           LENGTH(list_distinct(toks))        AS n_uniq_tokens,
+           ROUND(LENGTH(list_aggregate(toks, 'string_agg', ''))
+                 / CAST(LENGTH(toks) AS DOUBLE), 4) AS avg_token_len
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — pure column expressions,
+    no UDF (training-pipeline operator; BASELINE.json)."""
+    from opentimes_spark.functions.text import (
+        avg_token_len,
+        distinct_token_count,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        distinct_token_count(t).alias("n_uniq_tokens"),
+        avg_token_len(t).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKS_SQL} AS toks,
+               LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / CAST(LENGTH(text) AS DOUBLE) AS praw
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(LENGTH(list_filter(toks,
+               x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+               / CAST(LENGTH(toks) AS DOUBLE), 6) AS stop_ratio,
+           ROUND(praw, 6) AS punct_ratio,
+           FLOOR((0.4 * (CASE WHEN LENGTH(toks) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+                 + 0.3 * (1 - praw)
+                 + 0.3 * (LENGTH(list_distinct(toks)) / CAST(LENGTH(toks) AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, punctuation ratio, composite
+    score (training-pipeline operator)."""
+    from opentimes_spark.functions.text import punct_ratio, quality_score, stopword_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        stopword_ratio(t).alias("stop_ratio"),
+        punct_ratio(t).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+@query(
+    "text_langid",
+    f"""
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN LENGTH(list_filter({_TOKS_SQL},
+                    x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+                    / CAST(LENGTH({_TOKS_SQL}) AS DOUBLE) >= 0.03
+                THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-ratio threshold) next to the
+    ground-truth label (training-pipeline operator; the model-based scale
+    path is a Pandas UDF, this is the oracle-checkable built-in)."""
+    from opentimes_spark.functions.text import langid_en
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        langid_en(F.col("text")).alias("lang_pred"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           md5(array_to_string(list_slice(
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''),
+               1, 3), ' ')) AS prefix_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11-style document fingerprinting: full-text md5 + 3-token prefix
+    blocking key (training-pipeline operator)."""
+    from opentimes_spark.functions.text import fingerprint, prefix_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        prefix_fingerprint(F.col("text"), 3).alias("prefix_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication (documents table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*)    AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on the normalized fingerprint
+    (training-pipeline operator; operators/dedup.py)."""
+    from opentimes_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, t.tok
+        FROM documents,
+             UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS t(tok)
+    ),
+    sigs AS (
+        SELECT doc_id,
+               MIN(md5(concat('0|', tok))) AS h0,
+               MIN(md5(concat('1|', tok))) AS h1,
+               MIN(md5(concat('2|', tok))) AS h2,
+               MIN(md5(concat('3|', tok))) AS h3,
+               MIN(md5(concat('4|', tok))) AS h4,
+               MIN(md5(concat('5|', tok))) AS h5,
+               MIN(md5(concat('6|', tok))) AS h6,
+               MIN(md5(concat('7|', tok))) AS h7
+        FROM toks GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, b.band_idx, b.band_hash
+        FROM sigs, (VALUES (0, md5(concat_ws('|', h0, h1))),
+            (1, md5(concat_ws('|', h2, h3))),
+            (2, md5(concat_ws('|', h4, h5))),
+            (3, md5(concat_ws('|', h6, h7)))) AS v(bi, bh),
+             LATERAL (SELECT v.bi AS band_idx, v.bh AS band_hash) b
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cands c
+        JOIN toks ta ON ta.doc_id = c.id_a
+        JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_inter / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) >= 0.2
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH(band=2) candidate pairs with exact Jaccard
+    verification (training-pipeline operator; operators/dedup.py).
+    Signature pass is linear; only band-colliding pairs are verified."""
+    from opentimes_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=8)
+    cands = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    return jaccard_pairs(d, cands, min_jaccard=0.2)
+
+
+@query(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, t.tok
+        FROM documents,
+             UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS t(tok)
+    )
+    SELECT doc_id,
+           (CASE WHEN s0 > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s1 > 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s2 > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s3 > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s4 > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s5 > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s6 > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s7 > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s8 > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s9 > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s10 > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s11 > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s12 > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s13 > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s14 > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s15 > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s16 > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s17 > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s18 > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s19 > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s20 > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s21 > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s22 > 0 THEN CAST(512 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s23 > 0 THEN CAST(256 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s24 > 0 THEN CAST(128 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s25 > 0 THEN CAST(64 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s26 > 0 THEN CAST(32 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s27 > 0 THEN CAST(16 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s28 > 0 THEN CAST(8 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s29 > 0 THEN CAST(4 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s30 > 0 THEN CAST(2 AS BIGINT) ELSE 0 END)
+             + (CASE WHEN s31 > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) AS simhash
+    FROM (
+        SELECT doc_id,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) & 8 > 0)::INT * 2 - 1) AS s0,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) & 4 > 0)::INT * 2 - 1) AS s1,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) & 2 > 0)::INT * 2 - 1) AS s2,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) & 1 > 0)::INT * 2 - 1) AS s3,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) & 8 > 0)::INT * 2 - 1) AS s4,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) & 4 > 0)::INT * 2 - 1) AS s5,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) & 2 > 0)::INT * 2 - 1) AS s6,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) & 1 > 0)::INT * 2 - 1) AS s7,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) & 8 > 0)::INT * 2 - 1) AS s8,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) & 4 > 0)::INT * 2 - 1) AS s9,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) & 2 > 0)::INT * 2 - 1) AS s10,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) & 1 > 0)::INT * 2 - 1) AS s11,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) & 8 > 0)::INT * 2 - 1) AS s12,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) & 4 > 0)::INT * 2 - 1) AS s13,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) & 2 > 0)::INT * 2 - 1) AS s14,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) & 1 > 0)::INT * 2 - 1) AS s15,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 5, 1)) - 1) & 8 > 0)::INT * 2 - 1) AS s16,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 5, 1)) - 1) & 4 > 0)::INT * 2 - 1) AS s17,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 5, 1)) - 1) & 2 > 0)::INT * 2 - 1) AS s18,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 5, 1)) - 1) & 1 > 0)::INT * 2 - 1) AS s19,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 6, 1)) - 1) & 8 > 0)::INT * 2 - 1) AS s20,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 6, 1)) - 1) & 4 > 0)::INT * 2 - 1) AS s21,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 6, 1)) - 1) & 2 > 0)::INT * 2 - 1) AS s22,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 6, 1)) - 1) & 1 > 0)::INT * 2 - 1) AS s23,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 7, 1)) - 1) & 8 > 0)::INT * 2 - 1) AS s24,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 7, 1)) - 1) & 4 > 0)::INT * 2 - 1) AS s25,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 7, 1)) - 1) & 2 > 0)::INT * 2 - 1) AS s26,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 7, 1)) - 1) & 1 > 0)::INT * 2 - 1) AS s27,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 8, 1)) - 1) & 8 > 0)::INT * 2 - 1) AS s28,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 8, 1)) - 1) & 4 > 0)::INT * 2 - 1) AS s29,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 8, 1)) - 1) & 2 > 0)::INT * 2 - 1) AS s30,
+               SUM(((instr('0123456789abcdef', substring(md5(tok), 8, 1)) - 1) & 1 > 0)::INT * 2 - 1) AS s31
+        FROM toks GROUP BY doc_id
+    )
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from md5 token bits (training-pipeline
+    operator; operators/dedup.py) — linear pass, compact integer output."""
+    from opentimes_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), num_bits=32)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, lang, g.gram
+        FROM toks,
+             UNNEST(list_transform(range(1, LENGTH(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS g(gram)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM grams a
+        JOIN grams b ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(p.n_inter / CAST(sa.n + sb.n - p.n_inter AS DOUBLE), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    WHERE p.n_inter / CAST(sa.n + sb.n - p.n_inter AS DOUBLE) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup pairs, blocked by language
+    (training-pipeline operator). Blocking bounds the self-join: at scale
+    the block key is (lang, LSH band), never the full corpus."""
+    from opentimes_spark.functions.text import tokens as tok_fn
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tok_fn(F.col("text")).alias("t"))
+    grams = (
+        toks.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(" ", F.col("t")[i - 1], F.col("t")[i]),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("id_a"), "lang", "gram")
+    gb = grams.select(F.col("doc_id").alias("id_b"), "lang", "gram")
+    inter = (
+        ga.join(gb, ["lang", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.05)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_topk_cosine",
+    """
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+                   AS cos
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+    )
+    SELECT query_id, cand_id, ROUND(cos, 6) AS cos_sim, rnk
+    FROM (
+        SELECT query_id, cand_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector — the exact-ANN baseline
+    (training-pipeline operator; operators/similarity.py). Query side
+    broadcast; corpus scanned once."""
+    from opentimes_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+@query(
+    "sim_embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+    """,
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label (training-pipeline
+    operator; operators/similarity.py embedding_neardup_pairs)."""
+    from opentimes_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.3)
