@@ -55,16 +55,43 @@ def token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs, distinct — word n-gram shingles. Shingling is
+    what makes MinHash discriminative on small vocabularies: token *sets*
+    of natural text overlap heavily, while n-gram shingle sets diverge
+    exponentially in n. With unigrams a corpus-wide LSH degenerates into
+    an O(n²) candidate explosion (every doc shares every band)."""
+    if shingle_size <= 1:
+        return token_sets(df, id_col, text_col)
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # docs shorter than shingle_size must map to an empty shingle set
+    grams = F.when(
+        F.size("t") >= shingle_size,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (shingle_size - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.col("t")[i - 1 + j] for j in range(shingle_size)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(F.col(id_col), F.explode(grams).alias("tok")).distinct()
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 8,
+    shingle_size: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: h_i = min over tokens of
-    md5(i || '|' || token). One explode + one groupBy with ``num_hashes``
-    conditional-min aggregates — a single shuffle regardless of k."""
-    toks = token_sets(df, id_col, text_col)
+    """Per-document MinHash signature over word shingles: h_i = min over
+    shingles of md5(i || '|' || shingle). One explode + one groupBy with
+    ``num_hashes`` conditional-min aggregates — a single shuffle
+    regardless of k."""
+    toks = shingle_sets(df, id_col, text_col, shingle_size)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -120,11 +147,13 @@ def jaccard_pairs(
     text_col: str = "text",
     min_jaccard: float = 0.0,
     round_to: int = 6,
+    shingle_size: int = 1,
 ) -> DataFrame:
-    """Exact token-set Jaccard for candidate pairs: |A∩B| via a join of
-    the exploded token sets on the candidate pairs, |A∪B| = |A|+|B|−|A∩B|.
-    Cost is proportional to candidate count × doc length, never n²."""
-    toks = token_sets(df, id_col, text_col)
+    """Exact set Jaccard for candidate pairs (token sets, or shingle sets
+    when ``shingle_size`` > 1): |A∩B| via a join of the exploded sets on
+    the candidate pairs, |A∪B| = |A|+|B|−|A∩B|. Cost is proportional to
+    candidate count × doc length, never n²."""
+    toks = shingle_sets(df, id_col, text_col, shingle_size)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     ta = toks.select(F.col(id_col).alias("id_a"), "tok")
     tb = toks.select(F.col(id_col).alias("id_b"), "tok")

