@@ -1,0 +1,79 @@
+"""Dedup operator unit tests: exact groups, shingles, MinHash/LSH recall,
+Jaccard math, SimHash locality."""
+
+from __future__ import annotations
+
+import pytest
+
+from opentimes_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_sets,
+    simhash,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "THE  quick   brown fox jumps over the lazy dog"),  # exact dup of 1 (normalized)
+            (4, "completely different words entirely unrelated text here now"),
+            (5, "ab"),  # shorter than shingle size
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["canonical_id"]: r["n_docs"] for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1 and 3 share a normalized fingerprint
+    assert out[2] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_shingles(docs):
+    got = sorted(
+        r["tok"]
+        for r in shingle_sets(docs.filter("doc_id = 1"), "doc_id", "text", 3).collect()
+    )
+    assert "the quick brown" in got and "over the lazy" in got
+    assert len(got) == 7  # 9 tokens → 7 trigrams
+
+
+def test_short_doc_has_no_shingles(docs):
+    assert (
+        shingle_sets(docs.filter("doc_id = 5"), "doc_id", "text", 3).count() == 0
+    )
+
+
+def test_lsh_finds_neardups(docs):
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_size=3)
+    cands = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 3) in pairs  # exact dups always collide
+    assert (1, 2) in pairs  # near-dups share most shingles
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated
+
+
+def test_jaccard_values(spark, docs):
+    cands = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a int, id_b int")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, cands, shingle_size=3).collect()
+    }
+    assert got[(1, 3)] == 1.0  # identical shingle sets
+    # docs 1,2: 7 trigrams each, only the final trigram differs → 6/8
+    assert got[(1, 2)] == pytest.approx(6 / 8, abs=1e-6)
+    assert (1, 4) not in got  # zero intersection drops out of the join
+
+
+def test_simhash_locality(docs):
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    # near-dups differ in few bits; unrelated docs in many
+    assert ham(got[1], got[2]) < ham(got[1], got[4])
+    assert got[1] == got[3]  # same token set → identical simhash

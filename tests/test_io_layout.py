@@ -1,0 +1,64 @@
+"""T4 layout-aware writer: sorted partitioned parquet must produce
+tight, non-overlapping row-group stats on the sort key (the property the
+reference's point-query path depends on — opentimes
+create_public_files.py:64-69, site/assets/js/map.js:702-724)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from opentimes_spark.io.write import row_group_stats, write_sorted_partitioned
+
+
+def test_sorted_write_rowgroup_stats(spark, tmp_path):
+    n = 10_000
+    df = (
+        spark.range(n)
+        .withColumn("origin_id", F.lpad((F.col("id") % 500).cast("string"), 11, "0"))
+        .withColumn("destination_id", F.lpad(F.col("id").cast("string"), 11, "0"))
+        .withColumn("duration_sec", F.col("id").cast("double") * 1.5)
+        .withColumn("mode", F.when(F.col("id") % 2 == 0, "car").otherwise("foot"))
+        .drop("id")
+    )
+    out = str(tmp_path / "times")
+    write_sorted_partitioned(
+        df,
+        out,
+        partition_by=["mode"],
+        order_by=["origin_id", "destination_id"],
+        num_range_partitions=4,
+    )
+    stats = row_group_stats(out, "origin_id")
+    assert stats, "expected row-group stats"
+    # within each file, row-group ranges must be non-overlapping & ordered
+    by_file: dict[str, list[tuple[bytes, bytes]]] = {}
+    for f, mn, mx in stats:
+        by_file.setdefault(f, []).append((mn, mx))
+    for f, ranges in by_file.items():
+        for (amn, amx), (bmn, bmx) in zip(ranges, ranges[1:]):
+            assert amx <= bmn, f"overlapping row groups in {f}"
+    # partition layout exists
+    assert os.path.isdir(os.path.join(out, "mode=car"))
+    # round-trip row count
+    assert spark.read.parquet(out).count() == n
+
+
+def test_point_lookup_prunes(spark, tmp_path):
+    """The §3.3 point-lookup shape: filter on the sort key must read a
+    strict subset (row-group pruning works when layout is sorted)."""
+    df = (
+        spark.range(50_000)
+        .withColumn("origin_id", F.lpad((F.col("id") % 1000).cast("string"), 11, "0"))
+        .withColumn("duration_sec", F.col("id").cast("double"))
+        .drop("id")
+    )
+    out = str(tmp_path / "flat")
+    write_sorted_partitioned(df, out, order_by=["origin_id"], num_range_partitions=4)
+    hit = (
+        spark.read.parquet(out)
+        .filter(F.col("origin_id") == "00000000042")
+        .count()
+    )
+    assert hit == 50

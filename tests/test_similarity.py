@@ -1,0 +1,79 @@
+"""Similarity search: brute-force top-k vs a numpy oracle; IVF probe
+recall; near-dup blocking."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from opentimes_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    label_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.RandomState(7)
+    base = rng.randn(3, 8)
+    rows = []
+    for i in range(30):
+        label = i % 3
+        v = base[label] + 0.1 * rng.randn(8)
+        rows.append((i, [float(x) for x in v], label))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark, vecs):
+    return spark.createDataFrame(
+        vecs, "vec_id int, embedding array<float>, label int"
+    )
+
+
+def _numpy_topk(vecs, qid, k):
+    arr = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v, _ in vecs}
+    q = arr[qid]
+    scores = {
+        i: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for i, v in arr.items()
+        if i != qid
+    }
+    return sorted(scores, key=lambda i: (-scores[i], i))[:k]
+
+
+def test_topk_matches_numpy(emb, vecs):
+    out = brute_force_topk(emb.filter("vec_id < 3"), emb, k=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["cand_id"]))
+    for qid in range(3):
+        spark_ids = [c for _, c in sorted(got[qid])]
+        assert spark_ids == _numpy_topk(vecs, qid, 4)
+
+
+def test_centroids(emb):
+    cents = {r["centroid_id"]: r["centroid"] for r in label_centroids(emb).collect()}
+    assert len(cents) == 3 and all(len(v) == 8 for v in cents.values())
+
+
+def test_ivf_recall_on_clustered_data(emb, vecs):
+    """With well-separated clusters, probing 1 centroid reproduces the
+    exact top-k (every true neighbor shares the query's label)."""
+    exact = brute_force_topk(emb.filter("vec_id < 3"), emb, k=3)
+    approx = ivf_topk(emb.filter("vec_id < 3"), emb, k=3, n_probe=1)
+    e = {(r["query_id"], r["rnk"]): r["cand_id"] for r in exact.collect()}
+    a = {(r["query_id"], r["rnk"]): r["cand_id"] for r in approx.collect()}
+    assert e == a
+
+
+def test_neardup_blocked_by_label(emb):
+    out = embedding_neardup_pairs(emb, threshold=0.9)
+    rows = out.collect()
+    assert len(rows) > 0
+    lbl = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert lbl[r["id_a"]] == lbl[r["id_b"]]  # blocking respected
+        assert r["id_a"] < r["id_b"]
