@@ -1,0 +1,118 @@
+"""Geometry kernel (SURVEY.md F14): CRS projection and point-in-polygon,
+implemented in vectorized numpy for use inside Arrow-batched pandas UDFs.
+
+The reference wraps pyproj/shapely (opentimes data/src/utils/census.py:
+50-71,100-107,159-169); neither library ships in this container, so the
+two kernels it actually needs are implemented directly from the public
+formulas:
+
+- **EPSG:5071** (NAD83 / Conus Albers): Albers equal-area conic on the
+  GRS80 ellipsoid, standard parallels 29.5°/45.5°, origin (23°N, 96°W).
+  Formulas: Snyder, *Map Projections — A Working Manual* (USGS PP 1395),
+  eqs. 14-1..14-24. Exact forward + iterative-free inverse (series-free
+  via Newton on the authalic latitude is avoided by the closed-form
+  asin from Snyder 3-18).
+- **Point-in-polygon**: vectorized ray casting (even-odd rule) — exact
+  for the rectilinear synthetic fixtures and standard for real polygons.
+
+Everything is ndarray-in/ndarray-out so a pandas UDF processes whole
+Arrow batches per call.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# GRS80 ellipsoid
+_A = 6378137.0
+_F = 1.0 / 298.257222101
+_E2 = _F * (2 - _F)
+_E = np.sqrt(_E2)
+
+# EPSG:5071 parameters
+_LAT0, _LON0 = np.radians(23.0), np.radians(-96.0)
+_SP1, _SP2 = np.radians(29.5), np.radians(45.5)
+
+
+def _q(lat: np.ndarray) -> np.ndarray:
+    """Snyder eq. 3-12: authalic-latitude helper q."""
+    s = np.sin(lat)
+    return (1 - _E2) * (
+        s / (1 - _E2 * s * s)
+        - (1 / (2 * _E)) * np.log((1 - _E * s) / (1 + _E * s))
+    )
+
+
+def _m(lat: np.ndarray) -> np.ndarray:
+    """Snyder eq. 14-15: m = cosφ / sqrt(1 − e²sin²φ)."""
+    s = np.sin(lat)
+    return np.cos(lat) / np.sqrt(1 - _E2 * s * s)
+
+
+_M1, _M2 = _m(_SP1), _m(_SP2)
+_Q0, _Q1, _Q2 = _q(_LAT0), _q(_SP1), _q(_SP2)
+_N = (_M1 * _M1 - _M2 * _M2) / (_Q2 - _Q1)  # Snyder 14-14
+_C = _M1 * _M1 + _N * _Q1  # Snyder 14-13
+_RHO0 = _A * np.sqrt(_C - _N * _Q0) / _N  # Snyder 14-12a
+
+
+def project_5071(lon_deg: np.ndarray, lat_deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 lon/lat degrees → EPSG:5071 x/y meters (Snyder 14-1..4)."""
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    q = _q(lat)
+    rho = _A * np.sqrt(_C - _N * q) / _N
+    theta = _N * (lon - _LON0)
+    return rho * np.sin(theta), _RHO0 - rho * np.cos(theta)
+
+
+def unproject_5071(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:5071 meters → lon/lat degrees (Snyder 14-19..21, 3-18)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rho = np.sqrt(x * x + (_RHO0 - y) ** 2)
+    theta = np.arctan2(x, _RHO0 - y)
+    q = (_C - (rho * _N / _A) ** 2) / _N
+    # authalic → geodetic latitude, Snyder 3-18 series
+    beta = np.arcsin(q / (1 - ((1 - _E2) / (2 * _E)) * np.log((1 - _E) / (1 + _E))))
+    lat = (
+        beta
+        + (_E2 / 3 + 31 * _E2**2 / 180 + 517 * _E2**3 / 5040) * np.sin(2 * beta)
+        + (23 * _E2**2 / 360 + 251 * _E2**3 / 3780) * np.sin(4 * beta)
+        + (761 * _E2**3 / 45360) * np.sin(6 * beta)
+    )
+    lon = _LON0 + theta / _N
+    return np.degrees(lon), np.degrees(lat)
+
+
+def points_in_polygon(
+    px: np.ndarray, py: np.ndarray, poly: np.ndarray
+) -> np.ndarray:
+    """Even-odd ray casting: bool mask of points inside ``poly``
+    (closed or open ring of shape (k, 2)). Boundary points follow the
+    half-open convention (consistent, not symmetric)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    poly = np.asarray(poly, dtype=np.float64)
+    if len(poly) > 1 and np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
+    inside = np.zeros(px.shape, dtype=bool)
+    x1, y1 = poly[:, 0], poly[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    for xa, ya, xb, yb in zip(x1, y1, x2, y2):
+        crosses = (ya > py) != (yb > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = xa + (py - ya) * (xb - xa) / (yb - ya)
+        inside ^= crosses & (px < xint)
+    return inside
+
+
+def haversine_m(
+    lon1: np.ndarray, lat1: np.ndarray, lon2: np.ndarray, lat2: np.ndarray
+) -> np.ndarray:
+    """Great-circle distance in meters (spherical, R=6371.0088 km)."""
+    la1, la2 = np.radians(lat1), np.radians(lat2)
+    dla = la2 - la1
+    dlo = np.radians(lon2) - np.radians(lon1)
+    h = np.sin(dla / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(dlo / 2) ** 2
+    return 2 * 6371008.8 * np.arcsin(np.sqrt(h))

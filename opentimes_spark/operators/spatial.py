@@ -1,0 +1,125 @@
+"""Spatial joins (SURVEY.md J4/J5) — broadcast polygons + Arrow-batched
+pandas UDF containment, the Spark-native shape of the reference's
+``gpd.sjoin(predicate='contains')`` (opentimes create_cenloc.py:91) and
+buffered-within (create_destpoint.py:57-71).
+
+Scale design: polygons are dimension-sized (a state's TIGER polygons are
+kilobytes—megabytes), points are the fact side. Broadcasting the polygon
+set and streaming points through ``mapInPandas`` keeps the join
+shuffle-free; at national scale the fact side is first partitioned by
+state (as the reference's per-state file layout does), so each task only
+tests its state's polygons. Polygons are plain coordinate rings
+(array<struct<x,y>>-like nested lists), no geometry library required.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from opentimes_spark.functions.geometry import haversine_m, points_in_polygon
+
+
+def spatial_join_contains(
+    points: DataFrame,
+    polygons: list[tuple[str, list[tuple[float, float]]]],
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "polygon_id",
+) -> DataFrame:
+    """Tag each point with the id of the (first, by id order) polygon
+    containing it; points in no polygon get NULL. ``polygons`` is a
+    driver-side list of (id, ring) — broadcast to executors."""
+    from opentimes_spark.session import ship_package
+
+    spark = points.sparkSession
+    ship_package(spark)
+    polys = sorted(polygons, key=lambda p: p[0])
+    rings = [(pid, np.asarray(ring, dtype=np.float64)) for pid, ring in polys]
+    bc = spark.sparkContext.broadcast(rings)
+    schema = StructType(
+        points.schema.fields + [StructField(out_col, StringType(), True)]
+    )
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = bc.value
+        for batch in batches:
+            px = batch[x_col].to_numpy(dtype=np.float64)
+            py = batch[y_col].to_numpy(dtype=np.float64)
+            out = np.full(len(batch), None, dtype=object)
+            unassigned = np.ones(len(batch), dtype=bool)
+            for pid, ring in local:
+                if not unassigned.any():
+                    break
+                hit = unassigned & points_in_polygon(px, py, ring)
+                out[hit] = pid
+                unassigned &= ~hit
+            batch = batch.copy()
+            batch[out_col] = out
+            yield batch
+
+    return points.mapInPandas(tag, schema)
+
+
+def within_buffer_of_point(
+    points: DataFrame,
+    center_lon: float,
+    center_lat: float,
+    buffer_m: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """J5 buffered-within, distance form: keep points within ``buffer_m``
+    meters of a center (the reference buffers a state polygon by 300 km;
+    for convex/near-convex state use a distance-to-boundary test — here
+    the simpler center+radius form used by tests; polygon-buffer variant
+    composes spatial_join_contains on a dilated ring)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    dist = _haversine_col(
+        F.col(lon_col), F.col(lat_col), F.lit(center_lon), F.lit(center_lat)
+    )
+    return points.filter(dist <= buffer_m)
+
+
+def _haversine_col(lon1, lat1, lon2, lat2):
+    """Column-expression haversine (meters) — JVM-side, codegen."""
+    dla = F.radians(lat2) - F.radians(lat1)
+    dlo = F.radians(lon2) - F.radians(lon1)
+    h = F.pow(F.sin(dla / 2), 2) + F.cos(F.radians(lat1)) * F.cos(
+        F.radians(lat2)
+    ) * F.pow(F.sin(dlo / 2), 2)
+    return 2 * F.lit(6371008.8) * F.asin(F.sqrt(h))
+
+
+def project_points(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    x_col: str = "x_5071",
+    y_col: str = "y_5071",
+) -> DataFrame:
+    """Append EPSG:5071 projected coordinates via an Arrow-batched pandas
+    UDF over the numpy Albers kernel (functions/geometry.py)."""
+    from opentimes_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("x double, y double")
+    def _proj(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        from opentimes_spark.functions.geometry import project_5071
+
+        x, y = project_5071(lon.to_numpy(), lat.to_numpy())
+        return pd.DataFrame({"x": x, "y": y})
+
+    proj = _proj(F.col(lon_col), F.col(lat_col))
+    return df.withColumn("_xy", proj).select(
+        "*", F.col("_xy.x").alias(x_col), F.col("_xy.y").alias(y_col)
+    ).drop("_xy")

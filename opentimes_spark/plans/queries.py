@@ -1314,3 +1314,95 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# opentimes domain: OD matrix (X3) + missing-pairs complement (J7)
+# ---------------------------------------------------------------------------
+
+_OD_POINTS_SQL = """
+        SELECT 'n' || LPAD(CAST(n_nationkey AS VARCHAR), 2, '0') AS id,
+               -120.0 + n_nationkey * 2.0            AS lon,
+               25.0 + (n_nationkey % 7) * 3.0        AS lat
+        FROM nation
+"""
+
+_HAVERSINE_SQL = """
+        2 * 6371.0088 * ASIN(SQRT(
+            POW(SIN(RADIANS(d.lat - o.lat) / 2), 2)
+            + COS(RADIANS(o.lat)) * COS(RADIANS(d.lat))
+              * POW(SIN(RADIANS(d.lon - o.lon) / 2), 2)
+        )) / 60.0 * 3600.0
+"""
+
+_POISONED = (("n03", "n17"), ("n09", "n04"))
+
+
+def _od_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        F.concat(F.lit("n"), F.lpad(F.col("n_nationkey").cast("string"), 2, "0")).alias(
+            "id"
+        ),
+        (F.lit(-120.0) + F.col("n_nationkey") * 2.0).alias("lon"),
+        (F.lit(25.0) + (F.col("n_nationkey") % 7) * 3.0).alias("lat"),
+    )
+
+
+def _od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentimes_spark.operators.matrix import HaversineRouter, travel_time_matrix
+
+    pts = _od_points(spark, sf_dir)
+    poisoned = set(_POISONED)
+    return travel_time_matrix(
+        pts,
+        pts,
+        lambda: HaversineRouter(speed_kmh=60.0, fail_pairs=poisoned),
+        max_recursion_depth=10,
+        num_chunks=4,
+    )
+
+
+@query(
+    "od_matrix_times",
+    f"""
+    WITH pts AS ({_OD_POINTS_SQL})
+    SELECT o.id AS origin_id, d.id AS destination_id,
+           FLOOR(({_HAVERSINE_SQL}) * 10000 + 0.5) / 10000 AS duration_sec
+    FROM pts o CROSS JOIN pts d
+    WHERE NOT ((o.id = 'n03' AND d.id = 'n17') OR (o.id = 'n09' AND d.id = 'n04'))
+    """,
+)
+def od_matrix_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 travel-time matrix through the real mapInPandas operator with
+    fault-isolating recursion (operators/matrix.py): poisoned pairs are
+    isolated by the binary search and drop to missing; every routed pair
+    matches the oracle's haversine formula. (Reference semantics:
+    utils/times.py:389-642.)"""
+    from opentimes_spark.functions.text import stable_round
+    from opentimes_spark.operators.matrix import split_times_missing
+
+    times, _ = split_times_missing(_od_matrix(spark, sf_dir))
+    return times.select(
+        "origin_id",
+        "destination_id",
+        stable_round(F.col("duration_sec"), 4).alias("duration_sec"),
+    )
+
+
+@query(
+    "od_missing_pairs",
+    """
+    SELECT * FROM (VALUES ('n03', 'n17'), ('n09', 'n04'))
+        AS t(origin_id, destination_id)
+    """,
+)
+def od_missing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/U3 missing-pairs complement: the fault-isolation recursion must
+    isolate EXACTLY the unroutable pairs — nothing more (over-isolation
+    loses data), nothing less (under-isolation invents routes).
+    (Reference: calculate_times.py:71-79, utils/utils.py:9-28.)"""
+    from opentimes_spark.operators.matrix import split_times_missing
+
+    _, missing = split_times_missing(_od_matrix(spark, sf_dir))
+    return missing

@@ -50,3 +50,35 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship the opentimes_spark package to executors via ``addPyFile``.
+
+    Python-worker processes don't inherit the driver's ``sys.path``, so
+    any pandas-UDF / mapInPandas closure that references package symbols
+    fails with ModuleNotFoundError unless the package is distributed.
+    This is also exactly what a real cluster deployment needs — the same
+    zip rides the ``--py-files`` channel. Idempotent per session."""
+    import os
+    import tempfile
+    import zipfile
+
+    import opentimes_spark
+
+    jsc = spark.sparkContext
+    if getattr(jsc, "_opentimes_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(opentimes_spark.__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"opentimes_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    jsc.addPyFile(zip_path)
+    jsc._opentimes_pkg_shipped = True

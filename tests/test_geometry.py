@@ -1,0 +1,125 @@
+"""Geometry kernel: Albers 5071 round-trip + known values, ray casting,
+spatial join, projection UDF."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from opentimes_spark.functions.geometry import (
+    haversine_m,
+    points_in_polygon,
+    project_5071,
+    unproject_5071,
+)
+from opentimes_spark.operators.spatial import (
+    project_points,
+    spatial_join_contains,
+    within_buffer_of_point,
+)
+
+
+def test_albers_projection_origin():
+    # projection origin maps to (0, 0) by construction
+    x, y = project_5071(np.array([-96.0]), np.array([23.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+
+
+def test_albers_equal_area_property():
+    """The defining invariant: the Jacobian determinant of (x,y) w.r.t.
+    (λ,φ) must equal the GRS80 area element a²(1−e²)cosφ/(1−e²sin²φ)²
+    at every point — this pins the projection as THE Albers equal-area,
+    not just some conic."""
+    a, f = 6378137.0, 1 / 298.257222101
+    e2 = f * (2 - f)
+    rng = np.random.RandomState(11)
+    lon = rng.uniform(-124, -67, 50)
+    lat = rng.uniform(25, 49, 50)
+    eps = 1e-6  # degrees
+    x0, y0 = project_5071(lon, lat)
+    xl, yl = project_5071(lon + eps, lat)
+    xp, yp = project_5071(lon, lat + eps)
+    d = np.radians(eps)
+    jac = ((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (d * d)
+    s = np.sin(np.radians(lat))
+    expect = a * a * (1 - e2) * np.cos(np.radians(lat)) / (1 - e2 * s * s) ** 2
+    np.testing.assert_allclose(jac, expect, rtol=1e-4)
+
+
+def test_albers_standard_parallel_scale():
+    """Along a standard parallel the scale is true: projected distance of
+    a small east-west step equals the ellipsoidal parallel arc length."""
+    a, f = 6378137.0, 1 / 298.257222101
+    e2 = f * (2 - f)
+    lat = 29.5
+    step = 0.01  # degrees of longitude
+    x0, y0 = project_5071(np.array([-96.0]), np.array([lat]))
+    x1, y1 = project_5071(np.array([-96.0 + step]), np.array([lat]))
+    proj_d = float(np.hypot(x1 - x0, y1 - y0))
+    s = np.sin(np.radians(lat))
+    arc = a * np.cos(np.radians(lat)) / np.sqrt(1 - e2 * s * s) * np.radians(step)
+    assert proj_d == pytest.approx(arc, rel=1e-6)
+
+
+def test_albers_roundtrip():
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(-124, -67, 200)
+    lat = rng.uniform(25, 49, 200)
+    x, y = project_5071(lon, lat)
+    lon2, lat2 = unproject_5071(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-7)
+    np.testing.assert_allclose(lat2, lat, atol=1e-7)
+
+
+def test_ray_casting():
+    square = np.array([(0, 0), (10, 0), (10, 10), (0, 10)])
+    px = np.array([5.0, 15.0, -1.0, 9.999])
+    py = np.array([5.0, 5.0, 5.0, 9.999])
+    np.testing.assert_array_equal(
+        points_in_polygon(px, py, square), [True, False, False, True]
+    )
+
+
+def test_ray_casting_concave():
+    # L-shape: (5..10, 5..10) notch removed
+    poly = np.array([(0, 0), (10, 0), (10, 5), (5, 5), (5, 10), (0, 10)])
+    inside = points_in_polygon(np.array([2.0, 7.0, 7.0]), np.array([7.0, 7.0, 2.0]), poly)
+    np.testing.assert_array_equal(inside, [True, False, True])
+
+
+def test_haversine_equator_degree():
+    # 1° of longitude at the equator ≈ 111.195 km (spherical)
+    d = haversine_m(np.array([0.0]), np.array([0.0]), np.array([1.0]), np.array([0.0]))
+    assert d[0] == pytest.approx(111195, rel=1e-3)
+
+
+def test_spatial_join_contains(spark):
+    pts = spark.createDataFrame(
+        [("p1", 2.0, 2.0), ("p2", 7.0, 2.0), ("p3", 50.0, 50.0)],
+        "id string, x double, y double",
+    )
+    polys = [
+        ("east", [(5.0, 0.0), (10.0, 0.0), (10.0, 5.0), (5.0, 5.0)]),
+        ("west", [(0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0)]),
+    ]
+    got = {r["id"]: r["polygon_id"] for r in spatial_join_contains(pts, polys).collect()}
+    assert got == {"p1": "west", "p2": "east", "p3": None}
+
+
+def test_within_buffer(spark):
+    pts = spark.createDataFrame(
+        [("near", -87.7, 41.9), ("far", -80.0, 35.0)],
+        "id string, lon double, lat double",
+    )
+    got = within_buffer_of_point(pts, -87.6298, 41.8781, 300_000).collect()
+    assert [r["id"] for r in got] == ["near"]
+
+
+def test_project_points_udf(spark):
+    pts = spark.createDataFrame(
+        [("a", -96.0, 23.0), ("b", -87.6298, 41.8781)],
+        "id string, lon double, lat double",
+    )
+    got = {r["id"]: (r["x_5071"], r["y_5071"]) for r in project_points(pts).collect()}
+    assert got["a"][0] == pytest.approx(0.0, abs=1e-6)
+    assert 500_000 < got["b"][0] < 900_000 and 2_000_000 < got["b"][1] < 2_300_000
