@@ -1,0 +1,230 @@
+"""The opentimes ETL pipeline, Spark-first (SURVEY.md §3.1 / §7).
+
+Reference lifecycle (opentimes): fetch → blockloc → cenloc → destpoint →
+calculate_times → public files, orchestrated by DVC + a GitHub Actions
+job matrix (data/dvc.yaml:3-151, .github/workflows/calculate-times.yaml).
+Here each stage is a DataFrame → DataFrame function; the whole ladder is
+one Spark job graph with parquet checkpoints at the same boundaries.
+
+Stage parity map:
+- build_blockloc  ⇝ create_blockloc.py (join blocks ← population on the
+  composite key, project coords in both CRS; invariants :90-93)
+- build_cenloc    ⇝ create_cenloc.py (population-weighted + unweighted
+  centroids per parent geography via GEOID prefix; spatial year-bridge
+  join :87-91 is spatial_join_contains)
+- build_destpoint ⇝ create_destpoint.py (destinations within the
+  buffered state)
+- compute_times   ⇝ calculate_times.py (X3 matrix + times/missing split
+  + metadata)
+- write_public    ⇝ create_public_files.py (partitioned, range-sorted,
+  size-capped layout)
+- point_lookup    ⇝ the browser/DuckDB consume path (README.md:88-98,
+  site/assets/js/map.js §3.3)
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opentimes_spark.functions.geoid import split_geoid
+from opentimes_spark.io.write import write_sorted_partitioned
+from opentimes_spark.operators.matrix import split_times_missing, travel_time_matrix
+from opentimes_spark.operators.spatial import project_points
+from opentimes_spark.operators.weighted_mean import weighted_centroids
+
+PARTITION_KEYS = ["version", "mode", "year", "geography", "state", "centroid_type"]
+
+
+def build_blockloc(blocks: DataFrame, blockpop: DataFrame) -> DataFrame:
+    """blocks (geoid, lon, lat) ⟕ blockpop (county,tract,block,population)
+    on the composite key decomposed from the block GEOID; appends
+    EPSG:5071 projected coords. Missing population → 0 (the reference
+    left-joins then asserts no nulls; zero-pop blocks are real and must
+    survive for the weighted-mean fallback)."""
+    parts = split_geoid(F.col("geoid"))
+    located = blocks.select(
+        "geoid",
+        parts["state"].alias("state"),
+        parts["county"].alias("county"),
+        parts["tract"].alias("tract"),
+        parts["block_group"].alias("block_group"),
+        parts["block"].alias("block"),
+        F.col("lon").alias("x_4326"),
+        F.col("lat").alias("y_4326"),
+    )
+    joined = located.join(
+        F.broadcast(blockpop), on=["county", "tract", "block"], how="left"
+    ).withColumn("population", F.coalesce(F.col("population"), F.lit(0)).cast("int"))
+    projected = project_points(
+        joined, lon_col="x_4326", lat_col="y_4326", x_col="x_5071", y_col="y_5071"
+    )
+    return projected
+
+
+def expect(df: DataFrame, n_rows: int | None = None, no_null_cols: list[str] | None = None) -> DataFrame:
+    """First-class invariant checks (reference inline assertions,
+    create_cenloc.py:139-142 / create_blockloc.py:90-93): row-count
+    preservation and no-null columns. Raises on violation."""
+    if n_rows is not None:
+        actual = df.count()
+        if actual != n_rows:
+            raise AssertionError(f"expected {n_rows} rows, got {actual}")
+    if no_null_cols:
+        counts = df.select(
+            *[
+                F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+                for c in no_null_cols
+            ]
+        ).collect()[0]
+        bad = {c: counts[c] for c in no_null_cols if counts[c] > 0}
+        if bad:
+            raise AssertionError(f"null values present: {bad}")
+    return df
+
+
+def build_cenloc(blockloc: DataFrame, geography: str) -> DataFrame:
+    """Per-geography weighted + unweighted centroids from block locations
+    (reference create_cenloc.py: weighted mean over blocks grouped by the
+    parent GEOID prefix). ``geography`` ∈ {county, tract, block_group}."""
+    prefix_len = {"state": 2, "county": 5, "tract": 11, "block_group": 12}[geography]
+    parent = blockloc.withColumn("parent_geoid", F.substring("geoid", 1, prefix_len))
+    cent = weighted_centroids(
+        parent,
+        "parent_geoid",
+        ["x_4326", "y_4326", "x_5071", "y_5071"],
+        "population",
+    )
+    return cent.withColumnRenamed("parent_geoid", "geoid").select(
+        "geoid",
+        "x_4326",
+        "y_4326",
+        "x_4326_wt",
+        "y_4326_wt",
+        "x_5071",
+        "y_5071",
+        "x_5071_wt",
+        "y_5071_wt",
+    )
+
+
+def build_destpoint(
+    cenloc_all_states: DataFrame,
+    state_center: tuple[float, float],
+    buffer_m: float = 300_000.0,
+    centroid_type: str = "weighted",
+) -> DataFrame:
+    """Destinations = every geography whose (weighted OR unweighted)
+    centroid falls within the buffered state (reference
+    create_destpoint.py:57-75: two match sets, union, semi-join)."""
+    from opentimes_spark.operators.spatial import within_buffer_of_point
+
+    lon_w, lat_w = ("x_4326_wt", "y_4326_wt")
+    lon_u, lat_u = ("x_4326", "y_4326")
+    m1 = within_buffer_of_point(
+        cenloc_all_states, state_center[0], state_center[1], buffer_m, lon_w, lat_w
+    ).select("geoid")
+    m2 = within_buffer_of_point(
+        cenloc_all_states, state_center[0], state_center[1], buffer_m, lon_u, lat_u
+    ).select("geoid")
+    matches = m1.union(m2).distinct()
+    return cenloc_all_states.join(matches, "geoid", "left_semi")
+
+
+def compute_times(
+    origins_cenloc: DataFrame,
+    destinations: DataFrame,
+    router_factory,
+    centroid_type: str = "weighted",
+    max_split_size: int = 5000,
+    num_chunks: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """X3 over centroid points → (times, missing_pairs, metadata).
+    Column choice by centroid type mirrors OD_COLS (utils/times.py:310-313)."""
+    lon, lat = (
+        ("x_4326_wt", "y_4326_wt") if centroid_type == "weighted" else ("x_4326", "y_4326")
+    )
+    o = origins_cenloc.select(
+        F.col("geoid").alias("id"), F.col(lon).alias("lon"), F.col(lat).alias("lat")
+    )
+    d = destinations.select(
+        F.col("geoid").alias("id"), F.col(lon).alias("lon"), F.col(lat).alias("lat")
+    )
+    matrix = travel_time_matrix(
+        o, d, router_factory, max_split_size=max_split_size, num_chunks=num_chunks
+    )
+    times, missing = split_times_missing(matrix)
+    n_o, n_d = o.count(), d.count()
+    spark = origins_cenloc.sparkSession
+    metadata = spark.createDataFrame(
+        [
+            (
+                uuid.uuid4().hex[:8],
+                n_o,
+                n_d,
+            )
+        ],
+        "run_id string, calc_n_origins long, calc_n_destinations long",
+    )
+    return times, missing, metadata
+
+
+def write_public(
+    times: DataFrame,
+    out_dir: str,
+    version: str = "0.0.1",
+    mode: str = "car",
+    year: str = "2024",
+    geography: str = "tract",
+    state: str = "17",
+    centroid_type: str = "weighted",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned public write with the T4 sorted layout: Hive keys as
+    STRINGS (reference hive_types_autocast=false) + range-sorted
+    (origin_id, destination_id) for tight row-group stats."""
+    tagged = (
+        times.withColumn("version", F.lit(version))
+        .withColumn("mode", F.lit(mode))
+        .withColumn("year", F.lit(year))
+        .withColumn("geography", F.lit(geography))
+        .withColumn("state", F.lit(state))
+        .withColumn("centroid_type", F.lit(centroid_type))
+    )
+    write_sorted_partitioned(
+        tagged,
+        out_dir,
+        partition_by=PARTITION_KEYS,
+        order_by=["origin_id", "destination_id"],
+        max_records_per_file=max_records_per_file,
+    )
+
+
+def point_lookup(
+    spark,
+    public_dir: str,
+    origin_id: str,
+    version: str = "0.0.1",
+    mode: str = "car",
+    year: str = "2024",
+    geography: str = "tract",
+    state: str = "17",
+    centroid_type: str = "weighted",
+) -> DataFrame:
+    """The consume path (§3.3): all partition keys + origin →
+    partition-pruned, row-group-skipping scan of 3 columns."""
+    df = spark.read.parquet(public_dir)
+    return (
+        df.filter(
+            (F.col("version") == version)
+            & (F.col("mode") == mode)
+            & (F.col("year") == year)
+            & (F.col("geography") == geography)
+            & (F.col("state") == state)
+            & (F.col("centroid_type") == centroid_type)
+            & (F.col("origin_id") == origin_id)
+        )
+        .select("origin_id", "destination_id", "duration_sec")
+    )

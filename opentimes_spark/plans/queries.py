@@ -1406,3 +1406,222 @@ def od_missing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, missing = split_times_missing(_od_matrix(spark, sf_dir))
     return missing
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: JSON, grouping sets/cube, UDAF/UDTF shapes, sessionization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           event_type
+    FROM events
+    WHERE event_id <= 2000
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 JSON parsing (reference: OSRM response/Census row parsing,
+    utils/times.py:466-472) via from_json on the events.props column."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    return e.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+        "event_type",
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext cube (SURVEY.md §2.4 Ext grouping sets family)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext explicit grouping sets via spark.sql (Catalyst Expand)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query(
+    "udaf_grouped_agg",
+    """
+    SELECT user_id,
+           ROUND(SUM(value * value) / COUNT(*) - POW(SUM(value) / COUNT(*), 2), 4)
+               AS value_variance_biased
+    FROM events
+    WHERE user_id <= 30
+    GROUP BY user_id
+    """,
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-Ext UDAF surface: pandas_udf GROUPED_AGG computing a biased
+    variance (numpy, Arrow-batched). The oracle reproduces it with the
+    moment formula — demonstrating that even custom aggregates stay
+    deterministic. (At scale the built-in var_pop is preferred; this row
+    exists to cover the pandas-UDAF pattern per SURVEY.md §2.9.)"""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from opentimes_spark.functions.text import stable_round
+    from opentimes_spark.session import ship_package
+
+    ship_package(spark)
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies type hints, which breaks pandas_udf signature inference
+    def _var_biased(v):
+        a = v.to_numpy(dtype=np.float64)
+        # same op order as the SQL moment formula for bit-parity
+        n = float(len(a))
+        return float((a * a).sum() / n - (a.sum() / n) ** 2)
+
+    var_biased = pandas_udf(_var_biased, "double", PandasUDFType.GROUPED_AGG)
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    return e.groupBy("user_id").agg(
+        stable_round(var_biased(F.col("value")), 4).alias("value_variance_biased")
+    )
+
+
+@query(
+    "udtf_explode_struct",
+    """
+    SELECT o_orderkey, part.field AS field, part.val AS val
+    FROM (
+        SELECT o_orderkey,
+               UNNEST([
+                   {'field': 'price', 'val': ROUND(o_totalprice, 2)},
+                   {'field': 'key2x', 'val': CAST(o_orderkey * 2 AS DOUBLE)}
+               ]) AS part
+        FROM orders WHERE o_orderkey <= 500
+    )
+    """,
+)
+def udtf_explode_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-Ext UDTF shape: one row → many typed rows via explode of a
+    struct array (SURVEY.md §2.9 Ext; reference F13 flattening analogue)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    parts = F.array(
+        F.struct(F.lit("price").alias("field"), F.round("o_totalprice", 2).alias("val")),
+        F.struct(
+            F.lit("key2x").alias("field"),
+            (F.col("o_orderkey") * 2).cast("double").alias("val"),
+        ),
+    )
+    return o.select("o_orderkey", F.explode(parts).alias("part")).select(
+        "o_orderkey", F.col("part.field").alias("field"), F.col("part.val").alias("val")
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE user_id <= 40
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands, 30-min gap) — the batch twin of
+    streaming session_window (SURVEY.md §2.10); lag + running flag sum."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy(
+        "user_id", F.col("session_idx").cast("int").alias("session_idx")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "union_all_sources",
+    """
+    SELECT id, kind FROM (
+        SELECT CAST(c_custkey AS BIGINT) AS id, 'customer' AS kind FROM customer
+        UNION ALL
+        SELECT CAST(s_suppkey AS BIGINT) AS id, 'supplier' AS kind FROM supplier
+        UNION ALL
+        SELECT CAST(p_partkey AS BIGINT) AS id, 'part' AS kind FROM part
+    )
+    """,
+)
+def union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 union-all of heterogeneous sources (reference: pd.concat of
+    chunk results, utils/times.py:634-639) via unionByName."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("id"), F.lit("customer").alias("kind")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("id"), F.lit("supplier").alias("kind")
+    )
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("id"), F.lit("part").alias("kind")
+    )
+    return c.unionByName(s).unionByName(p)

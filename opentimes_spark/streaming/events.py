@@ -1,0 +1,84 @@
+"""Structured Streaming recipes over the events stream (SURVEY.md §2.10
+extension surface — the reference is pure batch, §1.4).
+
+Each recipe takes a streaming DataFrame (``spark.readStream``) and
+returns the transformed streaming DataFrame; sinks are the caller's
+choice (tests use foreachBatch → memory). The batch twins in
+plans/queries.py (events_hourly, sessionize_events) share the same
+window semantics, so the oracle-checked batch results double as the
+streaming correctness reference.
+
+Scale notes: every aggregation here is keyed by (window, ...) so state
+is bounded by watermark horizon × key cardinality; shuffle partitioning
+follows the group keys. ``foreachBatch`` sinks should write through
+io.write.write_sorted_partitioned to keep the layout contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_event_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window × event_type: count, users, value sum.
+    Late data beyond ``watermark`` is dropped (state GC)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_rate(
+    stream: DataFrame, window: str = "30 minutes", slide: str = "10 minutes"
+) -> DataFrame:
+    """Sliding-window mean value per event_type."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "avg_value",
+            "n",
+        )
+    )
+
+
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based) — the streaming twin of the
+    batch gaps-and-islands sessionize_events query. Input rows later than
+    ``watermark`` behind the max seen ts are dropped (the late-data
+    contract) — size the watermark to the source's real disorder."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])

@@ -1,0 +1,118 @@
+"""End-to-end pipeline slice (SURVEY.md §7): synthetic two-state world →
+blockloc → cenloc → destpoint → times → sorted public write → point
+lookup, with the reference's invariants checked at each stage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentimes_spark.operators.matrix import HaversineRouter
+from opentimes_spark.plans.pipeline import (
+    build_blockloc,
+    build_cenloc,
+    build_destpoint,
+    compute_times,
+    expect,
+    point_lookup,
+    write_public,
+)
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    """Two states ('17', '18'), 2 counties × 2 tracts × 4 blocks each,
+    deterministic grid coordinates. State 17 centered ~(-88, 41),
+    state 18 east of it; far enough that a 150 km buffer keeps only a
+    couple of out-of-state tracts."""
+    blocks, pops = [], []
+    for si, state in enumerate(["17", "18"]):
+        for ci in range(2):
+            county = f"{ci + 1:03d}"
+            for ti in range(2):
+                tract = f"{ti + 1:06d}"
+                for bi in range(4):
+                    block = f"1{bi:03d}"  # leading digit = block group
+                    geoid = f"{state}{county}{tract}{block}"
+                    lon = -88.0 + si * 2.0 + ci * 0.5 + ti * 0.1 + bi * 0.01
+                    lat = 41.0 + ci * 0.4 + ti * 0.1 + bi * 0.01
+                    blocks.append((geoid, lon, lat))
+                    # one zero-pop block per tract exercises the fallback
+                    pops.append((county, tract, block, 0 if bi == 3 else 100 * (bi + 1)))
+    blocks_df = spark.createDataFrame(blocks, "geoid string, lon double, lat double")
+    pop_df = spark.createDataFrame(
+        pops, "county string, tract string, block string, population int"
+    ).distinct()
+    return blocks_df, pop_df
+
+
+def test_full_pipeline(spark, world, tmp_path):
+    blocks_df, pop_df = world
+    n_blocks = blocks_df.count()
+
+    # blockloc: row count preserved, coords + population non-null
+    blockloc = expect(
+        build_blockloc(blocks_df, pop_df),
+        n_rows=n_blocks,
+        no_null_cols=["population", "x_5071", "y_5071"],
+    )
+
+    # cenloc per state at tract level
+    cenloc = {}
+    for state in ["17", "18"]:
+        cl = build_cenloc(blockloc.filter(F.col("state") == state), "tract")
+        cenloc[state] = expect(cl, n_rows=4, no_null_cols=["x_4326_wt", "y_4326_wt"])
+
+    # first tract of state 17: blocks at lon −88.00/−87.99/−87.98/−87.97
+    # with pop 100/200/300/0 → weighted = Σ(lon·pop)/600, unweighted = mean
+    row = cenloc["17"].orderBy("geoid").collect()[0]
+    expect_wt = (-88.0 * 100 + -87.99 * 200 + -87.98 * 300) / 600
+    assert row["x_4326_wt"] == pytest.approx(expect_wt, abs=1e-12)
+    assert row["x_4326"] == pytest.approx(-87.985, abs=1e-12)
+
+    # destpoint: state 17 + buffer captures no state-18 tract at 100km,
+    # but does at 250km (state 18 is ~165km east)
+    all_cen = cenloc["17"].union(cenloc["18"])
+    near = build_destpoint(all_cen, (-87.7, 41.2), buffer_m=100_000)
+    far = build_destpoint(all_cen, (-87.7, 41.2), buffer_m=250_000)
+    assert near.count() == 4
+    assert far.count() > 4
+
+    # times: 4 origins × destinations, fault-free haversine router
+    dest = far
+    times, missing, metadata = compute_times(
+        cenloc["17"], dest, HaversineRouter, centroid_type="weighted"
+    )
+    n_pairs = 4 * dest.count()
+    assert times.count() == n_pairs and missing.count() == 0
+    md = metadata.collect()[0]
+    assert md["calc_n_origins"] == 4 and md["calc_n_destinations"] == dest.count()
+
+    # self-pair durations are 0
+    zeros = times.filter(F.col("origin_id") == F.col("destination_id"))
+    assert all(r["duration_sec"] == 0.0 for r in zeros.collect())
+
+    # public write: Hive layout with string keys, sorted row groups
+    out = str(tmp_path / "public")
+    write_public(times, out, state="17")
+    import os
+
+    assert os.path.isdir(
+        os.path.join(
+            out,
+            "version=0.0.1",
+            "mode=car",
+            "year=2024",
+            "geography=tract",
+            "state=17",
+            "centroid_type=weighted",
+        )
+    )
+
+    # point lookup returns exactly the origin's row set, pruned scan
+    some_origin = times.select("origin_id").distinct().orderBy("origin_id").collect()[0][0]
+    got = point_lookup(spark, out, some_origin)
+    assert got.count() == dest.count()
+    # partition values stayed strings (autocast disabled)
+    schema = {f.name: f.dataType.simpleString() for f in spark.read.parquet(out).schema}
+    assert schema["state"] == "string" and schema["year"] == "string"

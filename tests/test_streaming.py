@@ -1,0 +1,109 @@
+"""Structured Streaming recipes: file-source stream over the events
+parquet, results compared against the equivalent batch computation
+(same window semantics → identical final results in complete/update
+modes once all data is processed)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentimes_spark.io.read import read_table
+from opentimes_spark.streaming.events import (
+    dedup_stream,
+    hourly_event_counts,
+    session_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_stream(spark, tmp_path):
+    """Stage the events table as a one-file parquet dir and open it as a
+    file-source stream (maxFilesPerTrigger exercises incremental reads)."""
+    batch = read_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_src")
+    batch.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    yield batch, stream
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def _run_to_memory(stream_df, name, mode="complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_hourly_counts_match_batch(spark, events_stream):
+    batch, stream = events_stream
+    _run_to_memory(hourly_event_counts(stream), "hourly")
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+        for r in spark.sql("SELECT * FROM hourly").collect()
+    }
+    expect = {
+        (r["w"]["start"], r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_session_counts_total_events_preserved(spark, events_stream):
+    batch, stream = events_stream
+    # files arrive in arbitrary time order → watermark must cover the
+    # full span or genuinely-late rows are (correctly) dropped
+    _run_to_memory(session_counts(stream, watermark="90 days"), "sessions")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert sum(r["n_events"] for r in rows) == batch.count()
+    # session windows are per-user disjoint intervals
+    by_user: dict[int, list[tuple]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_dedup_stream_passthrough_when_unique(spark, events_stream):
+    batch, stream = events_stream
+    q = (
+        dedup_stream(stream, watermark="90 days")
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT COUNT(*) c FROM dedup").collect()[0]["c"] == batch.count()
+
+
+def test_watermark_drops_late_data(spark, events_stream):
+    """The late-data contract itself: with a small watermark and files
+    arriving out of time order, late rows must be dropped — fewer events
+    than the batch total survive."""
+    batch, stream = events_stream
+    _run_to_memory(
+        session_counts(stream, watermark="1 hour"), "sessions_strict"
+    )
+    got = spark.sql("SELECT SUM(n_events) s FROM sessions_strict").collect()[0]["s"]
+    assert got < batch.count()
