@@ -547,7 +547,7 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(F.col("n_name").alias("nation"), "c_custkey", "c_acctbal")
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("nation", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rnk")
     )
@@ -617,7 +617,7 @@ def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_ntile",
     """
     SELECT o_orderkey,
-           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile
+           CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile
     FROM orders
     WHERE o_orderstatus = 'O'
     """,
@@ -629,7 +629,7 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select("o_orderkey", F.ntile(4).over(w).alias("price_quartile"))
+    return o.select("o_orderkey", F.ntile(4).over(w).cast("long").alias("price_quartile"))
 
 
 @query(
@@ -913,8 +913,8 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return d.select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
-        distinct_token_count(t).alias("n_uniq_tokens"),
+        token_count(t).cast("long").alias("n_tokens"),
+        distinct_token_count(t).cast("long").alias("n_uniq_tokens"),
         avg_token_len(t).alias("avg_token_len"),
     )
 
@@ -1417,7 +1417,7 @@ def od_missing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_props",
     """
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
            event_type
     FROM events
     WHERE event_id <= 2000
@@ -1429,7 +1429,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
     return e.select(
         "event_id",
-        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+        F.from_json(F.col("props"), "k INT").getField("k").cast("long").alias("k"),
         "event_type",
     )
 

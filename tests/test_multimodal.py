@@ -1,0 +1,65 @@
+"""Multimodal plumbing: binary columns through mapInPandas with typed
+metadata; stubbed codec determinism; real-codec seam raises."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentimes_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from opentimes_spark.session import ship_package
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    ship_package(spark)
+    return synthesize_media(spark, n=30)
+
+
+def test_decode_image_metadata(spark, media):
+    out = decode_image(media)
+    rows = out.collect()
+    assert len(rows) == 10  # 30 media / 3 kinds
+    for r in rows:
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert r["n_bytes"] == 256 and len(r["checksum"]) == 32
+
+
+def test_decode_deterministic(spark, media):
+    a = {r["media_id"]: (r["width"], r["checksum"]) for r in decode_image(media).collect()}
+    b = {r["media_id"]: (r["width"], r["checksum"]) for r in decode_image(media).collect()}
+    assert a == b
+
+
+def test_real_codec_seam_raises(media):
+    with pytest.raises(NotImplementedError):
+        decode_image(media, codec="real")
+
+
+def test_features_feed_similarity(spark, media):
+    from opentimes_spark.operators.similarity import brute_force_topk
+
+    emb = extract_features(media)
+    assert dict(emb.dtypes)["embedding"] == "array<float>"
+    topk = brute_force_topk(
+        emb.filter(F.col("media_id") < 3), emb, k=2, id_col="media_id"
+    )
+    got = topk.collect()
+    assert len(got) == 6  # 3 queries × 2 neighbors
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in got)
+
+
+def test_frame_sample_plan(spark, media):
+    plan = frame_sample_plan(media, every_n=10)
+    rows = plan.collect()
+    # videos have 256/8 = 32 frames → indices 0,10,20,30
+    by_id: dict[int, list[int]] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 10, 20, 30] for v in by_id.values())
+    assert len(by_id) == 10
