@@ -903,20 +903,10 @@ _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) — pure column expressions,
     no UDF (training-pipeline operator; BASELINE.json)."""
-    from opentimes_spark.functions.text import (
-        avg_token_len,
-        distinct_token_count,
-        token_count,
-    )
+    from opentimes_spark.functions.text import profile
 
     d = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        token_count(t).cast("long").alias("n_tokens"),
-        distinct_token_count(t).cast("long").alias("n_uniq_tokens"),
-        avg_token_len(t).alias("avg_token_len"),
-    )
+    return profile(d).select("doc_id", "n_tokens", "n_uniq_tokens", "avg_token_len")
 
 
 @query(
@@ -943,16 +933,10 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, punctuation ratio, composite
     score (training-pipeline operator)."""
-    from opentimes_spark.functions.text import punct_ratio, quality_score, stopword_ratio
+    from opentimes_spark.functions.text import profile
 
     d = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        stopword_ratio(t).alias("stop_ratio"),
-        punct_ratio(t).alias("punct_ratio"),
-        quality_score(t).alias("quality"),
-    )
+    return profile(d).select("doc_id", "stop_ratio", "punct_ratio", "quality")
 
 
 @query(
@@ -970,13 +954,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword-ratio threshold) next to the
     ground-truth label (training-pipeline operator; the model-based scale
     path is a Pandas UDF, this is the oracle-checkable built-in)."""
-    from opentimes_spark.functions.text import langid_en
+    from opentimes_spark.functions.text import profile
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.col("lang").alias("lang_label"),
-        langid_en(F.col("text")).alias("lang_pred"),
+    return profile(d, id_cols=("doc_id", "lang")).select(
+        "doc_id", F.col("lang").alias("lang_label"), "lang_pred"
     )
 
 
