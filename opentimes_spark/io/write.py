@@ -50,6 +50,45 @@ def write_sorted_partitioned(
     writer.parquet(path)
 
 
+def rename_deterministic(path: str, key_column: str, width: int = 11) -> dict[str, str]:
+    """T6: rename Spark's nondeterministic ``part-<task>-<uuid>`` files to
+    deterministic, content-derived names ``part-<min>-<max>.parquet``
+    (zero-padded key range of the file's rows), mirroring the reference's
+    FILENAME_PATTERN chunk naming (create_public_files.py:88-96). Run as
+    a post-commit pass; idempotent. Returns {old: new}."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    renames: dict[str, str] = {}
+    for f in sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)):
+        base = os.path.basename(f)
+        if not base.startswith("part-"):
+            continue
+        meta = pq.ParquetFile(f).metadata
+        names = meta.schema.names
+        if key_column not in names:
+            continue
+        idx = names.index(key_column)
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is not None:
+                mins.append(st.min)
+                maxs.append(st.max)
+        if not mins:
+            continue
+        lo, hi = min(mins), max(maxs)
+        if isinstance(lo, bytes):
+            lo, hi = lo.decode(), hi.decode()
+        new = os.path.join(os.path.dirname(f), f"part-{lo}-{hi}.parquet")
+        if new != f:
+            os.rename(f, new)
+            renames[f] = new
+    return renames
+
+
 def row_group_stats(path: str, column: str) -> list[tuple[str, object, object]]:
     """Per-row-group (file, min, max) for ``column`` — layout property
     check: after a sorted write, ranges on the sort key must be tight and

@@ -64,10 +64,18 @@ def build_blockloc(blocks: DataFrame, blockpop: DataFrame) -> DataFrame:
     return projected
 
 
-def expect(df: DataFrame, n_rows: int | None = None, no_null_cols: list[str] | None = None) -> DataFrame:
+def expect(
+    df: DataFrame,
+    n_rows: int | None = None,
+    no_null_cols: list[str] | None = None,
+    min_nonzero_frac: tuple[str, float] | None = None,
+) -> DataFrame:
     """First-class invariant checks (reference inline assertions,
     create_cenloc.py:139-142 / create_blockloc.py:90-93): row-count
-    preservation and no-null columns. Raises on violation."""
+    preservation and no-null columns, plus a join hit-rate guard
+    (``min_nonzero_frac=(col, frac)``) — a left join whose right side
+    missed everything coalesces to 0 and otherwise degrades silently.
+    Raises on violation."""
     if n_rows is not None:
         actual = df.count()
         if actual != n_rows:
@@ -82,6 +90,16 @@ def expect(df: DataFrame, n_rows: int | None = None, no_null_cols: list[str] | N
         bad = {c: counts[c] for c in no_null_cols if counts[c] > 0}
         if bad:
             raise AssertionError(f"null values present: {bad}")
+    if min_nonzero_frac:
+        col, frac = min_nonzero_frac
+        got = df.select(
+            (F.count(F.when(F.col(col) != 0, 1)) / F.count(F.lit(1))).alias("f")
+        ).collect()[0]["f"]
+        if got is None or got < frac:
+            raise AssertionError(
+                f"join hit-rate check failed: only {got} of '{col}' non-zero "
+                f"(expected >= {frac}) — did a join key mismatch?"
+            )
     return df
 
 

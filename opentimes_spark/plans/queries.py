@@ -1607,3 +1607,191 @@ def union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").cast("bigint").alias("id"), F.lit("part").alias("kind")
     )
     return c.unionByName(s).unionByName(p)
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: statistics, pivots, subqueries, points-table shape
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 4)                        AS median_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4)           AS p25,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4)           AS p95,
+           ROUND(STDDEV_POP(l_extendedprice), 4)                    AS stddev_price,
+           ROUND(CORR(l_extendedprice, l_quantity), 6)              AS corr_price_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext statistical aggregates: exact continuous percentiles, stddev,
+    correlation (SURVEY.md §2.4 Ext)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("stddev_price"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+    )
+
+
+@query(
+    "window_first_last",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice)  OVER w, 2) AS last_price,
+           ROUND(o_totalprice, 2)                     AS price
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext first_value/last_value with an explicit full frame."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS total_F,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2) AS total_O,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2) AS total_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext pivot: groupBy().pivot() with pinned values (pinning avoids
+    the extra distinct-values job — the scale-correct form)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("total_F"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("total_O"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("total_P"),
+    )
+
+
+@query(
+    "subquery_exists",
+    """
+    SELECT p_partkey, p_brand
+    FROM part p
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49
+    )
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext correlated EXISTS subquery via spark.sql (decorrelated by
+    Catalyst into a left-semi join — T13)."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_part_sq")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_sq")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand FROM _part_sq p
+        WHERE EXISTS (SELECT 1 FROM _li_sq l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+        """
+    )
+
+
+@query(
+    "subquery_scalar",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.9 FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext scalar subquery in a predicate."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_ord_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM _ord_sq
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.9 FROM _ord_sq)
+        """
+    )
+
+
+@query(
+    "points_snapped",
+    """
+    WITH pts AS (
+        SELECT 'c' || LPAD(CAST(c_custkey AS VARCHAR), 6, '0') AS id,
+               -100.0 + (c_custkey % 200) * 0.1 AS lon,
+               30.0 + (c_custkey % 150) * 0.1   AS lat,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN -100.0 + (c_custkey % 200) * 0.1 + 0.005 END AS lon_snap_raw,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN 30.0 + (c_custkey % 150) * 0.1 - 0.005 END AS lat_snap_raw
+        FROM customer WHERE c_custkey <= 600
+    )
+    SELECT id, lon, lat,
+           ROUND(COALESCE(lon_snap_raw, lon), 6) AS lon_snapped,
+           ROUND(COALESCE(lat_snap_raw, lat), 6) AS lat_snapped,
+           COALESCE(lon_snap_raw, lon) != lon    AS is_snapped
+    FROM pts
+    """,
+)
+def points_snapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The points-table shape (F9/F10): coalesce snapped coords to raw
+    and derive is_snapped (reference utils/times.py:680-682). Snap source
+    synthesized deterministically from customer keys; the real X4 snap
+    operator is operators/snap.py (tested in tests/test_snap.py)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 600)
+    lon = F.lit(-100.0) + (F.col("c_custkey") % 200) * 0.1
+    lat = F.lit(30.0) + (F.col("c_custkey") % 150) * 0.1
+    snap_cond = F.col("c_custkey") % 3 == 0
+    lon_snap = F.when(snap_cond, lon + 0.005)
+    lat_snap = F.when(snap_cond, lat - 0.005)
+    return c.select(
+        F.concat(F.lit("c"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")).alias("id"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+        F.round(F.coalesce(lon_snap, lon), 6).alias("lon_snapped"),
+        F.round(F.coalesce(lat_snap, lat), 6).alias("lat_snapped"),
+        (F.coalesce(lon_snap, lon) != lon).alias("is_snapped"),
+    )
+
+
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext approx_count_distinct (HLL++). No oracle: DuckDB's approx
+    sketch differs by construction → driver records the rows-only check;
+    tests/test_queries_misc.py asserts the estimate is within 5% of
+    exact."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx")
+    )

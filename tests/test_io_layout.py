@@ -62,3 +62,38 @@ def test_point_lookup_prunes(spark, tmp_path):
         .count()
     )
     assert hit == 50
+
+
+def test_deterministic_rename(spark, tmp_path):
+    """T6: post-write rename produces content-derived names covering
+    disjoint key ranges; idempotent on re-run."""
+    from pyspark.sql import functions as F2
+
+    from opentimes_spark.io.write import rename_deterministic
+
+    df = (
+        spark.range(5_000)
+        .withColumn("origin_id", F2.lpad(F2.col("id").cast("string"), 11, "0"))
+        .withColumn("duration_sec", F2.col("id").cast("double"))
+        .drop("id")
+    )
+    out = str(tmp_path / "named")
+    write_sorted_partitioned(df, out, order_by=["origin_id"], num_range_partitions=4)
+    renames = rename_deterministic(out, "origin_id")
+    assert len(renames) == 4
+    import glob
+    import os
+    import re
+
+    names = sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(out, "*.parquet"))
+    )
+    assert all(re.fullmatch(r"part-\d{11}-\d{11}\.parquet", n) for n in names)
+    # ranges in the names are disjoint and ordered
+    bounds = [re.findall(r"\d{11}", n) for n in names]
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(bounds, bounds[1:]):
+        assert a_hi < b_lo
+    # idempotent
+    assert rename_deterministic(out, "origin_id") == {}
+    # still readable with full row count
+    assert spark.read.parquet(out).count() == 5_000

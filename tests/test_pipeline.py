@@ -55,6 +55,7 @@ def test_full_pipeline(spark, world, tmp_path):
         build_blockloc(blocks_df, pop_df),
         n_rows=n_blocks,
         no_null_cols=["population", "x_5071", "y_5071"],
+        min_nonzero_frac=("population", 0.5),  # catches silent join miss
     )
 
     # cenloc per state at tract level
