@@ -1795,3 +1795,137 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("n_users_approx")
     )
+
+
+@query(
+    "points_snap_operator",
+    """
+    WITH pts AS (
+        SELECT 's' || LPAD(CAST(s_suppkey AS VARCHAR), 4, '0') AS id,
+               -95.0 + (s_suppkey % 60) * 0.0137 AS lon,
+               38.0 + (s_suppkey % 40) * 0.0091  AS lat
+        FROM supplier
+    )
+    SELECT id, lon, lat,
+           ROUND(lon / 0.01) * 0.01 AS lon_snapped,
+           ROUND(lat / 0.01) * 0.01 AS lat_snapped,
+           ROUND(lon / 0.01) * 0.01 != lon OR ROUND(lat / 0.01) * 0.01 != lat
+               AS is_snapped
+    FROM pts
+    """,
+)
+def points_snap_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 through the REAL snap operator (operators/snap.py mapInPandas,
+    grid mock): the oracle reproduces the grid formula in SQL. DuckDB
+    ROUND on the halfway grid cases matches numpy round-half-even here
+    because 0.0137/0.0091 steps never land exactly on x.005."""
+    from opentimes_spark.operators.snap import GridSnapService, snap_points
+
+    s = _t(spark, sf_dir, "supplier")
+    pts = s.select(
+        F.concat(F.lit("s"), F.lpad(F.col("s_suppkey").cast("string"), 4, "0")).alias("id"),
+        (F.lit(-95.0) + (F.col("s_suppkey") % 60) * 0.0137).alias("lon"),
+        (F.lit(38.0) + (F.col("s_suppkey") % 40) * 0.0091).alias("lat"),
+    )
+    return snap_points(pts, GridSnapService)
+
+
+@query(
+    "set_intersect_all",
+    """
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity > 40
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-Ext intersect-all (bag semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 40).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_discount") > 0.05).select(F.col("l_suppkey").alias("suppkey"))
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-Ext except-all (bag difference)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)
+
+
+@query(
+    "agg_array_collect",
+    """
+    SELECT c_nationkey AS nationkey,
+           ARRAY_TO_STRING(LIST(c_custkey ORDER BY c_custkey), ',') AS custkeys,
+           COUNT(*) AS n
+    FROM customer
+    WHERE c_custkey <= 200
+    GROUP BY c_nationkey
+    """,
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext array aggregation: sorted collect_list serialized to a string
+    (string form keeps the driver's value hash representation-stable
+    across engines' array types)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.array_join(F.array_sort(F.collect_list("c_custkey")), ",").alias("custkeys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "weighted_centroid_groups",
+    """
+    SELECT CAST(n_regionkey AS BIGINT) AS region,
+           ROUND(CASE WHEN SUM(pop) = 0 THEN AVG(lon)
+                      ELSE SUM(lon * pop) / SUM(pop) END, 6) AS lon_wt,
+           ROUND(CASE WHEN SUM(pop) = 0 THEN AVG(lat)
+                      ELSE SUM(lat * pop) / SUM(pop) END, 6) AS lat_wt,
+           COUNT(*) AS n
+    FROM (
+        SELECT n_regionkey,
+               -120.0 + n_nationkey * 2.0     AS lon,
+               25.0 + (n_nationkey % 7) * 3.0 AS lat,
+               CASE WHEN n_regionkey = 0 THEN 0
+                    ELSE n_nationkey * 10 END AS pop
+        FROM nation
+    )
+    GROUP BY n_regionkey
+    """,
+)
+def weighted_centroid_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 in its domain form: per-region population-weighted centroid
+    with the zero-weight region (region 0) exercising the fallback —
+    the exact cenloc computation (create_cenloc.py via census.py:9-47)."""
+    n = _t(spark, sf_dir, "nation")
+    pts = n.select(
+        F.col("n_regionkey"),
+        (F.lit(-120.0) + F.col("n_nationkey") * 2.0).alias("lon"),
+        (F.lit(25.0) + (F.col("n_nationkey") % 7) * 3.0).alias("lat"),
+        F.when(F.col("n_regionkey") == 0, 0)
+        .otherwise(F.col("n_nationkey") * 10)
+        .alias("pop"),
+    )
+    wsum = F.sum("pop")
+    return pts.groupBy(F.col("n_regionkey").cast("bigint").alias("region")).agg(
+        F.round(
+            F.when(wsum == 0, F.avg("lon")).otherwise(F.sum(F.col("lon") * F.col("pop")) / wsum),
+            6,
+        ).alias("lon_wt"),
+        F.round(
+            F.when(wsum == 0, F.avg("lat")).otherwise(F.sum(F.col("lat") * F.col("pop")) / wsum),
+            6,
+        ).alias("lat_wt"),
+        F.count(F.lit(1)).alias("n"),
+    )
