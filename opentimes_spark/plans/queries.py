@@ -1929,3 +1929,217 @@ def weighted_centroid_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lat_wt"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "sim_ivf_topk",
+    """
+    WITH corpus AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dims AS (
+        SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+        FROM corpus
+    ),
+    cents AS (
+        SELECT label AS centroid_id, list(m ORDER BY dim) AS centroid
+        FROM (SELECT label, dim, AVG(val) AS m FROM dims GROUP BY label, dim)
+        GROUP BY label
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS q_vec FROM corpus WHERE vec_id < 20
+    ),
+    probes AS (
+        SELECT query_id, q_vec, centroid_id
+        FROM (
+            SELECT q.query_id, q.q_vec, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.q_vec, c.centroid)
+                                / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                                   * sqrt(list_dot_product(c.centroid, c.centroid)))
+                                DESC, c.centroid_id
+                   ) AS cent_rnk
+            FROM q CROSS JOIN cents c
+        )
+        WHERE cent_rnk <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS cand_id,
+               list_dot_product(p.q_vec, c.v)
+               / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+        FROM probes p JOIN corpus c ON c.label = p.centroid_id
+        WHERE p.query_id != c.vec_id
+    )
+    SELECT query_id, cand_id, ROUND(cos, 6) AS cos_sim, rnk
+    FROM (
+        SELECT query_id, cand_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5 (training-pipeline scale path,
+    operators/similarity.py:87): probe the 2 nearest of 10 label
+    centroids per query instead of scanning the full corpus. The oracle
+    replays the identical algorithm in SQL (centroids = per-label
+    per-dim AVG), so even the approximation error is checked, not just
+    row counts. Final scores are left-fold dot products — bit-identical
+    across engines; centroid ranking is robust because label clusters
+    are well separated."""
+    from opentimes_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, n_probe=2)
+
+
+@query(
+    "join_full_outer",
+    """
+    WITH c AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ),
+    s AS (
+        SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        FROM supplier WHERE s_acctbal < 1000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-Ext full outer join: rich-customer vs cheap-supplier nation
+    counts; the two filters make each side cover a different nation
+    subset so both null sides are exercised."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, on="nk", how="full_outer").select(
+        F.coalesce(c["nk"], s["nk"]).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT l_suppkey AS suppkey, l_orderkey AS orderkey,
+           epoch(l_shipdate)::BIGINT AS ship_epoch,
+           CAST(SUM(l_quantity) OVER w AS BIGINT) AS qty_30d,
+           COUNT(*) OVER w AS n_ship_30d
+    FROM lineitem
+    WHERE l_suppkey <= 40
+    WINDOW w AS (
+        PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)::BIGINT
+        RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-Ext RANGE frame: per-supplier trailing-30-day shipped quantity
+    (rangeBetween on epoch seconds — value-based frame, includes all
+    peers of the current timestamp, unlike rowsBetween). l_quantity is
+    integer-valued so the windowed SUM is FP-exact in both engines."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 40)
+    ep = F.unix_timestamp("l_shipdate")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(ep)
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_orderkey").alias("orderkey"),
+        ep.alias("ship_epoch"),
+        F.sum("l_quantity").over(w).cast("bigint").alias("qty_30d"),
+        F.count(F.lit(1)).over(w).alias("n_ship_30d"),
+    )
+
+
+@query(
+    "array_higher_order",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS BIGINT)
+               AS n_pos,
+           ROUND(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6)
+               AS sum_sq,
+           ROUND(list_max(embedding::DOUBLE[]), 6) AS max_dim
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-Ext higher-order array functions (transform/filter/aggregate):
+    per-vector stats computed entirely JVM-side — no UDF. sum_sq is the
+    left-fold norm² so it is bit-identical to DuckDB list_dot_product."""
+    from opentimes_spark.functions.vectors import dot
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.size(F.filter(vd, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(dot(F.col("embedding"), F.col("embedding")), 6).alias("sum_sq"),
+        F.round(F.array_max(vd), 6).alias("max_dim"),
+    )
+
+
+@query(
+    "map_status_counts",
+    """
+    SELECT bucket,
+           STRING_AGG(o_orderstatus || '=' || n, ',' ORDER BY o_orderstatus)
+               AS status_map,
+           CAST(COUNT(*) AS BIGINT) AS n_statuses
+    FROM (
+        SELECT o_custkey % 10 AS bucket, o_orderstatus, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    )
+    GROUP BY bucket
+    """,
+)
+def map_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-Ext map surface: per-bucket status→count built as a real Spark
+    MapType (map_from_entries of sorted entries), then serialized via
+    map_entries + transform to a canonical 'k=v,...' string the oracle
+    can reproduce with STRING_AGG (hash-stable across engines' map
+    representations)."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        (F.col("o_custkey") % 10).alias("bucket"), F.col("o_orderstatus")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+    )
+    return counts.groupBy("bucket").agg(
+        F.array_join(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat(e.key, F.lit("="), e.value.cast("string")),
+            ),
+            ",",
+        ).alias("status_map"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_statuses"),
+    )
