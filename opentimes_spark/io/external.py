@@ -1,0 +1,134 @@
+"""External-world sources/sinks (SURVEY.md §2.1 S5/S6/S7/S11).
+
+These are the reference's driver-side ingest steps (Census API JSON,
+TIGER/cartographic zip downloads, zipped shapefiles, GeoJSON boundary
+outputs — fetch_blockpop.py:30-50, fetch_tiger.py:24-67,
+utils/census.py:74-97, create_osmclip.py:58). They are inherently
+driver-side: small metadata-scale inputs fetched once, then broadcast or
+parallelized as DataFrames. The network/geo libraries are optional —
+every function either takes an injectable ``fetcher`` (tests pass a
+deterministic fake) or raises ``NotImplementedError`` with the gate
+explained, while the Spark-side plumbing (schemas, DataFrame
+construction, file layout) is real and tested.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections.abc import Callable, Sequence
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _default_fetcher(url: str) -> bytes:
+    try:
+        from urllib.request import urlopen
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("no HTTP stack available") from e
+    with urlopen(url, timeout=60) as r:  # noqa: S310 — caller controls URL
+        return r.read()
+
+
+def fetch_json_table(
+    spark: SparkSession,
+    url: str,
+    schema: T.StructType,
+    fetcher: Callable[[str], bytes] = _default_fetcher,
+) -> DataFrame:
+    """S6: REST JSON source in the Census PL 94-171 shape — a JSON array
+    whose first row is the header and the rest are data rows
+    (reference fetch_blockpop.py:30-50). Columns are matched to
+    ``schema`` by header name and cast via the schema's types. The
+    response is driver-side (metadata scale); at volume, stage responses
+    to files and use ``spark.read.json`` instead."""
+    payload = json.loads(fetcher(url).decode("utf-8"))
+    header, rows = payload[0], payload[1:]
+    idx = [header.index(f.name) for f in schema.fields]
+    data = [tuple(r[i] for i in idx) for r in rows]
+    df = spark.createDataFrame(data, T.StructType([
+        T.StructField(f.name, T.StringType(), True) for f in schema.fields
+    ]))
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def fetch_files(
+    urls: Sequence[str],
+    dest_dir: str,
+    fetcher: Callable[[str], bytes] = _default_fetcher,
+    max_workers: int = 8,
+) -> list[str]:
+    """S7: parallel file fetch to a local/staging directory (reference
+    thread-pools its cartographic downloads, fetch_cb.py:86-100). Returns
+    the written paths, one per url, named by the url basename."""
+    os.makedirs(dest_dir, exist_ok=True)
+
+    def one(url: str) -> str:
+        out = os.path.join(dest_dir, os.path.basename(url))
+        with open(out, "wb") as f:
+            f.write(fetcher(url))
+        return out
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(one, urls))
+
+
+def normalize_shapefile_columns(names: Sequence[str]) -> list[str]:
+    """S5 column hygiene (pure, always available): lowercase and strip
+    trailing vintage digits from shapefile attribute names the way the
+    reference does (utils/census.py:94-96: ``geoid20`` → ``geoid``)."""
+    return [re.sub(r"\d+$", "", n.lower()) for n in names]
+
+
+def load_zipped_shapefile(spark: SparkSession, zip_path: str) -> DataFrame:
+    """S5: zipped-shapefile source → DataFrame of attributes + WKT
+    geometry. Requires geopandas (not in this container) — the gate; the
+    normalization + DataFrame plumbing is shared with tests via
+    ``normalize_shapefile_columns``."""
+    try:
+        import geopandas as gpd  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "load_zipped_shapefile needs geopandas; install it or ingest "
+            "the shapefile to parquet offline and use read_table"
+        ) from e
+    gdf = gpd.read_file(f"zip://{zip_path}")  # pragma: no cover
+    gdf.columns = normalize_shapefile_columns(list(gdf.columns))
+    pdf = gdf.assign(wkt=gdf.geometry.to_wkt()).drop(columns="geometry")
+    return spark.createDataFrame(pdf)
+
+
+def write_geojson(
+    df: DataFrame, path: str, id_col: str = "id",
+    lon_col: str = "lon", lat_col: str = "lat",
+) -> int:
+    """S11: GeoJSON point-collection sink (reference writes boundary
+    GeoJSON driver-side, create_osmclip.py:58). Pure-Python writer — no
+    geo libs needed for point features. Driver-side by design: GeoJSON
+    is for small outputs (clip boundaries, debug layers); big geometry
+    goes to parquet. Returns the feature count."""
+    rows = df.select(id_col, lon_col, lat_col).collect()
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"id": r[id_col]},
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [r[lon_col], r[lat_col]],
+                },
+            }
+            for r in rows
+        ],
+    }
+    with open(path, "w") as f:
+        json.dump(fc, f)
+    return len(rows)

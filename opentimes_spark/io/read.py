@@ -58,3 +58,60 @@ def register_temp_views(
     """Register all corpus tables as temp views for spark.sql queries."""
     for n in names:
         read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_staged_glob(
+    spark: SparkSession,
+    root: str,
+    glob: str | None = None,
+    chunk_pattern: str = r"part-([0-9_\-]+)\.parquet",
+) -> DataFrame:
+    """Globbed multi-file scan of a Hive-partitioned staging layout with
+    provenance columns — the reference's public-files input scan
+    (create_public_files.py:76-82: ``read_parquet(glob,
+    hive_partitioning=true, hive_types_autocast=false, filename=true)``).
+
+    - partition keys come back as STRING (type inference disabled, the
+      ``hive_types_autocast=false`` parity knob);
+    - ``source_file`` = full path of the parquet file each row came from;
+    - ``chunk_id`` = ``chunk_pattern`` group 1 extracted from the
+      filename (reference create_public_files.py:75), '' when no match.
+
+    At scale this is a file-listing-parallel scan: partition-key
+    predicates on the result prune directories before any file is read.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    reader = spark.read.option("basePath", root)
+    path = os.path.join(root, glob) if glob else root
+    df = reader.parquet(path)
+    return df.withColumn("source_file", F.input_file_name()).withColumn(
+        "chunk_id",
+        F.regexp_extract(F.input_file_name(), chunk_pattern, 1),
+    )
+
+
+def configure_object_store(
+    spark: SparkSession,
+    endpoint: str,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style: bool = True,
+) -> None:
+    """Point the Hadoop s3a connector at an S3-compatible object store
+    (reference: R2 endpoint + storage_options, utils/times.py:100-107,
+    calculate_times.py:82-94). After this, ``spark.read.parquet('s3a://
+    bucket/...')`` and ``df.write`` work unchanged — same code path as
+    local files. Credentials default to the standard provider chain
+    (env/instance profile) when not given explicitly."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("fs.s3a.endpoint", endpoint)
+    if access_key:
+        hconf.set("fs.s3a.access.key", access_key)
+    if secret_key:
+        hconf.set("fs.s3a.secret.key", secret_key)
+    hconf.set("fs.s3a.path.style.access", "true" if path_style else "false")
+    hconf.set("fs.s3a.connection.ssl.enabled", "true")

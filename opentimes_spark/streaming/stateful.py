@@ -1,0 +1,60 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.10 extension surface — arbitrary per-key state beyond the
+built-in windowed aggregations).
+
+The state function is deliberately self-contained (pure pandas, no
+package imports) so the closure ships to executors without
+``session.ship_package``.
+
+Scale notes: state lives in the state store partitioned by the group
+key — per-key state here is O(1) (a few counters), so total state is
+bounded by key cardinality, not event volume. Skewed keys only skew the
+*input* shuffle, not the state size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, max_value double"
+)
+STATE_SCHEMA = "n bigint, total double, mx double"
+
+
+def _update_user_stats(key, pdfs, state):
+    import pandas as pd
+
+    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "max_value": [mx],
+        }
+    )
+
+
+def running_user_stats(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) over the event stream — the
+    canonical arbitrary-stateful-operator shape: one state row per key,
+    an updated summary emitted every micro-batch the key appears in.
+    Equivalent batch query: ``SELECT user_id, COUNT(*), SUM(value),
+    MAX(value) FROM events GROUP BY user_id`` — the final update per key
+    must match it exactly."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -97,3 +97,52 @@ def test_deterministic_rename(spark, tmp_path):
     assert rename_deterministic(out, "origin_id") == {}
     # still readable with full row count
     assert spark.read.parquet(out).count() == 5_000
+
+
+def test_read_staged_glob_provenance_and_string_keys(spark, tmp_path):
+    """S3-row parity: globbed scan returns string partition keys, a
+    source_file column, and the chunk id extracted from the filename."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.io.read import read_staged_glob, read_table
+
+    root = str(tmp_path / "staging")
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem").limit(200)
+    (
+        li.withColumn("mode", F.lit("car"))
+        .withColumn("state", (F.col("l_suppkey") % 2).cast("string"))
+        .write.partitionBy("mode", "state")
+        .parquet(root)
+    )
+    # rename data files to the reference's chunked naming
+    for dirpath, _, files in os.walk(root):
+        for i, f in enumerate(sorted(files)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(dirpath, f),
+                    os.path.join(dirpath, f"part-{i}_0-{i}_1.parquet"),
+                )
+    df = read_staged_glob(spark, root, "mode=*/state=*")
+    assert dict(df.dtypes)["mode"] == "string"
+    assert dict(df.dtypes)["state"] == "string"
+    rows = df.select("source_file", "chunk_id", "mode", "state").collect()
+    assert len(rows) == 200
+    assert all(r["source_file"].endswith(".parquet") for r in rows)
+    assert all(r["chunk_id"] != "" for r in rows)
+    assert {r["mode"] for r in rows} == {"car"}
+    # partition-key predicate prunes to one directory's rows
+    assert df.filter(F.col("state") == "0").count() == li.filter(
+        F.col("l_suppkey") % 2 == 0
+    ).count()
+
+
+def test_configure_object_store_sets_s3a_conf(spark):
+    from opentimes_spark.io.read import configure_object_store
+
+    configure_object_store(spark, "https://example.r2.cloudflarestorage.com",
+                           access_key="ak", secret_key="sk")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "https://example.r2.cloudflarestorage.com"
+    assert hconf.get("fs.s3a.path.style.access") == "true"

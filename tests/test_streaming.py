@@ -107,3 +107,45 @@ def test_watermark_drops_late_data(spark, events_stream):
     )
     got = spark.sql("SELECT SUM(n_events) s FROM sessions_strict").collect()[0]["s"]
     assert got < batch.count()
+
+
+def test_stateful_running_totals_match_batch(spark, events_stream):
+    """applyInPandasWithState custom operator: the last emitted update
+    per user must equal the batch groupBy aggregate."""
+    from opentimes_spark.streaming.stateful import running_user_stats
+
+    batch, stream = events_stream
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per (key, micro-batch); the row with
+    # the max n_events per user is the final state
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4), r["max_value"])
+        for r in spark.sql(
+            """
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC) rn
+                FROM user_stats
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], round(r["total"], 4), r["mx"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == expect and len(got) > 0
