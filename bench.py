@@ -32,6 +32,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_topk_cosine",
+    "sim_ivf_topk",
+    "window_range_frame",
+    "od_matrix_times",
 ]
 
 
