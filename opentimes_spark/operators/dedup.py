@@ -80,6 +80,27 @@ def shingle_sets(
     return toks.select(F.col(id_col), F.explode(grams).alias("tok")).distinct()
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3
+) -> DataFrame:
+    """(id, array<string> shingles) with in-doc duplicates removed —
+    the per-row (shuffle-free) twin of ``shingle_sets``. Docs shorter
+    than ``shingle_size`` get an empty array."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    if shingle_size <= 1:
+        return toks.select(F.col(id_col), F.array_distinct("t").alias("grams"))
+    grams = F.when(
+        F.size("t") >= shingle_size,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (shingle_size - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.col("t")[i - 1 + j] for j in range(shingle_size)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(F.col(id_col), F.array_distinct(grams).alias("grams"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -90,7 +111,13 @@ def minhash_signatures(
     """Per-document MinHash signature over word shingles: h_i = min over
     shingles of md5(i || '|' || shingle). One explode + one groupBy with
     ``num_hashes`` conditional-min aggregates — a single shuffle
-    regardless of k."""
+    regardless of k.
+
+    Measured note (sf0.1): a shuffle-free per-row variant (``array_min``
+    over ``transform`` on ``shingle_arrays``) was 4× SLOWER — Spark
+    evaluates higher-order-function lambdas interpreted, outside
+    whole-stage codegen, while this explode+groupBy pipeline is fully
+    compiled. One compiled shuffle beats zero interpreted ones."""
     toks = shingle_sets(df, id_col, text_col, shingle_size)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
@@ -126,6 +153,12 @@ def lsh_candidate_pairs(
     banded = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, "b.band_idx", "b.band_hash"
     )
+    # materialize one shuffle on the join keys: both sides of the
+    # self-join below are the SAME exchange subtree, so Spark plans a
+    # ReusedExchange — the signature pipeline runs once, not twice, and
+    # the join itself needs no further shuffle. Without this boundary a
+    # purely per-row signature lineage is recomputed per join side.
+    banded = banded.repartition(F.col("band_idx"), F.col("band_hash"))
     left = banded.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
@@ -183,24 +216,54 @@ def simhash(
     num_bits: int = 32,
 ) -> DataFrame:
     """SimHash over distinct tokens: bit_j = sign of Σ_tokens (±1 by
-    md5-bit j). md5 nibbles are decoded arithmetically (position in hex
-    alphabet) so the SQL oracle can reproduce the value exactly.
+    md5-bit j), j MSB-first over the hash's first ``num_bits`` bits.
 
-    One explode + groupBy; the per-bit sums are conditional aggregates —
-    linear in corpus size, and the result is a single BIGINT per doc."""
-    toks = token_sets(df, id_col, text_col)
-    h = F.md5(F.col("tok"))
-    bit_sums = []
-    for j in range(num_bits):
-        char_idx = j // 4 + 1
-        mask = 1 << (3 - j % 4)
-        nibble = F.instr(F.lit("0123456789abcdef"), F.substring(h, char_idx, 1)) - 1
-        bit = (nibble.bitwiseAND(F.lit(mask)) > 0).cast("int")
-        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
-    summed = toks.groupBy(id_col).agg(*bit_sums)
-    value = F.lit(0).cast("bigint")
-    for j in range(num_bits):
-        value = value + F.when(F.col(f"s{j}") > 0, F.lit(1 << (num_bits - 1 - j))).otherwise(
-            F.lit(0)
-        ).cast("bigint")
-    return summed.select(F.col(id_col), value.alias("simhash"))
+    Computed entirely per-row — ZERO shuffles: tokens → 32-bit ints
+    (md5 once per token), one ``aggregate`` folds the ±1 bit-vectors
+    into counters, one more folds signs into the BIGINT. The SQL oracle
+    replays the equivalent explode + nibble-decode formulation and
+    hash-matches exactly (bit j of ``conv(hex[1:8])`` == nibble j//4 &
+    (1<<(3-j%4)))."""
+    assert num_bits <= 32, "bits come from the md5's first 8 hex chars"
+    arrs = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    # md5 ONCE per token: map tokens → the 32-bit int of the hash's
+    # first 8 hex chars; bit j (MSB-first) == nibble-j//4 & (1<<(3-j%4)),
+    # i.e. exactly the bit the oracle's nibble decode reads.
+    vs = F.transform(
+        F.col("toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    # one pass: fold ±1 bit-vectors into num_bits counters (zip_with on
+    # the lambda variable, so nothing is recomputed per bit); bit j
+    # extracted as floor(v / 2^(31-j)) % 2 — v < 2^32 so the double
+    # division is exact
+    zero = F.array_repeat(F.lit(0).cast("bigint"), num_bits)
+    divisors = F.array(
+        *[F.lit(1 << (31 - j)).cast("bigint") for j in range(num_bits)]
+    )
+    sums = F.aggregate(
+        vs,
+        zero,
+        lambda acc, v: F.zip_with(
+            acc,
+            F.transform(
+                divisors,
+                lambda d: F.pmod(F.floor(v / d), F.lit(2)).cast("bigint") * 2 - 1,
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    powers = F.array(
+        *[F.lit(1 << (num_bits - 1 - j)).cast("bigint") for j in range(num_bits)]
+    )
+    value = F.aggregate(
+        F.zip_with(
+            sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint"))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return arrs.select(F.col(id_col), value.alias("simhash"))
