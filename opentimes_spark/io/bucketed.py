@@ -1,0 +1,61 @@
+"""Bucketed table layout: pre-shuffled storage for shuffle-free joins.
+
+The corpus's one big-big join (orders ⋈ lineitem on orderkey) shuffles
+both sides every query. Bucketing pays that shuffle ONCE at write time:
+``bucketBy(n, key)`` hash-partitions rows into a fixed number of file
+buckets, and any equi-join (or aggregation) on the bucket key between
+two tables with the same bucket count reads co-located buckets directly
+— the physical plan has NO Exchange. At 100 TB this converts the
+dominant per-query cost (shuffling ~TBs of fact data) into a one-off
+ingest cost, exactly like the reference pays its sort cost once at
+public-file creation (create_public_files.py:64-96).
+
+Bucketed tables must go through the session catalog (``saveAsTable``) —
+plain ``.parquet(path)`` writes lose the bucket spec. Tables here are
+written as EXTERNAL (explicit ``path``) so the data lives where the
+caller says and the catalog entry is just metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Materialize ``df`` as an external bucketed table. ``sort_by``
+    additionally sorts within each bucket file (tight row-group stats +
+    no sort stage for sort-merge joins on the same keys).
+
+    Pick ``n_buckets`` so one bucket of the LARGEST co-bucketed table
+    fits an executor's task comfortably (~128-512 MB compressed)."""
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def bucket_spec(spark: SparkSession, table: str) -> tuple[str | None, str | None]:
+    """(num_buckets, bucket_columns) from the catalog, (None, None) if
+    the table isn't bucketed."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    info = {r["col_name"]: r["data_type"] for r in rows}
+    return info.get("Num Buckets"), info.get("Bucket Columns")
+
+
+def cobucketed(spark: SparkSession, *tables: str) -> bool:
+    """True when every table is bucketed with the SAME bucket count —
+    the requirement for an exchange-free equi-join on their respective
+    bucket keys (the key names may differ per table)."""
+    counts = {bucket_spec(spark, t)[0] for t in tables}
+    return len(counts) == 1 and None not in counts

@@ -1,0 +1,74 @@
+"""Bucketed layout: the orders ⋈ lineitem join on co-bucketed tables
+must plan with NO Exchange — the write-time shuffle is the only one."""
+
+from __future__ import annotations
+
+import contextlib
+import io as _io
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentimes_spark.io.bucketed import cobucketed, write_bucketed
+from opentimes_spark.io.read import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def bucketed_pair(spark, tmp_path):
+    write_bucketed(
+        read_table(spark, SF_DIR, "orders"),
+        "orders_b", str(tmp_path / "orders_b"),
+        bucket_by=["o_orderkey"], n_buckets=4, sort_by=["o_orderkey"],
+    )
+    write_bucketed(
+        read_table(spark, SF_DIR, "lineitem"),
+        "lineitem_b", str(tmp_path / "lineitem_b"),
+        bucket_by=["l_orderkey"], n_buckets=4, sort_by=["l_orderkey"],
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_cobucketed_join_has_no_exchange(spark, bucketed_pair):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        p = _plan(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+        assert "Bucketed: true" in p
+        # and it computes the right thing
+        n = j.count()
+        plain = read_table(spark, SF_DIR, "orders").join(
+            read_table(spark, SF_DIR, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert n == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
+    """Aggregation on the bucket key also skips its shuffle."""
+    agg = spark.table("lineitem_b").groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    assert "Exchange" not in _plan(agg)
+
+
+def test_cobucketed_detector(spark, bucketed_pair):
+    assert cobucketed(spark, "orders_b", "lineitem_b")
