@@ -2143,3 +2143,86 @@ def map_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("status_map"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_statuses"),
     )
+
+
+@query(
+    "join_right_outer",
+    """
+    SELECT n.n_name AS nation, s.s_suppkey AS suppkey,
+           ROUND(COALESCE(s.s_acctbal, 0.0), 2) AS acctbal
+    FROM (SELECT * FROM supplier WHERE s_acctbal > 5000) s
+    RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-Ext right outer join: every nation kept, suppliers filtered so
+    some nations come back NULL-extended (coalesced for hash parity)."""
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    n = _t(spark, sf_dir, "nation")
+    return s.join(n, s["s_nationkey"] == n["n_nationkey"], "right").select(
+        F.col("n_name").alias("nation"),
+        F.col("s_suppkey").alias("suppkey"),
+        F.round(F.coalesce(F.col("s_acctbal"), F.lit(0.0)), 2).alias("acctbal"),
+    )
+
+
+@query(
+    "window_distribution_ranks",
+    """
+    SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6)    AS cume,
+           DENSE_RANK() OVER w             AS drank
+    FROM customer
+    WHERE c_custkey <= 500
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-Ext distribution window functions: percent_rank / cume_dist /
+    dense_rank per nation ordered by balance (tie-broken by key so the
+    rank columns are deterministic)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+    )
+
+
+@query(
+    "agg_filtered_conditional",
+    """
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+           ROUND(SUM(CASE WHEN l_discount > 0.05
+                          THEN l_extendedprice ELSE 0 END), 2) AS discounted_rev,
+           ROUND(AVG(CASE WHEN l_tax > 0.04 THEN l_quantity END), 4) AS avg_taxed_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Ext conditional aggregation: FILTER clauses and CASE-gated
+    SUM/AVG (NULL-skipping AVG over the gated subset) — the idiom behind
+    every 'metrics by segment' rollup, all map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(
+                    0
+                )
+            ),
+            2,
+        ).alias("discounted_rev"),
+        F.round(
+            F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_quantity"))), 4
+        ).alias("avg_taxed_qty"),
+    )
