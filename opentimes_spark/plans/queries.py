@@ -2226,3 +2226,38 @@ def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_quantity"))), 4
         ).alias("avg_taxed_qty"),
     )
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@query(
+    "text_tokens_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(LENGTH(toks) AS BIGINT)                AS n_bpe_tokens,
+           CAST(LENGTH(list_distinct(toks)) AS BIGINT) AS n_uniq_bpe,
+           CAST(LENGTH(list_filter(toks, t -> t ~ '^[0-9]+$')) AS BIGINT)
+               AS n_numeric
+    FROM (
+        SELECT doc_id,
+               regexp_extract_all(text, '{_BPE_RE}') AS toks
+        FROM documents
+    )
+    """,
+)
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (training-pipeline operator): a GPT-style
+    pre-tokenizer regex — letter runs | digit runs | punctuation runs —
+    via regexp_extract_all, all JVM-side. The pattern sticks to ASCII
+    classes so Java-regex (Spark) and RE2 (DuckDB) agree exactly."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq_bpe"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+        .cast("bigint")
+        .alias("n_numeric"),
+    )
