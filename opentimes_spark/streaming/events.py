@@ -82,3 +82,41 @@ def session_counts(
 def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon."""
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchase events matched to the same
+    user's click events at most ``within`` earlier — the canonical
+    attribution join. Both sides carry watermarks and the join condition
+    carries the time bound, so state for unmatched rows is GC'd once the
+    watermark passes the interval (state is bounded by rate × horizon,
+    not stream length)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "value",
+    )

@@ -149,3 +149,79 @@ def test_stateful_running_totals_match_batch(spark, events_stream):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream):
+    """Purchase←click attribution join: streaming result must equal the
+    same interval join run in batch."""
+    from opentimes_spark.streaming.events import stream_stream_join
+
+    batch, stream = events_stream
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    purch_s = stream.filter(F.col("event_type") == "purchase")
+    q = (
+        stream_stream_join(clicks_s, purch_s, within="1 hour", watermark="90 days")
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    expect = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_foreachbatch_writes_sorted_layout(spark, events_stream, tmp_path):
+    """The SCALE.md claim in practice: a foreachBatch sink writing each
+    micro-batch through write_sorted_partitioned leaves a Hive layout a
+    batch reader can consume."""
+    import os
+
+    from opentimes_spark.io.write import write_sorted_partitioned
+
+    batch, stream = events_stream
+    out = str(tmp_path / "events_sink")
+
+    def sink(mb_df, epoch_id):
+        if mb_df.isEmpty():
+            return
+        write_sorted_partitioned(
+            mb_df.withColumn("event_date", F.to_date("ts").cast("string")),
+            os.path.join(out, f"epoch={epoch_id}"),
+            partition_by=["event_type"],
+            order_by=["ts"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.option("basePath", out).parquet(out + "/epoch=*")
+    assert back.count() == batch.count()
+    assert "event_type" in back.columns
