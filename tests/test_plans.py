@@ -90,3 +90,27 @@ def test_ivf_probe_prunes_corpus_join(spark):
     assert "centroid_id" in p
     joins = [ln for ln in p.splitlines() if "Join" in ln]
     assert any("centroid_id" in ln or "Inner" in ln for ln in joins)
+
+
+def test_point_lookup_prunes_partitions(spark, tmp_path):
+    """§3.3 consume path: with all partition keys bound, the scan must
+    show PartitionFilters on the Hive keys and push the origin_id
+    predicate into the parquet reader — at 100 TB this is what makes the
+    lookup touch one directory and ~one row group."""
+    from opentimes_spark.plans.pipeline import point_lookup, write_public
+
+    times = spark.createDataFrame(
+        [(f"17031{i:06d}", f"18097{j:06d}", float(60 * (i + j)))
+         for i in range(4) for j in range(5)],
+        "origin_id string, destination_id string, duration_sec double",
+    )
+    out = str(tmp_path / "times_pub")
+    write_public(times, out)
+    p = plan(point_lookup(spark, out, "17031000001"))
+    assert "PartitionFilters" in p
+    for key in ("version", "mode", "state", "centroid_type"):
+        assert key in p
+    assert "PushedFilters" in p and "origin_id" in p
+    # only the 3 projected columns reach the read schema
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "duration_sec" in read_schema
