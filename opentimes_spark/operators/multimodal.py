@@ -157,3 +157,59 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 64, target_h: int = 64, codec: str = "fake"
+) -> DataFrame:
+    """payload → resized payload at (target_w, target_h). The 'fake'
+    codec produces a deterministic downsampled byte stream (stride
+    sampling of the source bytes to the target pixel count) so the
+    batch shape, output schema, and size contraction are all real;
+    ``codec="real"`` marks the Pillow ``Image.resize`` seam.
+
+    Scale: resize is the classic payload-shrinking projection — run it
+    EARLY so every downstream shuffle moves target-size bytes, not
+    source-size. Output row size is bounded by target dims regardless of
+    input skew (a 100 MB source row and a 100 KB one both emit
+    target_w*target_h)."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real resize requires Pillow — not in this container; the "
+            "'fake' codec exercises identical plumbing"
+        )
+    n_out = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            outs = []
+            for p in batch["payload"]:
+                b = bytes(p)
+                if len(b) >= n_out:
+                    stride = len(b) // n_out
+                    out = b[:: stride][:n_out]
+                else:
+                    out = (b * (n_out // max(len(b), 1) + 1))[:n_out]
+                outs.append(out)
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": outs,
+                    "n_bytes": [len(o) for o in outs],
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(resize, RESIZED_SCHEMA)

@@ -63,3 +63,28 @@ def test_frame_sample_plan(spark, media):
         by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 10, 20, 30] for v in by_id.values())
     assert len(by_id) == 10
+
+
+def test_resize_images_bounds_payload(spark):
+    from opentimes_spark.operators.multimodal import resize_images, synthesize_media
+
+    media = synthesize_media(spark, n=24, payload_bytes=512)
+    out = resize_images(media, target_w=8, target_h=8).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images and n_images > 0
+    assert all(r["n_bytes"] == 64 for r in out)
+    assert all(r["width"] == 8 and r["height"] == 8 for r in out)
+    # deterministic: same input → same resized payload
+    again = resize_images(media, target_w=8, target_h=8).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == {
+        r["media_id"]: bytes(r["payload"]) for r in again
+    }
+
+
+def test_resize_real_codec_gate(spark):
+    import pytest
+
+    from opentimes_spark.operators.multimodal import resize_images, synthesize_media
+
+    with pytest.raises(NotImplementedError):
+        resize_images(synthesize_media(spark, n=4), codec="real")
