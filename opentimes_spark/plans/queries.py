@@ -2261,3 +2261,37 @@ def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_numeric"),
     )
+
+
+@query(
+    "docs_embedding_profile",
+    """
+    SELECT d.doc_id, d.lang, e.label,
+           CAST(LENGTH(string_split_regex(TRIM(d.text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+           ROUND(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                       e.embedding::DOUBLE[])), 6) AS vec_norm
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.n_chars > 200
+    """,
+)
+def docs_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join (training-pipeline shape): text stats from the
+    documents table joined to vector stats from the embeddings table on
+    the shared id — the profile row a curation pipeline filters on
+    (quality × geometry). Equi-join on the id; at scale both tables
+    co-partitioned/bucketed by id makes it exchange-free."""
+    from opentimes_spark.functions.vectors import norm
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 200)
+    e = _t(spark, sf_dir, "embeddings")
+    return d.join(e, d["doc_id"] == e["vec_id"]).select(
+        "doc_id",
+        "lang",
+        "label",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+        F.round(norm(F.col("embedding")), 6).alias("vec_norm"),
+    )
