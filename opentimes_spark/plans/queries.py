@@ -2295,3 +2295,100 @@ def docs_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(norm(F.col("embedding")), 6).alias("vec_norm"),
     )
+
+
+@query(
+    "unpivot_balance_metrics",
+    """
+    SELECT nationkey, metric, ROUND(val, 2) AS val
+    FROM (
+        SELECT c_nationkey AS nationkey,
+               ROUND(SUM(c_acctbal), 2)  AS total_bal,
+               ROUND(AVG(c_acctbal), 2)  AS avg_bal,
+               ROUND(MAX(c_acctbal), 2)  AS max_bal
+        FROM customer GROUP BY c_nationkey
+    )
+    UNPIVOT (val FOR metric IN (total_bal, avg_bal, max_bal))
+    """,
+)
+def unpivot_balance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext unpivot (wide→long, the inverse of pivot): per-nation balance
+    metrics melted to (metric, value) rows via DataFrame.unpivot —
+    a Generate/Expand node, no shuffle beyond the aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    wide = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+    return wide.unpivot(
+        ids=["nationkey"],
+        values=["total_bal", "avg_bal", "max_bal"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).select("nationkey", "metric", F.round("val", 2).alias("val"))
+
+
+@query(
+    "sample_systematic",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ext deterministic ~12.5% systematic sample: hash-prefix filter
+    (md5 agrees across engines). Unlike df.sample/TABLESAMPLE this is
+    reproducible across engines, retries, AND scale-factor changes —
+    the right way to carve stable eval/holdout splits in a training
+    pipeline; rows keep their membership as the corpus grows."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+@query(
+    "events_attribution_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join (purchase ← click within 1h, same user) — the
+    oracle-checked batch twin of streaming/events.stream_stream_join, so
+    the streaming attribution semantics are pinned to a verified batch
+    result. Equi key (user_id) + time band = hash join + post filter."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        )
+    )
