@@ -30,6 +30,7 @@ HEADLINE = [
     "events_hourly",
     "text_quality",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_xxhash",
     "dedup_simhash",
     "sim_topk_cosine",
     "sim_ivf_topk",

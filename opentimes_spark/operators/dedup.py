@@ -107,6 +107,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 8,
     shingle_size: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document MinHash signature over word shingles: h_i = min over
     shingles of md5(i || '|' || shingle). One explode + one groupBy with
@@ -119,10 +120,21 @@ def minhash_signatures(
     whole-stage codegen, while this explode+groupBy pipeline is fully
     compiled. One compiled shuffle beats zero interpreted ones."""
     toks = shingle_sets(df, id_col, text_col, shingle_size)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_fn == "xxhash64":
+        # JVM-intrinsic 64-bit hash — the at-scale fast path (no hex
+        # string materialization, BIGINT min). Spark-only: exempt from
+        # the DuckDB oracle (engine-specific hash values).
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     return toks.groupBy(id_col).agg(*aggs)
 
 
@@ -131,21 +143,29 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Band the signature (rows of ``minhash_signatures``) and emit
     distinct candidate pairs (id_a < id_b) sharing ≥1 band. The join is
     an equi-join on (band_idx, band_hash) — broadcastable when one side
-    is small, shuffle-partitioned by band hash otherwise."""
+    is small, shuffle-partitioned by band hash otherwise. ``hash_fn``
+    must match the signature's (md5 → hex-string band keys, oracle
+    parity; xxhash64 → BIGINT band keys, the at-scale fast path)."""
     n_bands = num_hashes // band_size
+
+    def band_hash(b: int):
+        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *cols))
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*cols).cast("string")
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
-                    )
-                ).alias("band_hash"),
+                band_hash(b).alias("band_hash"),
             )
             for b in range(n_bands)
         ]

@@ -2392,3 +2392,23 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
         )
     )
+
+
+@query("dedup_minhash_lsh_xxhash")
+def dedup_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale MinHash+LSH fast path: xxhash64 (JVM intrinsic,
+    BIGINT signatures — no hex-string materialization) instead of md5.
+    Same plan shape as dedup_minhash_lsh; hashes are engine-specific so
+    this is deliberately oracle-exempt (rows-only check) — correctness
+    of the algorithm is pinned by the md5 twin, and the exact-Jaccard
+    verification step is hash-independent."""
+    from opentimes_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=8, shingle_size=3, hash_fn="xxhash64")
+    cands = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2, hash_fn="xxhash64")
+    return jaccard_pairs(d, cands, min_jaccard=0.0, shingle_size=3)

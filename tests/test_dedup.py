@@ -77,3 +77,24 @@ def test_simhash_locality(docs):
     # near-dups differ in few bits; unrelated docs in many
     assert ham(got[1], got[2]) < ham(got[1], got[4])
     assert got[1] == got[3]  # same token set → identical simhash
+
+
+def test_minhash_xxhash_fast_path(spark, docs):
+    """The xxhash64 variant: BIGINT signatures, same banding shape, and
+    its exact-Jaccard-verified output is a subset of the true pair set
+    the md5 twin verifies (verification is hash-independent)."""
+    from opentimes_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_size=2, hash_fn="xxhash64")
+    assert {k: v for k, v in sigs.dtypes if k != "doc_id"} == {
+        f"h{i}": "bigint" for i in range(8)
+    }
+    cands = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2, hash_fn="xxhash64")
+    rows = cands.collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    verified = jaccard_pairs(docs, cands, min_jaccard=0.5, shingle_size=2)
+    assert all(r["jaccard"] >= 0.5 for r in verified.collect())
