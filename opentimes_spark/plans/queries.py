@@ -2412,3 +2412,88 @@ def dedup_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(d, num_hashes=8, shingle_size=3, hash_fn="xxhash64")
     cands = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2, hash_fn="xxhash64")
     return jaccard_pairs(d, cands, min_jaccard=0.0, shingle_size=3)
+
+
+@query(
+    "dedup_components",
+    """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, lang, g.gram
+        FROM toks,
+             UNNEST(list_transform(range(1, LENGTH(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS g(gram)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM grams a
+        JOIN grams b ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_inter / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.4
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, component_id,
+           CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS n_members
+    FROM comp
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUPS from near-dup PAIRS: connected components (iterative
+    min-label propagation, operators/components.py) over the bigram-
+    Jaccard ≥ 0.4 edge set — the step that turns pairwise similarity
+    into keep-one-per-cluster decisions. The oracle computes the same
+    components with a recursive CTE, so the ITERATIVE Spark algorithm is
+    value-checked end-to-end, not just row-counted."""
+    from opentimes_spark.functions.text import tokens as tok_fn
+    from opentimes_spark.operators.components import dedup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tok_fn(F.col("text")).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(" ", F.col("t")[i - 1], F.col("t")[i]),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("id_a"), "lang", "gram")
+    gb = grams.select(F.col("doc_id").alias("id_b"), "lang", "gram")
+    inter = (
+        ga.join(gb, ["lang", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    edges = (
+        inter.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.4).select("id_a", "id_b")
+    )
+    return dedup_groups(edges).select(
+        F.col("node").alias("doc_id"), "component_id", "n_members"
+    )

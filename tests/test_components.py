@@ -1,0 +1,55 @@
+"""Connected components: known graphs, convergence, and the dedup-group
+contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentimes_spark.operators.components import connected_components, dedup_groups
+
+
+def _comp_map(df):
+    return {r["node"]: r["component_id"] for r in df.collect()}
+
+
+def test_two_components_and_chain(spark):
+    # component {1,2,3} (triangle), chain {10-11-12-13}, pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = _comp_map(connected_components(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_long_chain_converges(spark):
+    n = 30
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = _comp_map(connected_components(edges, max_iter=40))
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_dedup_groups_sizes(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    rows = dedup_groups(edges).collect()
+    sizes = {r["component_id"]: r["n_members"] for r in rows}
+    assert sizes == {1: 3, 10: 2}
+    # canonical representative is a member of its own group
+    assert all(
+        any(r["node"] == r["component_id"] for r in rows if r["component_id"] == c)
+        for c in sizes
+    )
+
+
+def test_nonconvergence_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError):
+        connected_components(edges, max_iter=2)
