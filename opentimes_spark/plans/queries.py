@@ -2497,3 +2497,60 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_groups(edges).select(
         F.col("node").alias("doc_id"), "component_id", "n_members"
     )
+
+
+@query(
+    "udtf_python_split_geoid",
+    """
+    SELECT geoid, level, part FROM (
+        SELECT geoid, 'state'  AS level, substr(geoid, 1, 2)  AS part FROM (
+            SELECT DISTINCT '17' || LPAD(CAST(c_custkey % 200 AS VARCHAR), 13, '0') AS geoid
+            FROM customer WHERE c_custkey <= 400)
+        UNION ALL
+        SELECT geoid, 'county', substr(geoid, 3, 3) FROM (
+            SELECT DISTINCT '17' || LPAD(CAST(c_custkey % 200 AS VARCHAR), 13, '0') AS geoid
+            FROM customer WHERE c_custkey <= 400)
+        UNION ALL
+        SELECT geoid, 'tract', substr(geoid, 6, 6) FROM (
+            SELECT DISTINCT '17' || LPAD(CAST(c_custkey % 200 AS VARCHAR), 13, '0') AS geoid
+            FROM customer WHERE c_custkey <= 400)
+        UNION ALL
+        SELECT geoid, 'block', substr(geoid, 12, 4) FROM (
+            SELECT DISTINCT '17' || LPAD(CAST(c_custkey % 200 AS VARCHAR), 13, '0') AS geoid
+            FROM customer WHERE c_custkey <= 400)
+    )
+    """,
+)
+def udtf_python_split_geoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-Ext genuine Python UDTF (Spark 3.5+ ``@udtf`` class API, not
+    the explode-shaped equivalent): one 15-char GEOID row → four typed
+    (level, part) rows via a LATERAL table function. Row-at-a-time
+    Python — the deliberate slow-path demo; geoid_split is the codegen
+    fast path for the same decomposition (F1)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="level string, part string")
+    class SplitGeoid:
+        def eval(self, geoid: str):
+            yield "state", geoid[0:2]
+            yield "county", geoid[2:5]
+            yield "tract", geoid[5:11]
+            yield "block", geoid[11:15]
+
+    spark.udtf.register("split_geoid_pyudtf", SplitGeoid)
+    geoids = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 400)
+        .select(
+            F.concat(
+                F.lit("17"),
+                F.lpad((F.col("c_custkey") % 200).cast("string"), 13, "0"),
+            ).alias("geoid")
+        )
+        .distinct()
+    )
+    geoids.createOrReplaceTempView("udtf_geoids_in")
+    return spark.sql(
+        "SELECT t.geoid, s.level, s.part "
+        "FROM udtf_geoids_in t, LATERAL split_geoid_pyudtf(t.geoid) s"
+    )
