@@ -98,3 +98,22 @@ def test_minhash_xxhash_fast_path(spark, docs):
     assert all(r["id_a"] < r["id_b"] for r in rows)
     verified = jaccard_pairs(docs, cands, min_jaccard=0.5, shingle_size=2)
     assert all(r["jaccard"] >= 0.5 for r in verified.collect())
+
+
+def test_shingle_arrays_matches_shingle_sets(spark, docs):
+    """The per-row shingle builder must produce exactly the set the
+    explode+distinct builder produces (it's the building block for any
+    future per-row signature experiments — see the measured note in
+    minhash_signatures)."""
+    from opentimes_spark.operators.dedup import shingle_arrays, shingle_sets
+
+    exploded = {
+        (r["doc_id"], r["tok"])
+        for r in shingle_sets(docs, "doc_id", "text", 3).collect()
+    }
+    arrayed = {
+        (r["doc_id"], g)
+        for r in shingle_arrays(docs, "doc_id", "text", 3).collect()
+        for g in r["grams"]
+    }
+    assert arrayed == exploded and len(arrayed) > 0
