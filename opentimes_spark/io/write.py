@@ -25,6 +25,7 @@ def write_sorted_partitioned(
     max_records_per_file: int | None = None,
     compression: str = "zstd",
     num_range_partitions: int | None = None,
+    observation=None,
 ) -> None:
     """Write ``df`` Hive-partitioned, range-sorted on ``order_by``.
 
@@ -32,7 +33,14 @@ def write_sorted_partitioned(
     - ``order_by``: in-file sort keys → tight row-group zone maps.
     - ``max_records_per_file``: caps file size (reference targets ≤475 MB
       per file via FILE_SIZE_BYTES, create_public_files.py:95).
+    - ``observation``: optional ``pyspark.sql.Observation`` given a
+      ``count(1) AS n`` metric during the write — attached ABOVE the
+      range exchange, because ``repartitionByRange`` runs a separate
+      sampling job over its child and an observation below it counts
+      rows twice.
     """
+    from pyspark.sql import functions as F
+
     out = df
     if order_by:
         range_cols = [c for c in order_by if not partition_by or c not in partition_by]
@@ -42,6 +50,8 @@ def write_sorted_partitioned(
             else:
                 out = out.repartitionByRange(*range_cols)
         out = out.sortWithinPartitions(*order_by)
+    if observation is not None:
+        out = out.observe(observation, F.count(F.lit(1)).alias("n"))
     writer = out.write.mode("overwrite").option("compression", compression)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

@@ -138,25 +138,35 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
         geography=args.geography, state=args.state,
         centroid_type=args.centroid_type,
     )
-    write_public(times, os.path.join(args.out, "times"), **keys)
+    # observe() folds the summary counts into the write jobs themselves —
+    # no second pass over the (expensive) matrix lineage for metadata,
+    # the at-scale replacement for the reference's separate count
+    # queries (calculate_times.py:107-133)
+    from pyspark.sql import Observation
+
+    times_obs = Observation("times_metrics")
+    write_public(
+        times, os.path.join(args.out, "times"), observation=times_obs, **keys
+    )
     # the four sibling datasets of the reference's step 8
     lon, lat = (
         ("x_4326_wt", "y_4326_wt")
         if args.centroid_type == "weighted"
         else ("x_4326", "y_4326")
     )
-    for name, df in (
+    missing_obs = Observation("missing_metrics")
+    for name, df, obs in (
         ("points/origin", origins.select(
-            F.col("geoid").alias("id"), F.col(lon).alias("lon"), F.col(lat).alias("lat"))),
+            F.col("geoid").alias("id"), F.col(lon).alias("lon"), F.col(lat).alias("lat")), None),
         ("points/destination", destinations.select(
-            F.col("geoid").alias("id"), F.col(lon).alias("lon"), F.col(lat).alias("lat"))),
-        ("missing_pairs", missing),
-        ("metadata", metadata),
+            F.col("geoid").alias("id"), F.col(lon).alias("lon"), F.col(lat).alias("lat")), None),
+        ("missing_pairs", missing, missing_obs),
+        ("metadata", metadata, None),
     ):
-        write_sorted_partitioned(df, os.path.join(args.out, name))
+        write_sorted_partitioned(df, os.path.join(args.out, name), observation=obs)
     summary = {
-        "n_times": times.count(),
-        "n_missing": missing.count(),
+        "n_times": times_obs.get["n"],
+        "n_missing": missing_obs.get["n"],
         "n_origins": origins.count(),
         "n_destinations": destinations.count(),
         "out": args.out,

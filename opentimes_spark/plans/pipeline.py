@@ -199,6 +199,7 @@ def write_public(
     state: str = "17",
     centroid_type: str = "weighted",
     max_records_per_file: int | None = None,
+    observation=None,
 ) -> None:
     """Partitioned public write with the T4 sorted layout: Hive keys as
     STRINGS (reference hive_types_autocast=false) + range-sorted
@@ -217,6 +218,7 @@ def write_public(
         partition_by=PARTITION_KEYS,
         order_by=["origin_id", "destination_id"],
         max_records_per_file=max_records_per_file,
+        observation=observation,
     )
 
 
