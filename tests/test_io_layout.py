@@ -146,3 +146,44 @@ def test_configure_object_store_sets_s3a_conf(spark):
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("fs.s3a.endpoint") == "https://example.r2.cloudflarestorage.com"
     assert hconf.get("fs.s3a.path.style.access") == "true"
+
+
+def test_compact_dir_reduces_files_preserves_data(spark, tmp_path):
+    """Compaction: 16 small files → bounded count, identical rows,
+    sorted layout preserved."""
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.io.compact import compact_dir
+    from opentimes_spark.io.read import read_table
+
+    out = str(tmp_path / "frag")
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    li.repartition(16).write.parquet(out)
+    expect = sorted(tuple(r) for r in li.collect())
+
+    n_before, n_after = compact_dir(
+        spark, out, order_by=["l_orderkey", "l_linenumber"], target_files=2
+    )
+    assert n_before == 16 and n_after <= 2
+    back = spark.read.parquet(out)
+    assert sorted(tuple(r) for r in back.select(*li.columns).collect()) == expect
+    # per-file min/max on the sort key stay disjoint (zone maps survive)
+    import os
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for fn in os.listdir(out):
+        if fn.endswith(".parquet"):
+            md = pq.read_metadata(os.path.join(out, fn))
+            ranges.append(
+                (
+                    min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)),
+                    max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)),
+                )
+            )
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
