@@ -69,37 +69,54 @@ def expect(
     n_rows: int | None = None,
     no_null_cols: list[str] | None = None,
     min_nonzero_frac: tuple[str, float] | None = None,
+    min_nonnull_frac: tuple[str, float] | None = None,
 ) -> DataFrame:
     """First-class invariant checks (reference inline assertions,
     create_cenloc.py:139-142 / create_blockloc.py:90-93): row-count
-    preservation and no-null columns, plus a join hit-rate guard
-    (``min_nonzero_frac=(col, frac)``) — a left join whose right side
-    missed everything coalesces to 0 and otherwise degrades silently.
-    Raises on violation."""
-    if n_rows is not None:
-        actual = df.count()
-        if actual != n_rows:
-            raise AssertionError(f"expected {n_rows} rows, got {actual}")
+    preservation and no-null columns, plus join hit-rate guards —
+    ``min_nonzero_frac=(col, frac)`` for coalesced-to-0 misses,
+    ``min_nonnull_frac=(col, frac)`` for NULL-extended misses; a left
+    join whose right side missed everything degrades silently without
+    them. Raises on violation.
+
+    All requested checks run in ONE aggregation job (one pass over the
+    data) — at 100 TB, three separate count actions over the same
+    lineage would triple the scan."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
     if no_null_cols:
-        counts = df.select(
-            *[
-                F.count(F.when(F.col(c).isNull(), 1)).alias(c)
-                for c in no_null_cols
-            ]
-        ).collect()[0]
-        bad = {c: counts[c] for c in no_null_cols if counts[c] > 0}
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}")
+            for c in no_null_cols
+        ]
+    if min_nonzero_frac:
+        aggs.append(
+            F.count(F.when(F.col(min_nonzero_frac[0]) != 0, 1)).alias("__nz")
+        )
+    if min_nonnull_frac:
+        aggs.append(F.count(F.col(min_nonnull_frac[0])).alias("__nn"))
+    stats = df.agg(*aggs).collect()[0]
+    if n_rows is not None and stats["__n"] != n_rows:
+        raise AssertionError(f"expected {n_rows} rows, got {stats['__n']}")
+    if no_null_cols:
+        bad = {
+            c: stats[f"__nulls_{c}"]
+            for c in no_null_cols
+            if stats[f"__nulls_{c}"] > 0
+        }
         if bad:
             raise AssertionError(f"null values present: {bad}")
-    if min_nonzero_frac:
-        col, frac = min_nonzero_frac
-        got = df.select(
-            (F.count(F.when(F.col(col) != 0, 1)) / F.count(F.lit(1))).alias("f")
-        ).collect()[0]["f"]
-        if got is None or got < frac:
-            raise AssertionError(
-                f"join hit-rate check failed: only {got} of '{col}' non-zero "
-                f"(expected >= {frac}) — did a join key mismatch?"
-            )
+    for spec, key, kind in (
+        (min_nonzero_frac, "__nz", "non-zero"),
+        (min_nonnull_frac, "__nn", "non-null"),
+    ):
+        if spec:
+            col, frac = spec
+            got = stats[key] / stats["__n"] if stats["__n"] else 0.0
+            if got < frac:
+                raise AssertionError(
+                    f"join hit-rate check failed: only {got:.3f} of '{col}' "
+                    f"{kind} (expected >= {frac}) — did a join key mismatch?"
+                )
     return df
 
 

@@ -117,3 +117,27 @@ def test_full_pipeline(spark, world, tmp_path):
     # partition values stayed strings (autocast disabled)
     schema = {f.name: f.dataType.simpleString() for f in spark.read.parquet(out).schema}
     assert schema["state"] == "string" and schema["year"] == "string"
+
+
+def test_expect_single_pass_and_hit_rates(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 0.0, None), (3, 5.0, "c")], "id long, v double, s string"
+    )
+    # all checks in one call succeed
+    from opentimes_spark.plans.pipeline import expect
+
+    expect(
+        df,
+        n_rows=3,
+        no_null_cols=["id", "v"],
+        min_nonzero_frac=("v", 0.5),
+        min_nonnull_frac=("s", 0.5),
+    )
+    with pytest.raises(AssertionError, match="non-zero"):
+        expect(df, min_nonzero_frac=("v", 0.9))
+    with pytest.raises(AssertionError, match="non-null"):
+        expect(df, min_nonnull_frac=("s", 0.9))
+    with pytest.raises(AssertionError, match="null values"):
+        expect(df, no_null_cols=["s"])
+    with pytest.raises(AssertionError, match="expected 5 rows"):
+        expect(df, n_rows=5)
