@@ -71,13 +71,14 @@ def demo_world(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
                     lat = 41.0 + ci * 0.4 + ti * 0.1 + bi * 0.01
                     blocks.append((geoid, lon, lat))
                     pops.append(
-                        (county, tract, block, 0 if bi == 3 else 100 * (bi + 1))
+                        (state, county, tract, block, 0 if bi == 3 else 100 * (bi + 1))
                     )
     return (
         spark.createDataFrame(blocks, "geoid string, lon double, lat double"),
         spark.createDataFrame(
-            pops, "county string, tract string, block string, population int"
-        ).distinct(),
+            pops,
+            "state string, county string, tract string, block string, population int",
+        ),
     )
 
 

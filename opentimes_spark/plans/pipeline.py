@@ -38,12 +38,33 @@ from opentimes_spark.operators.weighted_mean import weighted_centroids
 PARTITION_KEYS = ["version", "mode", "year", "geography", "state", "centroid_type"]
 
 
-def build_blockloc(blocks: DataFrame, blockpop: DataFrame) -> DataFrame:
-    """blocks (geoid, lon, lat) ⟕ blockpop (county,tract,block,population)
-    on the composite key decomposed from the block GEOID; appends
-    EPSG:5071 projected coords. Missing population → 0 (the reference
-    left-joins then asserts no nulls; zero-pop blocks are real and must
-    survive for the weighted-mean fallback)."""
+def build_blockloc(
+    blocks: DataFrame, blockpop: DataFrame, check: bool = True
+) -> DataFrame:
+    """blocks (geoid, lon, lat) ⟕ blockpop (state,county,tract,block,
+    population) on the composite key decomposed from the block GEOID;
+    appends EPSG:5071 projected coords. Missing population → 0 (the
+    reference left-joins then asserts no nulls; zero-pop blocks are real
+    and must survive for the weighted-mean fallback).
+
+    The join key includes ``state`` (reference create_blockloc.py:85
+    re-adds the state partition key before joining): county/tract/block
+    codes recur in every state, so a three-key join against multi-state
+    population input would fan out rows and assign wrong populations.
+    ``blockpop`` must therefore carry a ``state`` column — it is the
+    Hive partition key of the fetched layout (year=YYYY/state=SS), so a
+    partitioned read supplies it for free.
+
+    ``check=True`` replays the reference's row-count-preservation
+    assertion (create_blockloc.py:90-93) via a single-pass `expect`;
+    disable for pre-validated inputs to skip the extra count action.
+    """
+    if "state" not in blockpop.columns:
+        raise ValueError(
+            "blockpop must include a 'state' column (the Hive partition key "
+            "of the fetched layout); joining without it fans out rows when "
+            "county/tract/block codes recur across states"
+        )
     parts = split_geoid(F.col("geoid"))
     located = blocks.select(
         "geoid",
@@ -56,11 +77,15 @@ def build_blockloc(blocks: DataFrame, blockpop: DataFrame) -> DataFrame:
         F.col("lat").alias("y_4326"),
     )
     joined = located.join(
-        F.broadcast(blockpop), on=["county", "tract", "block"], how="left"
+        F.broadcast(blockpop),
+        on=["state", "county", "tract", "block"],
+        how="left",
     ).withColumn("population", F.coalesce(F.col("population"), F.lit(0)).cast("int"))
     projected = project_points(
         joined, lon_col="x_4326", lat_col="y_4326", x_col="x_5071", y_col="y_5071"
     )
+    if check:
+        projected = expect(projected, n_rows=blocks.count())
     return projected
 
 

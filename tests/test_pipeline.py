@@ -37,13 +37,34 @@ def world(spark):
                     lon = -88.0 + si * 2.0 + ci * 0.5 + ti * 0.1 + bi * 0.01
                     lat = 41.0 + ci * 0.4 + ti * 0.1 + bi * 0.01
                     blocks.append((geoid, lon, lat))
-                    # one zero-pop block per tract exercises the fallback
-                    pops.append((county, tract, block, 0 if bi == 3 else 100 * (bi + 1)))
+                    # one zero-pop block per tract exercises the fallback;
+                    # state 18 doubled so a cross-state join-key mixup is
+                    # detectable (county/tract/block codes recur per state)
+                    pop = 0 if bi == 3 else 100 * (bi + 1) * (si + 1)
+                    pops.append((state, county, tract, block, pop))
     blocks_df = spark.createDataFrame(blocks, "geoid string, lon double, lat double")
     pop_df = spark.createDataFrame(
-        pops, "county string, tract string, block string, population int"
-    ).distinct()
+        pops,
+        "state string, county string, tract string, block string, population int",
+    )
     return blocks_df, pop_df
+
+
+def test_blockloc_state_in_join_key(spark, world):
+    """county/tract/block codes recur in both states; only a four-key
+    join (with state) preserves row count and assigns each block its own
+    state's population (state 18 is doubled in the fixture)."""
+    blocks_df, pop_df = world
+    blockloc = build_blockloc(blocks_df, pop_df)  # check=True asserts n_rows
+    rows = {
+        r["geoid"]: r["population"]
+        for r in blockloc.select("geoid", "population").collect()
+    }
+    assert rows["170010000011000"] == 100
+    assert rows["180010000011000"] == 200  # state 18's own value, not 17's
+
+    with pytest.raises(ValueError, match="state"):
+        build_blockloc(blocks_df, pop_df.drop("state"))
 
 
 def test_full_pipeline(spark, world, tmp_path):
