@@ -65,9 +65,16 @@ def rename_deterministic(path: str, key_column: str, width: int = 11) -> dict[st
     deterministic, content-derived names ``part-<min>-<max>.parquet``
     (zero-padded key range of the file's rows), mirroring the reference's
     FILENAME_PATTERN chunk naming (create_public_files.py:88-96). Run as
-    a post-commit pass; idempotent. Returns {old: new}."""
+    a post-commit pass; idempotent. Returns {old: new}.
+
+    When ``maxRecordsPerFile`` splits one hot key's rows across several
+    files, those files share the same (min, max); a bare range name would
+    collide and silently overwrite siblings. Colliding targets get an
+    ordinal suffix ``part-<min>-<max>-<k>.parquet`` — the analogue of the
+    unique chunk id in the reference's FILENAME_PATTERN."""
     import glob
     import os
+    import re
 
     import pyarrow.parquet as pq
 
@@ -92,10 +99,17 @@ def rename_deterministic(path: str, key_column: str, width: int = 11) -> dict[st
         lo, hi = min(mins), max(maxs)
         if isinstance(lo, bytes):
             lo, hi = lo.decode(), hi.decode()
-        new = os.path.join(os.path.dirname(f), f"part-{lo}-{hi}.parquet")
-        if new != f:
-            os.rename(f, new)
-            renames[f] = new
+        stem = f"part-{lo}-{hi}"
+        # already deterministic (with or without ordinal) → idempotent no-op
+        if re.fullmatch(re.escape(stem) + r"(-\d+)?\.parquet", base):
+            continue
+        new = os.path.join(os.path.dirname(f), f"{stem}.parquet")
+        k = 0
+        while os.path.exists(new):
+            k += 1
+            new = os.path.join(os.path.dirname(f), f"{stem}-{k}.parquet")
+        os.rename(f, new)
+        renames[f] = new
     return renames
 
 

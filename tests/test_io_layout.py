@@ -99,6 +99,45 @@ def test_deterministic_rename(spark, tmp_path):
     assert spark.read.parquet(out).count() == 5_000
 
 
+def test_deterministic_rename_hot_key_no_collision(spark, tmp_path):
+    """One hot key split across files by maxRecordsPerFile: every file
+    shares (min, max), so range names collide — the ordinal suffix must
+    keep all files (no silent overwrite) and all rows."""
+    from pyspark.sql import functions as F2
+
+    from opentimes_spark.io.write import rename_deterministic
+
+    df = (
+        spark.range(3_000)
+        .withColumn("origin_id", F2.lit("00000000007"))
+        .withColumn("duration_sec", F2.col("id").cast("double"))
+        .drop("id")
+        .coalesce(1)
+    )
+    out = str(tmp_path / "hot")
+    write_sorted_partitioned(
+        df, out, order_by=["origin_id"], max_records_per_file=1_000
+    )
+    import glob
+    import os
+    import re
+
+    n_files = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert n_files >= 3
+    renames = rename_deterministic(out, "origin_id")
+    assert len(renames) == n_files
+    names = sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(out, "*.parquet"))
+    )
+    assert len(names) == n_files  # nothing overwritten
+    assert len(set(names)) == n_files
+    pat = r"part-00000000007-00000000007(-\d+)?\.parquet"
+    assert all(re.fullmatch(pat, n) for n in names)
+    # idempotent on re-run, and no rows lost
+    assert rename_deterministic(out, "origin_id") == {}
+    assert spark.read.parquet(out).count() == 3_000
+
+
 def test_read_staged_glob_provenance_and_string_keys(spark, tmp_path):
     """S3-row parity: globbed scan returns string partition keys, a
     source_file column, and the chunk id extracted from the filename."""
