@@ -176,6 +176,7 @@ def travel_time_matrix(
     max_split_size: int = 5000,
     max_recursion_depth: int = 5,
     num_chunks: int | None = None,
+    max_broadcast_destinations: int = 200_000,
 ) -> DataFrame:
     """Compute the OD matrix as a DataFrame (origin_id, destination_id,
     duration_sec nullable).
@@ -188,7 +189,12 @@ def travel_time_matrix(
     (sorted ranges → deterministic chunking, mirroring W1); destinations
     are collected and broadcast (per-state destination sets are
     dimension-sized — the reference ships them as one file per state).
-    """
+
+    ``max_broadcast_destinations`` guards the driver collect: the
+    destination frame must be dimension-sized to ride a broadcast, and
+    a caller accidentally passing a national-scale set would otherwise
+    OOM the driver silently. The guard reads at most cap+1 rows (a
+    ``limit`` probe, not a full count) before collecting."""
     from opentimes_spark.session import ship_package
 
     spark = origins.sparkSession
@@ -196,15 +202,22 @@ def travel_time_matrix(
     o = origins.select(
         F.col("id").cast("string"), F.col("lon").cast("double"), F.col("lat").cast("double")
     )
-    d_local = (
-        destinations.select(
-            F.col("id").cast("string"),
-            F.col("lon").cast("double"),
-            F.col("lat").cast("double"),
-        )
-        .orderBy("id")
-        .toPandas()
+    d_proj = destinations.select(
+        F.col("id").cast("string"),
+        F.col("lon").cast("double"),
+        F.col("lat").cast("double"),
     )
+    n_probe = d_proj.limit(max_broadcast_destinations + 1).count()
+    if n_probe > max_broadcast_destinations:
+        raise ValueError(
+            f"destinations exceed max_broadcast_destinations="
+            f"{max_broadcast_destinations}; the destination side is collected "
+            "to the driver and broadcast, so it must stay dimension-sized. "
+            "Partition the computation (e.g. one travel_time_matrix call per "
+            "state, as the reference's per-state destpoint files do) or "
+            "raise the cap explicitly if the driver has the memory."
+        )
+    d_local = d_proj.orderBy("id").toPandas()
     bc_dest = spark.sparkContext.broadcast(d_local)
 
     if num_chunks:

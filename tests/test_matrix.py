@@ -89,3 +89,21 @@ def test_tiling_respects_max_split_size(spark):
         (r["origin_id"], r["destination_id"]): r["duration_sec"] for r in rows
     }
     assert as_map(whole) == as_map(tiled)
+
+
+def test_oversized_destinations_raise_not_oom(spark):
+    """The destination side is driver-collected + broadcast; above the
+    cap the operator must refuse with guidance instead of OOMing."""
+    import pytest
+
+    ids = [(f"p{i:02d}", float(i), float(i)) for i in range(10)]
+    o = _points(spark, ids)
+    with pytest.raises(ValueError, match="max_broadcast_destinations"):
+        travel_time_matrix(o, o, HaversineRouter, max_broadcast_destinations=5)
+    # at exactly the cap it proceeds
+    assert (
+        travel_time_matrix(
+            o, o, HaversineRouter, max_broadcast_destinations=10
+        ).count()
+        == 100
+    )
