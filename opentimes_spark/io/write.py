@@ -26,6 +26,7 @@ def write_sorted_partitioned(
     compression: str = "zstd",
     num_range_partitions: int | None = None,
     observation=None,
+    zstd_level: int | None = 12,
 ) -> None:
     """Write ``df`` Hive-partitioned, range-sorted on ``order_by``.
 
@@ -38,6 +39,11 @@ def write_sorted_partitioned(
       range exchange, because ``repartitionByRange`` runs a separate
       sampling job over its child and an observation below it counts
       rows twice.
+    - ``zstd_level``: parquet-mr zstd level, default 12 = the
+      reference's pinned compression level (data/params.yaml:156-160).
+      Passed as the ``parquet.compression.codec.zstd.level`` writer
+      option; effect verified by a file-size delta test
+      (tests/test_io_layout.py). None → codec default (3).
     """
     from pyspark.sql import functions as F
 
@@ -53,6 +59,8 @@ def write_sorted_partitioned(
     if observation is not None:
         out = out.observe(observation, F.count(F.lit(1)).alias("n"))
     writer = out.write.mode("overwrite").option("compression", compression)
+    if compression == "zstd" and zstd_level is not None:
+        writer = writer.option("parquet.compression.codec.zstd.level", str(zstd_level))
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
