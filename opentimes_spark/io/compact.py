@@ -9,10 +9,19 @@ Compaction = read one partition directory, re-sort, rewrite with a
 bounded file count, atomically swap. Sorting is preserved so the
 row-group zone-map guarantee (SCALE.md storage layout) survives
 compaction.
+
+Crash safety: the swap is two renames (path → __precompact, tmp →
+path), so a crash can strand the dataset mid-swap or leave stale temp
+dirs. ``compact_dir`` therefore begins with a recovery pass that rolls
+an interrupted swap back (or finishes its cleanup) and removes orphaned
+``__compact_*`` temps; the rewrite itself is wrapped so a failed write
+never leaves its temp dir behind. (On a real object store, swap =
+atomic prefix rename or a metadata-layer commit; same structure.)
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import uuid
@@ -20,6 +29,33 @@ import uuid
 from pyspark.sql import SparkSession
 
 from opentimes_spark.io.write import write_sorted_partitioned
+
+
+def recover_compaction(path: str) -> list[str]:
+    """Repair leftovers of an interrupted ``compact_dir`` run on
+    ``path``. Returns a list of human-readable actions taken.
+
+    States handled:
+    - ``path`` missing but ``path__precompact`` present → the crash hit
+      between the two swap renames; roll back (restore the backup).
+    - both present → the swap completed but cleanup didn't; finish it
+      (remove the stale backup).
+    - any ``path__compact_*`` temp dirs → a write crashed before the
+      swap; remove them (the original is intact).
+    """
+    actions: list[str] = []
+    backup = f"{path}__precompact"
+    if os.path.exists(backup):
+        if os.path.exists(path):
+            shutil.rmtree(backup)
+            actions.append(f"removed stale backup {backup}")
+        else:
+            os.rename(backup, path)
+            actions.append(f"rolled back interrupted swap from {backup}")
+    for tmp in glob.glob(f"{path}__compact_*"):
+        shutil.rmtree(tmp)
+        actions.append(f"removed orphaned temp {tmp}")
+    return actions
 
 
 def compact_dir(
@@ -32,22 +68,28 @@ def compact_dir(
     """Rewrite one parquet directory with a bounded file count.
     Returns (n_files_before, n_files_after).
 
-    The rewrite goes to a sibling temp dir first and swaps in only after
-    success — a crashed compaction leaves the original intact. (On a
-    real object store, swap = atomic prefix rename or a metadata-layer
-    commit; same structure.)"""
+    Starts with :func:`recover_compaction` so a directory left mid-swap
+    by a previous crash is repaired before (and instead of silently
+    breaking) the new run. The rewrite goes to a sibling temp dir first
+    and swaps in only after success — a crashed compaction leaves the
+    original intact, and a failed write cleans up its temp dir."""
+    recover_compaction(path)
     before = [f for f in os.listdir(path) if f.endswith(".parquet")]
     df = spark.read.parquet(path)
     if target_files:
         df = df.coalesce(target_files)
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    write_sorted_partitioned(
-        df,
-        tmp,
-        order_by=order_by,
-        max_records_per_file=max_records_per_file,
-        num_range_partitions=target_files if order_by else None,
-    )
+    try:
+        write_sorted_partitioned(
+            df,
+            tmp,
+            order_by=order_by,
+            max_records_per_file=max_records_per_file,
+            num_range_partitions=target_files if order_by else None,
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     backup = f"{path}__precompact"
     os.rename(path, backup)
     os.rename(tmp, path)

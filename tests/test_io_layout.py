@@ -262,3 +262,40 @@ def test_zstd_level_takes_effect(spark, tmp_path):
         )
     assert sizes["l12"] < sizes["l1"]
     assert spark.read.parquet(str(tmp_path / "l12")).count() == 100_000
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Interrupted-swap states are repaired before a new run: a dataset
+    stranded at __precompact rolls back; stale backup and orphaned
+    __compact_* temps are removed."""
+    import os
+    import shutil
+
+    from opentimes_spark.io.compact import compact_dir, recover_compaction
+
+    out = str(tmp_path / "ds")
+    spark.range(100).write.parquet(out)
+    n = spark.read.parquet(out).count()
+
+    # crash between the two swap renames: path missing, backup present
+    os.rename(out, out + "__precompact")
+    actions = recover_compaction(out)
+    assert any("rolled back" in a for a in actions)
+    assert spark.read.parquet(out).count() == n
+
+    # crash after swap but before backup cleanup + an orphaned temp
+    shutil.copytree(out, out + "__precompact")
+    os.makedirs(out + "__compact_deadbeef")
+    n_before, n_after = compact_dir(spark, out, target_files=1)
+    assert not os.path.exists(out + "__precompact")
+    assert not os.path.exists(out + "__compact_deadbeef")
+    assert spark.read.parquet(out).count() == n
+
+    # a failed write cleans up its temp dir and leaves the original
+    import pytest
+
+    with pytest.raises(Exception):
+        compact_dir(spark, out, order_by=["no_such_column"], target_files=1)
+    leftovers = [p for p in os.listdir(tmp_path) if "__compact_" in p]
+    assert leftovers == []
+    assert spark.read.parquet(out).count() == n
