@@ -114,3 +114,24 @@ def test_point_lookup_prunes_partitions(spark, tmp_path):
     # only the 3 projected columns reach the read schema
     read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
     assert "duration_sec" in read_schema
+
+
+def test_lsh_band_join_runtime_reused_exchange(spark):
+    """The LSH band self-join must reuse ONE exchange for both sides in
+    the RUNTIME (AQE-final) plan, not just the static one — the
+    signature pipeline is expensive and must run once. Read the
+    executed plan after an action; AQE replans at runtime, so the
+    static explain() can't prove this."""
+    from opentimes_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    sigs = minhash_signatures(docs, hash_fn="xxhash64")
+    pairs = lsh_candidate_pairs(sigs, hash_fn="xxhash64")
+    pairs.collect()  # the write path spawns a separate QueryExecution;
+    # collect() finalizes THIS DataFrame's, which we then inspect
+    executed = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "ReusedExchange" in executed, executed[:2000]
