@@ -107,6 +107,159 @@ def points_in_polygon(
     return inside
 
 
+def dist_to_ring(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Vectorized min distance from each point to the polygon BOUNDARY
+    (every edge of the closed ring). Standard point–segment projection:
+    t = clamp(((p−a)·(b−a)) / |b−a|², 0, 1), dist = |p − (a + t(b−a))|.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    poly = np.asarray(poly, dtype=np.float64)
+    if len(poly) > 1 and np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
+    best = np.full(px.shape, np.inf)
+    x1, y1 = poly[:, 0], poly[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    for xa, ya, xb, yb in zip(x1, y1, x2, y2):
+        dx, dy = xb - xa, yb - ya
+        len2 = dx * dx + dy * dy
+        if len2 == 0.0:
+            d2 = (px - xa) ** 2 + (py - ya) ** 2
+        else:
+            t = np.clip(((px - xa) * dx + (py - ya) * dy) / len2, 0.0, 1.0)
+            d2 = (px - (xa + t * dx)) ** 2 + (py - (ya + t * dy)) ** 2
+        best = np.minimum(best, d2)
+    return np.sqrt(best)
+
+
+def points_within_buffer(
+    px: np.ndarray, py: np.ndarray, poly: np.ndarray, distance: float
+) -> np.ndarray:
+    """EXACT point-in-buffered-polygon predicate, concave-safe, no
+    geometry library: Minkowski dilation of a polygon P by a disc of
+    radius d is {p : p ∈ P or dist(p, ∂P) ≤ d}, and erosion (d < 0) is
+    {p ∈ P : dist(p, ∂P) ≥ |d|}. Computing the predicate directly
+    sidesteps the self-intersection pathologies of constructing a
+    buffered ring for concave polygons (the reference gets the same
+    semantics from shapely's ``buffer`` + containment,
+    create_osmclip.py:45-48 / create_destpoint.py:57-59)."""
+    inside = points_in_polygon(px, py, poly)
+    if distance == 0.0:
+        return inside
+    d = dist_to_ring(px, py, poly)
+    if distance > 0:
+        return inside | (d <= distance)
+    return inside & (d >= -distance)
+
+
+def clip_ring_bbox(
+    poly: np.ndarray, bbox: tuple[float, float, float, float]
+) -> np.ndarray:
+    """Sutherland–Hodgman clip of a (possibly concave) ring against an
+    axis-aligned bbox (xmin, ymin, xmax, ymax) — the reference's
+    dateline-guard intersection with a CONUS box
+    (create_osmclip.py:50-55). Returns the clipped open ring (may be
+    empty)."""
+    poly = np.asarray(poly, dtype=np.float64)
+    if len(poly) > 1 and np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
+    xmin, ymin, xmax, ymax = bbox
+    # (inside-test, intersection-solver) per bbox edge
+    def clip_edge(pts, inside, intersect):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur, nxt = pts[i], pts[(i + 1) % n]
+            cin, nin = inside(cur), inside(nxt)
+            if cin:
+                out.append(cur)
+                if not nin:
+                    out.append(intersect(cur, nxt))
+            elif nin:
+                out.append(intersect(cur, nxt))
+        return out
+
+    def x_cross(a, b, x):
+        t = (x - a[0]) / (b[0] - a[0])
+        return (x, a[1] + t * (b[1] - a[1]))
+
+    def y_cross(a, b, y):
+        t = (y - a[1]) / (b[1] - a[1])
+        return (a[0] + t * (b[0] - a[0]), y)
+
+    pts = [tuple(p) for p in poly]
+    for inside, intersect in (
+        (lambda p: p[0] >= xmin, lambda a, b: x_cross(a, b, xmin)),
+        (lambda p: p[0] <= xmax, lambda a, b: x_cross(a, b, xmax)),
+        (lambda p: p[1] >= ymin, lambda a, b: y_cross(a, b, ymin)),
+        (lambda p: p[1] <= ymax, lambda a, b: y_cross(a, b, ymax)),
+    ):
+        if not pts:
+            break
+        pts = clip_edge(pts, inside, intersect)
+    return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+
+
+def buffer_ring(
+    poly: np.ndarray, distance: float, arc_steps: int = 8
+) -> np.ndarray:
+    """Densified OUTLINE of the dilated polygon, for export (the osmclip
+    GeoJSON boundary): offset each edge outward by ``distance`` along
+    its normal, join consecutive edges with ``arc_steps``-sampled arcs,
+    then prune candidates that fall strictly interior to the dilation
+    (closer than ``distance`` to a non-adjacent part of the boundary —
+    what shapely's buffer resolves via self-intersection removal).
+    Exact for convex rings; for concave rings it is the correct outer
+    outline as long as the buffer does not merge disjoint lobes.
+    CONTAINMENT TESTS must use :func:`points_within_buffer` (exact),
+    never point-in-this-ring."""
+    if distance <= 0:
+        raise ValueError("buffer_ring handles dilation only (distance > 0)")
+    poly = np.asarray(poly, dtype=np.float64)
+    if len(poly) > 1 and np.array_equal(poly[0], poly[-1]):
+        poly = poly[:-1]
+    # ensure counter-clockwise orientation so outward = left-rotated normal
+    area2 = np.sum(
+        poly[:, 0] * np.roll(poly[:, 1], -1) - np.roll(poly[:, 0], -1) * poly[:, 1]
+    )
+    if area2 < 0:
+        poly = poly[::-1]
+    n = len(poly)
+    cand: list[tuple[float, float]] = []
+    for i in range(n):
+        a, b = poly[i], poly[(i + 1) % n]
+        e = b - a
+        ln = float(np.hypot(e[0], e[1]))
+        if ln == 0:
+            continue
+        nx, ny = e[1] / ln, -e[0] / ln  # outward normal for CCW ring
+        cand.append((a[0] + nx * distance, a[1] + ny * distance))
+        cand.append((b[0] + nx * distance, b[1] + ny * distance))
+        # arc around vertex b: from this edge's normal to the next edge's
+        c = poly[(i + 2) % n]
+        e2 = c - b
+        ln2 = float(np.hypot(e2[0], e2[1]))
+        if ln2 == 0:
+            continue
+        ang1 = float(np.arctan2(ny, nx))
+        nx2, ny2 = e2[1] / ln2, -e2[0] / ln2
+        ang2 = float(np.arctan2(ny2, nx2))
+        sweep = (ang2 - ang1) % (2 * np.pi)
+        if sweep > 0 and sweep < np.pi:  # convex corner → outer arc
+            for k in range(1, arc_steps):
+                ang = ang1 + sweep * k / arc_steps
+                cand.append(
+                    (b[0] + np.cos(ang) * distance, b[1] + np.sin(ang) * distance)
+                )
+    pts = np.asarray(cand, dtype=np.float64)
+    # prune interior candidates: true boundary points sit at exactly
+    # `distance` from ∂P; anything measurably closer is swallowed by a
+    # concave neck
+    d = dist_to_ring(pts[:, 0], pts[:, 1], poly)
+    keep = d >= distance * (1 - 1e-9)
+    return pts[keep]
+
+
 def haversine_m(
     lon1: np.ndarray, lat1: np.ndarray, lon2: np.ndarray, lat2: np.ndarray
 ) -> np.ndarray:

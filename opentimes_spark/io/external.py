@@ -132,3 +132,29 @@ def write_geojson(
     with open(path, "w") as f:
         json.dump(fc, f)
     return len(rows)
+
+
+def write_geojson_polygon(
+    ring, path: str, properties: dict | None = None
+) -> int:
+    """S11 polygon variant: write one polygon ring as a GeoJSON Feature —
+    the shape of the reference's osmclip boundary file
+    (create_osmclip.py:58, `gdf.to_file(driver='GeoJSON')`). Driver-side
+    pure-Python; the ring is a small boundary, not data. Returns the
+    vertex count."""
+    pts = [[float(x), float(y)] for x, y in ring]
+    if pts and pts[0] != pts[-1]:
+        pts.append(pts[0])  # GeoJSON rings are closed
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": properties or {},
+                "geometry": {"type": "Polygon", "coordinates": [pts]},
+            }
+        ],
+    }
+    with open(path, "w") as f:
+        json.dump(fc, f)
+    return len(pts)

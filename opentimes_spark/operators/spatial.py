@@ -66,6 +66,41 @@ def spatial_join_contains(
     return points.mapInPandas(tag, schema)
 
 
+def within_buffered_polygon(
+    points: DataFrame,
+    ring: list[tuple[float, float]],
+    buffer_m: float,
+    x_col: str = "x_5071",
+    y_col: str = "y_5071",
+) -> DataFrame:
+    """J5 buffered-within, POLYGON form (reference create_destpoint.py:
+    57-59 buffers the state polygon with shapely in EPSG:5071 and keeps
+    contained centroids): keep points inside the polygon dilated by
+    ``buffer_m`` meters. Coordinates must be planar meters (EPSG:5071 —
+    buffering in a projected CRS, like the reference). Concave rings are
+    handled exactly: the dilation predicate is inside-or-within-distance
+    (functions/geometry.py points_within_buffer), no buffered ring is
+    ever constructed. The ring is broadcast; points stream through
+    mapInPandas — zero shuffles."""
+    from opentimes_spark.session import ship_package
+
+    spark = points.sparkSession
+    ship_package(spark)
+    arr = np.asarray(ring, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(arr)
+
+    def keep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from opentimes_spark.functions.geometry import points_within_buffer
+
+        local = bc.value
+        for batch in batches:
+            px = batch[x_col].to_numpy(dtype=np.float64)
+            py = batch[y_col].to_numpy(dtype=np.float64)
+            yield batch[points_within_buffer(px, py, local, buffer_m)]
+
+    return points.mapInPandas(keep, points.schema)
+
+
 def within_buffer_of_point(
     points: DataFrame,
     center_lon: float,

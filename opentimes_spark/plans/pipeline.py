@@ -172,25 +172,108 @@ def build_cenloc(blockloc: DataFrame, geography: str) -> DataFrame:
 
 def build_destpoint(
     cenloc_all_states: DataFrame,
-    state_center: tuple[float, float],
+    state_center: tuple[float, float] | None = None,
     buffer_m: float = 300_000.0,
     centroid_type: str = "weighted",
+    state_ring_5071: list[tuple[float, float]] | None = None,
 ) -> DataFrame:
     """Destinations = every geography whose (weighted OR unweighted)
     centroid falls within the buffered state (reference
-    create_destpoint.py:57-75: two match sets, union, semi-join)."""
-    from opentimes_spark.operators.spatial import within_buffer_of_point
+    create_destpoint.py:57-75: two match sets, union, semi-join).
 
-    lon_w, lat_w = ("x_4326_wt", "y_4326_wt")
-    lon_u, lat_u = ("x_4326", "y_4326")
-    m1 = within_buffer_of_point(
-        cenloc_all_states, state_center[0], state_center[1], buffer_m, lon_w, lat_w
-    ).select("geoid")
-    m2 = within_buffer_of_point(
-        cenloc_all_states, state_center[0], state_center[1], buffer_m, lon_u, lat_u
-    ).select("geoid")
+    Two buffer forms:
+    - ``state_ring_5071``: the reference's actual semantics — the state
+      POLYGON (EPSG:5071 planar meters, concave-safe) dilated by
+      ``buffer_m``, centroids tested against the dilation predicate
+      (create_destpoint.py:57-59 buffers the shapely polygon in 5071).
+    - ``state_center``: the simpler center+radius approximation kept
+      for callers without boundary data.
+    Exactly one must be provided.
+    """
+    from opentimes_spark.operators.spatial import (
+        within_buffer_of_point,
+        within_buffered_polygon,
+    )
+
+    if (state_ring_5071 is None) == (state_center is None):
+        raise ValueError("pass exactly one of state_ring_5071 / state_center")
+    if state_ring_5071 is not None:
+        m1 = within_buffered_polygon(
+            cenloc_all_states, state_ring_5071, buffer_m, "x_5071_wt", "y_5071_wt"
+        ).select("geoid")
+        m2 = within_buffered_polygon(
+            cenloc_all_states, state_ring_5071, buffer_m, "x_5071", "y_5071"
+        ).select("geoid")
+    else:
+        m1 = within_buffer_of_point(
+            cenloc_all_states,
+            state_center[0],
+            state_center[1],
+            buffer_m,
+            "x_4326_wt",
+            "y_4326_wt",
+        ).select("geoid")
+        m2 = within_buffer_of_point(
+            cenloc_all_states,
+            state_center[0],
+            state_center[1],
+            buffer_m,
+            "x_4326",
+            "y_4326",
+        ).select("geoid")
     matches = m1.union(m2).distinct()
     return cenloc_all_states.join(matches, "geoid", "left_semi")
+
+
+def build_osmclip(
+    state_ring_4326: list[tuple[float, float]],
+    buffer_m: float = 0.0,
+    bbox_4326: tuple[float, float, float, float] = (-177.0, -32.0, -16.0, 70.0),
+    arc_steps: int = 16,
+    densify_step_deg: float = 0.05,
+):
+    """osmclip stage (reference create_osmclip.py:41-58): state boundary
+    → EPSG:5071 → optional buffer → clip to the CONUS dateline-guard
+    bbox → back to EPSG:4326, as a ring ready for the GeoJSON sink
+    (io/external.py write_geojson_polygon).
+
+    Driver-side by design — one boundary ring per state is KBs, exactly
+    like the reference's per-state geopandas pass; the cluster-side
+    consumers of the result are the buffered-containment operators.
+    Deviation noted: the reference projects the guard bbox to 5071 and
+    intersects there; we clip in 4326 where the box is axis-aligned
+    (Sutherland–Hodgman) — same guard semantics without tracing the
+    projected box's curved edges."""
+    import numpy as np
+
+    from opentimes_spark.functions.geometry import (
+        buffer_ring,
+        clip_ring_bbox,
+        project_5071,
+        unproject_5071,
+    )
+
+    ring = np.asarray(state_ring_4326, dtype=np.float64)
+    if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    # densify in 4326 so straight edges stay straight through the
+    # projection (the reference's shapefile rings arrive pre-densified)
+    dense: list[tuple[float, float]] = []
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        steps = max(1, int(np.ceil(max(abs(b[0] - a[0]), abs(b[1] - a[1])) / densify_step_deg)))
+        for k in range(steps):
+            t = k / steps
+            dense.append((a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])))
+    arr = np.asarray(dense, dtype=np.float64)
+    x, y = project_5071(arr[:, 0], arr[:, 1])
+    ring_5071 = np.column_stack([x, y])
+    if buffer_m > 0:
+        ring_5071 = buffer_ring(ring_5071, buffer_m, arc_steps=arc_steps)
+    lon, lat = unproject_5071(ring_5071[:, 0], ring_5071[:, 1])
+    out = clip_ring_bbox(np.column_stack([lon, lat]), bbox_4326)
+    return out
 
 
 def compute_times(

@@ -2554,3 +2554,74 @@ def udtf_python_split_geoid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.geoid, s.level, s.part "
         "FROM udtf_geoids_in t, LATERAL split_geoid_pyudtf(t.geoid) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# J5 polygon form: point-in-buffered-CONCAVE-polygon (destpoint semantics)
+# ---------------------------------------------------------------------------
+
+# U-shaped "state" (meters): outer 30km square with the (10..20, 10..30)km
+# notch removed — concave, so a center+radius test CANNOT reproduce it.
+_U_RING = [
+    (0.0, 0.0), (30_000.0, 0.0), (30_000.0, 30_000.0), (20_000.0, 30_000.0),
+    (20_000.0, 10_000.0), (10_000.0, 10_000.0), (10_000.0, 30_000.0),
+    (0.0, 30_000.0),
+]
+_U_EDGES_SQL = ", ".join(
+    f"({x1}, {y1}, {x2}, {y2})"
+    for (x1, y1), (x2, y2) in zip(_U_RING, _U_RING[1:] + _U_RING[:1])
+)
+
+
+@query(
+    "destpoint_polygon",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST((c_custkey % 50) * 1000 AS DOUBLE)        AS x,
+               CAST(((c_custkey // 50) % 50) * 1000 AS DOUBLE) AS y
+        FROM customer
+    ),
+    edges(x1, y1, x2, y2) AS (VALUES {_U_EDGES_SQL}),
+    pe AS (
+        SELECT p.id, p.x, p.y,
+               e.x1, e.y1, e.x2, e.y2,
+               GREATEST(0.0, LEAST(1.0,
+                   ((p.x - e.x1) * (e.x2 - e.x1) + (p.y - e.y1) * (e.y2 - e.y1))
+                   / ((e.x2 - e.x1) * (e.x2 - e.x1)
+                      + (e.y2 - e.y1) * (e.y2 - e.y1)))) AS t,
+               CASE WHEN ((e.y1 > p.y) != (e.y2 > p.y))
+                     AND p.x < e.x1 + (p.y - e.y1) * (e.x2 - e.x1)
+                                      / NULLIF(e.y2 - e.y1, 0)
+                    THEN 1 ELSE 0 END AS crossed
+        FROM pts p CROSS JOIN edges e
+    ),
+    agg AS (
+        SELECT id, x, y, SUM(crossed) AS crossings,
+               MIN(SQRT(
+                   (x - (x1 + t * (x2 - x1))) * (x - (x1 + t * (x2 - x1)))
+                 + (y - (y1 + t * (y2 - y1))) * (y - (y1 + t * (y2 - y1)))
+               )) AS mind
+        FROM pe
+        GROUP BY id, x, y
+    )
+    SELECT id, x, y FROM agg WHERE crossings % 2 = 1 OR mind <= 3000.0
+    """,
+)
+def destpoint_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 buffered-within, POLYGON form on a CONCAVE ring (reference
+    create_destpoint.py:57-59 buffers the state polygon in EPSG:5071;
+    create_osmclip.py:45-48): deterministic lattice points derived from
+    customer keys, kept iff inside the U-polygon dilated by 3 km. Runs
+    the real broadcast + mapInPandas operator
+    (operators/spatial.py within_buffered_polygon); the oracle replays
+    ray casting + clamped point-segment distance in SQL — integer
+    lattice inputs make both engines' IEEE arithmetic bit-identical."""
+    from opentimes_spark.operators.spatial import within_buffered_polygon
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 50) * 1000).cast("double").alias("x"),
+        ((F.expr("c_custkey div 50") % 50) * 1000).cast("double").alias("y"),
+    )
+    return within_buffered_polygon(pts, _U_RING, 3_000.0, "x", "y")

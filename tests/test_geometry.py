@@ -123,3 +123,116 @@ def test_project_points_udf(spark):
     got = {r["id"]: (r["x_5071"], r["y_5071"]) for r in project_points(pts).collect()}
     assert got["a"][0] == pytest.approx(0.0, abs=1e-6)
     assert 500_000 < got["b"][0] < 900_000 and 2_000_000 < got["b"][1] < 2_300_000
+
+
+def test_dist_to_ring():
+    from opentimes_spark.functions.geometry import dist_to_ring
+
+    square = np.array([(0, 0), (10, 0), (10, 10), (0, 10)])
+    px = np.array([5.0, 15.0, 5.0, -3.0, 13.0])
+    py = np.array([5.0, 5.0, -2.0, -4.0, 14.0])
+    d = dist_to_ring(px, py, square)
+    # center → 5 to each edge; outside → perpendicular or corner distance
+    np.testing.assert_allclose(d, [5.0, 5.0, 2.0, 5.0, 5.0])
+
+
+def test_points_within_buffer_concave():
+    """U-shape with a deep notch: the dilation must reach INTO the notch
+    from both prongs, and erosion must survive only in thick parts —
+    exactly what a center+radius approximation gets wrong."""
+    from opentimes_spark.functions.geometry import points_within_buffer
+
+    # U: outer 0..30 x 0..30, notch (10..20, 10..30) removed
+    u = np.array(
+        [(0, 0), (30, 0), (30, 30), (20, 30), (20, 10), (10, 10), (10, 30), (0, 30)]
+    )
+    px = np.array([15.0, 15.0, 15.0, 5.0, 40.0, 15.0])
+    py = np.array([12.0, 20.0, 5.0, 15.0, 15.0, 35.0])
+    # notch point 2m above the notch floor: within buffer 3, not 1
+    assert points_within_buffer(px, py, u, 3.0).tolist() == [
+        True,   # (15,12): in notch, 2 from the notch floor → dilated in
+        False,  # (15,20): deep in notch, 5 from either prong
+        True,   # (15,5): genuinely inside
+        True,   # (5,15): inside left prong
+        False,  # (40,15): 10 right of the outer wall
+        False,  # (15,35): above the notch mouth, √50≈7.07 from corners
+    ]
+    assert points_within_buffer(px, py, u, 6.0).tolist() == [
+        True, True, True, True, False, False
+    ]
+    # buffer 8 reaches past the prong corners to the mouth point
+    assert points_within_buffer(px, py, u, 8.0).tolist() == [
+        True, True, True, True, False, True
+    ]
+    # erosion: only points ≥2 inside the boundary survive
+    assert points_within_buffer(px, py, u, -2.0).tolist() == [
+        False, False, True, True, False, False
+    ]
+
+
+def test_clip_ring_bbox():
+    from opentimes_spark.functions.geometry import clip_ring_bbox, points_in_polygon
+
+    tri = np.array([(0, 0), (20, 0), (0, 20)])
+    clipped = clip_ring_bbox(tri, (-5.0, -5.0, 10.0, 10.0))
+    # clipped region = triangle ∩ box: pentagon containing (1,1),(9,9)
+    # excluded: (12,1) (outside box), (1,12) (outside box), (9.9, 9.9)
+    # (outside hypotenuse x+y<=20? 19.8<20 → inside both, included)
+    inside = points_in_polygon(
+        np.array([1.0, 9.0, 12.0, 1.0]), np.array([1.0, 9.0, 1.0, 12.0]), clipped
+    )
+    np.testing.assert_array_equal(inside, [True, True, False, False])
+    # all clipped vertices are inside (or on) the bbox
+    assert (clipped[:, 0] >= -5 - 1e-9).all() and (clipped[:, 0] <= 10 + 1e-9).all()
+    assert (clipped[:, 1] >= -5 - 1e-9).all() and (clipped[:, 1] <= 10 + 1e-9).all()
+
+
+def test_buffer_ring_matches_predicate():
+    """The exported outline must agree with the exact predicate: points
+    strictly inside/outside the dilation (by a margin ≫ arc-sampling
+    error) are classified identically by PIP on the outline ring."""
+    from opentimes_spark.functions.geometry import (
+        buffer_ring,
+        points_in_polygon,
+        points_within_buffer,
+    )
+
+    square = np.array([(0, 0), (10, 0), (10, 10), (0, 10)])
+    ring = buffer_ring(square, 5.0, arc_steps=32)
+    rng = np.random.RandomState(7)
+    px = rng.uniform(-10, 20, 500)
+    py = rng.uniform(-10, 20, 500)
+    exact = points_within_buffer(px, py, square, 5.0)
+    margin = np.abs(
+        np.where(exact, 1.0, -1.0) * 5.0
+        - np.where(
+            points_in_polygon(px, py, square),
+            -np.inf,  # interior points: always in the dilation, skip margin
+            0.0,
+        )
+    )
+    from opentimes_spark.functions.geometry import dist_to_ring
+
+    d = dist_to_ring(px, py, square)
+    clear = np.abs(d - 5.0) > 0.1  # off the arc-approximation band
+    got = points_in_polygon(px, py, ring)
+    np.testing.assert_array_equal(got[clear], exact[clear])
+
+
+def test_build_osmclip_shape():
+    """osmclip stage: buffered Illinois-ish rectangle, clipped, returns
+    a 4326 ring whose dilation contains near-boundary points and whose
+    extent respects the guard bbox."""
+    from opentimes_spark.functions.geometry import points_in_polygon
+    from opentimes_spark.plans.pipeline import build_osmclip
+
+    il = [(-91.5, 37.0), (-87.5, 37.0), (-87.5, 42.5), (-91.5, 42.5)]
+    ring = build_osmclip(il, buffer_m=100_000.0)
+    assert len(ring) > 50  # densified + arcs
+    # a point ~0.5° outside the raw boundary is inside the 100km buffer
+    inside = points_in_polygon(
+        np.array([-92.3, -89.5, -95.0]), np.array([40.0, 40.0, 40.0]), ring
+    )
+    np.testing.assert_array_equal(inside, [True, True, False])
+    # guard bbox respected
+    assert ring[:, 0].min() >= -177.0 and ring[:, 0].max() <= -16.0

@@ -162,3 +162,40 @@ def test_expect_single_pass_and_hit_rates(spark):
         expect(df, no_null_cols=["s"])
     with pytest.raises(AssertionError, match="expected 5 rows"):
         expect(df, n_rows=5)
+
+
+def test_destpoint_polygon_concave(spark):
+    """J5 polygon form: a U-shaped (concave) state — centroids deep in
+    the notch are OUTSIDE even when a center+radius circle would keep
+    them; near-boundary outsiders come in via the dilation. Both the
+    weighted and unweighted coordinate sets must be tested (reference
+    create_destpoint.py: two match sets union)."""
+    rows = [
+        # geoid, wt coords, unwt coords (planar EPSG:5071-like meters)
+        ("in_prong", 5_000.0, 15_000.0, 5_000.0, 15_000.0),
+        ("notch_near_floor", 15_000.0, 12_000.0, 15_000.0, 12_000.0),
+        ("notch_deep", 15_000.0, 20_000.0, 15_000.0, 20_000.0),
+        ("far_east", 40_000.0, 15_000.0, 40_000.0, 15_000.0),
+        # weighted outside, unweighted inside → must match via set 2
+        ("split_coords", 100_000.0, 100_000.0, 5_000.0, 5_000.0),
+    ]
+    cen = spark.createDataFrame(
+        rows,
+        "geoid string, x_5071_wt double, y_5071_wt double, "
+        "x_5071 double, y_5071 double",
+    )
+    u = [
+        (0.0, 0.0), (30_000.0, 0.0), (30_000.0, 30_000.0),
+        (20_000.0, 30_000.0), (20_000.0, 10_000.0), (10_000.0, 10_000.0),
+        (10_000.0, 30_000.0), (0.0, 30_000.0),
+    ]
+    got = {
+        r["geoid"]
+        for r in build_destpoint(cen, state_ring_5071=u, buffer_m=3_000.0).collect()
+    }
+    assert got == {"in_prong", "notch_near_floor", "split_coords"}
+
+    with pytest.raises(ValueError, match="exactly one"):
+        build_destpoint(cen)
+    with pytest.raises(ValueError, match="exactly one"):
+        build_destpoint(cen, state_center=(0.0, 0.0), state_ring_5071=u)
