@@ -2625,3 +2625,127 @@ def destpoint_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.expr("c_custkey div 50") % 50) * 1000).cast("double").alias("y"),
     )
     return within_buffered_polygon(pts, _U_RING, 3_000.0, "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: repetition filters + stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, toks, LENGTH(toks) AS n_tok,
+               list_transform(
+                   range(1, GREATEST(LENGTH(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+               ) AS grams,
+               list_max(list_transform(list_distinct(toks),
+                   u -> LENGTH(list_filter(toks, x -> x = u)))) AS top_cnt
+        FROM t
+    )
+    SELECT doc_id,
+           FLOOR(top_cnt / CAST(n_tok AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS top_token_frac,
+           CASE WHEN LENGTH(grams) > 0 THEN
+               FLOOR((LENGTH(grams) - LENGTH(list_distinct(grams)))
+                     / CAST(LENGTH(grams) AS DOUBLE) * 1000000 + 0.5) / 1000000
+           ELSE 0.0 END AS dup_trigram_frac,
+           (n_tok >= 20 AND n_tok <= 100000
+            AND top_cnt / CAST(n_tok AS DOUBLE) < 0.2
+            AND (LENGTH(grams) = 0 OR
+                 (LENGTH(grams) - LENGTH(list_distinct(grams)))
+                 / CAST(LENGTH(grams) AS DOUBLE) < 0.3)) AS keep
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 heuristics,
+    public paper): fraction of tokens that are the single most-repeated
+    token, fraction of duplicated word trigrams, and the resulting
+    keep/drop verdict. Computed ENTIRELY per-row (array expressions —
+    zero shuffles at any corpus size; the alternative explode+groupBy
+    shuffles one row per token). Tie-free by construction: both metrics
+    are counts, so no mode-tie-breaking is needed."""
+    from opentimes_spark.functions.text import stable_round
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+    staged = d.select("doc_id", toks.alias("toks"))
+    n_tok = F.size("toks")
+    grams = F.when(
+        n_tok >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 2),
+            lambda i: F.concat_ws(
+                " ", F.col("toks")[i - 1], F.col("toks")[i], F.col("toks")[i + 1]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda u: F.size(F.filter(F.col("toks"), lambda x: x == u)),
+        )
+    )
+    staged = staged.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        grams.alias("grams"),
+        top_cnt.alias("top_cnt"),
+    )
+    n_g = F.size("grams")
+    n_dup = n_g - F.size(F.array_distinct("grams"))
+    top_frac_raw = F.col("top_cnt") / F.col("n_tok")
+    dup_frac_raw = n_dup / n_g
+    return staged.select(
+        "doc_id",
+        stable_round(top_frac_raw, 6).alias("top_token_frac"),
+        F.when(n_g > 0, stable_round(dup_frac_raw, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+        (
+            (F.col("n_tok") >= 20)
+            & (F.col("n_tok") <= 100000)
+            & (top_frac_raw < 0.2)
+            & ((n_g == 0) | (dup_frac_raw < 0.3))
+        ).alias("keep"),
+    )
+
+
+@query(
+    "sample_stratified",
+    """
+    SELECT doc_id, source
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 50
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic holdout: top-50 docs per source stratum
+    ordered by md5(doc_id) — a reproducible per-stratum sample with no
+    rand() (task retries stay idempotent; md5 order is uniform and
+    engine-identical). Scale shape: one shuffle on the stratum key;
+    rank + filter prune early under AQE."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "source")
+    )
