@@ -152,6 +152,31 @@ def points_within_buffer(
     return inside & (d >= -distance)
 
 
+def points_within_buffer_multi(
+    px: np.ndarray, py: np.ndarray, rings: list[np.ndarray], distance: float
+) -> np.ndarray:
+    """:func:`points_within_buffer` for MULTI-ring geometries — real
+    TIGER state boundaries are MultiPolygons with holes (islands,
+    lakes). Even-odd over all rings gives containment (a point inside
+    an odd number of rings is land); the boundary ∂P is the union of
+    every ring, so dist(p, ∂P) = min over rings. The dilation/erosion
+    identities then hold unchanged:
+    dilate = inside | (dist ≤ d); erode = inside & (dist ≥ |d|)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    dist = np.full(px.shape, np.inf)
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        inside ^= points_in_polygon(px, py, ring)
+        dist = np.minimum(dist, dist_to_ring(px, py, ring))
+    if distance == 0.0:
+        return inside
+    if distance > 0:
+        return inside | (dist <= distance)
+    return inside & (dist >= -distance)
+
+
 def clip_ring_bbox(
     poly: np.ndarray, bbox: tuple[float, float, float, float]
 ) -> np.ndarray:

@@ -68,7 +68,7 @@ def spatial_join_contains(
 
 def within_buffered_polygon(
     points: DataFrame,
-    ring: list[tuple[float, float]],
+    ring: list[tuple[float, float]] | list[list[tuple[float, float]]],
     buffer_m: float,
     x_col: str = "x_5071",
     y_col: str = "y_5071",
@@ -80,23 +80,32 @@ def within_buffered_polygon(
     buffering in a projected CRS, like the reference). Concave rings are
     handled exactly: the dilation predicate is inside-or-within-distance
     (functions/geometry.py points_within_buffer), no buffered ring is
-    ever constructed. The ring is broadcast; points stream through
+    ever constructed. ``ring`` may also be a LIST of rings (MultiPolygon
+    with islands/holes, even-odd semantics — real TIGER states need
+    this). The geometry is broadcast; points stream through
     mapInPandas — zero shuffles."""
     from opentimes_spark.session import ship_package
 
     spark = points.sparkSession
     ship_package(spark)
-    arr = np.asarray(ring, dtype=np.float64)
-    bc = spark.sparkContext.broadcast(arr)
+    # a ring's first element is an (x, y) pair (ndim 1); a multi
+    # geometry's first element is itself a ring (ndim 2)
+    multi = np.ndim(ring[0]) == 2
+    rings = (
+        [np.asarray(r, dtype=np.float64) for r in ring]
+        if multi
+        else [np.asarray(ring, dtype=np.float64)]
+    )
+    bc = spark.sparkContext.broadcast(rings)
 
     def keep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from opentimes_spark.functions.geometry import points_within_buffer
+        from opentimes_spark.functions.geometry import points_within_buffer_multi
 
         local = bc.value
         for batch in batches:
             px = batch[x_col].to_numpy(dtype=np.float64)
             py = batch[y_col].to_numpy(dtype=np.float64)
-            yield batch[points_within_buffer(px, py, local, buffer_m)]
+            yield batch[points_within_buffer_multi(px, py, local, buffer_m)]
 
     return points.mapInPandas(keep, points.schema)
 

@@ -236,3 +236,56 @@ def test_build_osmclip_shape():
     np.testing.assert_array_equal(inside, [True, True, False])
     # guard bbox respected
     assert ring[:, 0].min() >= -177.0 and ring[:, 0].max() <= -16.0
+
+
+def test_points_within_buffer_multi_holes_islands():
+    """MultiPolygon with a lake (hole) and an island: even-odd
+    containment + boundary-union distance. Michigan-shaped problems."""
+    from opentimes_spark.functions.geometry import points_within_buffer_multi
+
+    outer = np.array([(0, 0), (100, 0), (100, 100), (0, 100)])
+    lake = np.array([(40, 40), (60, 40), (60, 60), (40, 60)])
+    island = np.array([(45, 45), (55, 45), (55, 55), (45, 55)])
+    rings = [outer, lake, island]
+    px = np.array([10.0, 50.0, 42.0, 50.0, 120.0, 41.0])
+    py = np.array([10.0, 50.0, 42.0, 41.0, 50.0, 50.0])
+    # d=0: mainland in; island center in; lake-water points out
+    assert points_within_buffer_multi(px, py, rings, 0.0).tolist() == [
+        True,   # (10,10) mainland
+        True,   # (50,50) island center
+        False,  # (42,42) lake water (inside outer+lake, even)
+        False,  # (50,41) lake water between shore and island
+        False,  # (120,50) offshore
+        False,  # (41,50) lake water, 1 from lake shore
+    ]
+    # dilate by 2: near-shore lake water and water near island come in
+    # ((42,42) is exactly 2.0 from the lake shore → included)
+    assert points_within_buffer_multi(px, py, rings, 2.0).tolist() == [
+        True, True, True, True, False, True
+    ]
+    # erode by 3: island (5 half-width) shrinks but center survives;
+    # mainland point 10 in from the corner survives
+    assert points_within_buffer_multi(px, py, rings, -3.0).tolist() == [
+        True, True, False, False, False, False
+    ]
+
+
+def test_within_buffered_polygon_multi_operator(spark):
+    from opentimes_spark.operators.spatial import within_buffered_polygon
+
+    pts = spark.createDataFrame(
+        [("mainland", 10.0, 10.0), ("lake", 50.0, 50.5), ("off", 200.0, 50.0)],
+        "id string, x_5071 double, y_5071 double",
+    )
+    outer = [(0.0, 0.0), (100.0, 0.0), (100.0, 100.0), (0.0, 100.0)]
+    lake = [(40.0, 40.0), (60.0, 40.0), (60.0, 60.0), (40.0, 60.0)]
+    got = {
+        r["id"]
+        for r in within_buffered_polygon(pts, [outer, lake], 0.0).collect()
+    }
+    assert got == {"mainland"}
+    # single-ring call still works (no lake → lake point is inside)
+    got1 = {
+        r["id"] for r in within_buffered_polygon(pts, outer, 0.0).collect()
+    }
+    assert got1 == {"mainland", "lake"}
