@@ -193,8 +193,10 @@ def travel_time_matrix(
     ``max_broadcast_destinations`` guards the driver collect: the
     destination frame must be dimension-sized to ride a broadcast, and
     a caller accidentally passing a national-scale set would otherwise
-    OOM the driver silently. The guard reads at most cap+1 rows (a
-    ``limit`` probe, not a full count) before collecting."""
+    OOM the driver silently. The guard and the collect are ONE bounded
+    action — ``orderBy(id).limit(cap+1)`` plans as TakeOrdered, so at
+    most cap+1 rows ever reach the driver; one extra row means the cap
+    was exceeded."""
     from opentimes_spark.session import ship_package
 
     spark = origins.sparkSession
@@ -202,13 +204,17 @@ def travel_time_matrix(
     o = origins.select(
         F.col("id").cast("string"), F.col("lon").cast("double"), F.col("lat").cast("double")
     )
-    d_proj = destinations.select(
-        F.col("id").cast("string"),
-        F.col("lon").cast("double"),
-        F.col("lat").cast("double"),
+    d_local = (
+        destinations.select(
+            F.col("id").cast("string"),
+            F.col("lon").cast("double"),
+            F.col("lat").cast("double"),
+        )
+        .orderBy("id")
+        .limit(max_broadcast_destinations + 1)
+        .toPandas()
     )
-    n_probe = d_proj.limit(max_broadcast_destinations + 1).count()
-    if n_probe > max_broadcast_destinations:
+    if len(d_local) > max_broadcast_destinations:
         raise ValueError(
             f"destinations exceed max_broadcast_destinations="
             f"{max_broadcast_destinations}; the destination side is collected "
@@ -217,7 +223,6 @@ def travel_time_matrix(
             "state, as the reference's per-state destpoint files do) or "
             "raise the cap explicitly if the driver has the memory."
         )
-    d_local = d_proj.orderBy("id").toPandas()
     bc_dest = spark.sparkContext.broadcast(d_local)
 
     if num_chunks:
