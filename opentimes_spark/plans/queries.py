@@ -2749,3 +2749,51 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "join_asof_events",
+    """
+    WITH l AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id, ts, MAX(value) AS view_value
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           ROUND(r.view_value, 4) AS view_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (X-family custom operator, operators/asof.py): each
+    purchase event picks up the latest at-or-before view event of the
+    same user — union-window plan, ONE shuffle on user_id, no range
+    explosion. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from opentimes_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    res = asof_join(
+        left, right, on="user_id", ts="ts", payload_cols=["view_ts", "view_value"]
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("asof_view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.round("asof_view_value", 4).alias("view_value"),
+    )
