@@ -2797,3 +2797,112 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("asof_view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
         F.round("asof_view_value", 4).alias("view_value"),
     )
+
+
+@query(
+    "sketch_kmv_distinct",
+    """
+    WITH h AS (
+        SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hv
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type, COUNT(*) AS n_kept, MAX(hv) AS kth
+        FROM ranked WHERE rn <= 64
+        GROUP BY event_type
+    )
+    SELECT event_type, n_kept,
+           CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                ELSE FLOOR((64 - 1)
+                     / (CAST('0x' || substr(kth, 1, 8) AS UBIGINT)
+                        / 4294967296.0) * 10000 + 0.5) / 10000
+           END AS est_distinct
+    FROM sk
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002 —
+    the mergeable sketch family HLL belongs to), built on md5 so the
+    ESTIMATE ITSELF is engine-deterministic and oracle-checkable
+    (approx_count_distinct's HLL is engine-specific, rows-only). KMV:
+    keep the k smallest hash values per group; if fewer than k distinct
+    values exist the sketch is exact, else estimate (k−1)/v_k with v_k
+    the k-th smallest hash mapped to (0,1]. Scale shape: distinct →
+    one shuffle; rank+filter keep k rows per group (the sketch is
+    mergeable: union keep-lists, re-rank)."""
+    from pyspark.sql import Window
+
+    k = 64
+    e = _t(spark, sf_dir, "events")
+    h = e.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kept = h.select("event_type", "hv", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= k
+    )
+    sk = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth")
+    )
+    frac = F.conv(F.substring("kth", 1, 8), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+    est = F.floor((k - 1) / frac * 10000 + 0.5) / 10000
+    return sk.select(
+        "event_type",
+        "n_kept",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(est)
+        .alias("est_distinct"),
+    )
+
+
+@query(
+    "events_rollup_multires",
+    """
+    SELECT
+        CASE WHEN GROUPING(hour_b) = 0 THEN 'hour' ELSE 'day' END AS grain,
+        COALESCE(strftime(hour_b, '%Y-%m-%d %H:%M:%S'),
+                 strftime(day_b, '%Y-%m-%d %H:%M:%S')) AS bucket,
+        event_type,
+        COUNT(*) AS n_events,
+        ROUND(SUM(value), 4) AS total_value
+    FROM (
+        SELECT date_trunc('hour', ts) AS hour_b,
+               date_trunc('day', ts)  AS day_b,
+               event_type, value
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type))
+    """,
+)
+def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (continuous-aggregate
+    shape): hour AND day grains computed in ONE scan via GROUPING SETS
+    (Catalyst Expand) — at 100 TB this halves the reads vs two rollup
+    jobs, and each grain is a partial+final agg shuffled once."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour_b"),
+        F.date_trunc("day", "ts").alias("day_b"),
+        "event_type",
+        "value",
+    )
+    e.createOrReplaceTempView("ev_multires_in")
+    return spark.sql(
+        """
+        SELECT
+            CASE WHEN GROUPING(hour_b) = 0 THEN 'hour' ELSE 'day' END AS grain,
+            date_format(COALESCE(hour_b, day_b), 'yyyy-MM-dd HH:mm:ss')
+                AS bucket,
+            event_type,
+            COUNT(*) AS n_events,
+            ROUND(SUM(value), 4) AS total_value
+        FROM ev_multires_in
+        GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type))
+        """
+    )
