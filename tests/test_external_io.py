@@ -81,3 +81,45 @@ def test_write_geojson_roundtrip(spark, tmp_path):
     assert n == 2 and fc["type"] == "FeatureCollection"
     assert sorted(f["properties"]["id"] for f in fc["features"]) == ["a", "b"]
     assert fc["features"][0]["geometry"]["type"] == "Point"
+
+
+def test_write_geojson_polygon(tmp_path):
+    """S11 polygon sink: closed ring, valid GeoJSON structure."""
+    import json
+
+    from opentimes_spark.io.external import write_geojson_polygon
+
+    ring = [(-91.5, 37.0), (-87.5, 37.0), (-87.5, 42.5), (-91.5, 42.5)]
+    path = str(tmp_path / "clip.geojson")
+    n = write_geojson_polygon(ring, path, {"state": "17", "buffer_m": 100000})
+    assert n == 5  # closed: first vertex repeated
+    with open(path) as f:
+        fc = json.load(f)
+    feat = fc["features"][0]
+    assert feat["geometry"]["type"] == "Polygon"
+    coords = feat["geometry"]["coordinates"][0]
+    assert coords[0] == coords[-1]
+    assert feat["properties"]["state"] == "17"
+
+
+def test_osmclip_to_geojson_roundtrip(tmp_path):
+    """osmclip stage end-to-end: buffered boundary → GeoJSON file the
+    way create_osmclip.py ships its clip boundary."""
+    import json
+
+    from opentimes_spark.io.external import write_geojson_polygon
+    from opentimes_spark.plans.pipeline import build_osmclip
+
+    il = [(-91.5, 37.0), (-87.5, 37.0), (-87.5, 42.5), (-91.5, 42.5)]
+    ring = build_osmclip(il, buffer_m=50_000.0)
+    path = str(tmp_path / "osmclip_17.geojson")
+    write_geojson_polygon(ring, path, {"state": "17"})
+    with open(path) as f:
+        fc = json.load(f)
+    coords = fc["features"][0]["geometry"]["coordinates"][0]
+    assert len(coords) > 50
+    lons = [c[0] for c in coords]
+    lats = [c[1] for c in coords]
+    # buffered box extends beyond the raw bounds in every direction
+    assert min(lons) < -91.5 and max(lons) > -87.5
+    assert min(lats) < 37.0 and max(lats) > 42.5
