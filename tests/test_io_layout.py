@@ -299,3 +299,27 @@ def test_compaction_crash_recovery(spark, tmp_path):
     leftovers = [p for p in os.listdir(tmp_path) if "__compact_" in p]
     assert leftovers == []
     assert spark.read.parquet(out).count() == n
+
+
+def test_schema_drift_merge(spark, tmp_path):
+    """Ingest evolution at scale: later partitions add a column; a
+    mergeSchema read unions the schemas and NULL-fills old files —
+    the standing pattern for 100 TB datasets whose schema grew."""
+    from pyspark.sql import functions as F2
+
+    old = spark.range(10).select(
+        F2.col("id"), F2.lit("a").alias("grp")
+    )
+    new = spark.range(10, 20).select(
+        F2.col("id"), F2.lit("b").alias("grp"), (F2.col("id") * 2).alias("extra")
+    )
+    root = tmp_path / "drift"
+    old.write.parquet(str(root / "grp=a_files"))
+    new.write.parquet(str(root / "grp=b_files"))
+    df = spark.read.option("mergeSchema", "true").parquet(
+        str(root / "grp=a_files"), str(root / "grp=b_files")
+    )
+    assert "extra" in df.columns
+    assert df.count() == 20
+    assert df.filter(F2.col("extra").isNull()).count() == 10
+    assert df.filter(F2.col("extra") == 30).count() == 1
