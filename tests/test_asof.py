@@ -54,3 +54,57 @@ def test_asof_one_shuffle(spark):
 def test_asof_row_count_preserved(spark):
     left, right = _frames(spark)
     assert asof_join(left, right, "k", "ts", ["v"]).count() == left.count()
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized differential check against pandas.merge_asof
+    (direction='backward', allow_exact_matches=True — the same <=
+    semantics), three seeded datasets."""
+    import numpy as np
+    import pandas as pd
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        keys = ["u1", "u2", "u3"]
+        left_pd = pd.DataFrame(
+            {
+                "k": rng.choice(keys, 40),
+                "ts": rng.randint(0, 100, 40),
+                "lid": np.arange(40),
+            }
+        )
+        right_pd = (
+            pd.DataFrame(
+                {
+                    "k": rng.choice(keys, 25),
+                    "ts": rng.randint(0, 100, 25),
+                    "v": rng.uniform(0, 1, 25).round(6),
+                }
+            )
+            .groupby(["k", "ts"], as_index=False)
+            .agg(v=("v", "max"))  # unique per (k, ts), as the operator requires
+        )
+        expect = pd.merge_asof(
+            left_pd.sort_values("ts", kind="mergesort"),
+            right_pd.sort_values("ts", kind="mergesort"),
+            on="ts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        ).set_index("lid")["v"]
+
+        got_rows = asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            "k",
+            "ts",
+            ["v"],
+        ).collect()
+        got = {r["lid"]: r["asof_v"] for r in got_rows}
+        for lid in left_pd["lid"]:
+            e = expect.loc[lid]
+            g = got[lid]
+            if pd.isna(e):
+                assert g is None, (seed, lid)
+            else:
+                assert g == e, (seed, lid)

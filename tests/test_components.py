@@ -53,3 +53,43 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError):
         connected_components(edges, max_iter=2)
+
+
+def test_components_match_union_find_random(spark):
+    """Randomized differential check against a plain union-find,
+    three seeded random graphs (incl. duplicate + self edges)."""
+    import random
+
+    for seed in (0, 1, 2):
+        rnd = random.Random(seed)
+        n = 40
+        edges = [
+            (rnd.randrange(n), rnd.randrange(n)) for _ in range(60)
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # expected: min node id per component, only for nodes with edges
+        touched = sorted({x for e in edges for x in e})
+        roots = {}
+        for x in touched:
+            r = find(x)
+            roots.setdefault(r, []).append(x)
+        expect = {}
+        for members in roots.values():
+            m = min(members)
+            for x in members:
+                expect[x] = m
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = _comp_map(connected_components(df))
+        assert got == expect, seed

@@ -67,3 +67,68 @@ def test_normalize_shapefile_columns_idempotent(names):
     assert normalize_shapefile_columns(once) == once
     assert all(c == c.lower() for c in once)
     assert all(not c or not c[-1].isdigit() for c in once)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    d=st.floats(min_value=0.1, max_value=20.0),
+)
+@settings(max_examples=150, deadline=None)
+def test_buffer_predicate_monotone_and_nested(seed, d):
+    """Dilation/erosion lattice laws on a concave ring: erode(d) ⊆ P ⊆
+    dilate(d), and masks are monotone in d."""
+    import numpy as np
+
+    from opentimes_spark.functions.geometry import (
+        points_in_polygon,
+        points_within_buffer,
+    )
+
+    u = np.array(
+        [(0, 0), (30, 0), (30, 30), (20, 30), (20, 10), (10, 10), (10, 30), (0, 30)],
+        dtype=float,
+    )
+    rng = np.random.RandomState(seed)
+    px = rng.uniform(-10, 40, 64)
+    py = rng.uniform(-10, 40, 64)
+    inside = points_in_polygon(px, py, u)
+    dil = points_within_buffer(px, py, u, d)
+    ero = points_within_buffer(px, py, u, -d)
+    assert not (ero & ~inside).any()      # erosion ⊆ polygon
+    assert not (inside & ~dil).any()      # polygon ⊆ dilation
+    dil2 = points_within_buffer(px, py, u, d + 1.0)
+    ero2 = points_within_buffer(px, py, u, -(d + 1.0))
+    assert not (dil & ~dil2).any()        # dilation monotone ↑
+    assert not (ero2 & ~ero).any()        # erosion monotone ↓
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=100, deadline=None)
+def test_dist_to_ring_vs_dense_boundary_sampling(seed):
+    """dist_to_ring lower-bounds (and approaches) distance to a dense
+    sampling of the boundary."""
+    import numpy as np
+
+    from opentimes_spark.functions.geometry import dist_to_ring
+
+    u = np.array(
+        [(0, 0), (30, 0), (30, 30), (20, 30), (20, 10), (10, 10), (10, 30), (0, 30)],
+        dtype=float,
+    )
+    rng = np.random.RandomState(seed)
+    px = rng.uniform(-10, 40, 16)
+    py = rng.uniform(-10, 40, 16)
+    d = dist_to_ring(px, py, u)
+    # dense boundary sample (step 0.05 along each edge)
+    samples = []
+    ring = np.vstack([u, u[:1]])
+    for a, b in zip(ring[:-1], ring[1:]):
+        n = int(np.hypot(*(b - a)) / 0.05)
+        for k in range(n + 1):
+            samples.append(a + (b - a) * (k / max(n, 1)))
+    s = np.asarray(samples)
+    brute = np.min(
+        np.hypot(px[:, None] - s[None, :, 0], py[:, None] - s[None, :, 1]), axis=1
+    )
+    assert (d <= brute + 1e-9).all()
+    assert (brute - d <= 0.05).all()  # sampling resolution bound
