@@ -2906,3 +2906,73 @@ def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type))
         """
     )
+
+
+@query(
+    "join_interval_overlap",
+    """
+    WITH w AS (
+        SELECT n_nationkey AS window_id,
+               CAST('2024-01-01' AS TIMESTAMP)
+                   + INTERVAL (n_nationkey * 28) HOUR AS ws,
+               CAST('2024-01-01' AS TIMESTAMP)
+                   + INTERVAL (n_nationkey * 28 + 6) HOUR AS we
+        FROM nation
+    ),
+    e AS (
+        SELECT event_id, ts,
+               ts + INTERVAL (event_id % 120) MINUTE AS te
+        FROM events WHERE event_id <= 3000
+    )
+    SELECT e.event_id, w.window_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ev_start
+    FROM e JOIN w ON e.te >= w.ws AND e.ts <= w.we
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval-overlap range join (NO equi key) via the
+    grid-bucket rewrite (operators/ranges.py): synthetic maintenance
+    windows (6h each, from nation keys) × event intervals. The oracle
+    states the naive theta join; the engine runs the bucketed equi-join
+    plan — same rows, linear not quadratic."""
+    from opentimes_spark.operators.ranges import interval_overlap_join
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("window_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + (F.col("n_nationkey") * 28 * 3600).cast("interval second")
+        ).alias("ws"),
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + ((F.col("n_nationkey") * 28 + 6) * 3600).cast("interval second")
+        ).alias("we"),
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") <= 3000)
+        .select(
+            "event_id",
+            "ts",
+            (F.col("ts") + ((F.col("event_id") % 120) * 60).cast("interval second")).alias("te"),
+        )
+    )
+    # numeric axis for bucketing: unix seconds
+    e_n = e.select(
+        "event_id", "ts",
+        F.unix_timestamp("ts").cast("double").alias("es"),
+        F.unix_timestamp("te").cast("double").alias("ee"),
+    )
+    w_n = n.select(
+        "window_id",
+        F.unix_timestamp("ws").cast("double").alias("wstart"),
+        F.unix_timestamp("we").cast("double").alias("wend"),
+    )
+    res = interval_overlap_join(
+        e_n, w_n, "es", "ee", "wstart", "wend", bucket_width=6 * 3600.0
+    )
+    return res.select(
+        "event_id",
+        "window_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ev_start"),
+    )
