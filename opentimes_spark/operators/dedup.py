@@ -56,15 +56,24 @@ def token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle) pairs, distinct — word n-gram shingles. Shingling is
+    """(id, shingle) pairs — word n-gram shingles. Shingling is
     what makes MinHash discriminative on small vocabularies: token *sets*
     of natural text overlap heavily, while n-gram shingle sets diverge
     exponentially in n. With unigrams a corpus-wide LSH degenerates into
-    an O(n²) candidate explosion (every doc shares every band)."""
+    an O(n²) candidate explosion (every doc shares every band).
+
+    ``distinct=True`` (a full shuffle on (id, shingle)) is required by
+    set-cardinality consumers (Jaccard); min-aggregating consumers
+    (MinHash) pass ``distinct=False`` — min over a multiset equals min
+    over its set, so they skip that shuffle entirely."""
     if shingle_size <= 1:
-        return token_sets(df, id_col, text_col)
+        out = df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        return out.distinct() if distinct else out
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
     # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty —
     # docs shorter than shingle_size must map to an empty shingle set
@@ -77,7 +86,8 @@ def shingle_sets(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return toks.select(F.col(id_col), F.explode(grams).alias("tok")).distinct()
+    out = toks.select(F.col(id_col), F.explode(grams).alias("tok"))
+    return out.distinct() if distinct else out
 
 
 def shingle_arrays(
@@ -118,8 +128,12 @@ def minhash_signatures(
     over ``transform`` on ``shingle_arrays``) was 4× SLOWER — Spark
     evaluates higher-order-function lambdas interpreted, outside
     whole-stage codegen, while this explode+groupBy pipeline is fully
-    compiled. One compiled shuffle beats zero interpreted ones."""
-    toks = shingle_sets(df, id_col, text_col, shingle_size)
+    compiled. One compiled shuffle beats zero interpreted ones.
+
+    The shingle stream is NOT deduplicated first: min(multiset) ==
+    min(set), so signatures skip the distinct's full-width shuffle —
+    the groupBy here is the only exchange."""
+    toks = shingle_sets(df, id_col, text_col, shingle_size, distinct=False)
     if hash_fn == "md5":
         aggs = [
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
