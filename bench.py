@@ -39,6 +39,11 @@ HEADLINE = [
     "sim_ivf_topk",
     "window_range_frame",
     "od_matrix_times",
+    # round-2 operator families
+    "join_asof_events",
+    "join_interval_overlap",
+    "destpoint_polygon",
+    "text_repetition",
 ]
 
 
