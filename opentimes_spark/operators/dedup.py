@@ -217,28 +217,31 @@ def jaccard_pairs(
     shingle_size: int = 1,
 ) -> DataFrame:
     """Exact set Jaccard for candidate pairs (token sets, or shingle sets
-    when ``shingle_size`` > 1): |A∩B| via a join of the exploded sets on
-    the candidate pairs, |A∪B| = |A|+|B|−|A∩B|. Cost is proportional to
-    candidate count × doc length, never n²."""
-    toks = shingle_sets(df, id_col, text_col, shingle_size)
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
-    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
-    inter = (
-        candidates.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
-    raw = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    when ``shingle_size`` > 1): per-row ``array_intersect`` on the two
+    docs' (distinct) shingle arrays after joining them onto the
+    candidate pairs — |A∪B| = |A|+|B|−|A∩B|. Cost is proportional to
+    candidate count × doc length, never n².
+
+    Plan shape vs the exploded alternative: two hash joins carrying one
+    ARRAY row per doc (broadcastable when candidates are few), then a
+    codegen ``array_intersect`` per pair — the previous formulation
+    exploded shingles into a (doc, shingle) stream and needed an extra
+    shuffle join on (id, tok) plus a groupBy to count the
+    intersection. Zero-intersection pairs (and docs with an empty
+    shingle set) drop out — identical semantics to the old inner join
+    on exploded rows, which is also what the SQL oracle states."""
+    arrs = shingle_arrays(df, id_col, text_col, shingle_size)
+    a = arrs.select(F.col(id_col).alias("id_a"), F.col("grams").alias("__ga"))
+    b = arrs.select(F.col(id_col).alias("id_b"), F.col("grams").alias("__gb"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    n_a, n_b = F.size("__ga"), F.size("__gb")
+    n_inter = F.size(F.array_intersect("__ga", "__gb"))
+    raw = n_inter / (n_a + n_b - n_inter)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        joined
         # filter on the raw double (identical in any engine), round only
         # for output — keeps the threshold boundary oracle-exact
-        .filter(raw >= min_jaccard)
+        .filter((n_inter > 0) & (raw >= min_jaccard))
         .select("id_a", "id_b", F.round(raw, round_to).alias("jaccard"))
     )
 
