@@ -77,3 +77,35 @@ def test_neardup_blocked_by_label(emb):
     for r in rows:
         assert lbl[r["id_a"]] == lbl[r["id_b"]]  # blocking respected
         assert r["id_a"] < r["id_b"]
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The IVF storage layout must prune at the DIRECTORY level: a
+    probe of one centroid shows PartitionFilters in the scan and reads
+    only that partition's rows."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.similarity import (
+        read_ivf_probe,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, out)
+    one_label = emb.select("label").distinct().orderBy("label").collect()[0][0]
+    probe = read_ivf_probe(spark, out, [one_label])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    assert probe.count() == emb.filter(F.col("label") == one_label).count()
+    # the other partitions' files are untouched (directory pruning)
+    import os
+
+    dirs = [d for d in os.listdir(out) if d.startswith("centroid_id=")]
+    assert len(dirs) > 1  # layout actually partitioned
