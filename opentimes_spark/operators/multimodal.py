@@ -81,19 +81,99 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
     return 64 + h[0] % 192, 64 + h[1] % 192
 
 
+# --- real (pure-numpy) codecs for UNCOMPRESSED formats ---------------------
+# PPM (P6) and 24-bit BMP need no image library — just header parsing and
+# a reshape. Compressed formats (PNG/JPEG) remain behind the Pillow seam.
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 → binary PPM (P6)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) → HxWx3 uint8. Handles comment lines
+    and arbitrary whitespace per the spec."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # tokenize header: magic, width, height, maxval (comments start '#')
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(b):
+        c = b[i : i + 1]
+        if c == b"#":
+            i = b.index(b"\n", i)
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace():
+                j += 1
+            tokens.append(b[i:j])
+            i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    i += 1  # single whitespace after maxval
+    data = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3)
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit bottom-up BMP → HxWx3 uint8 (RGB)."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=row_bytes * abs(h), offset=data_off
+    ).reshape(abs(h), row_bytes)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        rows = rows[::-1]  # bottom-up → top-down
+    return rows[..., ::-1].copy()  # BGR → RGB
+
+
+def _numpy_decode(b: bytes) -> np.ndarray:
+    if b.startswith(b"P6"):
+        return decode_ppm(b)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    raise NotImplementedError(
+        "numpy codec handles uncompressed PPM/BMP; compressed formats "
+        "(PNG/JPEG) require Pillow — not in this container"
+    )
+
+
 def decode_image(df: DataFrame, codec: str = "fake") -> DataFrame:
     """payload → (width, height, n_bytes, checksum) metadata frame.
-    ``codec="real"`` marks the Pillow seam."""
+
+    Codecs: ``"fake"`` (digest-derived dims, any payload), ``"numpy"``
+    (REAL decode of uncompressed PPM/BMP — header parse + reshape, no
+    image library), ``"real"`` (the Pillow seam for compressed formats,
+    raises here)."""
     if codec == "real":
         raise NotImplementedError(
-            "real image decoding requires Pillow/opencv — not in this "
-            "container; the 'fake' codec exercises identical plumbing"
+            "compressed-format decoding requires Pillow/opencv — not in "
+            "this container; 'numpy' decodes uncompressed PPM/BMP for "
+            "real, 'fake' exercises identical plumbing for any payload"
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             payloads = batch["payload"]
-            dims = [_fake_decode(bytes(p)) for p in payloads]
+            if codec == "numpy":
+                imgs = [_numpy_decode(bytes(p)) for p in payloads]
+                dims = [(im.shape[1], im.shape[0]) for im in imgs]
+            else:
+                dims = [_fake_decode(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"],
@@ -183,11 +263,16 @@ def resize_images(
     EARLY so every downstream shuffle moves target-size bytes, not
     source-size. Output row size is bounded by target dims regardless of
     input skew (a 100 MB source row and a 100 KB one both emit
-    target_w*target_h)."""
+    target_w*target_h).
+
+    ``codec="numpy"`` performs a REAL nearest-neighbor resize of
+    uncompressed PPM/BMP payloads (pure index sampling) and re-encodes
+    the result as PPM; ``"fake"`` stride-samples raw bytes (any
+    payload); ``"real"`` is the Pillow seam for compressed formats."""
     if codec == "real":
         raise NotImplementedError(
-            "real resize requires Pillow — not in this container; the "
-            "'fake' codec exercises identical plumbing"
+            "compressed-format resize requires Pillow — not in this "
+            "container; 'numpy' resizes uncompressed PPM/BMP for real"
         )
     n_out = target_w * target_h
 
@@ -196,9 +281,15 @@ def resize_images(
             outs = []
             for p in batch["payload"]:
                 b = bytes(p)
-                if len(b) >= n_out:
+                if codec == "numpy":
+                    img = _numpy_decode(b)
+                    h, w, _ = img.shape
+                    yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                    xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                    out = encode_ppm(img[yi][:, xi])
+                elif len(b) >= n_out:
                     stride = len(b) // n_out
-                    out = b[:: stride][:n_out]
+                    out = b[::stride][:n_out]
                 else:
                     out = (b * (n_out // max(len(b), 1) + 1))[:n_out]
                 outs.append(out)

@@ -88,3 +88,84 @@ def test_resize_real_codec_gate(spark):
 
     with pytest.raises(NotImplementedError):
         resize_images(synthesize_media(spark, n=4), codec="real")
+
+
+def test_numpy_codec_roundtrip_ppm_bmp():
+    """Pure-numpy codecs: PPM encode/decode round-trips; BMP (24bpp,
+    bottom-up, padded rows) decodes to the same pixels."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (5, 3, 3), dtype=np.uint8)  # odd width → padding
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+    # hand-build the BMP: 14+40 header, BGR rows bottom-up padded to 4
+    h, w = img.shape[:2]
+    row = (w * 3 + 3) & ~3
+    pix = b"".join(
+        img[y, :, ::-1].tobytes() + b"\0" * (row - w * 3)
+        for y in range(h - 1, -1, -1)
+    )
+    header = (
+        b"BM"
+        + (54 + len(pix)).to_bytes(4, "little")
+        + b"\0\0\0\0"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    assert np.array_equal(decode_bmp(header + pix), img)
+
+
+def test_decode_and_resize_numpy_codec(spark):
+    """Real decode + real nearest-neighbor resize through the same
+    mapInPandas plumbing, PPM payloads."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        decode_ppm,
+        encode_ppm,
+        resize_images,
+    )
+
+    rows = []
+    for i in range(6):
+        rng = np.random.RandomState(i)
+        img = rng.randint(0, 256, (20 + i, 30 + i, 3), dtype=np.uint8)
+        rows.append((i, "image", bytearray(encode_ppm(img)), "image/x-ppm"))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    meta = {r["media_id"]: (r["width"], r["height"])
+            for r in decode_image(media, codec="numpy").collect()}
+    assert meta[0] == (30, 20) and meta[5] == (35, 25)
+
+    resized = resize_images(media, target_w=8, target_h=4, codec="numpy")
+    out = resized.collect()
+    assert len(out) == 6
+    for r in out:
+        img = decode_ppm(bytes(r["payload"]))
+        assert img.shape == (4, 8, 3)
+        assert r["width"] == 8 and r["height"] == 4
+
+
+def test_numpy_codec_rejects_compressed():
+    import pytest as pt
+
+    from opentimes_spark.operators.multimodal import _numpy_decode
+
+    with pt.raises(NotImplementedError, match="Pillow"):
+        _numpy_decode(b"\x89PNG\r\n\x1a\n....")
