@@ -2976,3 +2976,78 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ev_start"),
     )
+
+
+@query(
+    "text_scrub_pii",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com see http://site.example/page/'
+                    || CAST(doc_id AS VARCHAR) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           LENGTH(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           LENGTH(regexp_extract_all(t, 'https?://[^ ]+')) AS n_urls,
+           md5(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g')) AS scrubbed_fp
+    FROM aug
+    """,
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data redaction pass): count and redact
+    email/URL spans with conservative patterns valid in both regex
+    engines; output the scrubbed-text fingerprint so the oracle proves
+    byte-identical redaction. Pure JVM regexp — one scan, no Python.
+    (Emails/URLs are injected deterministically since the synthetic
+    corpus contains none — the redaction is exercised for real.)"""
+    d = _t(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^ ]+"
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com see http://site.example/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    aug = d.select("doc_id", t.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), email, "<EMAIL>"), url, "<URL>"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(email)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(url)).alias("n_urls"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
+
+
+@query(
+    "dedup_keep_corpus",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+    """,
+)
+def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization step after exact dedup: the kept corpus —
+    one canonical doc per fingerprint group, all columns, via a semi
+    join of documents against the canonical ids (training pipelines
+    write THIS table out, not the group listing). One shuffle for the
+    groupBy; the semi join broadcasts the keep-list when it fits."""
+    from opentimes_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    keep = exact_dedup(d).select(F.col("canonical_id").alias("doc_id"))
+    return d.join(keep, "doc_id", "left_semi").select("doc_id", "source", "n_chars")
