@@ -35,7 +35,9 @@ HEADLINE = [
     # doubles shuffle width at scale, so it is not the bench entry.
     "dedup_minhash_lsh_xxhash",
     "dedup_simhash",
-    "sim_topk_cosine",
+    # headline ANN is the BLAS-matmul fast path; the fold-expression
+    # twin sim_topk_cosine stays registered as the hash-checked oracle
+    "sim_topk_cosine_numpy",
     "sim_ivf_topk",
     "window_range_frame",
     "od_matrix_times",

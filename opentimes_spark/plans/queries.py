@@ -3051,3 +3051,16 @@ def dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     keep = exact_dedup(d).select(F.col("canonical_id").alias("doc_id"))
     return d.join(keep, "doc_id", "left_semi").select("doc_id", "source", "n_chars")
+
+
+@query("sim_topk_cosine_numpy")  # rows-only: pairwise vs sequential sum ulp
+def sim_topk_cosine_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-scale fast path of sim_topk_cosine: broadcast query MATRIX +
+    one BLAS matmul per Arrow batch + per-batch top-(k+1) cut (10×
+    measured speedup, identical neighbor sets; scores differ from the
+    sequential fold only in the last ulp, hence rows-only — the HOF
+    twin sim_topk_cosine carries the hash check)."""
+    from opentimes_spark.operators.similarity import brute_force_topk_numpy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk_numpy(emb.filter(F.col("vec_id") < 20), emb, k=5)

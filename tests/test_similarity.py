@@ -109,3 +109,27 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
 
     dirs = [d for d in os.listdir(out) if d.startswith("centroid_id=")]
     assert len(dirs) > 1  # layout actually partitioned
+
+
+def test_numpy_topk_matches_hof_twin(spark):
+    """The numpy fast path must return the same neighbor sets (and
+    ranks) as the oracle-checked fold-expression baseline."""
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_numpy,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    a = {(r["query_id"], r["rnk"]): r["cand_id"]
+         for r in brute_force_topk(q, emb, k=5).collect()}
+    b = {(r["query_id"], r["rnk"]): r["cand_id"]
+         for r in brute_force_topk_numpy(q, emb, k=5).collect()}
+    assert a == b
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="max_broadcast_queries"):
+        brute_force_topk_numpy(emb, emb, k=3, max_broadcast_queries=5)
