@@ -135,3 +135,13 @@ def test_lsh_band_join_runtime_reused_exchange(spark):
     executed = pairs._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in executed
     assert "ReusedExchange" in executed, executed[:2000]
+
+
+def test_destpoint_polygon_zero_shuffle(spark):
+    """The buffered-polygon containment is a pure map stage: broadcast
+    ring + mapInPandas filter — the plan must contain NO Exchange."""
+    from opentimes_spark.plans.queries import QUERIES
+
+    p = plan(QUERIES["destpoint_polygon"](spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
