@@ -2686,11 +2686,29 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("toks"),
-            lambda u: F.size(F.filter(F.col("toks"), lambda x: x == u)),
-        )
+    # max run length over the SORTED token array: O(n log n) per row vs
+    # the O(distinct·n) count-per-distinct-token formulation — a 100k-token
+    # doc with a wide vocabulary would make the latter quadratic
+    top_cnt = F.aggregate(
+        F.array_sort("toks"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc.prev.isNotNull() & (acc.prev == x), acc.run + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(acc.prev.isNotNull() & (acc.prev == x), acc.run + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     staged = staged.select(
         "doc_id",
