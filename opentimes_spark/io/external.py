@@ -88,21 +88,39 @@ def normalize_shapefile_columns(names: Sequence[str]) -> list[str]:
 
 
 def load_zipped_shapefile(spark: SparkSession, zip_path: str) -> DataFrame:
-    """S5: zipped-shapefile source → DataFrame of attributes + WKT
-    geometry. Requires geopandas (not in this container) — the gate; the
-    normalization + DataFrame plumbing is shared with tests via
-    ``normalize_shapefile_columns``."""
-    try:
-        import geopandas as gpd  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "load_zipped_shapefile needs geopandas; install it or ingest "
-            "the shapefile to parquet offline and use read_table"
-        ) from e
-    gdf = gpd.read_file(f"zip://{zip_path}")  # pragma: no cover
-    gdf.columns = normalize_shapefile_columns(list(gdf.columns))
-    pdf = gdf.assign(wkt=gdf.geometry.to_wkt()).drop(columns="geometry")
-    return spark.createDataFrame(pdf)
+    """S5: zipped-shapefile source → DataFrame of normalized attributes
+    + WKT geometry, via the pure-Python ESRI parser
+    (io/shapefile.py — .shp/.dbf are public fixed formats, no
+    geopandas needed). One driver-side parse per file: boundary
+    shapefiles are dimension-sized (the reference loads them with a
+    single geopandas call per state, utils/census.py); bulk geometry
+    belongs in parquet."""
+    from opentimes_spark.io.shapefile import read_zipped_shapefile
+
+    names, rows = read_zipped_shapefile(zip_path)
+    names = normalize_shapefile_columns(names)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def _typ(v):
+        if isinstance(v, bool) or v is None:
+            return StringType()
+        if isinstance(v, int):
+            return LongType()
+        if isinstance(v, float):
+            return DoubleType()
+        return StringType()
+
+    sample = rows[0] if rows else ["" for _ in names]
+    schema = StructType(
+        [StructField(n, _typ(v), True) for n, v in zip(names, sample)]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def write_geojson(

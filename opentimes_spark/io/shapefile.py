@@ -1,0 +1,152 @@
+"""Pure-Python ESRI Shapefile reader (S5) — no geopandas/fiona needed.
+
+Parses the two members that matter from a zipped shapefile (the
+reference's TIGER/Line input, utils/census.py load_shapefile):
+
+- ``.shp`` (geometry): 100-byte main header, then records of
+  [record header (big-endian rec#, content words)] + [shape]. Shape
+  types supported: 0 null, 1 point, 3 polyline, 5 polygon (the types
+  TIGER ships). Polygon parts are split into rings; ring orientation
+  (signed area) distinguishes outer rings (CW per the spec) from holes
+  (CCW), yielding POLYGON/MULTIPOLYGON WKT.
+- ``.dbf`` (attributes): dBase III layout — 32-byte field descriptors
+  until 0x0D, fixed-width latin-1 records, 'N'/'F' fields parsed to
+  numbers.
+
+Both formats are public specifications (ESRI Shapefile Technical
+Description, 1998; dBase III). Output mirrors the geopandas path:
+one row per feature, normalized attribute names + a ``wkt`` column —
+so the Spark-side consumers (spatial operators take coordinate rings)
+are identical either way.
+"""
+
+from __future__ import annotations
+
+import struct
+import zipfile
+
+
+def _rings_from_parts(pts, parts):
+    n = len(pts)
+    bounds = list(parts) + [n]
+    return [pts[bounds[i] : bounds[i + 1]] for i in range(len(parts))]
+
+
+def _signed_area2(ring) -> float:
+    s = 0.0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def _wkt_ring(ring) -> str:
+    return "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in ring) + ")"
+
+
+def _polygon_wkt(rings) -> str:
+    """Group shapefile rings into polygons: CW ring (negative signed
+    area) opens an outer polygon, CCW rings are holes of the most
+    recent outer (ESRI spec ring-ordering)."""
+    polys: list[list[list[tuple[float, float]]]] = []
+    for ring in rings:
+        if _signed_area2(ring) <= 0 or not polys:  # outer (CW) or leading hole
+            polys.append([ring])
+        else:
+            polys[-1].append(ring)
+    if len(polys) == 1:
+        return "POLYGON (" + ", ".join(_wkt_ring(r) for r in polys[0]) + ")"
+    return "MULTIPOLYGON (" + ", ".join(
+        "(" + ", ".join(_wkt_ring(r) for r in p) + ")" for p in polys
+    ) + ")"
+
+
+def parse_shp(b: bytes) -> list[str | None]:
+    """.shp bytes → WKT per record (None for null shapes)."""
+    if struct.unpack(">i", b[0:4])[0] != 9994:
+        raise ValueError("not a shapefile (.shp magic mismatch)")
+    file_len = struct.unpack(">i", b[24:28])[0] * 2  # words → bytes
+    out: list[str | None] = []
+    off = 100
+    while off < file_len:
+        content_words = struct.unpack(">i", b[off + 4 : off + 8])[0]
+        rec = b[off + 8 : off + 8 + content_words * 2]
+        off += 8 + content_words * 2
+        shape_type = struct.unpack("<i", rec[0:4])[0]
+        if shape_type == 0:
+            out.append(None)
+        elif shape_type == 1:
+            x, y = struct.unpack("<2d", rec[4:20])
+            out.append(f"POINT ({x:.10g} {y:.10g})")
+        elif shape_type in (3, 5):
+            num_parts, num_points = struct.unpack("<2i", rec[36:44])
+            parts = struct.unpack(f"<{num_parts}i", rec[44 : 44 + 4 * num_parts])
+            coords = struct.unpack(
+                f"<{2 * num_points}d",
+                rec[44 + 4 * num_parts : 44 + 4 * num_parts + 16 * num_points],
+            )
+            pts = list(zip(coords[0::2], coords[1::2]))
+            rings = _rings_from_parts(pts, parts)
+            if shape_type == 3:
+                if len(rings) == 1:
+                    out.append("LINESTRING " + _wkt_ring(rings[0]))
+                else:
+                    out.append(
+                        "MULTILINESTRING ("
+                        + ", ".join(_wkt_ring(r) for r in rings)
+                        + ")"
+                    )
+            else:
+                out.append(_polygon_wkt(rings))
+        else:
+            raise ValueError(f"unsupported shape type {shape_type}")
+    return out
+
+
+def parse_dbf(b: bytes) -> tuple[list[str], list[list]]:
+    """.dbf bytes → (field names, rows). 'N'/'F' fields parsed to
+    int/float; everything else returned as stripped strings."""
+    n_rec = struct.unpack("<i", b[4:8])[0]
+    header_size, record_size = struct.unpack("<2H", b[8:12])
+    fields = []
+    off = 32
+    while b[off] != 0x0D:
+        desc = b[off : off + 32]
+        name = desc[0:11].split(b"\0")[0].decode("latin-1")
+        ftype = desc[11:12].decode("latin-1")
+        length = desc[16]
+        fields.append((name, ftype, length))
+        off += 32
+    rows: list[list] = []
+    off = header_size
+    for _ in range(n_rec):
+        rec = b[off : off + record_size]
+        off += record_size
+        if rec[0:1] == b"*":  # deleted
+            continue
+        vals, pos = [], 1
+        for name, ftype, length in fields:
+            raw = rec[pos : pos + length].decode("latin-1").strip()
+            pos += length
+            if ftype in ("N", "F") and raw:
+                vals.append(float(raw) if ("." in raw or "e" in raw.lower()) else int(raw))
+            elif ftype in ("N", "F"):
+                vals.append(None)
+            else:
+                vals.append(raw)
+        rows.append(vals)
+    return [f[0] for f in fields], rows
+
+
+def read_zipped_shapefile(zip_path: str) -> tuple[list[str], list[list]]:
+    """Zipped shapefile → (column names incl. trailing 'wkt', rows).
+    Uses the first .shp/.dbf member pair found."""
+    with zipfile.ZipFile(zip_path) as z:
+        shp_name = next(n for n in z.namelist() if n.lower().endswith(".shp"))
+        dbf_name = next(n for n in z.namelist() if n.lower().endswith(".dbf"))
+        wkts = parse_shp(z.read(shp_name))
+        names, rows = parse_dbf(z.read(dbf_name))
+    if len(rows) != len(wkts):
+        raise ValueError(
+            f".dbf has {len(rows)} records but .shp has {len(wkts)} shapes"
+        )
+    return names + ["wkt"], [r + [w] for r, w in zip(rows, wkts)]

@@ -60,14 +60,10 @@ def test_normalize_shapefile_columns():
     ]
 
 
-def test_zipped_shapefile_gate(spark):
-    try:
-        import geopandas  # noqa: F401
-
-        pytest.skip("geopandas present; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
+def test_zipped_shapefile_missing_file_errors(spark):
+    # S5 is pure-Python now (no geopandas gate); a missing archive
+    # surfaces as a normal file error
+    with pytest.raises(OSError):
         load_zipped_shapefile(spark, "/tmp/none.zip")
 
 
@@ -123,3 +119,101 @@ def test_osmclip_to_geojson_roundtrip(tmp_path):
     # buffered box extends beyond the raw bounds in every direction
     assert min(lons) < -91.5 and max(lons) > -87.5
     assert min(lats) < 37.0 and max(lats) > 42.5
+
+
+def _build_shapefile_zip(path, features):
+    """Minimal ESRI shapefile writer for tests: polygon features with
+    (geoid, name, pop) attributes. features = [(geoid, name, pop,
+    rings)] with rings = [[(x, y), ...] outer CW, holes CCW]."""
+    import struct
+    import zipfile
+
+    shp_records = []
+    for i, (_, _, _, rings) in enumerate(features, start=1):
+        pts = [p for r in rings for p in r]
+        parts, acc = [], 0
+        for r in rings:
+            parts.append(acc)
+            acc += len(r)
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        content = struct.pack("<i", 5)
+        content += struct.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+        content += struct.pack("<2i", len(rings), len(pts))
+        content += struct.pack(f"<{len(parts)}i", *parts)
+        for x, y in pts:
+            content += struct.pack("<2d", x, y)
+        shp_records.append(
+            struct.pack(">2i", i, len(content) // 2) + content
+        )
+    body = b"".join(shp_records)
+    file_len_words = (100 + len(body)) // 2
+    header = struct.pack(">i", 9994) + b"\0" * 20 + struct.pack(">i", file_len_words)
+    header += struct.pack("<2i", 1000, 5) + struct.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+    shp = header + body
+
+    # dBase III: GEOID20 C(15), NAME C(10), POP N(9)
+    fields = [(b"GEOID20", b"C", 15), (b"NAME", b"C", 10), (b"POP", b"N", 9)]
+    descs = b""
+    for name, t, ln in fields:
+        descs += name.ljust(11, b"\0") + t + b"\0" * 4 + bytes([ln]) + b"\0" * 15
+    rec_size = 1 + sum(ln for _, _, ln in fields)
+    header_size = 32 + len(descs) + 1
+    dbf = (
+        bytes([3, 26, 8, 13])
+        + struct.pack("<i", len(features))
+        + struct.pack("<2H", header_size, rec_size)
+        + b"\0" * 20
+        + descs
+        + b"\x0d"
+    )
+    for geoid, name, pop, _ in features:
+        dbf += (
+            b" "
+            + geoid.encode().ljust(15)
+            + name.encode().ljust(10)
+            + str(pop).encode().rjust(9)
+        )
+    dbf += b"\x1a"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("state.shp", shp)
+        z.writestr("state.dbf", dbf)
+
+
+def test_load_zipped_shapefile_pure_python(spark, tmp_path):
+    """S5 un-gated: zipped TIGER-style shapefile parsed with the pure
+    .shp/.dbf reader — normalized attribute names, numeric field types,
+    polygon-with-hole and multipolygon WKT."""
+    square_cw = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)]
+    hole_ccw = [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]
+    island_cw = [(20.0, 0.0), (20.0, 2.0), (22.0, 2.0), (22.0, 0.0), (20.0, 0.0)]
+    zp = str(tmp_path / "tiger_state.zip")
+    _build_shapefile_zip(
+        zp,
+        [
+            ("17", "Illinois", 12812508, [square_cw, hole_ccw]),
+            ("18", "Indiana", 6785528, [island_cw]),
+        ],
+    )
+    df = load_zipped_shapefile(spark, zp)
+    assert df.columns == ["geoid", "name", "pop", "wkt"]  # GEOID20 → geoid
+    rows = {r["geoid"]: r for r in df.collect()}
+    assert rows["17"]["pop"] == 12812508 and rows["18"]["name"] == "Indiana"
+    assert rows["17"]["wkt"].startswith("POLYGON ((0 0, 0 10, 10 10")
+    assert "(4 4, 6 4, 6 6, 4 6, 4 4)" in rows["17"]["wkt"]  # the hole
+    assert rows["18"]["wkt"].startswith("POLYGON ((20 0")
+
+    # parsed rings drive the real containment operator end-to-end
+    import re
+
+    outer = [
+        tuple(map(float, p.split()))
+        for p in re.findall(r"[-\d.]+ [-\d.]+", rows["17"]["wkt"])[:5]
+    ]
+    from opentimes_spark.functions.geometry import points_in_polygon
+
+    import numpy as np
+
+    assert points_in_polygon(
+        np.array([5.0, 15.0]), np.array([2.0, 2.0]), np.array(outer)
+    ).tolist() == [True, False]
