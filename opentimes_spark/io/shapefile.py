@@ -150,3 +150,20 @@ def read_zipped_shapefile(zip_path: str) -> tuple[list[str], list[list]]:
             f".dbf has {len(rows)} records but .shp has {len(wkts)} shapes"
         )
     return names + ["wkt"], [r + [w] for r, w in zip(rows, wkts)]
+
+
+def wkt_rings(wkt: str) -> list[list[tuple[float, float]]]:
+    """POLYGON/MULTIPOLYGON WKT → list of coordinate rings (outer +
+    holes, flat) — the input shape the spatial operators take
+    (within_buffered_polygon consumes multi-ring geometries with
+    even-odd semantics, so flattening loses nothing)."""
+    import re
+
+    rings = []
+    for grp in re.findall(r"\(([^()]+)\)", wkt):
+        pts = []
+        for pair in grp.split(","):
+            x, y = pair.split()
+            pts.append((float(x), float(y)))
+        rings.append(pts)
+    return rings

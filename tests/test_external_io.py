@@ -217,3 +217,30 @@ def test_load_zipped_shapefile_pure_python(spark, tmp_path):
     assert points_in_polygon(
         np.array([5.0, 15.0]), np.array([2.0, 2.0]), np.array(outer)
     ).tolist() == [True, False]
+
+
+def test_shapefile_to_destpoint_flow(spark, tmp_path):
+    """S5 → J5 integration, the reference's shapefile→buffer→destpoint
+    flow: parse the zipped state boundary, take its rings (outer +
+    hole, even-odd), keep centroids within the buffered polygon."""
+    from opentimes_spark.io.shapefile import wkt_rings
+    from opentimes_spark.operators.spatial import within_buffered_polygon
+
+    square_cw = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)]
+    hole_ccw = [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]
+    zp = str(tmp_path / "state.zip")
+    _build_shapefile_zip(zp, [("17", "Illinois", 1, [square_cw, hole_ccw])])
+    wkt = load_zipped_shapefile(spark, zp).collect()[0]["wkt"]
+    rings = wkt_rings(wkt)
+    assert len(rings) == 2
+
+    pts = spark.createDataFrame(
+        [("in", 2.0, 2.0), ("in_hole", 5.0, 5.0), ("near", 10.5, 5.0),
+         ("far", 20.0, 5.0)],
+        "id string, x_5071 double, y_5071 double",
+    )
+    got = {r["id"] for r in within_buffered_polygon(pts, rings, 1.0).collect()}
+    # hole center is 1.0 from the hole boundary → included at buffer 1
+    assert got == {"in", "in_hole", "near"}
+    got0 = {r["id"] for r in within_buffered_polygon(pts, rings, 0.0).collect()}
+    assert got0 == {"in"}
