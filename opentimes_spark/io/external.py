@@ -97,7 +97,7 @@ def load_zipped_shapefile(spark: SparkSession, zip_path: str) -> DataFrame:
     belongs in parquet."""
     from opentimes_spark.io.shapefile import read_zipped_shapefile
 
-    names, rows = read_zipped_shapefile(zip_path)
+    names, rows, fields = read_zipped_shapefile(zip_path)
     names = normalize_shapefile_columns(names)
     from pyspark.sql.types import (
         DoubleType,
@@ -107,18 +107,21 @@ def load_zipped_shapefile(spark: SparkSession, zip_path: str) -> DataFrame:
         StructType,
     )
 
-    def _typ(v):
-        if isinstance(v, bool) or v is None:
-            return StringType()
-        if isinstance(v, int):
-            return LongType()
-        if isinstance(v, float):
+    def _typ(ftype: str, decimals: int):
+        # declared DBF type decides — a blank value in record 1 can't
+        # mistype a numeric column the way value-sniffing would
+        if ftype == "F" or (ftype == "N" and decimals > 0):
             return DoubleType()
+        if ftype == "N":
+            return LongType()
         return StringType()
 
-    sample = rows[0] if rows else ["" for _ in names]
     schema = StructType(
-        [StructField(n, _typ(v), True) for n, v in zip(names, sample)]
+        [
+            StructField(n, _typ(f[1], f[3]), True)
+            for n, f in zip(names, fields)
+        ]
+        + [StructField(names[-1], StringType(), True)]
     )
     return spark.createDataFrame(rows, schema)
 

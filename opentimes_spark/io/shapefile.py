@@ -43,16 +43,35 @@ def _wkt_ring(ring) -> str:
     return "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in ring) + ")"
 
 
+def _point_in_ring(x: float, y: float, ring) -> bool:
+    inside = False
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        if (y1 > y) != (y2 > y) and x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
 def _polygon_wkt(rings) -> str:
-    """Group shapefile rings into polygons: CW ring (negative signed
-    area) opens an outer polygon, CCW rings are holes of the most
-    recent outer (ESRI spec ring-ordering)."""
-    polys: list[list[list[tuple[float, float]]]] = []
-    for ring in rings:
-        if _signed_area2(ring) <= 0 or not polys:  # outer (CW) or leading hole
-            polys.append([ring])
-        else:
-            polys[-1].append(ring)
+    """Group shapefile rings into polygons: CW rings (negative signed
+    area) are outers, CCW rings are holes. The spec says ring ORDER is
+    not significant, so each hole is attached to the smallest outer
+    ring containing its first vertex (handles islands-in-lakes), not
+    simply the most recently seen outer."""
+    outers = [r for r in rings if _signed_area2(r) <= 0]
+    holes = [r for r in rings if _signed_area2(r) > 0]
+    if not outers:  # degenerate all-CCW record: treat each as its own outer
+        polys: list[list[list[tuple[float, float]]]] = [[r] for r in rings]
+    else:
+        polys = [[o] for o in outers]
+        for h in holes:
+            x, y = h[0]
+            containing = [
+                p for p in polys if _point_in_ring(x, y, p[0])
+            ]
+            if containing:
+                min(containing, key=lambda p: abs(_signed_area2(p[0]))).append(h)
+            else:  # touching/degenerate: fall back to last outer
+                polys[-1].append(h)
     if len(polys) == 1:
         return "POLYGON (" + ", ".join(_wkt_ring(r) for r in polys[0]) + ")"
     return "MULTIPOLYGON (" + ", ".join(
@@ -102,9 +121,16 @@ def parse_shp(b: bytes) -> list[str | None]:
     return out
 
 
-def parse_dbf(b: bytes) -> tuple[list[str], list[list]]:
-    """.dbf bytes → (field names, rows). 'N'/'F' fields parsed to
-    int/float; everything else returned as stripped strings."""
+def parse_dbf(b: bytes) -> tuple[list[tuple[str, str, int, int]], list[list], list[int]]:
+    """.dbf bytes → (field specs, rows, deleted record indices).
+
+    Field specs are ``(name, type, length, decimals)`` straight from the
+    descriptor block — the declared type drives parsing AND the Spark
+    schema downstream ('N' with decimals → float, 'N' without → int,
+    'F' → float, everything else stripped strings), so a blank value in
+    the first record cannot mistype a column. Records flagged deleted
+    ('*') are excluded from ``rows``; their 0-based positions are
+    returned so the caller can drop the positionally-paired shapes."""
     n_rec = struct.unpack("<i", b[4:8])[0]
     header_size, record_size = struct.unpack("<2H", b[8:12])
     fields = []
@@ -114,42 +140,55 @@ def parse_dbf(b: bytes) -> tuple[list[str], list[list]]:
         name = desc[0:11].split(b"\0")[0].decode("latin-1")
         ftype = desc[11:12].decode("latin-1")
         length = desc[16]
-        fields.append((name, ftype, length))
+        decimals = desc[17]
+        fields.append((name, ftype, length, decimals))
         off += 32
     rows: list[list] = []
+    deleted: list[int] = []
     off = header_size
-    for _ in range(n_rec):
+    for i in range(n_rec):
         rec = b[off : off + record_size]
         off += record_size
-        if rec[0:1] == b"*":  # deleted
+        if rec[0:1] == b"*":  # soft-deleted: skip, remember the slot
+            deleted.append(i)
             continue
         vals, pos = [], 1
-        for name, ftype, length in fields:
+        for name, ftype, length, decimals in fields:
             raw = rec[pos : pos + length].decode("latin-1").strip()
             pos += length
             if ftype in ("N", "F") and raw:
-                vals.append(float(raw) if ("." in raw or "e" in raw.lower()) else int(raw))
+                if ftype == "F" or decimals > 0 or "." in raw or "e" in raw.lower():
+                    vals.append(float(raw))
+                else:
+                    vals.append(int(raw))
             elif ftype in ("N", "F"):
                 vals.append(None)
             else:
                 vals.append(raw)
         rows.append(vals)
-    return [f[0] for f in fields], rows
+    return fields, rows, deleted
 
 
-def read_zipped_shapefile(zip_path: str) -> tuple[list[str], list[list]]:
-    """Zipped shapefile → (column names incl. trailing 'wkt', rows).
-    Uses the first .shp/.dbf member pair found."""
+def read_zipped_shapefile(
+    zip_path: str,
+) -> tuple[list[str], list[list], list[tuple[str, str, int, int]]]:
+    """Zipped shapefile → (column names incl. trailing 'wkt', rows,
+    dbf field specs). Uses the first .shp/.dbf member pair found.
+    Shapes paired with deleted .dbf records are dropped with them."""
     with zipfile.ZipFile(zip_path) as z:
         shp_name = next(n for n in z.namelist() if n.lower().endswith(".shp"))
         dbf_name = next(n for n in z.namelist() if n.lower().endswith(".dbf"))
         wkts = parse_shp(z.read(shp_name))
-        names, rows = parse_dbf(z.read(dbf_name))
+        fields, rows, deleted = parse_dbf(z.read(dbf_name))
+    if deleted and len(wkts) == len(rows) + len(deleted):
+        drop = set(deleted)
+        wkts = [w for i, w in enumerate(wkts) if i not in drop]
     if len(rows) != len(wkts):
         raise ValueError(
             f".dbf has {len(rows)} records but .shp has {len(wkts)} shapes"
         )
-    return names + ["wkt"], [r + [w] for r, w in zip(rows, wkts)]
+    names = [f[0] for f in fields]
+    return names + ["wkt"], [r + [w] for r, w in zip(rows, wkts)], fields
 
 
 def wkt_rings(wkt: str) -> list[list[tuple[float, float]]]:

@@ -245,12 +245,17 @@ def brute_force_topk_numpy(
             S = Qn_l @ Cn.T
             cids = b[id_col].to_numpy()
             kk = min(k + 1, S.shape[1])  # +1 absorbs the self-match
-            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            # keep EVERY candidate tied with the kk-th score, not an
+            # arbitrary argpartition subset — equal-cosine candidates at
+            # the cut boundary (duplicate embeddings) must all survive so
+            # the final (cos desc, cand_id asc) window is deterministic
+            thresh = -np.partition(-S, kk - 1, axis=1)[:, kk - 1]
+            qi, ci = np.nonzero(S >= thresh[:, None])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids_l, kk),
-                    "cand_id": cids[idx].ravel(),
-                    "cos": np.take_along_axis(S, idx, axis=1).ravel(),
+                    "query_id": qids_l[qi],
+                    "cand_id": cids[ci],
+                    "cos": S[qi, ci],
                 }
             )
 

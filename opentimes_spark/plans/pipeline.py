@@ -56,8 +56,13 @@ def build_blockloc(
     partitioned read supplies it for free.
 
     ``check=True`` replays the reference's row-count-preservation
-    assertion (create_blockloc.py:90-93) via a single-pass `expect`;
-    disable for pre-validated inputs to skip the extra count action.
+    assertion (create_blockloc.py:90-93), but on the DIMENSION side:
+    a left join preserves the left row count iff the right side has no
+    duplicate join keys, so asserting blockpop key-uniqueness gives the
+    same guarantee for the cost of one job over the broadcast-sized
+    side — no extra scan of ``blocks`` or re-execution of the join
+    lineage (at 100 TB, a count + full-join replay would double the
+    stage). Disable for pre-validated inputs.
     """
     if "state" not in blockpop.columns:
         raise ValueError(
@@ -65,6 +70,21 @@ def build_blockloc(
             "of the fetched layout); joining without it fans out rows when "
             "county/tract/block codes recur across states"
         )
+    if check:
+        dup = (
+            blockpop.groupBy("state", "county", "tract", "block")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            d = dup[0]
+            raise AssertionError(
+                "blockpop has duplicate (state,county,tract,block) keys "
+                f"(e.g. {d['state']}/{d['county']}/{d['tract']}/{d['block']}); "
+                "the left join would fan out block rows"
+            )
     parts = split_geoid(F.col("geoid"))
     located = blocks.select(
         "geoid",
@@ -81,12 +101,9 @@ def build_blockloc(
         on=["state", "county", "tract", "block"],
         how="left",
     ).withColumn("population", F.coalesce(F.col("population"), F.lit(0)).cast("int"))
-    projected = project_points(
+    return project_points(
         joined, lon_col="x_4326", lat_col="y_4326", x_col="x_5071", y_col="y_5071"
     )
-    if check:
-        projected = expect(projected, n_rows=blocks.count())
-    return projected
 
 
 def expect(

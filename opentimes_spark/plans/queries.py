@@ -2671,11 +2671,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles at any corpus size; the alternative explode+groupBy
     shuffles one row per token). Tie-free by construction: both metrics
     are counts, so no mode-tie-breaking is needed."""
-    from opentimes_spark.functions.text import stable_round
+    from opentimes_spark.functions.text import stable_round, tokens
 
     d = _t(spark, sf_dir, "documents")
-    toks = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
-    staged = d.select("doc_id", toks.alias("toks"))
+    staged = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     n_tok = F.size("toks")
     grams = F.when(
         n_tok >= 3,

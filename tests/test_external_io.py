@@ -121,10 +121,12 @@ def test_osmclip_to_geojson_roundtrip(tmp_path):
     assert min(lats) < 37.0 and max(lats) > 42.5
 
 
-def _build_shapefile_zip(path, features):
+def _build_shapefile_zip(path, features, deleted=()):
     """Minimal ESRI shapefile writer for tests: polygon features with
     (geoid, name, pop) attributes. features = [(geoid, name, pop,
-    rings)] with rings = [[(x, y), ...] outer CW, holes CCW]."""
+    rings)] with rings = [[(x, y), ...] outer CW, holes CCW].
+    pop=None writes a blank numeric field; indices in ``deleted`` get
+    the dBase soft-delete flag (shape stays in .shp, per the spec)."""
     import struct
     import zipfile
 
@@ -167,12 +169,12 @@ def _build_shapefile_zip(path, features):
         + descs
         + b"\x0d"
     )
-    for geoid, name, pop, _ in features:
+    for i, (geoid, name, pop, _) in enumerate(features):
         dbf += (
-            b" "
+            (b"*" if i in deleted else b" ")
             + geoid.encode().ljust(15)
             + name.encode().ljust(10)
-            + str(pop).encode().rjust(9)
+            + ("" if pop is None else str(pop)).encode().rjust(9)
         )
     dbf += b"\x1a"
     with zipfile.ZipFile(path, "w") as z:
@@ -244,3 +246,39 @@ def test_shapefile_to_destpoint_flow(spark, tmp_path):
     assert got == {"in", "in_hole", "near"}
     got0 = {r["id"] for r in within_buffered_polygon(pts, rings, 0.0).collect()}
     assert got0 == {"in"}
+
+
+def test_shapefile_spec_edge_cases(spark, tmp_path):
+    """Spec-legal inputs value-sniffing mishandles: a blank numeric field
+    in record 1 (schema must come from the DBF descriptor, not the first
+    value), a soft-deleted record (its positionally-paired shape must be
+    dropped too), and ring order [outerA, outerB, holeOfA] (the hole
+    belongs to the CONTAINING outer, not the most recent one)."""
+    sq = lambda x0, y0, s: [  # noqa: E731 — CW outer ring helper
+        (x0, y0), (x0, y0 + s), (x0 + s, y0 + s), (x0 + s, y0), (x0, y0)
+    ]
+    hole_in_a = [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0)]  # CCW
+    zp = str(tmp_path / "edge.zip")
+    _build_shapefile_zip(
+        zp,
+        [
+            # record 1: blank POP — must still type the column as long
+            ("17", "Illinois", None, [sq(0.0, 0.0, 10.0)]),
+            # record 2: soft-deleted, shape stays in .shp
+            ("99", "Ghost", 1, [sq(100.0, 100.0, 1.0)]),
+            # record 3: parts ordered [outerA, outerB, hole-of-A]
+            ("18", "Indiana", 123, [sq(0.0, 0.0, 10.0), sq(20.0, 0.0, 5.0), hole_in_a]),
+        ],
+        deleted={1},
+    )
+    df = load_zipped_shapefile(spark, zp)
+    assert dict(df.dtypes)["pop"] == "bigint"
+    rows = {r["geoid"]: r for r in df.collect()}
+    assert set(rows) == {"17", "18"}  # deleted record and its shape gone
+    assert rows["17"]["pop"] is None
+    assert rows["18"]["pop"] == 123
+    wkt = rows["18"]["wkt"]
+    assert wkt.startswith("MULTIPOLYGON")
+    # the hole must sit in outerA's group (the polygon starting at 0 0)
+    group_a = wkt[: wkt.index("((20")]
+    assert "(2 2, 4 2, 4 4, 2 4, 2 2)" in group_a

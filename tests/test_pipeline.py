@@ -55,7 +55,7 @@ def test_blockloc_state_in_join_key(spark, world):
     join (with state) preserves row count and assigns each block its own
     state's population (state 18 is doubled in the fixture)."""
     blocks_df, pop_df = world
-    blockloc = build_blockloc(blocks_df, pop_df)  # check=True asserts n_rows
+    blockloc = build_blockloc(blocks_df, pop_df)  # check=True: no dup keys
     rows = {
         r["geoid"]: r["population"]
         for r in blockloc.select("geoid", "population").collect()
@@ -65,6 +65,12 @@ def test_blockloc_state_in_join_key(spark, world):
 
     with pytest.raises(ValueError, match="state"):
         build_blockloc(blocks_df, pop_df.drop("state"))
+
+    # duplicate dimension keys would fan out the left join: the cheap
+    # dimension-side uniqueness check (equivalent to the reference's
+    # row-count-preservation assert) must catch it at build time
+    with pytest.raises(AssertionError, match="duplicate"):
+        build_blockloc(blocks_df, pop_df.union(pop_df.limit(1)))
 
 
 def test_full_pipeline(spark, world, tmp_path):
