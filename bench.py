@@ -46,6 +46,8 @@ HEADLINE = [
     "join_interval_overlap",
     "destpoint_polygon",
     "text_repetition",
+    "orders_cdc_merge",
+    "text_tfidf_topk",
 ]
 
 

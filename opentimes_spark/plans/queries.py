@@ -3081,3 +3081,149 @@ def sim_topk_cosine_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return brute_force_topk_numpy(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+@query(
+    "orders_cdc_merge",
+    """
+    WITH snap AS (
+        SELECT o_orderkey, o_totalprice AS total_price, o_orderstatus,
+               CAST(0 AS BIGINT) AS version, 'U' AS op, 0 AS chg
+        FROM orders
+    ),
+    chg AS (
+        SELECT o_orderkey,
+               FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100 AS total_price,
+               'O' AS o_orderstatus, CAST(1 AS BIGINT) AS version,
+               CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op, 1 AS chg
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    ins AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               o_totalprice AS total_price,
+               'N' AS o_orderstatus, CAST(1 AS BIGINT) AS version,
+               'U' AS op, 1 AS chg
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    u AS (
+        SELECT * FROM snap UNION ALL SELECT * FROM chg UNION ALL SELECT * FROM ins
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY version DESC, chg DESC
+        ) AS rn
+        FROM u
+    )
+    SELECT o_orderkey, FLOOR(total_price * 100 + 0.5) / 100 AS total_price,
+           o_orderstatus, version
+    FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot merge (operators/merge.py): apply a deterministic
+    changeset — updates (keys %3, +10% price), deletes (keys %9), and
+    inserts (offset keys %7) — to the orders snapshot via the
+    union + latest-wins-window merge. MERGE INTO semantics on plain
+    DataFrames: one exchange on the key, no join fan-out, multiple
+    change versions per key handled natively. The oracle replays the
+    same window merge in SQL; prices use stable_round so the +10%
+    arithmetic is bit-identical in both engines."""
+    from opentimes_spark.functions.text import stable_round
+    from opentimes_spark.operators.merge import merge_changeset
+
+    o = _t(spark, sf_dir, "orders")
+    snap = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+        "o_orderstatus",
+        F.lit(0).cast("long").alias("version"),
+    )
+    chg = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        stable_round(F.col("o_totalprice") * 1.1, 2).alias("total_price"),
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(1).cast("long").alias("version"),
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.col("o_totalprice").alias("total_price"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit("U").alias("op"),
+    )
+    merged = merge_changeset(snap, chg.unionByName(ins), ["o_orderkey"], "version")
+    return merged.select(
+        "o_orderkey",
+        stable_round(F.col("total_price"), 2).alias("total_price"),
+        "o_orderstatus",
+        "version",
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df AS score
+        FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC
+        ) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df,
+           FLOOR(score * 1000000 + 0.5) / 1000000 AS tfidf, rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·N/df (the idf kept
+    as the raw ratio rather than its log: ln() is not guaranteed
+    bit-identical across engines, while *, / are correctly rounded in
+    IEEE, and a monotone transform never changes the ranking).
+
+    Scale shape: explode → (doc,term) count (one shuffle), term df from
+    the tf frame (second shuffle on term, already the smaller side), a
+    broadcast join of the per-term df back onto tf, and the 1-row corpus
+    count rides a broadcast cross join — no driver-side action. Ties at
+    the top-k boundary break on term asc in both engines."""
+    from opentimes_spark.functions.text import stable_round, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df",
+            stable_round(F.col("score"), 6).alias("tfidf"), "rnk",
+        )
+    )

@@ -145,3 +145,42 @@ def test_destpoint_polygon_zero_shuffle(spark):
     p = plan(QUERIES["destpoint_polygon"](spark, SF_DIR))
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """At 100 TB the fact side of a selective big-big join should be
+    row-filtered BEFORE its shuffle: Spark's runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, on by default)
+    builds a bloom_filter_agg over the filtered dimension keys and
+    injects might_contain() into the fact scan. Local data sits under
+    the 10 GB application-side threshold, so the test lowers it to
+    observe the injection; at the target scale the defaults fire."""
+    sf = "/root/testdata/sf0.01"
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thresh_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_thresh = spark.conf.get(thresh_key)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(thresh_key, "0")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in p  # built over the filtered dim keys
+        assert "might_contain" in p  # applied to the fact side pre-shuffle
+        # and it must not change results vs the un-filtered plan
+        spark.conf.set(thresh_key, old_thresh)
+        expected = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set(thresh_key, old_thresh)
