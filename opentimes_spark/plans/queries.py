@@ -3227,3 +3227,190 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("score"), 6).alias("tfidf"), "rnk",
         )
     )
+
+
+@query(
+    "hist_price_buckets",
+    """
+    WITH b AS (
+        SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ),
+    x AS (
+        SELECT CAST(
+                 LEAST(FLOOR((o_totalprice - b.lo) / (b.hi - b.lo) * 20), 19)
+               AS BIGINT) AS bucket,
+               o_totalprice
+        FROM orders CROSS JOIN b
+    )
+    SELECT bucket, COUNT(*) AS n,
+           FLOOR(MIN(o_totalprice) * 100 + 0.5) / 100 AS bucket_min,
+           FLOOR(MAX(o_totalprice) * 100 + 0.5) / 100 AS bucket_max
+    FROM x GROUP BY bucket
+    """,
+)
+def hist_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of order prices — the data-
+    profiling primitive. The [min, max] range rides a 1-row broadcast
+    cross join (same pattern as text_tfidf_topk's corpus count): two
+    narrow passes total — a partial+final min/max agg, then one
+    map-side bucket assignment + partial+final count — and no
+    driver-side action. The bucket index uses an explicit
+    floor((x−lo)/(hi−lo)·n) rather than width_bucket() so both engines
+    compute the identical correctly-rounded double expression."""
+    from opentimes_spark.functions.text import stable_round
+
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * 20
+        ),
+        F.lit(19),
+    ).cast("long")
+    return (
+        o.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            stable_round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
+@query(
+    "corpus_filter_pipeline",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks,
+               LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / CAST(LENGTH(text) AS DOUBLE) AS praw
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(LENGTH(toks) AS BIGINT) AS n_tokens,
+               LENGTH(list_distinct(toks)) AS n_uniq,
+               ROUND(praw, 6) AS punct_ratio,
+               LENGTH(list_filter(toks,
+                   x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+                   / CAST(LENGTH(toks) AS DOUBLE) AS sraw
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           concat_ws(',',
+               CASE WHEN n_tokens < 20 THEN 'too_short' END,
+               CASE WHEN punct_ratio > 0.1 THEN 'high_punct' END,
+               CASE WHEN n_uniq / CAST(n_tokens AS DOUBLE) < 0.3 THEN 'low_diversity' END,
+               CASE WHEN sraw < 0.03 THEN 'non_english' END
+           ) AS failed_filters,
+           (concat_ws(',',
+               CASE WHEN n_tokens < 20 THEN 'too_short' END,
+               CASE WHEN punct_ratio > 0.1 THEN 'high_punct' END,
+               CASE WHEN n_uniq / CAST(n_tokens AS DOUBLE) < 0.3 THEN 'low_diversity' END,
+               CASE WHEN sraw < 0.03 THEN 'non_english' END
+           ) = '') AS kept
+    FROM m
+    """,
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation composition: every quality heuristic chained
+    into one keep/drop verdict with the NAMES of the failed filters —
+    what a real training pipeline materializes next to the corpus so
+    drops are auditable. Single pass over the one-pass profile()
+    projection (tokenize once), zero shuffles, all deterministic
+    arithmetic (concat_ws skips the NULL arms of un-failed checks in
+    both engines)."""
+    from opentimes_spark.functions.text import profile
+
+    p = profile(_t(spark, sf_dir, "documents"))
+    checks = [
+        ("too_short", F.col("n_tokens") < 20),
+        ("high_punct", F.col("punct_ratio") > 0.1),
+        (
+            "low_diversity",
+            (F.col("n_uniq_tokens") / F.col("n_tokens")) < 0.3,
+        ),
+        ("non_english", F.col("lang_pred") == "unknown"),
+    ]
+    failed = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in checks]
+    )
+    return p.select(
+        "doc_id",
+        "n_tokens",
+        failed.alias("failed_filters"),
+        (failed == "").alias("kept"),
+    )
+
+
+@query(
+    "embed_quantize_int8",
+    """
+    WITH s AS (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x)))
+                    AS DOUBLE) AS scale
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale * 127 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM s
+    )
+    SELECT vec_id,
+           CAST(LENGTH(qv) AS INT) AS dim,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           FLOOR(scale * 1000000 + 0.5) / 1000000 AS scale6,
+           md5(array_to_string(qv, ',')) AS q_fp
+    FROM q
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/bandwidth step before shipping vectors at scale (4× smaller,
+    dot products in int arithmetic). Per-row array expressions only:
+    zero shuffles at any corpus size. The quantized vector itself is
+    value-checked via an md5 over its canonical string form (array
+    columns don't hash portably across engines; the fingerprint does);
+    floor(x+0.5) rounding instead of round() keeps negative-half
+    boundaries identical in both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    # the embedding elements are float32: every arithmetic step casts to
+    # double FIRST (both here and in the oracle) — float intermediates
+    # round differently per engine and would shift stable_round results
+    s = e.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+        .cast("double")
+        .alias("scale"),
+    )
+    q = s.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") / F.col("scale") * 127 + 0.5
+            ).cast("long"),
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.size("qv").alias("dim"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        (F.floor(F.col("scale") * 1000000 + 0.5) / 1000000).alias("scale6"),
+        F.md5(
+            F.concat_ws(",", F.transform("qv", lambda v: v.cast("string")))
+        ).alias("q_fp"),
+    )

@@ -225,3 +225,67 @@ def test_foreachbatch_writes_sorted_layout(spark, events_stream, tmp_path):
     back = spark.read.option("basePath", out).parquet(out + "/epoch=*")
     assert back.count() == batch.count()
     assert "event_type" in back.columns
+
+
+def test_foreachbatch_cdc_upsert(spark, events_stream, tmp_path):
+    """Streaming ingestion into a maintained snapshot: each micro-batch
+    is a changeset applied with merge_changeset (union + latest-wins
+    window) and the snapshot is re-pointed to the new parquet — the
+    foreachBatch shape of an incremental 100 TB corpus update. The final
+    snapshot must equal ONE batch merge of all events because versioned
+    latest-wins upserts are order-insensitive across batches. (Deletes
+    are deliberately absent here: tombstones would have to be RETAINED
+    in the stored snapshot to stay order-insensitive — dropping them,
+    as the read view does, lets an out-of-order earlier version
+    resurrect a deleted key.)"""
+    import os
+
+    from opentimes_spark.operators.merge import merge_changeset
+
+    batch, stream = events_stream
+    snap0 = (
+        batch.select("user_id").distinct()
+        .select(
+            F.col("user_id").alias("k"),
+            F.lit(-1.0).alias("v"),
+            F.lit(-1).cast("long").alias("version"),
+        )
+    )
+    snap0_path = str(tmp_path / "snap_init")
+    snap0.write.parquet(snap0_path)
+    state = {"path": snap0_path}
+
+    def to_changes(df):
+        return df.select(
+            F.col("user_id").alias("k"),
+            F.col("value").alias("v"),
+            F.col("event_id").alias("version"),  # unique → no tie-break needed
+            F.lit("U").alias("op"),
+        )
+
+    def sink(mb_df, epoch_id):
+        if mb_df.isEmpty():
+            return
+        cur = spark.read.parquet(state["path"])
+        new_path = str(tmp_path / f"snap_{epoch_id}")
+        merge_changeset(cur, to_changes(mb_df), ["k"], "version").write.parquet(
+            new_path
+        )
+        state["path"] = new_path
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = sorted(tuple(r) for r in spark.read.parquet(state["path"]).collect())
+    expected = sorted(
+        tuple(r)
+        for r in merge_changeset(
+            spark.read.parquet(snap0_path), to_changes(batch), ["k"], "version"
+        ).collect()
+    )
+    assert final == expected and len(final) == 15
