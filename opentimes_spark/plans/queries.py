@@ -3194,16 +3194,22 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines, while *, / are correctly rounded in
     IEEE, and a monotone transform never changes the ranking).
 
-    Scale shape: explode → (doc,term) count (one shuffle), term df from
-    the tf frame (second shuffle on term, already the smaller side), a
-    broadcast join of the per-term df back onto tf, and the 1-row corpus
-    count rides a broadcast cross join — no driver-side action. Ties at
-    the top-k boundary break on term asc in both engines."""
+    Scale shape: the exploded tokens are hash-partitioned on doc_id
+    ALONE — that partitioning satisfies the (doc_id, term) aggregation
+    distribution (a subset key colocates every group) AND the final
+    per-doc window, so the big token stream shuffles exactly ONCE and
+    the window sorts in place (plan shows no exchange between the agg
+    and the window, plus a WindowGroupLimit pushdown for rank ≤ 3).
+    Per-term df shuffles only the already-aggregated tf frame; df joins
+    back as a broadcast and the 1-row corpus count rides a broadcast
+    cross join — no driver-side action. Ties at the top-k boundary
+    break on term asc in both engines."""
     from opentimes_spark.functions.text import stable_round, tokens
 
     d = _t(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .repartition("doc_id")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

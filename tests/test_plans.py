@@ -184,3 +184,18 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
         spark.conf.set(thresh_key, old_thresh)
+
+
+def test_tfidf_token_stream_shuffles_once(spark):
+    """text_tfidf_topk partitions the exploded token stream by doc_id
+    ALONE: that satisfies both the (doc_id, term) aggregation and the
+    per-doc window, so no extra exchange feeds the window and the
+    rank ≤ 3 filter pushes down as WindowGroupLimit."""
+    from opentimes_spark.plans.queries import QUERIES
+
+    df = QUERIES["text_tfidf_topk"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
+    # only the small side needs ENSURE_REQUIREMENTS exchanges (per-term
+    # df agg + the 1-row corpus count); the window adds none
+    assert p.count("ENSURE_REQUIREMENTS") == 2
