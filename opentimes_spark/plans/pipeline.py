@@ -162,6 +162,55 @@ def expect(
     return df
 
 
+def expect_observed(
+    df: DataFrame,
+    no_null_cols: list[str] | None = None,
+    min_nonnull_frac: tuple[str, float] | None = None,
+):
+    """Zero-extra-pass variant of ``expect``: attaches the invariant
+    aggregates as `Observation` metrics, collected as a side effect of
+    the CALLER'S action — no separate aggregation job at all. At 100 TB
+    even ``expect``'s single extra pass re-scans the lineage once;
+    observed metrics ride the real write/collect for free (the
+    accumulator pattern, exactly-once per task via Spark's
+    `CollectMetrics`).
+
+    Returns ``(df, check)`` — run an action on ``df``, then call
+    ``check()`` to assert and get the metrics dict. ``check`` blocks
+    until the metrics arrive and raises AssertionError on violation.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in no_null_cols or []:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"))
+    if min_nonnull_frac:
+        aggs.append(F.count(F.col(min_nonnull_frac[0])).alias("__nn"))
+    observed = df.observe(obs, *aggs)
+
+    def check() -> dict:
+        stats = obs.get
+        bad = {
+            c: stats[f"__nulls_{c}"]
+            for c in no_null_cols or []
+            if stats[f"__nulls_{c}"] > 0
+        }
+        if bad:
+            raise AssertionError(f"null values present: {bad}")
+        if min_nonnull_frac:
+            col, frac = min_nonnull_frac
+            got = stats["__nn"] / stats["__n"] if stats["__n"] else 0.0
+            if got < frac:
+                raise AssertionError(
+                    f"join hit-rate check failed: only {got:.3f} of '{col}' "
+                    f"non-null (expected >= {frac})"
+                )
+        return stats
+
+    return observed, check
+
+
 def build_cenloc(blockloc: DataFrame, geography: str) -> DataFrame:
     """Per-geography weighted + unweighted centroids from block locations
     (reference create_cenloc.py: weighted mean over blocks grouped by the

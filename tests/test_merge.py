@@ -67,3 +67,56 @@ def test_merge_single_exchange_plan(spark):
     plan = merge_changeset(snap, changes, ["k"], "version")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning(k") == 1
+
+
+def test_merge_matches_dict_model_random(spark):
+    """Randomized differential check against a plain dict-replay model:
+    seeded random changesets (dup keys in one batch, version collisions
+    with the snapshot, tombstones, inserts) applied key-by-key in
+    (version, change-beats-snapshot) order must equal the Spark merge."""
+    import random
+
+    for seed in (0, 1, 2):
+        rnd = random.Random(seed)
+        snap_rows = [(k, f"s{k}", rnd.randrange(3)) for k in range(20)]
+        chg_rows = [
+            (
+                rnd.randrange(30),  # keys beyond 19 are inserts
+                f"c{i}",
+                rnd.randrange(5),
+                "D" if rnd.random() < 0.25 else "U",
+            )
+            for i in range(40)
+        ]
+        # dict model: per key pick max (version, is_change, arrival) row
+        best = {}
+        for k, v, ver in snap_rows:
+            best[k] = (ver, 0, 0, v, "U")
+        for i, (k, v, ver, op) in enumerate(chg_rows):
+            cand = (ver, 1, i, v, op)
+            if k not in best or cand[:3] > best[k][:3]:
+                best[k] = cand
+        expected = {
+            k: t[3] for k, t in best.items() if t[4] != "D"
+        }
+
+        snap = spark.createDataFrame(snap_rows, "k long, v string, version long")
+        chg = spark.createDataFrame(
+            chg_rows, "k long, v string, version long, op string"
+        )
+        got = {
+            r["k"]: r["v"]
+            for r in merge_changeset(snap, chg, ["k"], "version").collect()
+        }
+        # same-version duplicate CHANGES for one key tie arbitrarily in
+        # the window (no arrival order on a distributed changeset), so
+        # compare only keys whose winner is unambiguous
+        ambiguous = set()
+        for i, (k, _, ver, _) in enumerate(chg_rows):
+            for j, (k2, _, ver2, _) in enumerate(chg_rows):
+                if i < j and k == k2 and ver == ver2 and best[k][:2] == (ver, 1):
+                    ambiguous.add(k)
+        for k in set(expected) | set(got):
+            if k in ambiguous:
+                continue
+            assert got.get(k) == expected.get(k), (seed, k)

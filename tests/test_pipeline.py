@@ -205,3 +205,30 @@ def test_destpoint_polygon_concave(spark):
         build_destpoint(cen)
     with pytest.raises(ValueError, match="exactly one"):
         build_destpoint(cen, state_center=(0.0, 0.0), state_ring_5071=u)
+
+
+def test_expect_observed_rides_the_action(spark, world, tmp_path):
+    """expect_observed collects invariants as a side effect of the
+    caller's own action (Observation/CollectMetrics) — no separate
+    aggregation job. Violations surface when check() runs."""
+    from opentimes_spark.plans.pipeline import expect_observed
+
+    blocks_df, pop_df = world
+    good = build_blockloc(blocks_df, pop_df, check=False)
+    observed, check = expect_observed(
+        good, no_null_cols=["population", "x_5071"],
+        min_nonnull_frac=("population", 0.9),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    stats = check()
+    assert stats["__n"] == blocks_df.count()
+
+    # a violated invariant raises at check() time
+    bad = good.withColumn(
+        "population",
+        F.when(F.col("state") == "17", None).otherwise(F.col("population")),
+    )
+    observed, check = expect_observed(bad, no_null_cols=["population"])
+    observed.write.format("noop").mode("overwrite").save()
+    with pytest.raises(AssertionError, match="null values present"):
+        check()
