@@ -3420,3 +3420,77 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.transform("qv", lambda v: v.cast("string")))
         ).alias("q_fp"),
     )
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH l AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderpriority END AS pri
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    r AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderpriority END AS pri,
+               COUNT(*) AS n_right
+        FROM orders WHERE o_orderkey % 3 = 0
+        GROUP BY 1
+    )
+    SELECT l.o_orderkey, l.pri, r.n_right
+    FROM l JOIN r ON l.pri IS NOT DISTINCT FROM r.pri
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (J-Ext): `eqNullSafe` / IS NOT DISTINCT
+    FROM — NULL keys MATCH each other instead of dropping, the semantics
+    snapshot-vs-changes reconciliation needs for nullable business keys.
+    Still a hash join (null-safe equality is hashable): the grouped
+    right side broadcasts, no plan degradation to nested-loop."""
+    o = _t(spark, sf_dir, "orders")
+    pri = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    left = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", pri.alias("pri")
+    )
+    pri_r = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    right = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select(pri_r.alias("pri"))
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    return left.join(
+        F.broadcast(right), left["pri"].eqNullSafe(right["pri"])
+    ).select(left["o_orderkey"], left["pri"], right["n_right"])
+
+
+@query(
+    "tokens_posexplode",
+    f"""
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, u.term
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform({_TOKS_SQL},
+                   (x, i) -> struct_pack(pos := i - 1, term := x))) AS u
+        FROM documents WHERE doc_id % 50 = 0
+    )
+    """,
+)
+def tokens_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (F-Ext): token + 0-based position — the shape
+    sequence-labeling / windowed-context extraction starts from. Pure
+    per-row generate (no shuffle); the filter on doc_id pushes below the
+    explode into the parquet scan."""
+    from opentimes_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term"))
+        .select("doc_id", "pos", "term")
+    )
