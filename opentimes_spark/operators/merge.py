@@ -59,6 +59,8 @@ def merge_changeset(
     return (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .filter(F.col(op_col) != OP_DELETE)
+        # null-safe: a NULL op (sloppy upstream) is NOT a delete — a
+        # plain != would NULL out and silently drop the winning row
+        .filter(~F.col(op_col).eqNullSafe(OP_DELETE))
         .drop("__rn", "__chg", op_col)
     )

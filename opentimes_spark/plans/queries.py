@@ -3313,13 +3313,13 @@ def hist_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN n_tokens < 20 THEN 'too_short' END,
                CASE WHEN punct_ratio > 0.1 THEN 'high_punct' END,
                CASE WHEN n_uniq / CAST(n_tokens AS DOUBLE) < 0.3 THEN 'low_diversity' END,
-               CASE WHEN sraw < 0.03 THEN 'non_english' END
+               CASE WHEN sraw >= 0.03 THEN NULL ELSE 'non_english' END
            ) AS failed_filters,
            (concat_ws(',',
                CASE WHEN n_tokens < 20 THEN 'too_short' END,
                CASE WHEN punct_ratio > 0.1 THEN 'high_punct' END,
                CASE WHEN n_uniq / CAST(n_tokens AS DOUBLE) < 0.3 THEN 'low_diversity' END,
-               CASE WHEN sraw < 0.03 THEN 'non_english' END
+               CASE WHEN sraw >= 0.03 THEN NULL ELSE 'non_english' END
            ) = '') AS kept
     FROM m
     """,
@@ -3389,6 +3389,8 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns don't hash portably across engines; the fingerprint does);
     floor(x+0.5) rounding instead of round() keeps negative-half
     boundaries identical in both engines."""
+    from opentimes_spark.functions.text import stable_round
+
     e = _t(spark, sf_dir, "embeddings")
     # the embedding elements are float32: every arithmetic step casts to
     # double FIRST (both here and in the oracle) — float intermediates
@@ -3415,7 +3417,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("qv").alias("dim"),
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
-        (F.floor(F.col("scale") * 1000000 + 0.5) / 1000000).alias("scale6"),
+        stable_round(F.col("scale"), 6).alias("scale6"),
         F.md5(
             F.concat_ws(",", F.transform("qv", lambda v: v.cast("string")))
         ).alias("q_fp"),

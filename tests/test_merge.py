@@ -120,3 +120,17 @@ def test_merge_matches_dict_model_random(spark):
             if k in ambiguous:
                 continue
             assert got.get(k) == expected.get(k), (seed, k)
+
+
+def test_merge_null_op_is_upsert_not_delete(spark):
+    """A NULL op from a sloppy upstream must be treated as an upsert —
+    a bare != 'D' filter would NULL out and silently delete the key."""
+    snap = _snap(spark)
+    changes = spark.createDataFrame(
+        [(2, "nullop", 1, None)], "k long, v string, version long, op string"
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_changeset(snap, changes, ["k"], "version").collect()
+    }
+    assert got[2] == "nullop"

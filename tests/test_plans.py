@@ -177,10 +177,13 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
         p = j._jdf.queryExecution().executedPlan().toString()
         assert "bloom_filter_agg" in p  # built over the filtered dim keys
         assert "might_contain" in p  # applied to the fact side pre-shuffle
-        # and it must not change results vs the un-filtered plan
+        # it must not change results vs the un-filtered plan: count the
+        # bloom-filtered plan BEFORE restoring the threshold (count()
+        # builds a fresh QueryExecution under whatever conf is current)
+        filtered_count = j.count()
         spark.conf.set(thresh_key, old_thresh)
         expected = li.join(o, li.l_orderkey == o.o_orderkey).count()
-        assert j.count() == expected
+        assert filtered_count == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
         spark.conf.set(thresh_key, old_thresh)
