@@ -3505,3 +3505,126 @@ def tokens_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term"))
         .select("doc_id", "pos", "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Produce path: the blockloc -> cenloc ladder as an oracle-checked query
+# (reference create_blockloc.py + create_cenloc.py:104-142)
+# ---------------------------------------------------------------------------
+
+
+def _snyder_sql(lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    """EPSG:5071 forward projection as DuckDB SQL, expression-for-
+    expression the numpy kernel (functions/geometry.py project_5071,
+    Snyder 14-1..4) with the module's precomputed constants embedded as
+    literals. Engine libm sin/ln differ by a few ULPs (~4e-9 m); callers
+    MUST round the result to whole meters, which both engines agree on
+    (verified bit-level on the query lattice)."""
+    from opentimes_spark.functions import geometry as _g
+
+    d = repr(3.141592653589793 / 180.0)  # np.radians multiplier
+    e, e2 = repr(float(_g._E)), repr(float(_g._E2))
+    s = f"sin(({lat_expr}) * {d})"
+    q = (
+        f"(1 - {e2}) * ({s} / (1 - {e2} * {s} * {s})"
+        f" - (1 / (2 * {e})) * ln((1 - {e} * {s}) / (1 + {e} * {s})))"
+    )
+    rho = f"{repr(float(_g._A))} * sqrt({repr(float(_g._C))} - {repr(float(_g._N))} * {q}) / {repr(float(_g._N))}"
+    theta = f"{repr(float(_g._N))} * (({lon_expr}) * {d} - {repr(float(_g._LON0))})"
+    return f"{rho} * sin({theta})", f"{repr(float(_g._RHO0))} - {rho} * cos({theta})"
+
+
+_CEN_X_SQL, _CEN_Y_SQL = _snyder_sql("lon", "lat")
+
+
+@query(
+    "cenloc_build",
+    f"""
+    WITH src AS (
+        SELECT lpad(CAST(c_custkey % 3 + 1 AS VARCHAR), 2, '0') AS state,
+               lpad(CAST(c_custkey % 10 AS VARCHAR), 3, '0')    AS county,
+               -120.0 + (c_custkey % 40) * 0.5 AS lon,
+               30.0 + (c_custkey % 25) * 0.5   AS lat,
+               CASE WHEN c_custkey % 11 = 0 THEN 0
+                    WHEN c_custkey % 5 = 0 THEN 0
+                    ELSE c_custkey % 97 END    AS pop
+        FROM customer
+    ),
+    proj AS (
+        SELECT state || county AS geoid, lon, lat, pop,
+               FLOOR(({_CEN_X_SQL}) * 1.0 + 0.5) / 1.0 AS x5071,
+               FLOOR(({_CEN_Y_SQL}) * 1.0 + 0.5) / 1.0 AS y5071
+        FROM src
+    )
+    SELECT geoid,
+           FLOOR(AVG(lon) * 1000000 + 0.5) / 1000000 AS x_4326,
+           FLOOR(AVG(lat) * 1000000 + 0.5) / 1000000 AS y_4326,
+           FLOOR(CASE WHEN SUM(pop) = 0 THEN AVG(lon)
+                      ELSE SUM(lon * pop) / CAST(SUM(pop) AS DOUBLE) END
+                 * 1000000 + 0.5) / 1000000 AS x_4326_wt,
+           FLOOR(CASE WHEN SUM(pop) = 0 THEN AVG(lat)
+                      ELSE SUM(lat * pop) / CAST(SUM(pop) AS DOUBLE) END
+                 * 1000000 + 0.5) / 1000000 AS y_4326_wt,
+           FLOOR(AVG(x5071) * 1000000 + 0.5) / 1000000 AS x_5071,
+           FLOOR(AVG(y5071) * 1000000 + 0.5) / 1000000 AS y_5071,
+           FLOOR(CASE WHEN SUM(pop) = 0 THEN AVG(x5071)
+                      ELSE SUM(x5071 * pop) / CAST(SUM(pop) AS DOUBLE) END
+                 * 1000000 + 0.5) / 1000000 AS x_5071_wt,
+           FLOOR(CASE WHEN SUM(pop) = 0 THEN AVG(y5071)
+                      ELSE SUM(y5071 * pop) / CAST(SUM(pop) AS DOUBLE) END
+                 * 1000000 + 0.5) / 1000000 AS y_5071_wt
+    FROM proj
+    GROUP BY geoid
+    """,
+)
+def cenloc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core produce transform as one oracle-checked
+    chain: build_blockloc (GEOID split -> broadcast left join with the
+    population table, missing pop -> 0, EPSG:5071 projection) into
+    build_cenloc (population-weighted + unweighted county centroids) —
+    create_blockloc.py:85-93 + create_cenloc.py:104-142.
+
+    Inputs are a deterministic lattice derived from customer keys
+    (3 states x 10 counties; every block GEOID unique; c%11 rows are
+    MISSING from the population side to exercise the left-join-miss ->
+    0 path, c%5 rows carry explicit zero population). Parity notes:
+    projected coords are rounded to whole meters (the two engines' libm
+    disagree by ~4e-9 m; whole meters they agree on bit-exactly), which
+    also makes every SUM an exact-integer sum — order-independent, so
+    partial aggregation order can't perturb the hash at any scale."""
+    from opentimes_spark.functions.text import stable_round
+    from opentimes_spark.plans.pipeline import build_blockloc, build_cenloc
+
+    c = _t(spark, sf_dir, "customer")
+    key10 = F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+    state = F.lpad((F.col("c_custkey") % 3 + 1).cast("string"), 2, "0")
+    county = F.lpad((F.col("c_custkey") % 10).cast("string"), 3, "0")
+    blocks = c.select(
+        F.concat(state, county, key10).alias("geoid"),
+        (F.lit(-120.0) + (F.col("c_custkey") % 40) * 0.5).alias("lon"),
+        (F.lit(30.0) + (F.col("c_custkey") % 25) * 0.5).alias("lat"),
+    )
+    blockpop = c.filter(F.col("c_custkey") % 11 != 0).select(
+        state.alias("state"),
+        county.alias("county"),
+        F.substring(key10, 1, 6).alias("tract"),
+        F.substring(key10, 7, 4).alias("block"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(0))
+        .otherwise(F.col("c_custkey") % 97)
+        .alias("population"),
+    )
+    blockloc = build_blockloc(blocks, blockpop)
+    rounded = blockloc.withColumn(
+        "x_5071", stable_round(F.col("x_5071"), 0)
+    ).withColumn("y_5071", stable_round(F.col("y_5071"), 0))
+    cen = build_cenloc(rounded, "county")
+    return cen.select(
+        "geoid",
+        *[
+            stable_round(F.col(cc), 6).alias(cc)
+            for cc in (
+                "x_4326", "y_4326", "x_4326_wt", "y_4326_wt",
+                "x_5071", "y_5071", "x_5071_wt", "y_5071_wt",
+            )
+        ],
+    )
