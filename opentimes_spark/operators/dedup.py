@@ -152,19 +152,14 @@ def minhash_signatures(
     return toks.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def _banded(
     signatures: DataFrame,
-    id_col: str = "doc_id",
-    num_hashes: int = 8,
-    band_size: int = 2,
-    hash_fn: str = "md5",
+    id_col: str,
+    num_hashes: int,
+    band_size: int,
+    hash_fn: str,
 ) -> DataFrame:
-    """Band the signature (rows of ``minhash_signatures``) and emit
-    distinct candidate pairs (id_a < id_b) sharing ≥1 band. The join is
-    an equi-join on (band_idx, band_hash) — broadcastable when one side
-    is small, shuffle-partitioned by band hash otherwise. ``hash_fn``
-    must match the signature's (md5 → hex-string band keys, oracle
-    parity; xxhash64 → BIGINT band keys, the at-scale fast path)."""
+    """(id, band_idx, band_hash) stream, shuffled once on the band key."""
     n_bands = num_hashes // band_size
 
     def band_hash(b: int):
@@ -192,19 +187,91 @@ def lsh_candidate_pairs(
     # ReusedExchange — the signature pipeline runs once, not twice, and
     # the join itself needs no further shuffle. Without this boundary a
     # purely per-row signature lineage is recomputed per join side.
-    banded = banded.repartition(F.col("band_idx"), F.col("band_hash"))
+    return banded.repartition(F.col("band_idx"), F.col("band_hash"))
+
+
+def lsh_hot_bands(
+    signatures: DataFrame,
+    threshold: int,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Quarantine report: bands whose membership exceeds ``threshold`` —
+    (band_idx, band_hash, n_members), the skew diagnostic for sizing
+    ``max_band_size``. One count per band over the banded exchange."""
+    banded = _banded(signatures, id_col, num_hashes, band_size, hash_fn)
+    return (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > threshold)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    hash_fn: str = "md5",
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """Band the signature (rows of ``minhash_signatures``) and emit
+    distinct candidate pairs (id_a < id_b) sharing ≥1 band. The join is
+    an equi-join on (band_idx, band_hash) — broadcastable when one side
+    is small, shuffle-partitioned by band hash otherwise. ``hash_fn``
+    must match the signature's (md5 → hex-string band keys, oracle
+    parity; xxhash64 → BIGINT band keys, the at-scale fast path).
+
+    **Hot-band guard** (``max_band_size``): a band shared by k documents
+    emits k·(k−1)/2 pairs — boilerplate-heavy corpora (empty docs,
+    license headers) create mega-bands that turn the band join into the
+    skewed-key quadratic blowup LSH exists to avoid. With the cap set,
+    bands with ≤ cap members take the all-pairs join unchanged, and
+    hotter bands degrade to STAR pairs — every member paired with the
+    band's minimum id (k−1 pairs, all on one already-co-located
+    partition). A true duplicate cluster stays fully connected through
+    its representative, so Jaccard-verify + grouping (components)
+    recover the same clusters; what's given up is only direct pairs
+    between non-dup docs that collided into the same mega-band. Band
+    membership counts ride the SAME exchange as the join (one shuffle
+    total, ReusedExchange); use ``lsh_hot_bands`` for the quarantine
+    report. Output on a corpus with no over-cap bands is IDENTICAL to
+    the uncapped plan (oracle-checked)."""
+    banded = _banded(signatures, id_col, num_hashes, band_size, hash_fn)
     left = banded.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
     right = banded.select(
         F.col(id_col).alias("id_b"), "band_idx", "band_hash"
     )
-    return (
-        left.join(right, ["band_idx", "band_hash"])
+    if max_band_size is None:
+        pairs = (
+            left.join(right, ["band_idx", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        return pairs.distinct()
+    # per-band size + representative on the same partitioning as the
+    # join (groupBy keys == repartition keys: no second exchange)
+    stats = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__rep")
+    )
+    tagged_r = right.join(stats, ["band_idx", "band_hash"])
+    cool = tagged_r.filter(F.col("__n") <= max_band_size)
+    pairs_cool = (
+        left.join(cool, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    pairs_hot = (
+        tagged_r.filter(
+            (F.col("__n") > max_band_size) & (F.col("id_b") != F.col("__rep"))
+        )
+        .select(F.col("__rep").alias("id_a"), "id_b")
+    )
+    return pairs_cool.unionByName(pairs_hot).distinct()
 
 
 def jaccard_pairs(

@@ -2410,7 +2410,13 @@ def dedup_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same plan shape as dedup_minhash_lsh; hashes are engine-specific so
     this is deliberately oracle-exempt (rows-only check) — correctness
     of the algorithm is pinned by the md5 twin, and the exact-Jaccard
-    verification step is hash-independent."""
+    verification step is hash-independent.
+
+    Runs with the hot-band guard armed (max_band_size=64): on this
+    corpus no band comes near the cap so output is identical to the
+    uncapped plan, but at real-corpus scale a boilerplate mega-band
+    degrades to k−1 star pairs instead of k²/2 — the guard belongs in
+    the benched at-scale path, priced in."""
     from opentimes_spark.operators.dedup import (
         jaccard_pairs,
         lsh_candidate_pairs,
@@ -2419,7 +2425,9 @@ def dedup_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, num_hashes=8, shingle_size=3, hash_fn="xxhash64")
-    cands = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2, hash_fn="xxhash64")
+    cands = lsh_candidate_pairs(
+        sigs, num_hashes=8, band_size=2, hash_fn="xxhash64", max_band_size=64
+    )
     return jaccard_pairs(d, cands, min_jaccard=0.0, shingle_size=3)
 
 

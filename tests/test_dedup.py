@@ -117,3 +117,47 @@ def test_shingle_arrays_matches_shingle_sets(spark, docs):
         for g in r["grams"]
     }
     assert arrayed == exploded and len(arrayed) > 0
+
+
+def test_hot_band_cap_bounds_fanout(spark):
+    """Adversarial corpus: 1000 identical docs (one mega-band per band
+    index) + a normal near-dup pair. Uncapped LSH would emit ~500k
+    pairs for the clones; the cap degrades the mega-band to star pairs
+    (clone_min, x) — 999 pairs — while sub-cap bands are untouched."""
+    from opentimes_spark.operators.dedup import lsh_hot_bands
+
+    clones = [(i, "license header boilerplate repeated verbatim text") for i in range(1000)]
+    normal = [
+        (2001, "the quick brown fox jumps over the lazy dog"),
+        (2002, "the quick brown fox jumps over the lazy cat"),
+    ]
+    docs = spark.createDataFrame(clones + normal, "doc_id int, text string")
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_size=2)
+    capped = lsh_candidate_pairs(
+        sigs, num_hashes=8, band_size=2, max_band_size=64
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    clone_pairs = {p for p in pairs if p[0] < 2000 and p[1] < 2000}
+    # star form: every clone connects to representative 0, nothing else
+    assert clone_pairs == {(0, i) for i in range(1, 1000)}
+    assert (2001, 2002) in pairs  # normal band unaffected
+    # quarantine report names the mega-bands (4 band indexes, all hot)
+    hot = lsh_hot_bands(sigs, threshold=64, num_hashes=8, band_size=2)
+    rows = hot.collect()
+    assert len(rows) == 4 and all(r["n_members"] == 1000 for r in rows)
+
+
+def test_cap_noop_on_normal_corpus(spark, docs):
+    """With no band over the cap, capped output == uncapped output."""
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_size=3)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            sigs, num_hashes=8, band_size=2, max_band_size=64
+        ).collect()
+    }
+    assert capped == uncapped and len(uncapped) > 0
