@@ -118,7 +118,11 @@ def profile(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)):
     100 TB that's 6 tokenizer passes instead of 1. Staging through a
     projection holds it at one (verified via plan inspection)."""
     t = F.col(text_col)
-    raw_punct = _punct_count(t) / F.length(t)
+    # zero-length / zero-token guards: under ANSI mode a bare ratio
+    # DIVIDE_BY_ZEROs the whole job on one empty document; CASE WHEN
+    # evaluates its branch lazily per row, so the ratios are NULL for
+    # degenerate docs instead (and lang_pred falls through to 'unknown')
+    raw_punct = F.when(F.length(t) > 0, _punct_count(t) / F.length(t))
     staged = df.select(
         *id_cols, tokens(t).alias("_toks"), raw_punct.alias("_praw")
     )
@@ -127,19 +131,20 @@ def profile(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)):
     n_uniq = F.size(F.array_distinct(toks))
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
     length_band = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).otherwise(0.5)
+    nonzero = F.when(n_tok > 0, n_tok)  # NULL divisor → NULL ratio, no error
     return staged.select(
         *id_cols,
         n_tok.cast("long").alias("n_tokens"),
         n_uniq.cast("long").alias("n_uniq_tokens"),
         F.round(
-            F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_tok, 4
+            F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x)) / nonzero, 4
         ).alias("avg_token_len"),
-        F.round(n_stop / n_tok, 6).alias("stop_ratio"),
+        F.round(n_stop / nonzero, 6).alias("stop_ratio"),
         F.round(F.col("_praw"), 6).alias("punct_ratio"),
         stable_round(
-            0.4 * length_band + 0.3 * (1 - F.col("_praw")) + 0.3 * (n_uniq / n_tok), 4
+            0.4 * length_band + 0.3 * (1 - F.col("_praw")) + 0.3 * (n_uniq / nonzero), 4
         ).alias("quality"),
-        F.when(n_stop / n_tok >= 0.03, F.lit("en"))
+        F.when(n_stop / nonzero >= 0.03, F.lit("en"))
         .otherwise(F.lit("unknown"))
         .alias("lang_pred"),
     )

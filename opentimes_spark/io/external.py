@@ -100,6 +100,8 @@ def load_zipped_shapefile(spark: SparkSession, zip_path: str) -> DataFrame:
     names, rows, fields = read_zipped_shapefile(zip_path)
     names = normalize_shapefile_columns(names)
     from pyspark.sql.types import (
+        BooleanType,
+        DateType,
         DoubleType,
         LongType,
         StringType,
@@ -114,6 +116,11 @@ def load_zipped_shapefile(spark: SparkSession, zip_path: str) -> DataFrame:
             return DoubleType()
         if ftype == "N":
             return LongType()
+        if ftype == "D":
+            return DateType()
+        if ftype == "L":
+            return BooleanType()
+        # 'M' memo pointers are resolved to text by the zip reader
         return StringType()
 
     schema = StructType(

@@ -126,11 +126,18 @@ def parse_dbf(b: bytes) -> tuple[list[tuple[str, str, int, int]], list[list], li
 
     Field specs are ``(name, type, length, decimals)`` straight from the
     descriptor block — the declared type drives parsing AND the Spark
-    schema downstream ('N' with decimals → float, 'N' without → int,
-    'F' → float, everything else stripped strings), so a blank value in
-    the first record cannot mistype a column. Records flagged deleted
-    ('*') are excluded from ``rows``; their 0-based positions are
-    returned so the caller can drop the positionally-paired shapes."""
+    schema downstream ('N' with decimals / 'F' → float, 'N' without →
+    int, 'D' → date, 'L' → bool, 'M' → memo block pointer resolved by
+    the zip reader, everything else stripped strings), so a blank value
+    in the first record cannot mistype a column. Parsing follows the
+    DECLARED type even for spec-sloppy values: a '123.0' or '1.2e2' in
+    an integer ('N', 0 decimals) field truncates via int(float(...)) —
+    real-world TIGER .dbf files contain these, and the alternative is a
+    createDataFrame type error three calls later. Records flagged
+    deleted ('*') are excluded from ``rows``; their 0-based positions
+    are returned so the caller can drop the positionally-paired
+    shapes."""
+    import datetime
     n_rec = struct.unpack("<i", b[4:8])[0]
     header_size, record_size = struct.unpack("<2H", b[8:12])
     fields = []
@@ -157,16 +164,42 @@ def parse_dbf(b: bytes) -> tuple[list[tuple[str, str, int, int]], list[list], li
             raw = rec[pos : pos + length].decode("latin-1").strip()
             pos += length
             if ftype in ("N", "F") and raw:
-                if ftype == "F" or decimals > 0 or "." in raw or "e" in raw.lower():
+                if ftype == "F" or decimals > 0:
                     vals.append(float(raw))
+                elif "." in raw or "e" in raw.lower():
+                    vals.append(int(float(raw)))  # sloppy-but-real DBFs
                 else:
                     vals.append(int(raw))
             elif ftype in ("N", "F"):
                 vals.append(None)
+            elif ftype == "D":
+                vals.append(
+                    datetime.date(int(raw[0:4]), int(raw[4:6]), int(raw[6:8]))
+                    if len(raw) == 8 and raw.isdigit() and raw != "00000000"
+                    else None
+                )
+            elif ftype == "L":
+                vals.append(
+                    True if raw in "YyTt" else False if raw in "NnFf" else None
+                )
+            elif ftype == "M":
+                # memo fields store a block pointer into the sidecar .dbt;
+                # read_zipped_shapefile resolves it to text when present
+                vals.append(int(raw) if raw.isdigit() else None)
             else:
                 vals.append(raw)
         rows.append(vals)
     return fields, rows, deleted
+
+
+def read_memo(dbt: bytes, block: int | None) -> str | None:
+    """dBase III .dbt memo: text begins at ``block``·512 and runs to the
+    0x1A terminator (or end of file)."""
+    if block is None or block <= 0 or block * 512 >= len(dbt):
+        return None
+    chunk = dbt[block * 512 :]
+    end = chunk.find(b"\x1a")
+    return chunk[: end if end >= 0 else len(chunk)].decode("latin-1").strip()
 
 
 def read_zipped_shapefile(
@@ -174,12 +207,23 @@ def read_zipped_shapefile(
 ) -> tuple[list[str], list[list], list[tuple[str, str, int, int]]]:
     """Zipped shapefile → (column names incl. trailing 'wkt', rows,
     dbf field specs). Uses the first .shp/.dbf member pair found.
-    Shapes paired with deleted .dbf records are dropped with them."""
+    Shapes paired with deleted .dbf records are dropped with them.
+    Memo ('M') block pointers resolve to text through the sidecar .dbt
+    member when present, NULL otherwise."""
     with zipfile.ZipFile(zip_path) as z:
         shp_name = next(n for n in z.namelist() if n.lower().endswith(".shp"))
         dbf_name = next(n for n in z.namelist() if n.lower().endswith(".dbf"))
         wkts = parse_shp(z.read(shp_name))
         fields, rows, deleted = parse_dbf(z.read(dbf_name))
+        dbt_name = next(
+            (n for n in z.namelist() if n.lower().endswith(".dbt")), None
+        )
+        memo_idx = [i for i, f in enumerate(fields) if f[1] == "M"]
+        if memo_idx:
+            dbt = z.read(dbt_name) if dbt_name else b""
+            for r in rows:
+                for i in memo_idx:
+                    r[i] = read_memo(dbt, r[i]) if dbt else None
     if deleted and len(wkts) == len(rows) + len(deleted):
         drop = set(deleted)
         wkts = [w for i, w in enumerate(wkts) if i not in drop]

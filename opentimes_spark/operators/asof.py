@@ -39,15 +39,29 @@ def asof_join(
     the latest ``right`` row with the same ``on`` key and
     ``right.ts <= left.ts`` (NULLs when no prior right row exists).
     ``right`` must be unique per (on, ts) — pre-aggregate if not, or
-    ties would be resolved arbitrarily."""
-    l_tag = left.withColumn("__side", F.lit(1))
-    for c in payload_cols:
-        l_tag = l_tag.withColumn(f"__p_{c}", F.lit(None).cast(right.schema[c].dataType))
+    ties would be resolved arbitrarily.
+
+    All payloads are filled through ONE struct column (the last non-null
+    STRUCT, not per-column last non-null values): every output row takes
+    its entire payload from the same matched right row, and a matched
+    row's legitimately-NULL field stays NULL instead of being forward-
+    filled from an older row — per-column ``last(ignorenulls)`` would
+    silently stitch values from different right rows."""
+    from pyspark.sql.types import StructField, StructType
+
+    p_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn(
+        "__p", F.lit(None).cast(p_type)
+    )
     r_tag = right.select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        # the struct itself is never NULL for a right row (even if every
+        # field is), so last(ignorenulls) skips only left-row placeholders
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("__p"),
     )
     # align schemas: left keeps all its columns; right rows carry NULL
     # for the left-only columns
@@ -62,13 +76,10 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in payload_cols
-        ],
+    filled = unioned.withColumn(
+        "__asof", F.last("__p", ignorenulls=True).over(w)
     )
-    return filled.filter(F.col("__side") == 1).drop(
-        "__side", *[f"__p_{c}" for c in payload_cols]
+    return filled.filter(F.col("__side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in payload_cols],
     )

@@ -32,6 +32,7 @@ def merge_changeset(
     keys: list[str],
     version_col: str,
     op_col: str = "op",
+    check: bool = True,
 ) -> DataFrame:
     """Apply ``changes`` to ``snapshot``, returning the new snapshot.
 
@@ -41,12 +42,35 @@ def merge_changeset(
     the changes (a snapshot built at version v beats changes ≤ v). On a
     version tie the change row wins (it is the later intent).
 
+    ``changes`` must be UNIQUE per (keys, version): two change rows in
+    the same version epoch for the same key exhaust the window ordering
+    and the winner would be whichever sorts first in its partition —
+    nondeterministic across runs. ``check=True`` (default) enforces this
+    with a bounded probe (first offending key only, one job over the
+    changeset — the small side of a merge); disable for changesets
+    already validated upstream.
+
     Plan: unionByName → row_number over (keys, version desc, change-side
     first) → keep rank 1, drop tombstones. Exactly one exchange on
     ``keys``; everything else is narrow.
     """
     if op_col not in changes.columns:
         raise ValueError(f"changes must carry an {op_col!r} column (U/D)")
+    if check:
+        dup = (
+            changes.groupBy(*keys, version_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            d = dup[0].asDict()
+            raise AssertionError(
+                "changes has duplicate rows per (keys, version) — winner "
+                f"would be nondeterministic (e.g. {d}); dedupe the "
+                "changeset or pass check=False for pre-validated input"
+            )
     snap = snapshot
     if op_col not in snap.columns:
         snap = snap.withColumn(op_col, F.lit(OP_UPSERT))

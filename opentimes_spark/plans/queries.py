@@ -3311,8 +3311,9 @@ def hist_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (
         SELECT doc_id, {_TOKS_SQL} AS toks,
-               LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                   / CAST(LENGTH(text) AS DOUBLE) AS praw
+               CASE WHEN LENGTH(text) = 0 THEN NULL ELSE
+                   LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                       / CAST(LENGTH(text) AS DOUBLE) END AS praw
         FROM documents
     ),
     m AS (
@@ -3320,23 +3321,30 @@ def hist_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(LENGTH(toks) AS BIGINT) AS n_tokens,
                LENGTH(list_distinct(toks)) AS n_uniq,
                ROUND(praw, 6) AS punct_ratio,
-               LENGTH(list_filter(toks,
-                   x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
-                   / CAST(LENGTH(toks) AS DOUBLE) AS sraw
+               CASE WHEN LENGTH(toks) = 0 THEN NULL ELSE
+                   LENGTH(list_filter(toks,
+                       x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+                       / CAST(LENGTH(toks) AS DOUBLE) END AS sraw
         FROM t
     )
     SELECT doc_id, n_tokens,
            concat_ws(',',
                CASE WHEN n_tokens < 20 THEN 'too_short' END,
                CASE WHEN punct_ratio > 0.1 THEN 'high_punct' END,
-               CASE WHEN n_uniq / CAST(n_tokens AS DOUBLE) < 0.3 THEN 'low_diversity' END,
-               CASE WHEN sraw >= 0.03 THEN NULL ELSE 'non_english' END
+               CASE WHEN n_tokens > 0
+                     AND n_uniq / CAST(n_tokens AS DOUBLE) < 0.3
+                    THEN 'low_diversity' END,
+               CASE WHEN n_tokens = 0 THEN 'non_english'
+                    WHEN sraw >= 0.03 THEN NULL ELSE 'non_english' END
            ) AS failed_filters,
            (concat_ws(',',
                CASE WHEN n_tokens < 20 THEN 'too_short' END,
                CASE WHEN punct_ratio > 0.1 THEN 'high_punct' END,
-               CASE WHEN n_uniq / CAST(n_tokens AS DOUBLE) < 0.3 THEN 'low_diversity' END,
-               CASE WHEN sraw >= 0.03 THEN NULL ELSE 'non_english' END
+               CASE WHEN n_tokens > 0
+                     AND n_uniq / CAST(n_tokens AS DOUBLE) < 0.3
+                    THEN 'low_diversity' END,
+               CASE WHEN n_tokens = 0 THEN 'non_english'
+                    WHEN sraw >= 0.03 THEN NULL ELSE 'non_english' END
            ) = '') AS kept
     FROM m
     """,
@@ -3348,16 +3356,28 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops are auditable. Single pass over the one-pass profile()
     projection (tokenize once), zero shuffles, all deterministic
     arithmetic (concat_ws skips the NULL arms of un-failed checks in
-    both engines)."""
+    both engines).
+
+    Zero-token guard: a token-less document is 'unknown' language on
+    the Spark side (NULL stopword ratio), while the oracle's raw
+    stopword fraction is 0/0 = NaN — which DuckDB's NaN-is-greatest
+    ordering would pass through ``sraw >= 0.03`` as true, silently NOT
+    flagging the doc. The oracle therefore pins ``n_tokens = 0`` to
+    non_english explicitly, so the two sides cannot diverge if the
+    corpus ever contains empty documents."""
     from opentimes_spark.functions.text import profile
 
     p = profile(_t(spark, sf_dir, "documents"))
+    nonzero_tok = F.when(F.col("n_tokens") > 0, F.col("n_tokens"))
     checks = [
         ("too_short", F.col("n_tokens") < 20),
         ("high_punct", F.col("punct_ratio") > 0.1),
         (
+            # NULL-divisor guard: a zero-token doc is NOT low_diversity
+            # (it already fails too_short + non_english); a bare ratio
+            # would DIVIDE_BY_ZERO under ANSI mode
             "low_diversity",
-            (F.col("n_uniq_tokens") / F.col("n_tokens")) < 0.3,
+            (F.col("n_uniq_tokens") / nonzero_tok) < 0.3,
         ),
         ("non_english", F.col("lang_pred") == "unknown"),
     ]

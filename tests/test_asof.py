@@ -108,3 +108,31 @@ def test_asof_matches_pandas_merge_asof(spark):
                 assert g is None, (seed, lid)
             else:
                 assert g == e, (seed, lid)
+
+
+def test_null_payload_not_forward_filled(spark):
+    """A matched right row whose payload field is NULL must yield NULL —
+    not an older row's value — and multi-payload output must come from
+    ONE right row (no per-column stitching across rows)."""
+    from opentimes_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [
+            ("k", 1, 10, "a"),
+            ("k", 2, None, "b"),   # price NULL at ts=2
+            ("k", 3, 30, None),    # tag NULL at ts=3
+        ],
+        "key string, ts int, price int, tag string",
+    )
+    left = spark.createDataFrame(
+        [("k", 2), ("k", 3)], "key string, ts int"
+    )
+    out = {
+        r["ts"]: (r["asof_price"], r["asof_tag"])
+        for r in asof_join(left, right, "key", "ts", ["price", "tag"]).collect()
+    }
+    # ts=2 matches the ts=2 right row wholesale: price stays NULL
+    assert out[2] == (None, "b")
+    # ts=3 matches the ts=3 right row wholesale: tag stays NULL (a
+    # per-column fill would stitch price=30 with tag='b' from ts=2)
+    assert out[3] == (30, None)

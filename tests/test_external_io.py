@@ -282,3 +282,87 @@ def test_shapefile_spec_edge_cases(spark, tmp_path):
     # the hole must sit in outerA's group (the polygon starting at 0 0)
     group_a = wkt[: wkt.index("((20")]
     assert "(2 2, 4 2, 4 4, 2 4, 2 2)" in group_a
+
+def _dbf_bytes(fields, records):
+    """fields = [(name bytes, type bytes, length, decimals)]; records =
+    list of lists of pre-padded ASCII strings."""
+    import struct
+
+    descs = b""
+    for name, t, ln, dec in fields:
+        descs += (
+            name.ljust(11, b"\0") + t + b"\0" * 4 + bytes([ln, dec]) + b"\0" * 14
+        )
+    rec_size = 1 + sum(f[2] for f in fields)
+    header_size = 32 + len(descs) + 1
+    dbf = (
+        bytes([3, 26, 8, 13])
+        + struct.pack("<i", len(records))
+        + struct.pack("<2H", header_size, rec_size)
+        + b"\0" * 20
+        + descs
+        + b"\x0d"
+    )
+    for rec in records:
+        dbf += b" " + b"".join(rec)
+    return dbf + b"\x1a"
+
+
+def test_dbf_date_logical_memo_and_sloppy_numeric(spark, tmp_path):
+    """TIGER-style extended field types: 'D' dates, 'L' logicals, 'M'
+    memo pointers resolved through the sidecar .dbt, and a spec-sloppy
+    value ('123.0' in a 0-decimal N field) that must follow the DECLARED
+    type (LongType) instead of failing createDataFrame."""
+    import datetime
+    import zipfile
+
+    from opentimes_spark.io.shapefile import parse_dbf, read_memo
+
+    fields = [
+        (b"POP", b"N", 9, 0),
+        (b"EFFDATE", b"D", 8, 0),
+        (b"ACTIVE", b"L", 1, 0),
+        (b"NOTES", b"M", 10, 0),
+    ]
+    records = [
+        [b"    123.0", b"20240131", b"T", b"         1"],
+        [b"      456", b"        ", b"?", b"          "],
+    ]
+    specs, rows, _ = parse_dbf(_dbf_bytes(fields, records))
+    assert [f[1] for f in specs] == ["N", "D", "L", "M"]
+    assert rows[0][0] == 123 and isinstance(rows[0][0], int)  # declared type wins
+    assert rows[0][1] == datetime.date(2024, 1, 31) and rows[1][1] is None
+    assert rows[0][2] is True and rows[1][2] is None
+    assert rows[0][3] == 1 and rows[1][3] is None  # raw block pointers
+
+    # memo block 1 of a dBase III .dbt: 512-byte blocks, 0x1A terminator
+    dbt = b"\0" * 512 + b"state boundary revised\x1a" + b"\0" * 100
+    assert read_memo(dbt, 1) == "state boundary revised"
+    assert read_memo(dbt, None) is None and read_memo(b"", 1) is None
+
+    # end-to-end through the zip loader: memo text + Date/Boolean schema
+    square = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0), (0.0, 0.0)]
+    zp = str(tmp_path / "dates.zip")
+    _build_shapefile_zip(zp, [("17", "Illinois", 1, [square]), ("18", "Indiana", 2, [square])])
+    with zipfile.ZipFile(zp, "a") as z:
+        z.writestr("state2.dbf", b"")  # ignored: first .dbf wins
+    # rebuild with extended dbf replacing the default one
+    with zipfile.ZipFile(zp, "w") as z:
+        import struct as _s
+
+        content = _s.pack("<i", 5) + _s.pack("<4d", 0, 0, 1, 1) + _s.pack("<2i", 1, 5)
+        content += _s.pack("<1i", 0)
+        for x, y in square:
+            content += _s.pack("<2d", x, y)
+        body = _s.pack(">2i", 1, len(content) // 2) + content
+        body += _s.pack(">2i", 2, len(content) // 2) + content
+        hdr = _s.pack(">i", 9994) + b"\0" * 20 + _s.pack(">i", (100 + len(body)) // 2)
+        hdr += _s.pack("<2i", 1000, 5) + _s.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+        z.writestr("s.shp", hdr + body)
+        z.writestr("s.dbf", _dbf_bytes(fields, records))
+        z.writestr("s.dbt", dbt)
+    df = load_zipped_shapefile(spark, zp)
+    assert dict(df.dtypes)["effdate"] == "date" and dict(df.dtypes)["active"] == "boolean"
+    got = sorted(df.collect(), key=lambda r: r["pop"])
+    assert got[0]["notes"] == "state boundary revised"
+    assert got[1]["notes"] is None and got[0]["effdate"] == datetime.date(2024, 1, 31)

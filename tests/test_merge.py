@@ -104,9 +104,14 @@ def test_merge_matches_dict_model_random(spark):
         chg = spark.createDataFrame(
             chg_rows, "k long, v string, version long, op string"
         )
+        # the random batches intentionally contain same-(key, version)
+        # duplicates, which the default uniqueness check rejects —
+        # check=False exercises the documented escape hatch
         got = {
             r["k"]: r["v"]
-            for r in merge_changeset(snap, chg, ["k"], "version").collect()
+            for r in merge_changeset(
+                snap, chg, ["k"], "version", check=False
+            ).collect()
         }
         # same-version duplicate CHANGES for one key tie arbitrarily in
         # the window (no arrival order on a distributed changeset), so
@@ -134,3 +139,18 @@ def test_merge_null_op_is_upsert_not_delete(spark):
         for r in merge_changeset(snap, changes, ["k"], "version").collect()
     }
     assert got[2] == "nullop"
+
+
+def test_merge_rejects_ambiguous_changeset(spark):
+    """Two change rows with the same (key, version) exhaust the window
+    ordering — the default check refuses to pick a nondeterministic
+    winner and names an offending key."""
+    snap = _snap(spark)
+    changes = spark.createDataFrame(
+        [(2, "x", 1, "U"), (2, "y", 1, "U")],
+        "k long, v string, version long, op string",
+    )
+    with pytest.raises(AssertionError, match="nondeterministic"):
+        merge_changeset(snap, changes, ["k"], "version")
+    # same rows sail through with the escape hatch
+    assert merge_changeset(snap, changes, ["k"], "version", check=False).count() == 3

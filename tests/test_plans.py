@@ -202,3 +202,23 @@ def test_tfidf_token_stream_shuffles_once(spark):
     # only the small side needs ENSURE_REQUIREMENTS exchanges (per-term
     # df agg + the 1-row corpus count); the window adds none
     assert p.count("ENSURE_REQUIREMENTS") == 2
+
+
+def test_profile_empty_and_tokenless_docs(spark):
+    """ANSI-mode guard: empty / whitespace-only / punct-only documents
+    must profile to NULL ratios + lang 'unknown', not DIVIDE_BY_ZERO,
+    and the corpus filter must flag them deterministically."""
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.functions.text import profile
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "!!!"), (4, "the quick brown fox and the dog")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in profile(docs).collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["punct_ratio"] is None
+    assert rows[1]["stop_ratio"] is None and rows[1]["lang_pred"] == "unknown"
+    assert rows[2]["lang_pred"] == "unknown"  # whitespace-only
+    assert rows[3]["punct_ratio"] == 1.0  # '!!!' has text but no tokens
+    assert rows[4]["lang_pred"] == "en"
