@@ -152,25 +152,69 @@ def _numpy_decode(b: bytes) -> np.ndarray:
     )
 
 
+# --- optional-Pillow seam --------------------------------------------------
+# Pillow is detected lazily PER PROCESS (the pandas-UDF workers import this
+# module independently of the driver) and cached; when absent, the pure-
+# numpy codecs still handle uncompressed formats, so "real" degrades
+# gracefully instead of refusing outright.
+
+_PIL_IMAGE: object = "unset"
+
+
+def _pillow():
+    """The PIL.Image module if importable in THIS process, else None.
+    Cached after first probe; tests reset the cache to inject fakes."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE == "unset":
+        try:
+            from PIL import Image as _img  # noqa: N813
+
+            _PIL_IMAGE = _img
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+def _real_decode(b: bytes) -> np.ndarray:
+    """Best-available decode: Pillow when installed (any format it
+    knows), else the numpy codecs for uncompressed PPM/BMP, else a
+    NotImplementedError naming the missing dependency — the disclosed
+    seam for compressed formats in a Pillow-less container."""
+    img_mod = _pillow()
+    if img_mod is not None:
+        import io as _io
+
+        im = img_mod.open(_io.BytesIO(b))
+        return np.asarray(im.convert("RGB"))
+    try:
+        return _numpy_decode(b)
+    except NotImplementedError:
+        raise NotImplementedError(
+            "compressed-format decoding requires Pillow (not importable in "
+            "this container); uncompressed PPM/BMP decode fine without it"
+        ) from None
+
+
 def decode_image(df: DataFrame, codec: str = "fake") -> DataFrame:
     """payload → (width, height, n_bytes, checksum) metadata frame.
 
     Codecs: ``"fake"`` (digest-derived dims, any payload), ``"numpy"``
     (REAL decode of uncompressed PPM/BMP — header parse + reshape, no
-    image library), ``"real"`` (the Pillow seam for compressed formats,
-    raises here)."""
-    if codec == "real":
-        raise NotImplementedError(
-            "compressed-format decoding requires Pillow/opencv — not in "
-            "this container; 'numpy' decodes uncompressed PPM/BMP for "
-            "real, 'fake' exercises identical plumbing for any payload"
-        )
+    image library), ``"real"`` (best available: Pillow when importable
+    in the worker process — any format it knows — else the numpy
+    codecs; compressed formats without Pillow raise at the disclosed
+    seam inside the UDF)."""
+    if codec not in ("fake", "numpy", "real"):
+        raise ValueError(f"unknown codec: {codec}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             payloads = batch["payload"]
             if codec == "numpy":
                 imgs = [_numpy_decode(bytes(p)) for p in payloads]
+                dims = [(im.shape[1], im.shape[0]) for im in imgs]
+            elif codec == "real":
+                imgs = [_real_decode(bytes(p)) for p in payloads]
                 dims = [(im.shape[1], im.shape[0]) for im in imgs]
             else:
                 dims = [_fake_decode(bytes(p)) for p in payloads]
@@ -268,12 +312,11 @@ def resize_images(
     ``codec="numpy"`` performs a REAL nearest-neighbor resize of
     uncompressed PPM/BMP payloads (pure index sampling) and re-encodes
     the result as PPM; ``"fake"`` stride-samples raw bytes (any
-    payload); ``"real"`` is the Pillow seam for compressed formats."""
-    if codec == "real":
-        raise NotImplementedError(
-            "compressed-format resize requires Pillow — not in this "
-            "container; 'numpy' resizes uncompressed PPM/BMP for real"
-        )
+    payload); ``"real"`` decodes best-available (Pillow when importable
+    in the worker, numpy otherwise) then nearest-neighbor resizes and
+    re-encodes as PPM — one uniform output codec regardless of input."""
+    if codec not in ("fake", "numpy", "real"):
+        raise ValueError(f"unknown codec: {codec}")
     n_out = target_w * target_h
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -281,12 +324,12 @@ def resize_images(
             outs = []
             for p in batch["payload"]:
                 b = bytes(p)
-                if codec == "numpy":
-                    img = _numpy_decode(b)
+                if codec in ("numpy", "real"):
+                    img = _numpy_decode(b) if codec == "numpy" else _real_decode(b)
                     h, w, _ = img.shape
                     yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
                     xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
-                    out = encode_ppm(img[yi][:, xi])
+                    out = encode_ppm(np.ascontiguousarray(img[yi][:, xi]))
                 elif len(b) >= n_out:
                     stride = len(b) // n_out
                     out = b[::stride][:n_out]

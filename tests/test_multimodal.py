@@ -36,9 +36,58 @@ def test_decode_deterministic(spark, media):
     assert a == b
 
 
-def test_real_codec_seam_raises(media):
-    with pytest.raises(NotImplementedError):
-        decode_image(media, codec="real")
+def test_real_codec_seam_raises_on_compressed_without_pillow(media):
+    """'real' degrades to the numpy codecs in a Pillow-less container —
+    an opaque (non-PPM/BMP) payload hits the disclosed seam."""
+    import opentimes_spark.operators.multimodal as mm
+
+    mm._PIL_IMAGE = "unset"
+    if mm._pillow() is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm._real_decode(b"\x89PNG\r\n\x1a\nfakepngbytes")
+
+
+def test_pillow_seam_dispatch_both_ways(monkeypatch):
+    """The seam itself, exercised in BOTH states inside this container:
+    with an injected fake PIL module 'real' decodes through it; with the
+    cache reset to import-failure it falls back to the numpy codecs."""
+    import sys
+    import types
+
+    import numpy as np
+
+    import opentimes_spark.operators.multimodal as mm
+
+    decoded = np.zeros((4, 6, 3), dtype=np.uint8)
+
+    class _FakeIm:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return decoded
+
+    fake_image_mod = types.SimpleNamespace(open=lambda buf: _FakeIm())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    mm._PIL_IMAGE = "unset"
+    try:
+        out = mm._real_decode(b"\x89PNG anything: the fake handles it")
+        assert out.shape == (4, 6, 3)  # went through the Pillow branch
+    finally:
+        mm._PIL_IMAGE = "unset"
+
+    monkeypatch.delitem(sys.modules, "PIL")
+    monkeypatch.delitem(sys.modules, "PIL.Image")
+    mm._PIL_IMAGE = "unset"
+    try:
+        # fallback branch: numpy PPM decode still works without Pillow
+        from opentimes_spark.operators.multimodal import encode_ppm
+
+        img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        assert (mm._real_decode(encode_ppm(img)) == img).all()
+    finally:
+        mm._PIL_IMAGE = "unset"
 
 
 def test_features_feed_similarity(spark, media):
@@ -81,13 +130,31 @@ def test_resize_images_bounds_payload(spark):
     }
 
 
-def test_resize_real_codec_gate(spark):
-    import pytest
+def test_real_codec_end_to_end_on_uncompressed(spark):
+    """codec='real' through the full Spark path: in this container the
+    worker-side Pillow probe fails, so the numpy fallback decodes the
+    PPM payloads — same rows as codec='numpy'."""
+    import numpy as np
 
-    from opentimes_spark.operators.multimodal import resize_images, synthesize_media
+    from opentimes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        encode_ppm,
+        resize_images,
+    )
 
-    with pytest.raises(NotImplementedError):
-        resize_images(synthesize_media(spark, n=4), codec="real")
+    rows = []
+    for i in range(4):
+        rng = np.random.RandomState(i)
+        img = rng.randint(0, 255, size=(10 + i, 20 + i, 3), dtype=np.uint8)
+        rows.append((i, "image", bytearray(encode_ppm(img)), "image/x-ppm"))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    real = {r["media_id"]: (r["width"], r["height"]) for r in decode_image(media, codec="real").collect()}
+    np_ = {r["media_id"]: (r["width"], r["height"]) for r in decode_image(media, codec="numpy").collect()}
+    assert real == np_ == {i: (20 + i, 10 + i) for i in range(4)}
+    resized = resize_images(media, target_w=5, target_h=4, codec="real").collect()
+    assert {(r["width"], r["height"]) for r in resized} == {(5, 4)}
+    assert all(bytes(r["payload"]).startswith(b"P6") for r in resized)
 
 
 def test_numpy_codec_roundtrip_ppm_bmp():
