@@ -371,3 +371,78 @@ def simhash(
         lambda acc, x: acc + x,
     )
     return arrs.select(F.col(id_col), value.alias("simhash"))
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring detection at token-span granularity
+    (the Lee et al. 2022 "Deduplicating Training Data" ExactSubstr idea,
+    re-expressed relationally): every length-``n`` token window is
+    hashed, and a span is *duplicated* when the same hash occurs in at
+    least two distinct documents.  Returns one row per input document
+    with ``n_spans``, ``n_dup`` (span positions whose content appears in
+    another document) and ``dup_frac``.
+
+    Scale design: instead of a corpus-wide suffix array (the paper's
+    single-node structure), span hashes are a distributed group-by —
+    span generation is a per-row projection (no shuffle) and the
+    cross-document occurrence count is ONE shuffle keyed by the
+    uniformly-distributed span hash.  Hot spans (boilerplate repeated
+    in millions of docs) group to a single counter row rather than
+    fanning out pairwise, so there is no quadratic blow-up to cap.
+    ``n_spans`` is a pure projection (``len(tokens)-n+1``), so the
+    exploded stream is only consulted for *duplicated* hashes: the
+    count side is filtered to ``nd >= 2`` BEFORE the join back, which
+    at realistic duplication rates shrinks it enough for AQE to pick a
+    broadcast join — the explode is then the only full pass.
+
+    md5 span hashes keep the result engine-portable for the oracle; a
+    production run would swap in xxhash64.
+    """
+    from opentimes_spark.functions.text import stable_round
+
+    toks = tokens(F.col(text_col))
+    span_hashes = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        span_hashes.alias("_hs"),
+        F.greatest(F.size(toks) - (n - 1), F.lit(0)).alias("n_spans"),
+    )
+    spans = base.select(F.col(id_col), F.explode("_hs").alias("h"))
+    dup_hashes = (
+        spans.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_per_doc = (
+        spans.join(dup_hashes, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        base.drop("_hs")
+        .join(dup_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            stable_round(
+                F.when(F.col("n_spans") == 0, F.lit(0.0)).otherwise(
+                    F.coalesce("n_dup", F.lit(0))
+                    / F.col("n_spans").cast("double")
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -3656,3 +3656,234 @@ def cenloc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: relational breadth (TPC-H Q3/Q6 shapes) and
+# training-data prep (sequence packing, mixture sampling, exact duplicated
+# spans).  SURVEY.md §2.3/§2.4 Ext + the brief's LLM-pipeline surface.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*)                                    AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global agg.  Every predicate is
+    scan-eligible (shipdate range, discount range, quantity bound push
+    into the parquet reader as PushedFilters), and the agg is a
+    map-side partial + single-row final — the cheapest possible plan
+    for a 100 TB fact scan.  (SURVEY.md §2.2 P6 range + §2.4 Ext.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey                                        AS orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d')                 AS orderdate,
+           o.o_orderpriority                                   AS orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-15'
+      AND l.l_shipdate  > TIMESTAMP '1997-06-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension (filtered customer segment)
+    BROADCAST into orders, one shuffle joining the date-filtered fact,
+    grouped agg, TakeOrderedAndProject top-10 (rounded revenue is the
+    sort key on both engines so ulp order can't flip the cut; orderkey
+    breaks ties deterministically).  (SURVEY.md §2.3 J2 + O-Ext.)"""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-15").cast("timestamp")
+    )
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.col("revenue").desc(), "orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "pack_sequences",
+    """
+    WITH toks AS (
+        SELECT source, doc_id,
+               LENGTH(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t != '')) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) - n_tok)
+                          / 512.0) AS BIGINT) AS seq_bin
+        FROM toks
+    )
+    SELECT source, seq_bin,
+           COUNT(*)                 AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tot_tokens
+    FROM packed
+    GROUP BY source, seq_bin
+    """,
+)
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate each source's documents
+    in stable doc_id order and bin them by 512-token training-sequence
+    offsets.  One shuffle (window on source); see
+    operators/packing.py for the 100 TB sharding note."""
+    from opentimes_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        pack_sequences(docs, budget=512)
+        .groupBy("source", "seq_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tot_tokens"),
+        )
+    )
+
+
+@query(
+    "mix_sources_weighted",
+    """
+    WITH w AS (
+        SELECT source,
+               LENGTH(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t != '')) AS n_tok,
+               CAST(CASE CAST(SUBSTR(source, 4) AS INT) % 4
+                    WHEN 0 THEN 0.2 WHEN 1 THEN 0.5 WHEN 2 THEN 0.8
+                    ELSE 1.0 END AS DOUBLE) AS wt,
+               CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS UBIGINT) / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*)                   AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+    FROM w
+    WHERE u < wt
+    GROUP BY source
+    """,
+)
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe mixture sampling: keep a per-source weight fraction
+    of documents via a deterministic md5 coin (no rand(); reproducible
+    across engines/retries — the oracle replays the exact sample).
+    Zero-shuffle filter + one agg exchange."""
+    from opentimes_spark.functions.text import tokens as _tokens
+    from opentimes_spark.operators.packing import weighted_source_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    src_mod = F.substring("source", 4, 8).cast("int") % 4
+    wt = (
+        F.when(src_mod == 0, 0.2)
+        .when(src_mod == 1, 0.5)
+        .when(src_mod == 2, 0.8)
+        .otherwise(1.0)
+    )
+    kept = weighted_source_mixture(docs.withColumn("wt", wt), F.col("wt"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.size(_tokens(F.col("text")))).cast("long").alias("kept_tokens"),
+    )
+
+
+@query(
+    "dedup_spans_exact",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t != '') AS tk
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   generate_series(1, GREATEST(LENGTH(tk) - 7, 0)),
+                   i -> md5(array_to_string(tk[i:i+7], ' ')))) AS h
+        FROM toks
+    ),
+    hash_docs AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h
+    ),
+    per_doc AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup
+        FROM spans s JOIN hash_docs hd USING (h)
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.n_dup, 0)   AS n_dup,
+           FLOOR((CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN 0.0
+                       ELSE p.n_dup / CAST(p.n_spans AS DOUBLE) END)
+                 * 1000000 + 0.5) / 1000000 AS dup_frac
+    FROM documents d
+    LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated token-span detection (ExactSubstr dedup,
+    Lee et al. 2022) — per-document count/fraction of 8-token windows
+    whose content recurs in another document.  See
+    operators/dedup.py:duplicated_span_stats for the scale notes
+    (group-by on span hash, no pairwise fan-out)."""
+    from opentimes_spark.operators.dedup import duplicated_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, n=8)

@@ -1,0 +1,79 @@
+"""Sequence packing, mixture sampling, and duplicated-span tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentimes_spark.operators.dedup import duplicated_span_stats
+from opentimes_spark.operators.packing import (
+    pack_sequences,
+    weighted_source_mixture,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            # src_a tokens: 4, 3, 5 -> offsets 0, 4, 7 under budget 6 ->
+            # bins 0, 0, 1
+            (1, "a b c d", "src_a"),
+            (2, "e f g", "src_a"),
+            (3, "h i j k l", "src_a"),
+            # src_b tokens: 7 -> offset 0 -> bin 0
+            (4, "m n o p q r s", "src_b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_pack_sequences_bins(corpus):
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(corpus, budget=6).collect()
+    }
+    assert rows[1]["n_tok"] == 4 and rows[1]["seq_bin"] == 0
+    assert rows[2]["n_tok"] == 3 and rows[2]["seq_bin"] == 0
+    assert rows[3]["n_tok"] == 5 and rows[3]["seq_bin"] == 1
+    assert rows[4]["seq_bin"] == 0  # separate source restarts offsets
+
+
+def test_pack_sequences_rejects_bad_budget(corpus):
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(corpus, budget=0)
+
+
+def test_mixture_weight_extremes_and_determinism(corpus):
+    assert weighted_source_mixture(corpus, F.lit(1.0)).count() == 4
+    assert weighted_source_mixture(corpus, F.lit(0.0)).count() == 0
+    half_1 = sorted(
+        r["doc_id"]
+        for r in weighted_source_mixture(corpus, F.lit(0.5)).collect()
+    )
+    half_2 = sorted(
+        r["doc_id"]
+        for r in weighted_source_mixture(corpus, F.lit(0.5)).collect()
+    )
+    assert half_1 == half_2  # hash coin, not rand(): replayable
+
+
+def test_duplicated_span_stats(spark):
+    shared = "one two three four five six seven eight"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),  # 10 tokens -> 3 spans
+            (2, "head0 " + shared),  # 9 tokens -> 2 spans
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (4, "too short"),  # < 8 tokens -> 0 spans
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_span_stats(docs, n=8).collect()}
+    assert len(out) == 4  # zero-span docs preserved
+    # docs 1 and 2 share exactly the `shared` 8-token window
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup"] == 1
+    assert out[2]["n_spans"] == 2 and out[2]["n_dup"] == 1
+    assert out[1]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[3]["n_spans"] == 2 and out[3]["n_dup"] == 0
+    assert out[4]["n_spans"] == 0 and out[4]["dup_frac"] == 0.0
