@@ -3887,3 +3887,74 @@ def dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return duplicated_span_stats(docs, n=8)
+
+
+@query(
+    "vocab_topk",
+    """
+    SELECT t AS token, COUNT(*) AS n
+    FROM (
+        SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x != '')) AS t
+        FROM documents
+    )
+    GROUP BY t
+    ORDER BY n DESC, t
+    LIMIT 20
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k (tokenizer vocab building / frequency
+    cutoff selection).  Explode is a projection; the count is ONE
+    shuffle on the token (partial map-side combine collapses the
+    fan-out first — at 100 TB the shuffle carries one row per distinct
+    token per partition, not per occurrence), then
+    TakeOrderedAndProject keeps k rows per partition.  Ties broken by
+    token for a deterministic cut.  (SURVEY.md §2.4 Ext.)"""
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH activity AS (
+        SELECT user_id,
+               CAST(ts AS DATE) AS d,
+               MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_d
+        FROM events
+    )
+    SELECT STRFTIME(cohort_d, '%Y-%m-%d')                             AS cohort_date,
+           CAST(FLOOR(DATE_DIFF('day', cohort_d, d) / 7.0) AS BIGINT) AS week_offset,
+           COUNT(DISTINCT user_id)                                    AS n_users
+    FROM activity
+    GROUP BY cohort_d, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen date, user
+    counts per whole-week offset since.  The per-user first-seen date
+    is a window MIN — one shuffle on user_id, no self-join — and the
+    matrix agg is the only other exchange.  (SURVEY.md §2.5 W-Ext over
+    the events table.)"""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    from pyspark.sql.window import Window
+
+    cohort = F.min("d").over(Window.partitionBy("user_id"))
+    act = ev.withColumn("cohort_d", cohort)
+    return act.groupBy(
+        F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_date"),
+        F.floor(F.datediff("d", "cohort_d") / 7.0)
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))
