@@ -48,6 +48,11 @@ HEADLINE = [
     "text_repetition",
     "orders_cdc_merge",
     "text_tfidf_topk",
+    # round-3 operator families
+    "q3_shipping_priority",
+    "dedup_spans_exact",
+    "pack_sequences",
+    "vocab_topk",
 ]
 
 

@@ -222,3 +222,30 @@ def test_profile_empty_and_tokenless_docs(spark):
     assert rows[2]["lang_pred"] == "unknown"  # whitespace-only
     assert rows[3]["punct_ratio"] == 1.0  # '!!!' has text but no tokens
     assert rows[4]["lang_pred"] == "en"
+
+
+def test_dedup_spans_broadcasts_dup_hashes(spark):
+    """duplicated_span_stats filters the span-hash counts to nd>=2
+    BEFORE joining back, so at realistic duplication rates AQE turns
+    both joins into broadcasts — the exploded span stream is never
+    sort-merge shuffled."""
+    from opentimes_spark.operators.dedup import duplicated_span_stats
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    out = duplicated_span_stats(docs, n=8)
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    final = executed.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, final[:2000]
+    assert final.count("BroadcastHashJoin") == 2
+
+
+def test_pack_sequences_single_exchange(spark):
+    """The per-source window cumsum partitions by source; the final
+    (source, seq_bin) agg is clustering-compatible with it, so the
+    whole packing query must run on ONE exchange."""
+    from opentimes_spark.plans.queries import QUERIES
+
+    p = plan(QUERIES["pack_sequences"](spark, SF_DIR))
+    assert p.count("Exchange") == 1, p[:2000]
