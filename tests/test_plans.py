@@ -247,5 +247,5 @@ def test_pack_sequences_single_exchange(spark):
     whole packing query must run on ONE exchange."""
     from opentimes_spark.plans.queries import QUERIES
 
-    p = plan(QUERIES["pack_sequences"](spark, SF_DIR))
+    p = plan(QUERIES["pack_sequences"](spark, SF_DIR), mode="simple")
     assert p.count("Exchange") == 1, p[:2000]
