@@ -405,20 +405,42 @@ def duplicated_span_stats(
     """
     from opentimes_spark.functions.text import stable_round
 
-    toks = tokens(F.col(text_col))
+    # Stage the tokenization into its own projection: the span transform
+    # references the token array once per position, and Catalyst does
+    # not CSE non-cheap expressions into higher-order lambdas — an
+    # un-staged split() would re-tokenize the document PER SPAN
+    # (measured 20s vs 1s at sf0.1).  Same pattern as text.profile.
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    # Small-scan guard: the span hashing below is the expensive part of
+    # the whole operator, and a corpus that fits in one scan split would
+    # otherwise run it on one core.  Widen to cluster parallelism first;
+    # at real scale the scan already has >= defaultParallelism splits
+    # and this branch is a no-op (no exchange inserted).
+    ctx = df.sparkSession.sparkContext
+    if staged.rdd.getNumPartitions() < ctx.defaultParallelism:
+        staged = staged.repartition(ctx.defaultParallelism)
+    tk = F.col("_tk")
     span_hashes = F.when(
-        F.size(toks) >= n,
+        F.size(tk) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, n))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = df.select(
+    base = staged.select(
         F.col(id_col),
         span_hashes.alias("_hs"),
-        F.greatest(F.size(toks) - (n - 1), F.lit(0)).alias("n_spans"),
+        F.greatest(F.size(tk) - (n - 1), F.lit(0)).alias("n_spans"),
     )
-    spans = base.select(F.col(id_col), F.explode("_hs").alias("h"))
+    # explode_outer, NOT explode: for a plain explode Catalyst's
+    # InferFiltersFromGenerate synthesizes `size(_hs) > 0` and pushes it
+    # below the exchange — re-inlining the whole span expression
+    # (including the tokenizer) into the serial scan stage.  The outer
+    # variant infers nothing; empty docs surface as one NULL span row
+    # dropped by the cheap post-explode filter.
+    spans = base.select(
+        F.col(id_col), F.explode_outer("_hs").alias("h")
+    ).filter(F.col("h").isNotNull())
     dup_hashes = (
         spans.groupBy("h")
         .agg(F.count_distinct(id_col).alias("nd"))
