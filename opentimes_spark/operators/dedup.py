@@ -373,6 +373,56 @@ def simhash(
     return arrs.select(F.col(id_col), value.alias("simhash"))
 
 
+def _span_base(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, _hs: array of md5 span hashes, n_spans) per document.
+
+    Two hard-won plan rules live here:
+
+    - The tokenization is STAGED into its own projection: Catalyst does
+      not CSE non-cheap expressions into higher-order lambdas, so an
+      un-staged split() would re-tokenize the document PER SPAN
+      (measured 20s vs 1s at sf0.1).  Same pattern as text.profile.
+    - Small-scan guard: span hashing is the expensive part, and a
+      corpus that fits in one scan split would run it on one core.
+      Widen to cluster parallelism first; at real scale the scan
+      already has >= defaultParallelism splits and this is a no-op.
+    """
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    ctx = df.sparkSession.sparkContext
+    if staged.rdd.getNumPartitions() < ctx.defaultParallelism:
+        staged = staged.repartition(ctx.defaultParallelism)
+    tk = F.col("_tk")
+    span_hashes = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select(
+        F.col(id_col),
+        span_hashes.alias("_hs"),
+        F.greatest(F.size(tk) - (n - 1), F.lit(0)).alias("n_spans"),
+    )
+
+
+def _span_stream(base: DataFrame, id_col: str) -> DataFrame:
+    """Explode the span-hash arrays to (id, h) rows.
+
+    explode_outer, NOT explode: for a plain explode Catalyst's
+    InferFiltersFromGenerate synthesizes `size(_hs) > 0` and pushes it
+    below the exchange — re-inlining the whole span expression
+    (including the tokenizer) into the serial scan stage.  The outer
+    variant infers nothing; empty docs surface as one NULL span row
+    dropped by the cheap post-explode filter.
+    """
+    return base.select(
+        F.col(id_col), F.explode_outer("_hs").alias("h")
+    ).filter(F.col("h").isNotNull())
+
+
 def duplicated_span_stats(
     df: DataFrame,
     n: int = 8,
@@ -405,42 +455,8 @@ def duplicated_span_stats(
     """
     from opentimes_spark.functions.text import stable_round
 
-    # Stage the tokenization into its own projection: the span transform
-    # references the token array once per position, and Catalyst does
-    # not CSE non-cheap expressions into higher-order lambdas — an
-    # un-staged split() would re-tokenize the document PER SPAN
-    # (measured 20s vs 1s at sf0.1).  Same pattern as text.profile.
-    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
-    # Small-scan guard: the span hashing below is the expensive part of
-    # the whole operator, and a corpus that fits in one scan split would
-    # otherwise run it on one core.  Widen to cluster parallelism first;
-    # at real scale the scan already has >= defaultParallelism splits
-    # and this branch is a no-op (no exchange inserted).
-    ctx = df.sparkSession.sparkContext
-    if staged.rdd.getNumPartitions() < ctx.defaultParallelism:
-        staged = staged.repartition(ctx.defaultParallelism)
-    tk = F.col("_tk")
-    span_hashes = F.when(
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = staged.select(
-        F.col(id_col),
-        span_hashes.alias("_hs"),
-        F.greatest(F.size(tk) - (n - 1), F.lit(0)).alias("n_spans"),
-    )
-    # explode_outer, NOT explode: for a plain explode Catalyst's
-    # InferFiltersFromGenerate synthesizes `size(_hs) > 0` and pushes it
-    # below the exchange — re-inlining the whole span expression
-    # (including the tokenizer) into the serial scan stage.  The outer
-    # variant infers nothing; empty docs surface as one NULL span row
-    # dropped by the cheap post-explode filter.
-    spans = base.select(
-        F.col(id_col), F.explode_outer("_hs").alias("h")
-    ).filter(F.col("h").isNotNull())
+    base = _span_base(df, n, id_col, text_col)
+    spans = _span_stream(base, id_col)
     dup_hashes = (
         spans.groupBy("h")
         .agg(F.count_distinct(id_col).alias("nd"))
@@ -466,5 +482,50 @@ def duplicated_span_stats(
                 ),
                 6,
             ).alias("dup_frac"),
+        )
+    )
+
+
+def span_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    exact ``n``-token span with an evaluation/benchmark set (the
+    standard n-gram-overlap contamination check used before LLM
+    training runs).  Returns one row per training document with
+    ``n_spans``, ``n_hits`` (span positions whose content occurs
+    anywhere in the eval set) and a ``contaminated`` flag.
+
+    Scale design: benchmark sets are small relative to a 100 TB corpus,
+    so the distinct eval span hashes are the BROADCAST side of the
+    probe join — the training corpus streams through map-side, and the
+    only shuffle is the per-document hit count (keyed by doc id, then
+    broadcast back onto the n_spans projection).  The eval side's
+    distinct() is a shuffle of the eval set only.
+    """
+    t_base = _span_base(train, n, id_col, text_col)
+    t_spans = _span_stream(t_base, id_col)
+    e_spans = (
+        _span_stream(_span_base(eval_df, n, id_col, text_col), id_col)
+        .select("h")
+        .distinct()
+    )
+    hits = (
+        t_spans.join(F.broadcast(e_spans), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        t_base.drop("_hs")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )

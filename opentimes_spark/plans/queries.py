@@ -3958,3 +3958,55 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("week_offset"),
     ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+@query(
+    "decontaminate_spans",
+    """
+    WITH tk AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t != '') AS tk
+        FROM documents
+    ),
+    eval_spans AS (
+        SELECT DISTINCT
+               UNNEST(list_transform(
+                   generate_series(1, GREATEST(LENGTH(tk) - 7, 0)),
+                   i -> md5(array_to_string(tk[i:i+7], ' ')))) AS h
+        FROM tk WHERE source = 'src19'
+    ),
+    train_spans AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   generate_series(1, GREATEST(LENGTH(tk) - 7, 0)),
+                   i -> md5(array_to_string(tk[i:i+7], ' ')))) AS h
+        FROM tk WHERE source != 'src19'
+    ),
+    hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_hits
+        FROM train_spans t JOIN eval_spans e USING (h)
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           GREATEST(LENGTH(d.tk) - 7, 0)  AS n_spans,
+           COALESCE(h.n_hits, 0)          AS n_hits,
+           COALESCE(h.n_hits, 0) > 0      AS contaminated
+    FROM tk d
+    LEFT JOIN hits h USING (doc_id)
+    WHERE d.source != 'src19'
+    """,
+)
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (sources != src19)
+    flagged when they share any exact 8-token span with the held-out
+    eval source (src19).  Eval span hashes broadcast; see
+    operators/dedup.py:span_contamination for the scale notes."""
+    from opentimes_spark.operators.dedup import span_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_contamination(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"),
+        n=8,
+    )

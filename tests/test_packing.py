@@ -77,3 +77,25 @@ def test_duplicated_span_stats(spark):
     assert out[1]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
     assert out[3]["n_spans"] == 2 and out[3]["n_dup"] == 0
     assert out[4]["n_spans"] == 0 and out[4]["dup_frac"] == 0.0
+
+
+def test_span_contamination(spark):
+    from opentimes_spark.operators.dedup import span_contamination
+
+    bench_text = "q one two three four five six seven eight end"
+    train = spark.createDataFrame(
+        [
+            (1, "x one two three four five six seven eight y"),  # shares span
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (3, "tiny doc"),  # zero spans
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in span_contamination(train, eval_df).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert out[3]["n_spans"] == 0 and not out[3]["contaminated"]
+    assert 100 not in out  # eval docs are not output rows
