@@ -4010,3 +4010,62 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src19"),
         n=8,
     )
+
+
+@query(
+    "q18_large_volume_orders",
+    """
+    WITH hot AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_custkey                          AS custkey,
+           o.o_orderkey                         AS orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d')  AS orderdate,
+           ROUND(o.o_totalprice, 2)             AS totalprice,
+           ROUND(SUM(l.l_quantity), 2)          AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM hot)
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY totalprice DESC, orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg-HAVING derives a small hot-key set that
+    SEMI-joins the fact (broadcast — the HAVING filter collapses it far
+    below the broadcast threshold), then re-aggregates only surviving
+    rows.  Fact-side plan (runtime-checked): the hot-set agg shuffles
+    lineitem once on l_orderkey, but the PROBE pass never shuffles —
+    hot set, orders, and customer all ride broadcast joins, so the only
+    other exchange is the 46-ish-row re-agg.  (SURVEY.md §2.3 J6 +
+    §2.4 Ext.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(hot), "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "orderkey")
+        .limit(20)
+    )
