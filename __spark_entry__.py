@@ -68,6 +68,18 @@ _FRONT = [
     "embed_quantize_int8",
     "join_null_safe",
     "tokens_posexplode",
+    # Round-3 additions, highest-priority first: with 42 uncovered names
+    # above, exactly 8 of these fit the driver gate's 50-entry window.
+    # The remainder (and anything registered later) still slots ahead of
+    # the r1/r2-certified block via the `fresh` rule in _ordered.
+    "cenloc_build",
+    "dedup_spans_exact",
+    "decontaminate_spans",
+    "pack_sequences",
+    "mix_sources_weighted",
+    "vocab_topk",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
 ]
 
 
