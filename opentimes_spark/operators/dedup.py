@@ -529,3 +529,73 @@ def span_contamination(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def remove_duplicated_spans(
+    train: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full ExactSubstr deduplication (Lee et al. 2022): REWRITE the
+    corpus so that every cross-document duplicated ``n``-token span
+    survives in exactly one canonical document (the minimum id among
+    its holders) and is cut from all others.  Returns
+    (id, n_before, n_after, text_clean).
+
+    Scale design mirrors ``duplicated_span_stats``: span hashing is a
+    per-row projection, cross-doc stats one shuffle on the span hash.
+    The removal itself is per-row again — the only new exchange is the
+    per-doc removal-position list (collect_list keyed by doc id, which
+    rides back onto the token arrays as a broadcast at realistic dup
+    rates).  Canonical-holder semantics keep the op idempotent: a
+    second pass removes nothing, because each surviving span now has
+    one holder.
+    """
+    staged = train.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    )
+    ctx = train.sparkSession.sparkContext
+    if staged.rdd.getNumPartitions() < ctx.defaultParallelism:
+        staged = staged.repartition(ctx.defaultParallelism)
+    tk = F.col("_tk")
+    span_hashes = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = staged.select(F.col(id_col), tk.alias("_tk"), span_hashes.alias("_hs"))
+    # posexplode_outer for the same InferFiltersFromGenerate reason as
+    # _span_stream; pos is 1-based to match the sequence() start.
+    spans = base.select(
+        F.col(id_col), F.posexplode_outer("_hs").alias("_p0", "h")
+    ).filter(F.col("h").isNotNull()).select(
+        F.col(id_col), (F.col("_p0") + 1).alias("pos"), "h"
+    )
+    stats = spans.groupBy("h").agg(
+        F.count_distinct(id_col).alias("nd"),
+        F.min(id_col).alias("min_doc"),
+    )
+    removals = (
+        spans.join(stats.filter(F.col("nd") >= 2), "h")
+        .filter(F.col(id_col) != F.col("min_doc"))
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_dps"))
+    )
+    dps = F.coalesce("_dps", F.array().cast("array<int>"))
+    covered = lambda i: F.exists(  # noqa: E731 — reads best inline
+        dps, lambda q: ((i + 1) >= q) & ((i + 1) <= q + (n - 1))
+    )
+    cleaned = F.filter(tk, lambda x, i: ~covered(i))
+    return (
+        base.drop("_hs")
+        .join(removals, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(tk).cast("long").alias("n_before"),
+            F.size(cleaned).cast("long").alias("n_after"),
+            F.concat_ws(" ", cleaned).alias("text_clean"),
+        )
+    )

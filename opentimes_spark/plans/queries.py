@@ -4069,3 +4069,60 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice").desc(), "orderkey")
         .limit(20)
     )
+
+
+@query(
+    "dedup_spans_rewrite",
+    """
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t != '') AS tk
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.h
+        FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       generate_series(1, GREATEST(LENGTH(tk) - 7, 0)),
+                       i -> struct_pack(
+                           pos := i,
+                           h := md5(array_to_string(tk[i:i+7], ' '))))) AS u
+            FROM tk
+        )
+    ),
+    stats AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS min_doc
+        FROM spans GROUP BY h
+    ),
+    removals AS (
+        SELECT s.doc_id, LIST(s.pos) AS dps
+        FROM spans s JOIN stats st USING (h)
+        WHERE st.nd >= 2 AND s.doc_id != st.min_doc
+        GROUP BY s.doc_id
+    )
+    SELECT t.doc_id,
+           LENGTH(t.tk) AS n_before,
+           LENGTH(list_filter(t.tk, (x, i) ->
+               LENGTH(list_filter(COALESCE(r.dps, []::BIGINT[]),
+                                  q -> i >= q AND i <= q + 7)) = 0))
+               AS n_after,
+           COALESCE(array_to_string(list_filter(t.tk, (x, i) ->
+               LENGTH(list_filter(COALESCE(r.dps, []::BIGINT[]),
+                                  q -> i >= q AND i <= q + 7)) = 0), ' '), '')
+               AS text_clean
+    FROM tk t
+    LEFT JOIN removals r USING (doc_id)
+    """,
+)
+def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ExactSubstr dedup (Lee et al. 2022) as a corpus REWRITE:
+    every cross-doc duplicated 8-token span is kept in its canonical
+    (minimum-id) holder and cut from all others; emits the cleaned
+    text.  See operators/dedup.py:remove_duplicated_spans for the
+    plan."""
+    from opentimes_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, n=8)

@@ -99,3 +99,30 @@ def test_span_contamination(spark):
     assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
     assert out[3]["n_spans"] == 0 and not out[3]["contaminated"]
     assert 100 not in out  # eval docs are not output rows
+
+
+def test_remove_duplicated_spans_canonical_and_idempotent(spark):
+    from opentimes_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, "keep1 " + shared + " keep2"),  # canonical holder (min id)
+            (2, "lead " + shared + " tail"),  # loses the span
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs).collect()}
+    assert out[1]["text_clean"] == "keep1 " + shared + " keep2"  # untouched
+    assert out[2]["text_clean"] == "lead tail"
+    assert out[2]["n_before"] == 10 and out[2]["n_after"] == 2
+    assert out[3]["n_after"] == 8  # unique doc untouched
+
+    # idempotence: each surviving span now has one holder
+    cleaned = spark.createDataFrame(
+        [(r["doc_id"], r["text_clean"]) for r in out.values()],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r for r in remove_duplicated_spans(cleaned).collect()}
+    assert all(r["n_before"] == r["n_after"] for r in out2.values())
