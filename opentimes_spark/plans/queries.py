@@ -4126,3 +4126,36 @@ def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return remove_duplicated_spans(docs, n=8)
+
+
+@query(
+    "score_model_linear",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               LENGTH(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t != '')) AS n_tok,
+               LENGTH(list_distinct(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   t -> t != ''))) AS n_uniq,
+               list_aggregate(list_transform(list_filter(
+                   string_split_regex(lower(text), '\\s+'), t -> t != ''),
+                   t -> LENGTH(t)), 'sum') AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(3 * n_tok + 5 * n_uniq - n_chars + 40 AS BIGINT) AS score,
+           (3 * n_tok + 5 * n_uniq - n_chars + 40) >= 300       AS keep
+    FROM f
+    """,
+)
+def score_model_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference seam: Arrow-batched mapInPandas,
+    model initialized once per partition, weights on a broadcast
+    variable.  The stand-in model is an exact integer linear scorer so
+    the oracle replays the scores bit-for-bit; a real fastText/ONNX
+    scorer drops into the same `model_factory` seam.  See
+    operators/inference.py."""
+    from opentimes_spark.operators.inference import score_documents
+
+    return score_documents(_t(spark, sf_dir, "documents"))

@@ -126,3 +126,27 @@ def test_remove_duplicated_spans_canonical_and_idempotent(spark):
     )
     out2 = {r["doc_id"]: r for r in remove_duplicated_spans(cleaned).collect()}
     assert all(r["n_before"] == r["n_after"] for r in out2.values())
+
+
+def test_score_documents_seam_and_default_model(spark):
+    from opentimes_spark.operators.inference import score_documents
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "cc")], "doc_id long, text string"
+    )
+    # default integer linear model: 3*n_tok + 5*n_uniq - n_chars + 40
+    out = {r["doc_id"]: r for r in score_documents(docs).collect()}
+    assert out[1]["score"] == 3 * 3 + 5 * 2 - 6 + 40
+    assert out[2]["score"] == 3 * 1 + 5 * 1 - 2 + 40
+    assert not out[1]["keep"] and not out[2]["keep"]
+
+    # the factory seam: a custom "model" sees the broadcast payload
+    def fake_factory(payload):
+        assert payload == (3, 5, -1, 40)
+        return lambda texts: texts.str.len()
+
+    out2 = {
+        r["doc_id"]: r["score"]
+        for r in score_documents(docs, model_factory=fake_factory).collect()
+    }
+    assert out2 == {1: 8, 2: 2}
