@@ -1,0 +1,169 @@
+"""End-to-end training-corpus curation: the LLM-data counterpart of
+``calculate_times`` — every pipeline operator this repo implements,
+composed into one checkpointed Spark job.
+
+Stages (each a content-addressed checkpoint via ``plans/incremental`` —
+re-running with unchanged inputs reads checkpoints instead of
+recomputing, the reference's DVC semantics):
+
+1. ``quality``   — classifier scoring (Arrow-batched inference seam),
+                   drop low-score docs and the held-out eval source.
+2. ``exact``     — exact dedup: keep the canonical (min-id) doc per
+                   normalized-text fingerprint.
+3. ``spans``     — ExactSubstr rewrite: cut cross-doc duplicated
+                   8-token spans from non-canonical holders; drop docs
+                   that end up empty.
+4. ``decontam``  — drop docs sharing any 8-token span with the
+                   held-out eval source.
+5. ``curated``   — mixture-sample per source weights, assign each doc
+                   its token-budget training-sequence bin, write the
+                   final corpus + a manifest of per-stage row counts.
+
+Run: ``python -m opentimes_spark.jobs.curate_corpus --sf-dir
+/root/testdata/sf0.001 --out /tmp/curated``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", required=True)
+    p.add_argument("--eval-source", default="src19")
+    p.add_argument("--min-score", type=int, default=50)
+    p.add_argument("--budget", type=int, default=512)
+    p.add_argument("--span", type=int, default=8)
+    return p.parse_args(argv)
+
+
+def curate(spark: SparkSession, args: argparse.Namespace) -> dict:
+    from opentimes_spark.functions.text import fingerprint
+    from opentimes_spark.operators.dedup import (
+        remove_duplicated_spans,
+        span_contamination,
+    )
+    from opentimes_spark.operators.inference import score_documents
+    from opentimes_spark.operators.packing import (
+        pack_sequences,
+        weighted_source_mixture,
+    )
+    from opentimes_spark.plans.incremental import run_stage
+
+    src = os.path.join(args.sf_dir, "documents.parquet")
+    out = args.out
+    manifest: dict = {"stages": {}}
+
+    def record(name: str, df, skipped: bool) -> None:
+        manifest["stages"][name] = {
+            "rows": df.count(),
+            "skipped": skipped,
+        }
+
+    def path(name: str) -> str:
+        return os.path.join(out, name)
+
+    docs = spark.read.parquet(src)
+    eval_df = docs.filter(F.col("source") == args.eval_source)
+
+    def build_quality():
+        train = docs.filter(F.col("source") != args.eval_source)
+        keep = score_documents(train, threshold=args.min_score).filter(
+            "keep"
+        )
+        return train.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+    q, skipped = run_stage(
+        spark, "quality", [src], path("quality"), build_quality,
+        params={"min_score": args.min_score, "eval": args.eval_source},
+    )
+    record("quality", q, skipped)
+
+    def build_exact():
+        canon = (
+            q.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        return q.join(canon.select("doc_id"), "doc_id", "left_semi")
+
+    ex, skipped = run_stage(
+        spark, "exact", [path("quality")], path("exact"), build_exact,
+    )
+    record("exact", ex, skipped)
+
+    def build_spans():
+        rewritten = remove_duplicated_spans(ex, n=args.span)
+        return (
+            ex.drop("text", "n_chars")
+            .join(
+                rewritten.filter(F.col("n_after") > 0).select(
+                    "doc_id", F.col("text_clean").alias("text")
+                ),
+                "doc_id",
+            )
+        )
+
+    sp, skipped = run_stage(
+        spark, "spans", [path("exact")], path("spans"), build_spans,
+        params={"n": args.span},
+    )
+    record("spans", sp, skipped)
+
+    def build_decontam():
+        flags = span_contamination(sp, eval_df, n=args.span)
+        return sp.join(
+            flags.filter(~F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+
+    dc, skipped = run_stage(
+        spark, "decontam", [path("spans"), src], path("decontam"),
+        build_decontam, params={"eval": args.eval_source, "n": args.span},
+    )
+    record("decontam", dc, skipped)
+
+    def build_curated():
+        src_mod = F.substring("source", 4, 8).cast("int") % 4
+        wt = (
+            F.when(src_mod == 0, 0.5)
+            .when(src_mod == 1, 0.75)
+            .otherwise(1.0)
+        )
+        mixed = weighted_source_mixture(dc.withColumn("wt", wt), F.col("wt"))
+        bins = pack_sequences(mixed, budget=args.budget)
+        return mixed.drop("wt").join(
+            bins.select("doc_id", "n_tok", "seq_bin"), "doc_id"
+        )
+
+    cur, skipped = run_stage(
+        spark, "curated", [path("decontam")], path("curated"),
+        build_curated, params={"budget": args.budget},
+    )
+    record("curated", cur, skipped)
+
+    manifest["out"] = path("curated")
+    with open(os.path.join(out, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
+
+
+def main(argv: list[str] | None = None) -> dict:
+    from opentimes_spark.session import get_spark
+
+    args = parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    spark = get_spark()
+    return curate(spark, args)
+
+
+if __name__ == "__main__":
+    print(json.dumps(main(), sort_keys=True))

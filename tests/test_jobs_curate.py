@@ -1,0 +1,40 @@
+"""End-to-end corpus-curation job: funnel sanity + checkpoint skipping."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from opentimes_spark.jobs.curate_corpus import curate, parse_args
+
+
+def test_curate_funnel_and_incremental_skip(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    os.makedirs(out, exist_ok=True)
+    args = parse_args(
+        ["--sf-dir", "/root/testdata/sf0.001", "--out", out]
+    )
+
+    m1 = curate(spark, args)
+    stages = ["quality", "exact", "spans", "decontam", "curated"]
+    rows = [m1["stages"][s]["rows"] for s in stages]
+    assert all(not m1["stages"][s]["skipped"] for s in stages)
+    # monotone funnel: every stage only ever drops documents
+    assert all(a >= b for a, b in zip(rows, rows[1:]))
+    assert rows[-1] > 0
+
+    # the curated corpus parquet is real and carries the packing cols
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    assert {"doc_id", "source", "text", "n_tok", "seq_bin"} <= set(
+        cur.columns
+    )
+    # no doc from the held-out eval source survives
+    assert cur.filter(cur.source == "src19").count() == 0
+
+    with open(os.path.join(out, "manifest.json")) as fh:
+        assert json.load(fh)["stages"] == m1["stages"]
+
+    # second run: every stage content-addressed-skips, same counts
+    m2 = curate(spark, args)
+    assert all(m2["stages"][s]["skipped"] for s in stages), m2
+    assert [m2["stages"][s]["rows"] for s in stages] == rows
