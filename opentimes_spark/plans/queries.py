@@ -4159,3 +4159,63 @@ def score_model_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentimes_spark.operators.inference import score_documents
 
     return score_documents(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_funnel_ordered",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click after it -> purchase
+    after that): conditional-min cascade, every stage keyed on user_id
+    so the three joins are co-partitioned on one key — after the first
+    exchange the later stages ride AQE broadcasts (each stage's
+    survivor set only shrinks).  The single-shuffle alternative
+    (sort_array(collect_list) + a per-user fold) trades the joins for
+    interpreted HOF evaluation — slower at this stage count, same
+    results.  (SURVEY.md §2.5 W-Ext over events.)"""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )

@@ -150,3 +150,20 @@ def test_score_documents_seam_and_default_model(spark):
         for r in score_documents(docs, model_factory=fake_factory).collect()
     }
     assert out2 == {1: 8, 2: 2}
+
+
+def test_duplicated_span_stats_hot_span_no_blowup(spark):
+    """1000 identical docs: every span hash is held by 1000 docs. The
+    group-by collapses each hot hash to ONE counter row — the exploded
+    join-back is linear in span count, with no pairwise candidate step
+    (the failure mode LSH band joins need a cap for)."""
+    from opentimes_spark.operators.dedup import duplicated_span_stats
+
+    text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1000)], "doc_id long, text string"
+    )
+    out = duplicated_span_stats(docs, n=8).collect()
+    assert len(out) == 1000
+    assert all(r["n_spans"] == 3 and r["n_dup"] == 3 for r in out)
+    assert all(r["dup_frac"] == 1.0 for r in out)
