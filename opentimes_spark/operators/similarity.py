@@ -406,3 +406,116 @@ def brute_force_topk_numpy(
             "query_id", "cand_id", F.round("cos", round_to).alias("cos_sim"), "rnk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH: signed-random-projection bucketed ANN (the LSH scale path the
+# brief names alongside IVF).  Charikar 2002 ("Similarity estimation
+# techniques from rounding algorithms"): P[bit_a = bit_b] = 1 - θ/π, so
+# vectors at high cosine collide in whole buckets with high probability.
+# ---------------------------------------------------------------------------
+
+
+def srp_sign_planes(
+    n_planes: int = 16, dim: int = 64, seed: str = "srp"
+) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5(seed:plane:dim) — Rademacher
+    projections are LSH-valid (Achlioptas 2003 sparse-sign projections)
+    and, unlike gaussian draws, replay exactly in the SQL oracle as
+    literal arrays."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{p}:{j}".encode()).digest()[0] & 1 else -1
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_signatures(
+    corpus: DataFrame,
+    planes: list[list[int]],
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table_id, bucket) — one row per hash table.  Each bit is the
+    sign of <v, s_p> (left-fold in DOUBLE, bit-identical to the oracle's
+    list_dot_product); each table packs its contiguous plane-group into
+    an integer bucket key.  Zero-shuffle: pure per-row expressions."""
+    if len(planes) % n_tables:
+        raise ValueError(f"{len(planes)} planes not divisible by {n_tables} tables")
+    per = len(planes) // n_tables
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def bit(p: list[int]):
+        s = F.array(*[F.lit(float(x)) for x in p])
+        proj = F.aggregate(
+            F.zip_with(v, s, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    buckets = F.array(
+        *[
+            sum(
+                (bit(planes[t * per + i]) * F.lit(1 << i) for i in range(per)),
+                start=F.lit(0),
+            ).cast("long")
+            for t in range(n_tables)
+        ]
+    )
+    return corpus.select(
+        F.col(id_col).alias("id"), F.posexplode(buckets).alias("table_id", "bucket")
+    )
+
+
+def srp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN top-k via SRP-LSH candidate buckets + exact cosine rescore.
+
+    Scale shape (the point at 100 TB): the bucket join shuffles only
+    (id, table_id, bucket) — never the vectors; candidate pairs are
+    DISTINCT'd before rescoring so a pair sharing several tables is
+    scored once; vectors re-attach by id afterwards (queries broadcast,
+    corpus equi-join).  Versus IVF this needs no index build/centroids —
+    signatures are per-row expressions — at the cost of recall being
+    governed by (n_planes/n_tables, n_tables) instead of n_probe."""
+    planes = srp_sign_planes(n_planes, dim)
+    sig_q = srp_signatures(queries, planes, n_tables, id_col, vec_col).withColumnsRenamed(
+        {"id": "query_id"}
+    )
+    sig_c = srp_signatures(corpus, planes, n_tables, id_col, vec_col).withColumnsRenamed(
+        {"id": "cand_id"}
+    )
+    pairs = (
+        sig_q.join(sig_c, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    cv = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        pairs.join(qv, "query_id")
+        .join(cv, "cand_id")
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "cand_id", F.round("cos", round_to).alias("cos_sim"), "rnk"
+        )
+    )

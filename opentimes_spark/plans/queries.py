@@ -4219,3 +4219,75 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH bucketed ANN (training-pipeline mandate: the "LSH-bucketed
+# variant" scale path next to IVF) — operators/similarity.py.
+# ---------------------------------------------------------------------------
+
+
+def _srp_oracle_sql() -> str:
+    """Oracle replays the full SRP-LSH algorithm: the ±1 hyperplanes are
+    emitted as literal arrays (same md5-derived values the Spark side
+    folds against), so bucket membership — i.e. the approximation itself
+    — is value-checked, not just the rescoring."""
+    from opentimes_spark.operators.similarity import srp_sign_planes
+
+    planes = srp_sign_planes(16, 64)
+    rows = ",\n        ".join(
+        f"({p}, {p // 4}, {1 << (p % 4)}, {planes[p]}::DOUBLE[])" for p in range(16)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    planes(plane_id, tbl, w, s) AS (VALUES
+        {rows}
+    ),
+    sigs AS (
+        SELECT c.vec_id, p.tbl AS table_id,
+               CAST(SUM(CASE WHEN list_dot_product(c.v, p.s) >= 0
+                             THEN p.w ELSE 0 END) AS BIGINT) AS bucket
+        FROM corpus c CROSS JOIN planes p
+        GROUP BY c.vec_id, p.tbl
+    ),
+    pairs AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+        FROM sigs q
+        JOIN sigs c ON q.table_id = c.table_id AND q.bucket = c.bucket
+        WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+    ),
+    scored AS (
+        SELECT p.query_id, p.cand_id,
+               list_dot_product(qv.v, cv.v)
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+        FROM pairs p
+        JOIN corpus qv ON qv.vec_id = p.query_id
+        JOIN corpus cv ON cv.vec_id = p.cand_id
+    )
+    SELECT query_id, cand_id, ROUND(cos, 6) AS cos_sim, rnk
+    FROM (
+        SELECT query_id, cand_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+    """
+
+
+@query("sim_srp_lsh_topk", _srp_oracle_sql())
+def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN top-5 (Charikar sign-random-projection buckets, 4
+    tables × 4 bits): candidates come only from shared buckets — the
+    bucket join shuffles ids, never vectors — then exact-cosine rescore
+    on the candidate set. Unlike IVF there is no index build at all;
+    signatures are zero-shuffle per-row folds, so this is the right ANN
+    when the corpus is written once and queried immediately. The oracle
+    replays hyperplanes, buckets, and rescore bit-for-bit."""
+    from opentimes_spark.operators.similarity import srp_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)

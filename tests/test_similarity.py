@@ -188,3 +188,48 @@ def test_numpy_topk_matches_hof_twin(spark):
 
     with pt.raises(ValueError, match="max_broadcast_queries"):
         brute_force_topk_numpy(emb, emb, k=3, max_broadcast_queries=5)
+
+
+def test_srp_lsh_recall_on_clustered_data(emb, vecs):
+    """On well-separated clusters, SRP-LSH (4 tables x 4 bits over dim=8)
+    must recover the brute-force top-3 for most queries: same-cluster
+    vectors agree on nearly every sign bit, so they share buckets."""
+    from opentimes_spark.operators.similarity import srp_lsh_topk
+
+    q = emb.filter(emb.vec_id < 6)
+    got = {
+        (r.query_id, r.rnk): r.cand_id
+        for r in srp_lsh_topk(q, emb, k=3, dim=8).collect()
+    }
+    exact = {
+        (r.query_id, r.rnk): r.cand_id
+        for r in brute_force_topk(q, emb, k=3).collect()
+    }
+    hits = sum(1 for key, cid in exact.items() if got.get(key) == cid)
+    assert hits >= 0.8 * len(exact), (hits, len(exact))
+
+
+def test_srp_signatures_deterministic_and_zero_shuffle(emb):
+    from opentimes_spark.operators.similarity import (
+        srp_sign_planes,
+        srp_signatures,
+    )
+
+    planes = srp_sign_planes(8, 8)
+    assert planes == srp_sign_planes(8, 8)
+    assert {x for row in planes for x in row} <= {1, -1}
+    sig = srp_signatures(emb, planes, n_tables=2)
+    # per-row expressions only: no exchange anywhere in the plan
+    assert "Exchange" not in sig._jdf.queryExecution().executedPlan().toString()
+    rows = sig.collect()
+    assert len(rows) == emb.count() * 2
+    assert all(0 <= r.bucket < 16 for r in rows)
+    # same vector -> same buckets on a second evaluation (no rand())
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, sig.collect()))
+
+
+def test_srp_planes_not_divisible_raises(emb):
+    from opentimes_spark.operators.similarity import srp_lsh_topk
+
+    with pytest.raises(ValueError, match="not divisible"):
+        srp_lsh_topk(emb, emb, n_planes=10, n_tables=4, dim=8)
