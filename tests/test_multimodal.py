@@ -236,3 +236,68 @@ def test_numpy_codec_rejects_compressed():
 
     with pt.raises(NotImplementedError, match="Pillow"):
         _numpy_decode(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_wav, encode_wav
+
+    t = np.arange(4000)
+    mono = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    s, sr = decode_wav(encode_wav(mono, 8000))
+    assert sr == 8000 and s.shape == (4000, 1)
+    assert np.array_equal(s[:, 0], mono)
+
+    stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+    s2, sr2 = decode_wav(encode_wav(stereo, 16000))
+    assert sr2 == 16000 and s2.shape == (4000, 2)
+    assert np.array_equal(s2, stereo)
+
+
+def test_wav_rejects_non_pcm():
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_wav, encode_wav
+
+    b = bytearray(encode_wav(np.zeros(16, dtype=np.int16), 8000))
+    b[20:22] = (3).to_bytes(2, "little")  # IEEE float format tag
+    with pytest.raises(NotImplementedError, match="16-bit PCM"):
+        decode_wav(bytes(b))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope")
+
+
+def test_audio_frame_features_sine_vs_silence(spark):
+    """440 Hz sine at sr=8000: ZCR per frame ~ 2*440/8000 = 0.11; RMS ~
+    A/sqrt(2). Silence: both exactly 0."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        audio_frame_features,
+        audio_summary,
+        encode_wav,
+    )
+
+    t = np.arange(8000)
+    amp = 16384
+    sine = (amp * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    silence = np.zeros(8000, dtype=np.int16)
+    df = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(encode_wav(sine, 8000)), "audio/wav"),
+            (1, "audio", bytearray(encode_wav(silence, 8000)), "audio/wav"),
+            (2, "image", bytearray(b"P6 not audio"), "image/x-ppm"),
+        ],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    frames = audio_frame_features(df, frame_ms=25).cache()
+    got = {r.media_id for r in frames.select("media_id").distinct().collect()}
+    assert got == {0, 1}  # image row filtered out, never decoded
+    # 1 s / 25 ms = 40 frames per file
+    per = {r.media_id: r for r in audio_summary(frames).collect()}
+    assert per[0].n_frames == 40 and per[1].n_frames == 40
+    assert abs(per[0].mean_rms - amp / 32768 / np.sqrt(2)) < 0.01
+    assert abs(per[0].mean_zcr - 2 * 440 / 8000) < 0.01
+    assert per[1].mean_rms == 0.0 and per[1].mean_zcr == 0.0
+    assert per[0].active_frac == 1.0 and per[1].active_frac == 0.0
