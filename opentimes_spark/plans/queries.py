@@ -4291,3 +4291,49 @@ def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return srp_lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+@query(
+    "agg_incremental_merge",
+    """
+    SELECT o_orderpriority,
+           COUNT(o_totalprice)                                    AS n_orders,
+           ROUND(SUM(o_totalprice), 2)                            AS sum_price,
+           ROUND(MIN(o_totalprice), 2)                            AS min_price,
+           ROUND(MAX(o_totalprice), 2)                            AS max_price,
+           ROUND(SUM(o_totalprice) / COUNT(o_totalprice), 4)      AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/aggstate.py): the table
+    arrives as two date-disjoint batches, each reduced to per-group
+    algebraic state (cnt/sum/min/max), merged pointwise, then finalized
+    (avg = sum/cnt). The oracle is the ONE-SHOT aggregate over the whole
+    table — green proves the monoid merge is lossless, i.e. a 100 TB
+    rollup can absorb a new batch by shuffling only that batch's state.
+    """
+    from opentimes_spark.operators.aggstate import (
+        finalize_agg,
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    keys, measures = ["o_orderpriority"], {"o_totalprice": ["cnt", "sum", "min", "max"]}
+    pivot = F.lit("1995-01-01").cast("timestamp")
+    batches = [
+        partial_agg_state(orders.filter(F.col("o_orderdate") < pivot), keys, measures),
+        partial_agg_state(orders.filter(F.col("o_orderdate") >= pivot), keys, measures),
+    ]
+    merged = merge_agg_states(batches, keys, measures)
+    fin = finalize_agg(merged, measures, avg_of=["o_totalprice"])
+    return fin.select(
+        "o_orderpriority",
+        F.col("o_totalprice__cnt").alias("n_orders"),
+        F.round("o_totalprice__sum", 2).alias("sum_price"),
+        F.round("o_totalprice__min", 2).alias("min_price"),
+        F.round("o_totalprice__max", 2).alias("max_price"),
+        F.col("o_totalprice__avg").alias("avg_price"),
+    )
