@@ -4337,3 +4337,84 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice__max", 2).alias("max_price"),
         F.col("o_totalprice__avg").alias("avg_price"),
     )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count-per-customer distribution, keeping
+    zero-order customers via LEFT JOIN with the predicate in the ON
+    clause (filtering o before the join — a WHERE would silently drop
+    the NULL-extended rows). Plan note: the inner groupBy key equals the
+    join key, so the join's hash partitioning is reused — one shuffle
+    for join+count, one for the (tiny) distribution."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size <= 10
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below 20% of a part's average
+    quantity. The oracle keeps the classic correlated scalar subquery;
+    the Spark plan states the decorrelated form directly — filtered part
+    keys broadcast into the fact scan, then ONE window pass computes the
+    per-part threshold on the already-joined rows (partkey is unique so
+    the join duplicates nothing): one shuffle total, no second lineitem
+    scan. avg is exact here (integer quantities sum exactly in double)
+    so the strict < threshold compare is engine-stable."""
+    from pyspark.sql import Window
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lp = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        lp.withColumn("thresh", F.lit(0.2) * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )

@@ -249,3 +249,27 @@ def test_pack_sequences_single_exchange(spark):
 
     p = plan(QUERIES["pack_sequences"](spark, SF_DIR), mode="simple")
     assert p.count("Exchange") == 1, p[:2000]
+
+
+def test_q13_reuses_join_partitioning_for_count(spark):
+    """The per-customer count groups on the LEFT JOIN's key, so Catalyst
+    must not insert a second exchange between join and count: exactly
+    one hashpartitioning on the custkey column pair, plus the tiny
+    distribution-level exchange."""
+    from opentimes_spark.plans.queries import QUERIES
+
+    p = plan(QUERIES["q13_customer_distribution"](spark, SF_DIR), "simple")
+    assert p.count("Exchange hashpartitioning(c_custkey") == 1
+
+
+def test_q17_single_fact_pass(spark):
+    """Decorrelated Q17: part keys broadcast into the fact scan; the
+    per-part threshold is a window over the joined rows — lineitem is
+    scanned ONCE and shuffled once (for the window), never re-scanned
+    for the correlated average."""
+    from opentimes_spark.plans.queries import QUERIES
+
+    p = plan(QUERIES["q17_small_quantity_revenue"](spark, SF_DIR), "simple")
+    assert p.count("FileScan parquet") == 2  # lineitem once, part once
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning(l_partkey") == 1
