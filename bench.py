@@ -53,6 +53,9 @@ HEADLINE = [
     "dedup_spans_exact",
     "pack_sequences",
     "vocab_topk",
+    "sim_srp_lsh_topk",
+    "agg_incremental_merge",
+    "q17_small_quantity_revenue",
 ]
 
 

@@ -444,30 +444,52 @@ def srp_signatures(
     """(id, table_id, bucket) — one row per hash table.  Each bit is the
     sign of <v, s_p> (left-fold in DOUBLE, bit-identical to the oracle's
     list_dot_product); each table packs its contiguous plane-group into
-    an integer bucket key.  Zero-shuffle: pure per-row expressions."""
+    an integer bucket key.  Zero-shuffle: pure per-row expressions.
+
+    Built as ONE nested higher-order expression — planes ride a single
+    2-D array literal and `transform` iterates them engine-side.  The
+    naive form (a Python loop emitting 16 separate fold subtrees of 64
+    scalar literals each) cost ~2s of DRIVER time per query build in
+    py4j construction + analysis; this tree is ~50 nodes and builds in
+    milliseconds, which is also what keeps a 1000-plane config usable."""
     if len(planes) % n_tables:
         raise ValueError(f"{len(planes)} planes not divisible by {n_tables} tables")
     per = len(planes) // n_tables
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-
-    def bit(p: list[int]):
-        s = F.array(*[F.lit(float(x)) for x in p])
-        proj = F.aggregate(
-            F.zip_with(v, s, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
-        )
-        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
-
-    buckets = F.array(
-        *[
-            sum(
-                (bit(planes[t * per + i]) * F.lit(1 << i) for i in range(per)),
-                start=F.lit(0),
-            ).cast("long")
-            for t in range(n_tables)
-        ]
+    # one SQL-parsed literal: F.lit(nested_list) still creates every
+    # element as its own py4j Column; expr() ships one string and the
+    # JVM parser builds the array<array<double>> literal in one hop
+    rows = ",".join(
+        "array(" + ",".join(f"{float(x)}D" for x in p) + ")" for p in planes
     )
-    return corpus.select(
-        F.col(id_col).alias("id"), F.posexplode(buckets).alias("table_id", "bucket")
+    planes_lit = F.expr(f"array({rows})")
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(v, p, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    pow2 = F.lit([float(1 << i) for i in range(per)])
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_bits"), t * per + 1, per), pow2, lambda b, w: b * w
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).cast("long"),
+    )
+    # stage the bit vector as a real column: HOF subtrees are interpreted
+    # and not CSE'd, so packing straight off `bits` would re-run all
+    # n_planes folds once PER TABLE
+    return (
+        corpus.select(F.col(id_col).alias("id"), bits.alias("_bits"))
+        .select("id", F.posexplode(buckets).alias("table_id", "bucket"))
     )
 
 
