@@ -289,3 +289,56 @@ def test_foreachbatch_cdc_upsert(spark, events_stream, tmp_path):
         ).collect()
     )
     assert final == expected and len(final) == 15
+
+
+def test_foreachbatch_incremental_rollup(spark, events_stream, tmp_path):
+    """Streaming maintenance of an aggregate-state table: each
+    micro-batch reduces to per-group algebraic state and merges into the
+    stored state (operators/aggstate.py) — the foreachBatch twin of an
+    update-mode aggregate, and the streaming face of the incremental-
+    rollup story (only the batch's state shuffles, history is never
+    rescanned). Because the state is a commutative monoid, the final
+    table must equal the one-shot state over all events regardless of
+    how the file source split the batches."""
+    from opentimes_spark.operators.aggstate import (
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    batch, stream = events_stream
+    keys, measures = ["event_type"], {"value": ["cnt", "sum", "min", "max"]}
+    state = {"path": None}
+
+    def sink(mb_df, epoch_id):
+        if mb_df.isEmpty():
+            return
+        s = partial_agg_state(mb_df, keys, measures)
+        if state["path"] is not None:
+            s = merge_agg_states(
+                [spark.read.parquet(state["path"]), s], keys, measures
+            )
+        new_path = str(tmp_path / f"rollup_{epoch_id}")
+        s.write.parquet(new_path)
+        state["path"] = new_path
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_rollup"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def norm(df):
+        # sums are floating point: batch-split order may differ from the
+        # one-shot sum in the last ulp; compare rounded
+        rows = df.collect()
+        return sorted(
+            (r.event_type, r["value__cnt"], round(r["value__sum"], 6),
+             r["value__min"], r["value__max"])
+            for r in rows
+        )
+
+    got = norm(spark.read.parquet(state["path"]))
+    want = norm(partial_agg_state(batch, keys, measures))
+    assert got == want and len(got) > 0
