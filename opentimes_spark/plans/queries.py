@@ -4418,3 +4418,114 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
         )
     )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    WITH thresh AS (
+        SELECT ROUND(AVG(c_acctbal), 4) AS t
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*)                 AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, thresh
+    WHERE c.c_acctbal > thresh.t
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers who never
+    placed an urgent order, by nation. The scalar AVG subquery becomes a 1-row broadcast cross
+    join (no driver action); NOT EXISTS is a left_anti join — the only
+    full shuffle pair. The threshold is rounded to 4dp IN BOTH ENGINES
+    so the > compare can't flip on partial-agg summation order.
+    Anti-join note for 100 TB: orders is projected to the key column
+    only before the anti join, so the shuffle carries 8 bytes/row."""
+    c = _t(spark, sf_dir, "customer")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 4).alias("t"))
+    )
+    o_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .join(o_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "vocab_oov_rate",
+    """
+    WITH tok AS (
+        SELECT doc_id, source,
+               UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x != '')) AS t
+        FROM documents
+    ),
+    vocab AS (
+        SELECT t FROM (
+            SELECT t, COUNT(*) AS n FROM tok GROUP BY t
+            ORDER BY n DESC, t LIMIT 200
+        )
+    )
+    SELECT tok.source,
+           COUNT(*)                                        AS n_tokens,
+           SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)    AS n_oov,
+           ROUND(SUM(CASE WHEN v.t IS NULL THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6)                            AS oov_rate
+    FROM tok LEFT JOIN vocab v ON tok.t = v.t
+    GROUP BY tok.source
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: build the top-200 vocabulary, then the
+    out-of-vocabulary token rate per source — the go/no-go number for a
+    frequency-cutoff vocab. Plan: the token stream is exploded ONCE and
+    reused for both the vocab count and the coverage join (same
+    projection, Catalyst reuses the scan); the vocab is 200 rows →
+    broadcast left join, so the only wide op on the occurrence stream
+    is its final per-source count. Ties at the cutoff break by token in
+    both engines for a deterministic vocabulary."""
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t")
+        .limit(200)
+        .select(F.col("t").alias("vt"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), tok.t == F.col("vt"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("vt").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("vt").isNull(), 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
