@@ -115,3 +115,50 @@ def configure_object_store(
         hconf.set("fs.s3a.secret.key", secret_key)
     hconf.set("fs.s3a.path.style.access", "true" if path_style else "false")
     hconf.set("fs.s3a.connection.ssl.enabled", "true")
+
+
+def read_evolving(
+    spark: SparkSession,
+    root: str,
+    canonical: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Scan a parquet dir written over time with an EVOLVING schema
+    (later batches added columns) — the 100 TB reality the reference
+    sidesteps by full rewrites. ``mergeSchema=true`` unions the file
+    footers' schemas (rows from older files get NULL for newer
+    columns); ``canonical`` — [(name, type), ...] — then conforms the
+    result: missing columns materialize as typed NULLs, extras drop,
+    order and types normalize, so downstream plans never depend on
+    which files happened to be scanned.
+
+    Scale note: schema merging reads FOOTERS of all files (driver-side
+    listing + parallel footer fetch), not data; still, prefer a table-
+    level schema registry once file counts hit millions — pass that
+    schema as ``canonical`` and flip mergeSchema off via
+    ``spark.read.schema(...)`` at that point."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(root)
+    if canonical is None:
+        return df
+    cols = [
+        F.col(n).cast(t).alias(n)
+        if n in df.columns
+        else F.lit(None).cast(t).alias(n)
+        for n, t in canonical
+    ]
+    return df.select(*cols)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema — at scale, schema
+    inference is a full extra pass over the data, so it is never
+    acceptable; corrupt lines are quarantined into ``_corrupt_record``
+    (PERMISSIVE mode) instead of failing the scan, the right contract
+    for web-scraped corpora."""
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

@@ -323,3 +323,44 @@ def test_schema_drift_merge(spark, tmp_path):
     assert df.count() == 20
     assert df.filter(F2.col("extra").isNull()).count() == 10
     assert df.filter(F2.col("extra") == 30).count() == 1
+
+
+def test_read_evolving_merges_added_column(spark, tmp_path):
+    """Two batches of one logical table, the second with a new column:
+    the merged scan surfaces the union schema with NULLs for old rows,
+    and the canonical projection pins order/types regardless of which
+    batch a row came from."""
+    from opentimes_spark.io.read import read_evolving
+
+    root = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        root + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    ).write.parquet(root + "/batch=2")
+
+    got = read_evolving(
+        spark, root, canonical=[("id", "long"), ("name", "string"),
+                                ("score", "double"), ("extra", "int")]
+    )
+    assert [f.name for f in got.schema] == ["id", "name", "score", "extra"]
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].score is None and rows[2].score == 0.5
+    assert rows[1].extra is None and rows[2].extra is None
+
+
+def test_read_jsonl_explicit_schema_and_corrupt_quarantine(spark, tmp_path):
+    from opentimes_spark.io.read import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "ok", "ignored_extra": true}\n'
+    )
+    df = read_jsonl(spark, str(p), "doc_id long, text string")
+    good = {r.doc_id: r.text for r in df.filter("_corrupt_record IS NULL").collect()}
+    bad = df.filter("_corrupt_record IS NOT NULL").collect()
+    assert good == {1: "hello world", 2: "ok"}
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
