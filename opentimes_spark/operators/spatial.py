@@ -167,3 +167,99 @@ def project_points(
     return df.withColumn("_xy", proj).select(
         "*", F.col("_xy.x").alias(x_col), F.col("_xy.y").alias(y_col)
     ).drop("_xy")
+
+
+POINT_CELL = "_cx", "_cy"
+
+
+def spatial_grid_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_size: float,
+    point_id_col: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    poly_id_col: str = "poly_id",
+    ring_col: str = "ring",
+    keep: str = "first",
+) -> DataFrame:
+    """Points-in-polygons when the polygon side is TOO BIG TO BROADCAST
+    (country-scale parcel/tract sets): both sides hash into a planar
+    grid and meet in an equi join on the cell key — the same
+    grid-bucket rewrite ranges.py applies to interval joins, in 2-D.
+
+    - polygon side: bbox per ring (JVM `transform`/`array_min` — no
+      UDF), exploded to every covered cell; a polygon appears once per
+      cell it overlaps (bounded fan-out: ~(w/cell+1)·(h/cell+1));
+    - point side: one cell per point (`floor(x/cs)`), so each
+      (point, polygon) candidate pair arises in EXACTLY one cell — no
+      post-join dedup of pairs is needed;
+    - exact ray-casting verify runs per candidate batch, vectorized per
+      polygon group (Arrow batch → numpy, functions/geometry.py).
+
+    ``keep="first"`` ties multi-polygon hits to the smallest polygon id
+    (same contract as spatial_join_contains); ``keep="all"`` emits every
+    containing polygon. Cell size tunes shuffle width vs fan-out: aim
+    for cells ~the median polygon bbox, so most polygons explode to
+    O(1) cells and a cell's candidate list stays executor-sized.
+    """
+    if keep not in ("first", "all"):
+        raise ValueError(f"unknown keep mode: {keep}")
+    from opentimes_spark.session import ship_package
+
+    ship_package(points.sparkSession)
+    cs = float(cell_size)
+    cx, cy = POINT_CELL
+
+    xs = F.transform(F.col(ring_col), lambda p: p[0])
+    ys = F.transform(F.col(ring_col), lambda p: p[1])
+    poly_cells = (
+        polygons.select(
+            F.col(poly_id_col).alias("_pid"),
+            F.col(ring_col).alias("_ring"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.array_min(xs) / cs), F.floor(F.array_max(xs) / cs)
+                )
+            ).alias(cx),
+            F.sequence(
+                F.floor(F.array_min(ys) / cs), F.floor(F.array_max(ys) / cs)
+            ).alias("_cys"),
+        )
+        .select("_pid", "_ring", cx, F.explode(F.col("_cys")).alias(cy))
+    )
+    pts = points.withColumn(cx, F.floor(F.col(x_col) / cs)).withColumn(
+        cy, F.floor(F.col(y_col) / cs)
+    )
+    cand = pts.join(poly_cells, [cx, cy]).drop(cx, cy)
+
+    out_fields = [f for f in cand.schema.fields if f.name != "_ring"]
+    schema = StructType(out_fields)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            px = batch[x_col].to_numpy(dtype=np.float64)
+            py = batch[y_col].to_numpy(dtype=np.float64)
+            keep_mask = np.zeros(len(batch), dtype=bool)
+            pos = {c: i for i, c in enumerate(batch.columns)}
+            arr_ring = batch.iloc[:, pos["_ring"]]
+            for _, idx in batch.groupby("_pid", sort=False).indices.items():
+                ring = np.asarray(
+                    [list(p) for p in arr_ring.iloc[idx[0]]], dtype=np.float64
+                )
+                keep_mask[idx] = points_in_polygon(px[idx], py[idx], ring)
+            yield batch.loc[keep_mask, [f.name for f in out_fields]]
+
+    hits = cand.mapInPandas(verify, schema).withColumnRenamed("_pid", poly_id_col)
+    if keep == "all":
+        return hits
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(point_id_col).orderBy(poly_id_col)
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -289,3 +289,59 @@ def test_within_buffered_polygon_multi_operator(spark):
         r["id"] for r in within_buffered_polygon(pts, outer, 0.0).collect()
     }
     assert got1 == {"mainland", "lake"}
+
+
+def test_spatial_grid_join_matches_broadcast(spark):
+    """Grid-partitioned join (no broadcast) must agree with the
+    broadcast PIP join on random points over overlapping polygons,
+    across cell sizes smaller and larger than the polygons."""
+    import random
+
+    from opentimes_spark.operators.spatial import spatial_grid_join
+
+    rng = random.Random(3)
+    pts_rows = [
+        (f"p{i}", rng.uniform(-2.0, 14.0), rng.uniform(-2.0, 8.0))
+        for i in range(300)
+    ]
+    pts = spark.createDataFrame(pts_rows, "id string, x double, y double")
+    rings = {
+        "east": [(5.0, 0.0), (10.0, 0.0), (10.0, 5.0), (5.0, 5.0)],
+        "west": [(0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0)],
+        # concave C-shape spanning both grid rows
+        "cee": [(11.0, 0.0), (13.0, 0.0), (13.0, 1.0), (12.0, 1.0),
+                (12.0, 4.0), (13.0, 4.0), (13.0, 5.0), (11.0, 5.0)],
+    }
+    want = {
+        r["id"]: r["polygon_id"]
+        for r in spatial_join_contains(pts, list(rings.items())).collect()
+        if r["polygon_id"] is not None
+    }
+    polys = spark.createDataFrame(
+        [(k, [[x, y] for x, y in v]) for k, v in rings.items()],
+        "poly_id string, ring array<array<double>>",
+    )
+    for cell in (1.7, 4.0, 20.0):
+        got = {
+            r["id"]: r["poly_id"]
+            for r in spatial_grid_join(
+                pts, polys, cell, point_id_col="id"
+            ).collect()
+        }
+        assert got == want, f"cell={cell}"
+
+
+def test_spatial_grid_join_keep_all_and_bad_mode(spark):
+    from opentimes_spark.operators.spatial import spatial_grid_join
+
+    pts = spark.createDataFrame([("p", 1.0, 1.0)], "id string, x double, y double")
+    sq = [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]
+    polys = spark.createDataFrame(
+        [("a", sq), ("b", sq)], "poly_id string, ring array<array<double>>"
+    )
+    both = spatial_grid_join(pts, polys, 1.0, point_id_col="id", keep="all")
+    assert sorted(r.poly_id for r in both.collect()) == ["a", "b"]
+    first = spatial_grid_join(pts, polys, 1.0, point_id_col="id", keep="first")
+    assert [r.poly_id for r in first.collect()] == ["a"]
+    with pytest.raises(ValueError, match="keep mode"):
+        spatial_grid_join(pts, polys, 1.0, point_id_col="id", keep="nope")
