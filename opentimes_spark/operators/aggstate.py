@@ -84,6 +84,13 @@ def finalize_agg(
     """Presentation row from state: pass stats through, derive
     ``{col}__avg`` = sum/cnt for columns in ``avg_of`` (both stats must
     be in the state)."""
+    for col in avg_of:
+        stats = measures.get(col, [])
+        missing = [st for st in ("sum", "cnt") if st not in stats]
+        if missing:
+            raise ValueError(
+                f"avg_of column {col!r} needs {missing} in measures (got {stats})"
+            )
     out = state
     for col in avg_of:
         out = out.withColumn(

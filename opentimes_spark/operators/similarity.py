@@ -487,8 +487,24 @@ def srp_signatures(
     # stage the bit vector as a real column: HOF subtrees are interpreted
     # and not CSE'd, so packing straight off `bits` would re-run all
     # n_planes folds once PER TABLE
+    #
+    # dimension guard: a vector shorter/longer than the planes would
+    # null-pad zip_with, NULL the fold, and otherwise(0) would silently
+    # collapse every row into bucket 0 (quadratic join, wrong recall).
+    # assert_true returns NULL on pass and raises per-row on violation.
+    dim = len(planes[0])
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) == dim,
+        F.concat(
+            F.lit(f"srp_signatures: embedding length != plane dim {dim} at id="),
+            F.col(id_col).cast("string"),
+        ),
+    )
     return (
-        corpus.select(F.col(id_col).alias("id"), bits.alias("_bits"))
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.when(guard.isNull(), bits).alias("_bits"),
+        )
         .select("id", F.posexplode(buckets).alias("table_id", "bucket"))
     )
 

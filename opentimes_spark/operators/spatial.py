@@ -205,6 +205,13 @@ def spatial_grid_join(
     """
     if keep not in ("first", "all"):
         raise ValueError(f"unknown keep mode: {keep}")
+    reserved = {*POINT_CELL, "_pid", "_ring", "_rn"}
+    clash = sorted(reserved & ({*points.columns} | {*polygons.columns}))
+    if clash:
+        raise ValueError(
+            f"spatial_grid_join: input columns {clash} collide with reserved "
+            "helper names; rename them before the join"
+        )
     from opentimes_spark.session import ship_package
 
     ship_package(points.sparkSession)
