@@ -20,11 +20,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _with_event_time(stream: DataFrame, col: str = "ts") -> DataFrame:
+    """Coerce the event-time column to TIMESTAMP (with timezone).
+
+    Parquet written with isAdjustedToUTC=false arrives as TIMESTAMP_NTZ,
+    which `withWatermark` rejects outright.  The session pins
+    spark.sql.session.timeZone=UTC (session.py), so the NTZ→LTZ cast is
+    wall-clock identity; on an already-LTZ column it is a no-op."""
+    return stream.withColumn(col, F.col(col).cast("timestamp"))
+
+
 def hourly_event_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour window × event_type: count, users, value sum.
     Late data beyond ``watermark`` is dropped (state GC)."""
     return (
-        stream.withWatermark("ts", watermark)
+        _with_event_time(stream).withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -46,7 +56,7 @@ def sliding_value_rate(
 ) -> DataFrame:
     """Sliding-window mean value per event_type."""
     return (
-        stream.withWatermark("ts", "1 hour")
+        _with_event_time(stream).withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
         .select(
@@ -67,7 +77,7 @@ def session_counts(
     ``watermark`` behind the max seen ts are dropped (the late-data
     contract) — size the watermark to the source's real disorder."""
     return (
-        stream.withWatermark("ts", watermark)
+        _with_event_time(stream).withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -81,7 +91,11 @@ def session_counts(
 
 def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+    return (
+        _with_event_time(stream)
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["event_id", "ts"])
+    )
 
 
 def stream_stream_join(
@@ -96,6 +110,7 @@ def stream_stream_join(
     carries the time bound, so state for unmatched rows is GC'd once the
     watermark passes the interval (state is bounded by rate × horizon,
     not stream length)."""
+    clicks, purchases = _with_event_time(clicks), _with_event_time(purchases)
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("click_ts"),

@@ -24,7 +24,12 @@ SF_DIR = "/root/testdata/sf0.001"
 def events_stream(spark, tmp_path):
     """Stage the events table as a one-file parquet dir and open it as a
     file-source stream (maxFilesPerTrigger exercises incremental reads)."""
-    batch = read_table(spark, SF_DIR, "events")
+    # pin event time to TIMESTAMP (LTZ): the driver-staged parquet may
+    # carry ts as TIMESTAMP_NTZ, and the batch/stream comparison must run
+    # in one type domain (watermarks additionally require LTZ)
+    batch = read_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     src = str(tmp_path / "events_src")
     batch.repartition(4).write.parquet(src)
     stream = (
