@@ -1565,9 +1565,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = e.withColumn(
         "new_session",
         F.when(
+            # ts may arrive as TIMESTAMP_NTZ (parquet isAdjustedToUTC=
+            # false), which won't cast to a numeric — diff via timestamp
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                F.col("ts").cast("timestamp").cast("long")
+                - F.lag("ts").over(w).cast("timestamp").cast("long")
                 > 1800
             ),
             1,
@@ -2398,7 +2401,12 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id",
             "click_id",
             "user_id",
-            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+            # cast first: ts may be TIMESTAMP_NTZ and unix_micros only
+            # accepts TIMESTAMP (identity under the UTC session tz)
+            (
+                F.unix_micros(F.col("p_ts").cast("timestamp"))
+                - F.unix_micros(F.col("c_ts").cast("timestamp"))
+            ).alias("lag_us"),
         )
     )
 
@@ -4298,10 +4306,11 @@ def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            COUNT(o_totalprice)                                    AS n_orders,
-           ROUND(SUM(o_totalprice), 2)                            AS sum_price,
-           ROUND(MIN(o_totalprice), 2)                            AS min_price,
-           ROUND(MAX(o_totalprice), 2)                            AS max_price,
-           ROUND(SUM(o_totalprice) / COUNT(o_totalprice), 4)      AS avg_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(o_totalprice), 4)                        AS avg_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -4313,29 +4322,35 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (avg = sum/cnt). The oracle is the ONE-SHOT aggregate over the whole
     table — green proves the monoid merge is lossless, i.e. a 100 TB
     rollup can absorb a new batch by shuffling only that batch's state.
-    """
+    The measure is summed as DECIMAL(18,2) in BOTH engines: exact
+    (order-independent) addition, so merge-vs-one-shot can never differ
+    by a partial-agg summation-order ulp at a rounding boundary."""
     from opentimes_spark.operators.aggstate import (
         finalize_agg,
         merge_agg_states,
         partial_agg_state,
     )
 
-    orders = _t(spark, sf_dir, "orders")
-    keys, measures = ["o_orderpriority"], {"o_totalprice": ["cnt", "sum", "min", "max"]}
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    keys, measures = ["o_orderpriority"], {"o_price_dec": ["cnt", "sum", "min", "max"]}
     pivot = F.lit("1995-01-01").cast("timestamp")
     batches = [
         partial_agg_state(orders.filter(F.col("o_orderdate") < pivot), keys, measures),
         partial_agg_state(orders.filter(F.col("o_orderdate") >= pivot), keys, measures),
     ]
     merged = merge_agg_states(batches, keys, measures)
-    fin = finalize_agg(merged, measures, avg_of=["o_totalprice"])
+    fin = finalize_agg(merged, measures)
     return fin.select(
         "o_orderpriority",
-        F.col("o_totalprice__cnt").alias("n_orders"),
-        F.round("o_totalprice__sum", 2).alias("sum_price"),
-        F.round("o_totalprice__min", 2).alias("min_price"),
-        F.round("o_totalprice__max", 2).alias("max_price"),
-        F.col("o_totalprice__avg").alias("avg_price"),
+        F.col("o_price_dec__cnt").alias("n_orders"),
+        F.col("o_price_dec__sum").cast("double").alias("sum_price"),
+        F.col("o_price_dec__min").cast("double").alias("min_price"),
+        F.col("o_price_dec__max").cast("double").alias("max_price"),
+        F.round(
+            F.col("o_price_dec__sum").cast("double") / F.col("o_price_dec__cnt"), 4
+        ).alias("avg_price"),
     )
 
 
@@ -4424,12 +4439,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_rich_customers",
     """
     WITH thresh AS (
-        SELECT ROUND(AVG(c_acctbal), 4) AS t
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(c_acctbal) AS t
         FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c.c_nationkey,
            COUNT(*)                 AS numcust,
-           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer c, thresh
     WHERE c.c_acctbal > thresh.t
       AND NOT EXISTS (
@@ -4444,14 +4460,20 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: above-average-balance customers who never
     placed an urgent order, by nation. The scalar AVG subquery becomes a 1-row broadcast cross
     join (no driver action); NOT EXISTS is a left_anti join — the only
-    full shuffle pair. The threshold is rounded to 4dp IN BOTH ENGINES
-    so the > compare can't flip on partial-agg summation order.
+    full shuffle pair. The threshold numerator and totacctbal are summed
+    as DECIMAL(18,2) IN BOTH ENGINES — exact addition, so neither the
+    > compare nor the output can flip on partial-agg summation order.
     Anti-join note for 100 TB: orders is projected to the key column
     only before the anti join, so the shuffle carries 8 bytes/row."""
     c = _t(spark, sf_dir, "customer")
     thresh = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.round(F.avg("c_acctbal"), 4).alias("t"))
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("t")
+        )
     )
     o_keys = (
         _t(spark, sf_dir, "orders")
@@ -4465,7 +4487,9 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias(
+                "totacctbal"
+            ),
         )
     )
 
@@ -4497,12 +4521,16 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-coverage audit: build the top-200 vocabulary, then the
     out-of-vocabulary token rate per source — the go/no-go number for a
-    frequency-cutoff vocab. Plan: the token stream is exploded ONCE and
-    reused for both the vocab count and the coverage join (same
-    projection, Catalyst reuses the scan); the vocab is 200 rows →
-    broadcast left join, so the only wide op on the occurrence stream
-    is its final per-source count. Ties at the cutoff break by token in
-    both engines for a deterministic vocabulary."""
+    frequency-cutoff vocab. Plan: the documents scan + explode runs
+    TWICE (once under the vocab count, once under the coverage join) —
+    deliberate: at 100 TB re-scanning a columnar text projection is
+    cheaper than persisting the exploded token stream (x tokens/doc
+    amplification) or shuffling it; the vocab side collapses to 200
+    rows → broadcast left join, so the only wide op on the occurrence
+    stream is its final per-source count. (For hot interactive reuse,
+    `.persist()` on `tok` trades memory for the second scan.) Ties at
+    the cutoff break by token in both engines for a deterministic
+    vocabulary."""
     from opentimes_spark.functions.text import tokens as _tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -4528,4 +4556,815 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("oov_rate"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H query shapes, round 4: the remaining forms expressible over the
+# available columns (no partsupp / commitdate / receiptdate in the test
+# tables — Q2/Q11/Q12/Q16/Q20/Q21 are out of reach; Q4 and Q9 are adapted
+# and say so).  Each is a distinct JOIN/AGG plan shape the reference's
+# consumers run via DuckDB over the published parquet (SURVEY.md §3.2).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_priority_late_ship",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: the test lineitem has no commitdate /
+    receiptdate, so "late" = shipped >90 days after the order date).
+    The correlated EXISTS is a LEFT SEMI join whose condition piggybacks
+    the extra range predicate on the orderkey equi-join — one shuffle
+    pair, no fan-out (semi join emits each order at most once, so the
+    multi-lineitem EXISTS can't double-count).  (SURVEY.md §2.3 J6.)"""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name                                              AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join where revenue counts only when the
+    supplier and the customer share a nation inside the target region.
+    Plan for 100 TB: region→nation→supplier collapse into ONE broadcast
+    (region prunes nations before the fact is touched); lineitem joins
+    the date-filtered orders on orderkey (shuffle 1) then customer on
+    custkey (shuffle 2); the nation-match predicate rides the customer
+    join as a residual filter — no extra shuffle.  (SURVEY.md §2.3
+    J2/J8.)"""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(F.col("n_name").alias("nation"), "revenue")
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON l.l_suppkey  = s.s_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey  = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year.  Both nation dims broadcast onto their key sides BEFORE
+    the big joins, so the pair-filter prunes supplier rows (and, post
+    customer-join, order rows) as early as possible; the symmetric OR
+    is evaluated as a residual on the already-joined names.
+    (SURVEY.md §2.3 J8 multi-key.)"""
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON l.l_partkey   = p.p_partkey
+        JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+        JOIN customer c ON c.c_custkey   = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey  = n1.n_regionkey
+        JOIN supplier s ON s.s_suppkey    = l.l_suppkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's spend on one
+    part type, by order year — the canonical conditional-aggregate
+    ratio.  The p_type filter broadcasts into lineitem FIRST (most
+    selective prune of the fact), then orders (shuffle), then the
+    customer→nation→region broadcast chain gates the region, and the
+    supplier→nation broadcast tags the numerator.  One groupBy on year.
+    (SURVEY.md §2.4 A-Ext filtered agg.)"""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cust_nkey"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nkey"))
+        .select("c_custkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("nation")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nkey"))
+        .select("s_suppkey", "nation")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    """
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                 - 0.4 * p.p_retailprice * l.l_quantity AS amount
+        FROM part p
+        JOIN lineitem l ON l.l_partkey   = p.p_partkey
+        JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table, so supply cost is
+    modeled as 40% of p_retailprice — the join/agg structure is what
+    matters).  Profit on 'red' parts by supplier nation and order year:
+    part filter broadcasts into the fact, supplier+nation collapse to
+    one broadcast, the only shuffle is lineitem⋈orders on orderkey,
+    then a two-key groupBy.  (SURVEY.md §2.3 J2 + §2.4.)"""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "nation")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+           ROUND(c.c_acctbal, 2) AS acctbal,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-merchandise
+    revenue in a quarter.  The returnflag filter pushes into the
+    lineitem scan; date-filtered orders join it on orderkey (shuffle),
+    then the customer join on custkey (shuffle 2) with the nation name
+    broadcast in; TakeOrderedAndProject keeps only 20 rows
+    driver-side (rounded revenue sort key + custkey tiebreak = stable
+    cut).  Revenue accumulates AND ROUNDS as DECIMAL(28,8) in both
+    engines: the sum is exact (order-independent), and rounding happens
+    in decimal space because one sf0.01 group lands exactly on .595 —
+    a boundary where Spark (HALF_UP on the decimal string) and DuckDB
+    (round of the binary double) disagree if the value passes through
+    a double first.  (SURVEY.md §2.3 J2 + §2.7 O-Ext.)"""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "nation")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"), "nation",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY 'all'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo share of one month's revenue.  The month
+    filter pushes into the fact scan; part broadcasts (dimension ≪
+    fact at every scale); single-row conditional-ratio aggregate — no
+    shuffle beyond the 1-row final agg.  (SURVEY.md §2.4 A-Ext.)"""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM supplier s
+    JOIN rev ON rev.supplier_no = s.s_suppkey
+    WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the quarter's max revenue.
+    The revenue CTE is computed ONCE and reused for both the max scalar
+    and the equality filter (explicit .persist-free: the 1-row max is a
+    broadcast cross join, and AQE reuses the shuffle of the shared agg
+    subtree); revenue is rounded to 2dp in both engines BEFORE max /
+    compare so the selection can't flip on summation order.
+    (SURVEY.md §2.2 P-sub scalar subquery.)"""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q19_bracket_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY 'all'
+    """,
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive bracket predicate spanning both
+    join sides.  The part side pre-filters to the union of the three
+    brand/size envelopes (broadcast stays tiny); the mixed
+    brand×quantity residual evaluates after the broadcast join — the
+    fact is never shuffled.  (SURVEY.md §2.2 P-Ext disjunctive
+    pushdown.)"""
+    p = _t(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 35))
+    ).select("p_partkey", "p_brand")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#20") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline, round 4: RAG chunking, unigram LM scoring,
+# sequence-length bucketing, matryoshka embedding truncation, source
+# balancing weights, char-ngram profiles, user feature vectors.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chunk_text_overlap",
+    """
+    SELECT doc_id,
+           CAST(i AS INT)                               AS chunk_id,
+           LENGTH(SUBSTRING(text, CAST(i AS INT) * 150 + 1, 200)) AS chunk_len,
+           md5(SUBSTRING(text, CAST(i AS INT) * 150 + 1, 200))    AS chunk_md5
+    FROM documents,
+         UNNEST(range(0, CAST(CEIL(LENGTH(text) / 150.0) AS BIGINT))) AS t(i)
+    """,
+)
+def chunk_text_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: 200-char windows on a 150-char stride (50
+    overlap), identified by (doc_id, chunk_id) with a content hash.
+    Pure per-row generate+substring — zero shuffle, and the fan-out is
+    bounded by len/stride so a 100 TB corpus chunks in one map stage.
+    The md5 gives downstream exact-dedup of chunks for free.
+    (LLM-pipeline: retrieval corpus construction.)"""
+    d = _t(spark, sf_dir, "documents")
+    n = F.ceil(F.length("text") / 150.0).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(0).cast("long"), n - 1)).alias("_p", "i"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_id"),
+            F.length(
+                F.substring(F.col("text"), F.col("i").cast("int") * 150 + 1, 200)
+            ).alias("chunk_len"),
+            F.md5(
+                F.substring(F.col("text"), F.col("i").cast("int") * 150 + 1, 200)
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "score_unigram_logprob",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST({_TOKS_SQL}) AS t FROM documents
+    ),
+    freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+    tot  AS (SELECT SUM(n) AS total FROM freq)
+    SELECT tok.doc_id,
+           COUNT(*)                                      AS n_tokens,
+           ROUND(AVG(LN(freq.n / tot.total)), 4)         AS avg_logprob
+    FROM tok JOIN freq ON tok.t = freq.t, tot
+    GROUP BY tok.doc_id
+    """,
+)
+def score_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: per-document mean log-probability
+    under the corpus's own unigram distribution — the cheap perplexity
+    proxy used to rank/filter pretraining documents.  Plan: one shuffle
+    builds the frequency table (vocab-sized → rejoins the token stream
+    as a shuffle join that AQE converts to broadcast when vocab fits),
+    the 1-row total rides a broadcast cross join, and the per-doc agg
+    groups on doc_id.  Rounded to 4dp (avg of ~1e2 doubles: engine
+    summation-order noise ~1e-13 per term).  (LLM-pipeline: quality
+    scoring.)"""
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        tok.join(freq, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / F.col("total"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+@query(
+    "docs_length_buckets",
+    """
+    SELECT source,
+           CAST(FLOOR(LOG2(n_chars)) AS INT) AS len_bucket,
+           COUNT(*)                          AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)      AS tot_chars,
+           MIN(n_chars)                      AS min_chars,
+           MAX(n_chars)                      AS max_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY source, CAST(FLOOR(LOG2(n_chars)) AS INT)
+    """,
+)
+def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in power-of-2 buckets per source — the
+    input to packing-efficiency and truncation-loss decisions before a
+    training run.  Pure map-side bucketing + one grouped agg; the
+    bucket key is coarse (≤ ~20 distinct) so the shuffle is trivially
+    skew-free at any corpus size.  (LLM-pipeline: curriculum /packing
+    planning.)"""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    bucket = F.floor(F.log2("n_chars")).cast("int")
+    return d.groupBy("source", bucket.alias("len_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("tot_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "embed_norm_matryoshka",
+    """
+    SELECT vec_id,
+           ROUND(SQRT(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)
+                                                           AS norm_full,
+           ROUND(SQRT(list_aggregate(list_transform(list_slice(embedding, 1, 16),
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)
+                                                           AS norm_head16,
+           ROUND(CAST(embedding[1] AS DOUBLE)
+                 / SQRT(list_aggregate(list_transform(list_slice(embedding, 1, 16),
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)
+                                                           AS c0_normed
+    FROM embeddings
+    """,
+)
+def embed_norm_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: full-vector L2 norm vs the
+    norm of the leading 16 dims (the quality/cost knob for truncated
+    retrieval), plus the first component renormalized against the
+    16-dim head.  All per-row JVM folds in DOUBLE — left-to-right like
+    the oracle's list_aggregate, so the hash is bit-stable; zero
+    shuffle at any scale.  (LLM-pipeline: embedding post-processing.)"""
+    e = _t(spark, sf_dir, "embeddings")
+    as_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    sq_sum = lambda c: F.aggregate(  # noqa: E731
+        F.transform(as_d(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum(F.col("embedding"))), 6).alias("norm_full"),
+        F.round(F.sqrt(sq_sum(F.slice(F.col("embedding"), 1, 16))), 6).alias(
+            "norm_head16"
+        ),
+        F.round(
+            F.col("embedding")[0].cast("double")
+            / F.sqrt(sq_sum(F.slice(F.col("embedding"), 1, 16))),
+            6,
+        ).alias("c0_normed"),
+    )
+
+
+@query(
+    "inverse_freq_weights",
+    """
+    WITH per_src AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+    tot AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT source) AS k FROM documents)
+    SELECT d.doc_id, d.source,
+           ROUND(CAST(tot.n_total AS DOUBLE) / (tot.k * per_src.n_src), 6) AS weight
+    FROM documents d
+    JOIN per_src ON per_src.source = d.source, tot
+    """,
+)
+def inverse_freq_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balancing sample weights: weight ∝ 1/|source|, normalized
+    so weights average to 1 across the corpus — the standard way to
+    up-sample rare sources in a training mixture without materializing
+    duplicates.  The per-source counts are K rows → broadcast back onto
+    the corpus; the 1-row total is a broadcast cross join; the corpus
+    itself is never shuffled.  (LLM-pipeline: mixture re-weighting;
+    complements mix_sources_weighted which materializes the sample.)"""
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("source").alias("k"),
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.col("n_total").cast("double") / (F.col("k") * F.col("n_src")), 6
+            ).alias("weight"),
+        )
+    )
+
+
+@query(
+    "text_ngram_profile",
+    """
+    WITH grams AS (
+        SELECT lang, SUBSTRING(lower(text), CAST(i AS INT), 3) AS g
+        FROM documents,
+             UNNEST(range(1, GREATEST(LENGTH(text) - 1, 1))) AS t(i)
+    ),
+    counted AS (
+        SELECT lang, g, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY COUNT(*) DESC, g) AS rnk
+        FROM grams GROUP BY lang, g
+    )
+    SELECT lang, g AS trigram, n, CAST(rnk AS INT) AS rnk
+    FROM counted WHERE rnk <= 5
+    """,
+)
+def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram frequency profile (top-5 per language) — the
+    feature table a trigram language-ID model trains on.  The explode
+    is a map-side fan-out (len-2 rows per doc); the count groups on
+    (lang, trigram) — high cardinality but hash-uniform keys — and the
+    top-5 cut is a tiny per-lang window after the agg has already
+    collapsed the stream.  Ties break by trigram in both engines.
+    (LLM-pipeline: language-ID model features.)"""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))
+        ).alias("i"),
+        F.lower(F.col("text")).alias("_lt"),
+    ).select("lang", F.expr("substring(_lt, i, 3)").alias("g"))
+    counted = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "g")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", F.col("g").alias("trigram"), "n", F.col("rnk").cast("int"))
+    )
+
+
+@query(
+    "events_user_features",
+    """
+    SELECT user_id,
+           COUNT(*)                                              AS n_events,
+           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+           ROUND(SUM(value), 2)                                  AS tot_value,
+           COUNT(DISTINCT CAST(ts AS DATE))                      AS active_days,
+           DATE_DIFF('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                                                                 AS span_days
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector (counts by type, spend, active
+    days, account span) — the grouped-feature-extraction shape every
+    training-data pipeline runs before a downstream model join.  ONE
+    shuffle on user_id computes all nine features (conditional
+    aggregates share the pass); count-distinct-days is exact via the
+    same grouping, not a separate job.  (LLM-pipeline: feature
+    engineering.)"""
+    ev = _t(spark, sf_dir, "events")
+    cnt_of = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        cnt_of("click").alias("n_click"),
+        cnt_of("view").alias("n_view"),
+        cnt_of("purchase").alias("n_purchase"),
+        cnt_of("error").alias("n_error"),
+        F.round(F.sum("value"), 2).alias("tot_value"),
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date")).alias(
+            "span_days"
+        ),
     )
