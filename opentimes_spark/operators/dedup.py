@@ -289,18 +289,40 @@ def jaccard_pairs(
     candidate pairs — |A∪B| = |A|+|B|−|A∩B|. Cost is proportional to
     candidate count × doc length, never n².
 
-    Plan shape vs the exploded alternative: two hash joins carrying one
-    ARRAY row per doc (broadcastable when candidates are few), then a
-    codegen ``array_intersect`` per pair — the previous formulation
-    exploded shingles into a (doc, shingle) stream and needed an extra
-    shuffle join on (id, tok) plus a groupBy to count the
-    intersection. Zero-intersection pairs (and docs with an empty
-    shingle set) drop out — identical semantics to the old inner join
-    on exploded rows, which is also what the SQL oracle states."""
+    Plan shape: the corpus is tokenized ONCE — candidate pairs are
+    melted to (id_a, id_b, member) rows and joined to the shingle
+    arrays in a single join (the melt side is 2 rows/pair — tiny, so
+    AQE broadcasts it and the corpus streams through map-side), then a
+    groupBy on the pair re-assembles the two arrays for a codegen
+    ``array_intersect``.  The earlier two-join form re-ran the whole
+    tokenize+distinct-shingle projection per pair side (two full corpus
+    passes); cost is proportional to candidate count × doc length,
+    never n².  Zero-intersection pairs (and docs with an empty shingle
+    set) drop out — identical semantics to the old inner join on
+    exploded rows, which is also what the SQL oracle states."""
     arrs = shingle_arrays(df, id_col, text_col, shingle_size)
-    a = arrs.select(F.col(id_col).alias("id_a"), F.col("grams").alias("__ga"))
-    b = arrs.select(F.col(id_col).alias("id_b"), F.col("grams").alias("__gb"))
-    joined = candidates.join(a, "id_a").join(b, "id_b")
+    melt = candidates.select(
+        "id_a",
+        "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("__member"),
+    )
+    joined = (
+        arrs.join(melt, F.col(id_col) == F.col("__member"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("__member") == F.col("id_a"), F.col("grams")),
+                ignorenulls=True,
+            ).alias("__ga"),
+            F.first(
+                F.when(F.col("__member") == F.col("id_b"), F.col("grams")),
+                ignorenulls=True,
+            ).alias("__gb"),
+        )
+        # a pair whose doc lacks a shingle row must drop, as the old
+        # inner joins did
+        .filter(F.col("__ga").isNotNull() & F.col("__gb").isNotNull())
+    )
     n_a, n_b = F.size("__ga"), F.size("__gb")
     n_inter = F.size(F.array_intersect("__ga", "__gb"))
     raw = n_inter / (n_a + n_b - n_inter)
