@@ -162,3 +162,39 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV source with an EXPLICIT schema and corrupt-row quarantine —
+    the legacy-feed ingestion contract (reference inputs arrive as
+    Census CSV payloads; data/src/utils/census.py parses them
+    pandas-side).  Schema inference is off for the same reason as
+    read_jsonl (it is a full extra pass at scale); malformed rows land
+    in ``_corrupt_record`` instead of failing the scan; multiline
+    quoted fields are on so embedded newlines in text columns survive.
+    """
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — Spark-native columnar alternative to parquet, with
+    the same predicate-pushdown / column-pruning / stripe-stat skipping
+    contract.  Exists so a corpus already materialized as ORC (Hive
+    estates) can feed every operator without a rewrite; write side in
+    io.write.write_orc."""
+    return spark.read.orc(path)

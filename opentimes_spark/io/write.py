@@ -150,3 +150,17 @@ def row_group_stats(path: str, column: str) -> list[tuple[str, object, object]]:
             if st is not None:
                 stats.append((f, st.min, st.max))
     return stats
+
+
+def write_orc(
+    df, path: str, partition_by: list[str] | None = None, sort_by: str | None = None
+) -> None:
+    """ORC sink (zlib, Spark-native) — the interchange format for Hive
+    estates; mirrors write_sorted_partitioned's layout contract (sort
+    within partitions for stripe-stat locality, partition dirs for
+    pruning) so either format serves the same downstream scans."""
+    out = df.sortWithinPartitions(sort_by) if sort_by else df
+    w = out.write.mode("overwrite").option("compression", "zlib")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

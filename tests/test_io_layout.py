@@ -364,3 +364,60 @@ def test_read_jsonl_explicit_schema_and_corrupt_quarantine(spark, tmp_path):
     bad = df.filter("_corrupt_record IS NOT NULL").collect()
     assert good == {1: "hello world", 2: "ok"}
     assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+
+
+def test_read_csv_explicit_schema_and_corrupt_quarantine(spark, tmp_path):
+    """Well-formed rows parse through the explicit schema (no inference
+    pass); a row with a non-numeric id quarantines into _corrupt_record
+    instead of failing the scan; quoted fields keep embedded commas."""
+    from opentimes_spark.io.read import read_csv
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "doc_id,text\n"
+        '1,"hello, world"\n'
+        "not_a_number,broken row\n"
+        "2,ok\n"
+    )
+    df = read_csv(spark, str(p), "doc_id long, text string")
+    good = {r.doc_id: r.text for r in df.filter("_corrupt_record IS NULL").collect()}
+    bad = df.filter("_corrupt_record IS NOT NULL").collect()
+    assert good == {1: "hello, world", 2: "ok"}
+    assert len(bad) == 1 and "not_a_number" in bad[0]._corrupt_record
+
+
+def test_orc_round_trip_partitioned(spark, tmp_path):
+    """ORC sink + source: partition dirs exist, values survive the
+    round trip, and a partition-key filter prunes to one directory's
+    rows (same layout contract as the parquet sink)."""
+    import os
+
+    from opentimes_spark.io.read import read_orc
+    from opentimes_spark.io.write import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "id long, part string, val int",
+    )
+    root = str(tmp_path / "orc_out")
+    write_orc(df, root, partition_by=["part"], sort_by="id")
+
+    assert {d for d in os.listdir(root) if d.startswith("part=")} == {
+        "part=a",
+        "part=b",
+    }
+    back = read_orc(spark, root)
+    assert {(r.id, r.part, r.val) for r in back.collect()} == {
+        (1, "a", 10),
+        (2, "a", 20),
+        (3, "b", 30),
+    }
+    pruned = back.filter("part = 'b'")
+    assert [r.id for r in pruned.collect()] == [3]
+    # the partition predicate must prune at planning time, not post-scan
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(part" in plan.replace("#", " #").replace(
+        "part #", "part"
+    ) or "part = b" in plan
