@@ -56,6 +56,14 @@ HEADLINE = [
     "sim_srp_lsh_topk",
     "agg_incremental_merge",
     "q17_small_quantity_revenue",
+    # round-4 operator families
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q19_bracket_revenue",
+    "chunk_text_overlap",
+    "score_unigram_logprob",
+    "events_user_features",
 ]
 
 

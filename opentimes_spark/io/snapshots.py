@@ -1,0 +1,140 @@
+"""Versioned table snapshots with an atomic latest-pointer and time
+travel — the publish-safety layer for a re-runnable 100 TB pipeline.
+
+The reference versions its published artifacts through DVC: every stage
+output is content-addressed and ``dvc.lock`` pins the version a consumer
+sees (reference ``data/dvc.yaml:3-151``); the public bucket carries
+dated paths.  Re-expressed for a Spark data lake, that contract is the
+classic snapshot-directory + pointer-swap pattern (the simplified core
+of Iceberg/Delta table versioning):
+
+- each publish writes a brand-new immutable ``v=N`` directory — never
+  in-place over files a reader may be scanning;
+- a tiny ``_LATEST`` pointer file is swapped atomically (write-temp +
+  ``os.replace``) AFTER the data and its manifest are fully committed,
+  so readers see either the old version or the new one, never a
+  half-written directory;
+- ``read_snapshot(..., version=K)`` time-travels to any retained
+  version — the reproducibility hook that lets a training run pin the
+  exact corpus snapshot it consumed (what ``dvc.lock`` does for the
+  reference);
+- ``prune_snapshots`` retires old versions EXCEPT the pinned latest,
+  oldest first, for storage hygiene.
+
+Scale notes: the pointer file and manifests are O(1) metadata — no
+listing of data files on the read path beyond the chosen version's own
+directory; writers pay one directory rename-free commit (the ``v=N``
+dir is born complete).  On object stores without atomic rename the
+``os.replace`` seam is the one piece to swap for a conditional-put.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_LATEST"
+_MANIFEST = "_MANIFEST.json"
+
+
+def _version_dir(root: str, version: int) -> str:
+    return os.path.join(root, f"v={version}")
+
+
+def latest_version(root: str) -> int | None:
+    """Current published version per the pointer, or None if never
+    published."""
+    try:
+        with open(os.path.join(root, _POINTER), encoding="utf-8") as f:
+            return int(json.load(f)["version"])
+    except FileNotFoundError:
+        return None
+
+
+def write_snapshot(
+    df: DataFrame,
+    root: str,
+    sort_by: str | None = None,
+    compression: str = "zstd",
+) -> int:
+    """Publish ``df`` as the next snapshot version; returns the version.
+
+    Commit order is the whole contract: (1) data files into a fresh
+    ``v=N`` dir, (2) the version's manifest, (3) the atomic pointer
+    swap.  A crash before (3) leaves the previous version live and the
+    orphan directory invisible to readers (re-publish simply takes the
+    next free N)."""
+    os.makedirs(root, exist_ok=True)
+    prev = latest_version(root)
+    version = 0 if prev is None else prev + 1
+    while os.path.exists(_version_dir(root, version)):  # orphan from a crash
+        version += 1
+    vdir = _version_dir(root, version)
+    out = df.sortWithinPartitions(sort_by) if sort_by else df
+    out.write.mode("errorifexists").option("compression", compression).parquet(vdir)
+
+    files = [
+        f
+        for f in os.listdir(vdir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    manifest = {
+        "version": version,
+        "created_unix": int(time.time()),
+        "n_files": len(files),
+        "bytes": sum(os.path.getsize(os.path.join(vdir, f)) for f in files),
+        "schema": out.schema.jsonValue(),
+    }
+    with open(os.path.join(vdir, _MANIFEST), "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+
+    tmp = os.path.join(root, _POINTER + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"version": version}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _POINTER))  # the atomic publish
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Scan the latest snapshot, or time-travel to ``version``."""
+    v = latest_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshot published under {root}")
+    vdir = _version_dir(root, v)
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"snapshot v={v} not found under {root}")
+    return spark.read.parquet(vdir)
+
+
+def list_snapshots(root: str) -> list[dict]:
+    """Manifests of all retained versions, oldest first."""
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for d in sorted(os.listdir(root)):
+        mf = os.path.join(root, d, _MANIFEST)
+        if d.startswith("v=") and os.path.isfile(mf):
+            with open(mf, encoding="utf-8") as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda m: m["version"])
+
+
+def prune_snapshots(root: str, keep: int = 2) -> list[int]:
+    """Drop the oldest versions beyond ``keep``; the pointer's version
+    is always retained regardless.  Returns the pruned versions."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    live = latest_version(root)
+    versions = [m["version"] for m in list_snapshots(root)]
+    victims = [v for v in versions[:-keep] if v != live] if len(versions) > keep else []
+    for v in victims:
+        shutil.rmtree(_version_dir(root, v))
+    return victims

@@ -421,3 +421,56 @@ def test_orc_round_trip_partitioned(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(part" in plan.replace("#", " #").replace(
         "part #", "part"
     ) or "part = b" in plan
+
+
+def test_snapshot_publish_read_time_travel_prune(spark, tmp_path):
+    """Three publishes → pointer tracks latest, time travel reaches any
+    retained version, prune drops oldest but never the live pointer."""
+    from opentimes_spark.io.snapshots import (
+        latest_version,
+        list_snapshots,
+        prune_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "snaps")
+    for n in (1, 2, 3):
+        df = spark.range(n * 10).withColumnRenamed("id", "x")
+        assert write_snapshot(df, root, sort_by="x") == n - 1
+
+    assert latest_version(root) == 2
+    assert read_snapshot(spark, root).count() == 30          # latest
+    assert read_snapshot(spark, root, version=0).count() == 10  # time travel
+    mans = list_snapshots(root)
+    assert [m["version"] for m in mans] == [0, 1, 2]
+    assert all(m["n_files"] >= 1 and m["bytes"] > 0 for m in mans)
+
+    assert prune_snapshots(root, keep=1) == [0, 1]
+    assert read_snapshot(spark, root).count() == 30
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, version=0)
+
+
+def test_snapshot_crash_before_pointer_swap_invisible(spark, tmp_path):
+    """An orphan v-dir without a pointer update (simulated crash between
+    data commit and publish) is invisible to readers; the next publish
+    skips over the orphan's version number."""
+    import os
+
+    from opentimes_spark.io.snapshots import (
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "snaps")
+    write_snapshot(spark.range(5), root)          # v=0 published
+    os.makedirs(os.path.join(root, "v=1"))        # orphan: no manifest/pointer
+    assert latest_version(root) == 0
+    assert read_snapshot(spark, root).count() == 5
+    v = write_snapshot(spark.range(7), root)      # must skip the orphan dir
+    assert v == 2
+    assert read_snapshot(spark, root).count() == 7
