@@ -5368,3 +5368,108 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_days"
         ),
     )
+
+
+@query(
+    "docs_outlier_trim",
+    """
+    WITH cuts AS (
+        SELECT source, QUANTILE_CONT(n_chars, 0.95) AS p95
+        FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           COUNT(*)                                              AS n_docs,
+           SUM(CASE WHEN d.n_chars <= cuts.p95 THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN d.n_chars >  cuts.p95 THEN 1 ELSE 0 END) AS n_trimmed,
+           ROUND(cuts.p95, 4)                                    AS cutoff_p95
+    FROM documents d JOIN cuts ON cuts.source = d.source
+    GROUP BY d.source, cuts.p95
+    """,
+)
+def docs_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based outlier trimming: per-source p95 length cutoff
+    and the kept/trimmed split — the standard tail-clip before a
+    training mixture (absurdly long docs dominate token budgets).  The
+    cutoffs are one tiny exact-percentile agg (K rows, K = #sources)
+    broadcast back onto the corpus; the verdict agg shares the source
+    key.  At 100 TB swap `percentile` for `percentile_approx` — same
+    plan, sketch-mergeable partials — the exact form is kept here for
+    the oracle's QUANTILE_CONT parity.  (LLM-pipeline: length
+    filtering.)"""
+    d = _t(spark, sf_dir, "documents")
+    cuts = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.95)").alias("p95")
+    )
+    return (
+        d.join(F.broadcast(cuts), "source")
+        .groupBy("source", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_chars") <= F.col("p95"), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(F.when(F.col("n_chars") > F.col("p95"), 1).otherwise(0)).alias(
+                "n_trimmed"
+            ),
+        )
+        .select(
+            "source", "n_docs", "n_kept", "n_trimmed",
+            F.round("p95", 4).alias("cutoff_p95"),
+        )
+    )
+
+
+@query(
+    "text_char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, SUBSTRING(lower(text), CAST(i AS INT), 1) AS c
+        FROM documents, UNNEST(range(1, LENGTH(text) + 1)) AS t(i)
+    ),
+    freq AS (
+        SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
+    ),
+    tot AS (
+        SELECT doc_id, SUM(n) AS total, COUNT(*) AS n_distinct
+        FROM freq GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           CAST(MAX(t.total) AS BIGINT)                        AS n_chars_total,
+           CAST(MAX(t.n_distinct) AS BIGINT)                   AS n_distinct_chars,
+           ROUND(-SUM((f.n / CAST(t.total AS DOUBLE))
+                      * LN(f.n / CAST(t.total AS DOUBLE))), 4) AS entropy_nats
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document — the cheap
+    gibberish/encoding-junk detector (natural text sits ~2.5-4.5 nats;
+    base64 blobs and repeated-char junk fall far outside).  Plan: one
+    explode to (doc, char) rows, a count keyed by (doc, char), then the
+    per-doc fold — the (doc, char) key is what keeps the agg skew-free
+    (a 1 GB single document still spreads over its distinct chars
+    before the per-doc rollup sees one row per char).  Entropy rounds
+    at 4dp: the sum is over ≤ ~100 terms per doc, so engine
+    summation-order noise (~1e-13/term) can't reach the digit.
+    (LLM-pipeline: quality scoring.)"""
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        F.lower(F.col("text")).alias("_lt"),
+    ).select("doc_id", F.expr("substring(_lt, i, 1)").alias("c"))
+    freq = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("doc_id").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("n") / F.col("total").cast("double")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("total").cast("bigint").alias("n_chars_total"),
+            F.max("n_distinct").cast("bigint").alias("n_distinct_chars"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+        )
+    )
