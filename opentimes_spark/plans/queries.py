@@ -5473,3 +5473,52 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
         )
     )
+
+
+@query(
+    "fuzzy_name_linkage",
+    """
+    SELECT split_part(a.p_name, ' ', 1)        AS block_tok,
+           levenshtein(a.p_name, b.p_name)     AS dist,
+           COUNT(*)                            AS n_pairs,
+           MIN(a.p_partkey * 100000 + b.p_partkey) AS min_pair_key
+    FROM part a
+    JOIN part b
+      ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    GROUP BY block_tok, dist
+    """,
+)
+def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy join: edit-distance-bounded name matching
+    with token blocking — the dedup shape for entity resolution when
+    there is no shared key.  The self-join equi-keys on the blocking
+    token (first word), so candidate pairs are per-block n², never
+    corpus n²; `levenshtein` evaluates ONLY on co-blocked pairs as a
+    join residual.  At 100 TB the blocking key is the knob: add
+    length-band or q-gram keys to shrink blocks until per-block n²
+    fits an executor (same cap story as LSH bands — `operators/skew.py`
+    machinery applies to hot blocks).  Both engines implement classic
+    Levenshtein, so the distances hash-match exactly.  (LLM-pipeline:
+    entity resolution / near-dup beyond whole-document hashing.)"""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("block_tok")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "block_tok"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "block_tok"
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "block_tok")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 2)
+        .groupBy("block_tok", dist.alias("dist"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.col("key_a") * 100000 + F.col("key_b")).alias("min_pair_key"),
+        )
+    )
