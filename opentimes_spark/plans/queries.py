@@ -5498,10 +5498,13 @@ def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus n²; `levenshtein` evaluates ONLY on co-blocked pairs as a
     join residual.  At 100 TB the blocking key is the knob: add
     length-band or q-gram keys to shrink blocks until per-block n²
-    fits an executor (same cap story as LSH bands — `operators/skew.py`
-    machinery applies to hot blocks).  Both engines implement classic
-    Levenshtein, so the distances hash-match exactly.  (LLM-pipeline:
-    entity resolution / near-dup beyond whole-document hashing.)"""
+    fits an executor.  The first-class operator (with the hot-block
+    star-degradation guard, same contract as the LSH hot-band cap) is
+    `operators/linkage.py:fuzzy_pairs`; this query keeps the uncapped
+    form inline because the oracle states exactly it.  Both engines
+    implement classic Levenshtein, so the distances hash-match exactly.
+    (LLM-pipeline: entity resolution / near-dup beyond whole-document
+    hashing.)"""
     p = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("block_tok")
     )
