@@ -41,6 +41,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--min-score", type=int, default=50)
     p.add_argument("--budget", type=int, default=512)
     p.add_argument("--span", type=int, default=8)
+    p.add_argument(
+        "--publish",
+        action="store_true",
+        help="publish the curated corpus as a versioned snapshot "
+        "(<out>/published/v=N + atomic _LATEST pointer) so training "
+        "runs can pin the exact version they consumed",
+    )
     return p.parse_args(argv)
 
 
@@ -151,6 +158,12 @@ def curate(spark: SparkSession, args: argparse.Namespace) -> dict:
     record("curated", cur, skipped)
 
     manifest["out"] = path("curated")
+    if args.publish:
+        from opentimes_spark.io.snapshots import write_snapshot
+
+        manifest["published_version"] = write_snapshot(
+            cur, os.path.join(out, "published"), sort_by="doc_id"
+        )
     with open(os.path.join(out, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True)
     return manifest

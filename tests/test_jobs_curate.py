@@ -38,3 +38,29 @@ def test_curate_funnel_and_incremental_skip(spark, tmp_path):
     m2 = curate(spark, args)
     assert all(m2["stages"][s]["skipped"] for s in stages), m2
     assert [m2["stages"][s]["rows"] for s in stages] == rows
+
+
+def test_curate_publish_versioned_snapshot(spark, tmp_path):
+    """--publish snapshots the curated output: the pointer advances per
+    run, old versions stay time-travelable, and the published rows
+    equal the curated stage's."""
+    from opentimes_spark.io.snapshots import latest_version, read_snapshot
+
+    out = str(tmp_path / "curated")
+    os.makedirs(out, exist_ok=True)
+    args = parse_args(
+        ["--sf-dir", "/root/testdata/sf0.001", "--out", out, "--publish"]
+    )
+
+    m1 = curate(spark, args)
+    assert m1["published_version"] == 0
+    root = os.path.join(out, "published")
+    assert latest_version(root) == 0
+    n_curated = m1["stages"]["curated"]["rows"]
+    assert read_snapshot(spark, root).count() == n_curated
+
+    # a re-run skips every stage but still publishes a NEW version
+    m2 = curate(spark, args)
+    assert m2["published_version"] == 1
+    assert read_snapshot(spark, root).count() == n_curated
+    assert read_snapshot(spark, root, version=0).count() == n_curated
