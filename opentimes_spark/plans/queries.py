@@ -5525,3 +5525,54 @@ def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("key_a") * 100000 + F.col("key_b")).alias("min_pair_key"),
         )
     )
+
+
+@query(
+    "sample_weighted_topk",
+    """
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               -LN((CAST(CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, FLOOR(k * 1000000 + 0.5) / 1000000 AS sort_key
+    FROM keyed
+    ORDER BY k, doc_id
+    LIMIT 50
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, fully deterministic
+    (Efraimidis–Spirakis A-ES): each row draws u ~ Uniform(0,1) from a
+    HASH of its id (not rand() — reproducible across engines, retries,
+    and scale-factor growth) and keys on -ln(u)/w; the k smallest keys
+    are a weighted sample.  Here w = n_chars, i.e. longer documents are
+    proportionally more likely — the standard token-budget-aware corpus
+    draw.  Distributed cost: per-row arithmetic + one
+    TakeOrderedAndProject; no shuffle of the corpus.  ln/div/floor are
+    IEEE-identical in both engines, so the oracle hash-matches the
+    rounded keys.  (LLM-pipeline: weighted corpus sampling;
+    complements the unweighted hash-prefix sample_systematic.)"""
+    from opentimes_spark.functions.text import stable_round
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select(
+            "doc_id", "source", "n_chars",
+            key.alias("k"),
+        )
+        .orderBy("k", "doc_id")
+        .limit(50)
+        .select(
+            "doc_id", "source", "n_chars",
+            stable_round(F.col("k"), 6).alias("sort_key"),
+        )
+    )

@@ -161,3 +161,37 @@ def test_cap_noop_on_normal_corpus(spark, docs):
         ).collect()
     }
     assert capped == uncapped and len(uncapped) > 0
+
+
+def test_incremental_exact_dedup_across_batches(spark):
+    """Batch 1 seeds the ledger; batch 2 drops cross-batch and
+    within-batch duplicates and extends the ledger only with fresh
+    fingerprints."""
+    from opentimes_spark.operators.dedup import incremental_exact_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "hello world"), (2, "unique one"), (3, "Hello   WORLD")],
+        "doc_id long, text string",
+    )
+    fresh1, ledger1 = incremental_exact_dedup(b1, None)
+    assert {r.doc_id for r in fresh1.collect()} == {1, 2}  # 3 dups 1 (normalized)
+    assert ledger1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "hello world"),    # dup of ledger fp
+            (11, "brand new"),
+            (12, "brand new"),      # within-batch dup
+            (13, "another fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    fresh2, ledger2 = incremental_exact_dedup(b2, ledger1)
+    assert {r.doc_id for r in fresh2.collect()} == {11, 13}
+    led = {r.fp: r.canonical_id for r in ledger2.collect()}
+    assert len(led) == 4
+    assert set(led.values()) == {1, 2, 11, 13}
+
+    # idempotence: re-ingesting batch 2 adds nothing
+    fresh3, ledger3 = incremental_exact_dedup(b2, ledger2)
+    assert fresh3.count() == 0 and ledger3.count() == 4
