@@ -5576,3 +5576,55 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("k"), 6).alias("sort_key"),
         )
     )
+
+
+@query(
+    "dedup_incremental_ingest",
+    """
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    ledger AS (
+        SELECT fp, MIN(doc_id) AS canonical_id
+        FROM fp WHERE source IN ('src0','src1','src2','src3','src4',
+                                 'src5','src6','src7','src8','src9')
+        GROUP BY fp
+    ),
+    batch AS (
+        SELECT * FROM fp WHERE source NOT IN ('src0','src1','src2','src3','src4',
+                                              'src5','src6','src7','src8','src9')
+    ),
+    batch_canon AS (
+        SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp
+    )
+    SELECT b.doc_id, b.fp
+    FROM batch_canon b
+    WHERE NOT EXISTS (SELECT 1 FROM ledger l WHERE l.fp = b.fp)
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified shape for incremental ingest dedup
+    (operators/dedup.py:incremental_exact_dedup): sources src0-src9
+    play the historical corpus whose fingerprint LEDGER already exists;
+    the remaining sources arrive as the new batch and keep only
+    documents whose normalized fingerprint is absent from the ledger
+    (cross-batch anti join) and canonical within the batch (min id).
+    The scan of 'history' here builds the ledger only because the test
+    corpus is one table — a real ingest reads the persisted ledger and
+    touches no historical text (48 bytes/doc instead of the corpus)."""
+    from opentimes_spark.operators.dedup import incremental_exact_dedup
+    from opentimes_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    hist_srcs = [f"src{i}" for i in range(10)]
+    history = d.filter(F.col("source").isin(hist_srcs))
+    batch = d.filter(~F.col("source").isin(hist_srcs))
+    ledger = (
+        history.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    fresh, _updated = incremental_exact_dedup(batch, ledger)
+    return fresh.select("doc_id", fingerprint(F.col("text")).alias("fp"))
