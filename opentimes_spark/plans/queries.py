@@ -5628,3 +5628,66 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fresh, _updated = incremental_exact_dedup(batch, ledger)
     return fresh.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "events_value_ewma",
+    """
+    WITH w AS (
+        SELECT user_id, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events WHERE user_id <= 20
+    )
+    SELECT a.user_id, a.event_id,
+           FLOOR(SUM(POWER(0.7, a.rn - b.rn) * b.value)
+                 / SUM(POWER(0.7, a.rn - b.rn)) * 1000000 + 0.5) / 1000000
+               AS ewma_value
+    FROM w a JOIN w b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
+    GROUP BY a.user_id, a.event_id
+    """,
+)
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over each user's event
+    stream (α-decay 0.7, 10-event horizon) — the smoothed-metric shape
+    for monitoring/feature pipelines.  True EWMA is a recursion Spark
+    windows can't express; the bounded-horizon form is an inner product
+    of the last k values with a geometric weight vector, computed here
+    as `aggregate` over `collect_list` window frames — ONE shuffle on
+    user_id serves ranking, frame collection, and the fold (the weights
+    renormalize per row, so short prefixes are exact, not zero-padded).
+    The oracle states the same inner product as a self-join on row
+    numbers.  POWER/div are IEEE-identical; 6dp floor-round keeps the
+    ≤10-term sum hash-stable."""
+    from pyspark.sql import Window
+    from opentimes_spark.functions.text import stable_round
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(-9, 0)
+    vals = F.collect_list("value").over(frame)
+    n = F.size(F.col("_vals"))
+    idx = F.sequence(F.lit(1), n)  # 1..k, oldest first in frame order
+    wsum = F.aggregate(
+        F.zip_with(
+            F.col("_vals"),
+            idx,
+            lambda v, i: v * F.pow(F.lit(0.7), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm = F.aggregate(
+        F.transform(idx, lambda i: F.pow(F.lit(0.7), (n - i).cast("double"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        e.select("user_id", "event_id", vals.alias("_vals"))
+        .select(
+            "user_id",
+            "event_id",
+            stable_round(wsum / norm, 6).alias("ewma_value"),
+        )
+    )
