@@ -5691,3 +5691,51 @@ def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(wsum / norm, 6).alias("ewma_value"),
         )
     )
+
+
+@query(
+    "zorder_quadtree_cells",
+    """
+    WITH keyed AS (
+        SELECT o_orderkey,
+               (SELECT STRING_AGG(SUBSTRING(ah, i, 1) || SUBSTRING(bh, i, 1), ''
+                                  ORDER BY i)
+                FROM generate_series(1, 8) AS t(i)) AS zkey
+        FROM (
+            SELECT o_orderkey,
+                   lpad(lower(to_hex(o_custkey)),  8, '0') AS ah,
+                   lpad(lower(to_hex(o_orderkey % 4096)), 8, '0') AS bh
+            FROM orders
+        )
+    )
+    SELECT SUBSTRING(zkey, 13, 2) AS cell,
+           COUNT(*)              AS n_rows,
+           MIN(o_orderkey)       AS min_key,
+           MAX(o_orderkey)       AS max_key
+    FROM keyed
+    GROUP BY SUBSTRING(zkey, 13, 2)
+    """,
+)
+def zorder_quadtree_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit: interleave (custkey, orderkey%4096)
+    into the nibble-granular Z-key (`functions/zorder.py`) and count
+    rows per quadtree cell (one interleaved nibble pair from the
+    least-significant end — the leading pairs are zero padding at
+    test-corpus key ranges) — the histogram that tells you whether a
+    ZORDER-sorted rewrite will give both filter dimensions row-group
+    locality (balanced cells) or collapse into a few hot curve segments
+    (skewed keys).  Pure per-row string/bit expressions + one coarse-key
+    agg; the oracle replays the interleave with STRING_AGG over
+    generate_series."""
+    from opentimes_spark.functions.zorder import morton_key
+
+    o = _t(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        morton_key(F.col("o_custkey"), F.col("o_orderkey") % 4096).alias("zkey"),
+    )
+    return keyed.groupBy(F.substring("zkey", 13, 2).alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
