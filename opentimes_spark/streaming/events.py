@@ -135,3 +135,23 @@ def stream_stream_join(
         "click_ts",
         "value",
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the standard dimension attach on
+    an event stream (user profile, device registry).  The static side
+    is broadcast to every micro-batch task: stateless, no watermark
+    needed, and the stream side never shuffles (contrast with
+    stream-stream joins, which buffer state bounded by the watermark
+    horizon).  Spark re-resolves the static relation per micro-batch,
+    so a dim TABLE backed by files picks up slowly-changing updates at
+    batch boundaries; pin a snapshot version (io/snapshots.py) when
+    that drift is unwanted."""
+    d = dim.withColumnRenamed(dim_key, stream_key) if dim_key != stream_key else dim
+    return stream.join(F.broadcast(d), stream_key, how)

@@ -347,3 +347,26 @@ def test_foreachbatch_incremental_rollup(spark, events_stream, tmp_path):
     got = norm(spark.read.parquet(state["path"]))
     want = norm(partial_agg_state(batch, keys, measures))
     assert got == want and len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_stream):
+    """Stream-static broadcast join: streaming result equals the batch
+    join, unmatched stream rows survive (left join), and the stream
+    side needs no watermark/state."""
+    from opentimes_spark.streaming.events import enrich_with_dim
+
+    batch, stream = events_stream
+    dim = spark.createDataFrame(
+        [(i, f"tier{i % 3}") for i in range(0, 120, 2)],  # only even users
+        "user_id long, tier string",
+    )
+    out = enrich_with_dim(stream, dim).select("event_id", "user_id", "tier")
+    _run_to_memory(out, "enriched", mode="append")
+    got = {r.event_id: r.tier for r in spark.sql("SELECT * FROM enriched").collect()}
+    expect = {
+        r.event_id: r.tier
+        for r in batch.join(dim, "user_id", "left")
+        .select("event_id", "tier")
+        .collect()
+    }
+    assert got == expect and len(got) == batch.count()
