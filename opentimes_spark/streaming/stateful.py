@@ -58,3 +58,78 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _RunningStatsProcessor:
+    """StatefulProcessor for transformWithStateInPandas — defined as a
+    plain class and subclassed lazily so importing this module never
+    requires the Spark 4 API to exist."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        n, total, mx = (
+            self._state.get() if self._state.exists() else (0, 0.0, float("-inf"))
+        )
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        self._state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats_tws(stream: DataFrame) -> DataFrame:
+    """The same per-user running summary on the Spark 4
+    ``transformWithStateInPandas`` API (StatefulProcessor + typed
+    ValueState) — the successor to applyInPandasWithState with
+    composable named state, timers, and TTL.  Kept alongside the
+    legacy-API twin so both stateful surfaces stay covered; the test
+    pins both to the identical batch aggregate.
+
+    Scale contract is unchanged: one O(1) state row per key in the
+    RocksDB-backed store, input shuffle keyed by user_id.
+
+    ENVIRONMENT SEAM: the transformWithState protocol serializes state
+    messages with protobuf; without ``google.protobuf`` installed the
+    Spark driver worker crashes opaquely mid-query, so absence is
+    surfaced here as an explicit error.  The legacy-API twin
+    ``running_user_stats`` has no such dependency."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "package (state-protocol serialization), which is not "
+            "installed in this environment; use running_user_stats "
+            "(applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type(
+        "RunningStatsProcessor", (_RunningStatsProcessor, StatefulProcessor), {}
+    )()
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -370,3 +370,70 @@ def test_stream_static_enrichment_matches_batch(spark, events_stream):
         .collect()
     }
     assert got == expect and len(got) == batch.count()
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_transform_with_state_matches_batch(spark, events_stream):
+    """Spark 4 transformWithStateInPandas twin of running_user_stats:
+    final update per user equals the batch aggregate (and therefore the
+    legacy applyInPandasWithState result)."""
+    from opentimes_spark.streaming.stateful import running_user_stats_tws
+
+    batch, stream = events_stream
+    q = (
+        running_user_stats_tws(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4), r["max_value"])
+        for r in spark.sql(
+            """
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC) rn
+                FROM user_stats_tws
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], round(r["total"], 4), r["mx"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_transform_with_state_raises_clearly_without_protobuf(spark, events_stream):
+    """Without google.protobuf the new-API path must fail fast with a
+    clear error naming the working alternative, not crash the Spark
+    driver worker mid-query."""
+    if _has_protobuf():
+        pytest.skip("protobuf present; the seam is exercised by the real test")
+    from opentimes_spark.streaming.stateful import running_user_stats_tws
+
+    _, stream = events_stream
+    with pytest.raises(NotImplementedError, match="running_user_stats"):
+        running_user_stats_tws(stream)
