@@ -5739,3 +5739,69 @@ def zorder_quadtree_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH edges AS (
+        SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey)    AS u,
+                        GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey <= 1500 AND b.l_orderkey <= 1500
+    )
+    SELECT COUNT(*) AS n_triangles,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(DISTINCT x) FROM (
+               SELECT u AS x FROM edges UNION ALL SELECT v FROM edges
+           )) AS n_vertices
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts sharing
+    an order are adjacent) — the standard distributed graph metric for
+    clustering-coefficient / community-density audits, implemented the
+    node-iterator way: edges oriented u<v, joined u-chain-wise so each
+    triangle (a<b<c) is produced exactly once as e(a,b)⋈e(b,c)⋈e(a,c).
+    Scale shape: two equi-join shuffles on vertex keys; orientation
+    (LEAST/GREATEST + u<v) halves the edge table AND removes the 3×
+    double-count a naive undirected join makes; the high-degree-hub
+    risk (a part in every order) is the same skew class as LSH hot
+    bands — cap or salt on degree if a real catalog has one.  Beside
+    `dedup_components` this completes the pairwise-graph surface:
+    components for reachability, triangles for density."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1500)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(
+            F.least("pa", "pb").alias("u"), F.greatest("pa", "pb").alias("v")
+        )
+        .distinct()
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # 1-row side stats ride broadcast cross joins — no driver action
+    edge_stats = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    vert_stats = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .agg(F.count_distinct("x").cast("long").alias("n_vertices"))
+    )
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(edge_stats))
+        .crossJoin(F.broadcast(vert_stats))
+    )
