@@ -5805,3 +5805,154 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(edge_stats))
         .crossJoin(F.broadcast(vert_stats))
     )
+
+
+@query(
+    "text_search_and",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST({_TOKS_SQL}) AS t FROM documents
+    ),
+    hits AS (
+        SELECT doc_id,
+               COUNT(DISTINCT t) AS n_terms,
+               COUNT(*)          AS tf_sum
+        FROM tok WHERE t IN ('batch', 'data', 'join')
+        GROUP BY doc_id
+    )
+    SELECT h.doc_id, h.tf_sum, d.source
+    FROM hits h JOIN documents d USING (doc_id)
+    WHERE h.n_terms = 3
+    ORDER BY h.tf_sum DESC, h.doc_id
+    LIMIT 25
+    """,
+)
+def text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search (docs containing ALL query terms,
+    ranked by term-frequency sum) — the inverted-index serving shape:
+    the token stream filters to the query terms BEFORE any shuffle
+    (a posting-list scan, not a corpus scan, once the index table is
+    materialized — groupBy(token) of this same projection), the
+    AND-semantics are a distinct-term count equal to the term count,
+    and ranking is a top-k cut with doc_id tiebreak.  At 100 TB the
+    posting filter is the pushdown that matters: 3 terms touch 3
+    posting lists, never the corpus."""
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    terms = ["batch", "data", "join"]
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    hits = (
+        tok.filter(F.col("t").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("t").alias("n_terms"),
+            F.count(F.lit(1)).alias("tf_sum"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+    )
+    return (
+        hits.join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "tf_sum", "source")
+        .orderBy(F.col("tf_sum").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+@query(
+    "hist_equidepth_price",
+    """
+    WITH ranked AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           COUNT(*)                    AS n_rows,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM ranked
+    GROUP BY bucket
+    """,
+)
+def hist_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (same row count per bucket, data-driven
+    boundaries) — the optimizer-statistics twin of the equi-width
+    `hist_price_buckets`; NTILE with a deterministic orderkey tiebreak
+    makes bucket membership engine-stable.  Plan note: a global NTILE
+    is a single-partition sort at 100 TB — production swaps in
+    `percentile_approx` cutpoints (mergeable sketch, no global sort)
+    with the same output contract; the exact form is what the oracle
+    can replay."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "profile_orders_columns",
+    """
+    SELECT 'o_orderkey' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_nonnull,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           ROUND(MIN(o_orderkey), 4) AS min_num,
+           ROUND(MAX(o_orderkey), 4) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           ROUND(MIN(o_custkey), 4), ROUND(MAX(o_custkey), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           ROUND(MIN(o_totalprice), 4), ROUND(MAX(o_totalprice), 4)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (null rate / cardinality / range per column) —
+    the ANALYZE-style statistics pass every pipeline runs before
+    planning joins and layouts.  ONE scan computes every column's
+    stats simultaneously (a single agg row, melted to long form with
+    `stack`) — the oracle's UNION ALL formulation scans three times;
+    Catalyst cannot merge those, which is exactly why the wide-agg+
+    unpivot form is the at-scale pattern.  Exact distinct here for
+    oracle parity; production uses approx_count_distinct in the same
+    single pass."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("nn_ok"),
+        F.count_distinct("o_orderkey").alias("nd_ok"),
+        F.round(F.min("o_orderkey"), 4).alias("mn_ok"),
+        F.round(F.max("o_orderkey"), 4).alias("mx_ok"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.count_distinct("o_custkey").alias("nd_ck"),
+        F.round(F.min("o_custkey"), 4).alias("mn_ck"),
+        F.round(F.max("o_custkey"), 4).alias("mx_ck"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.count_distinct("o_totalprice").alias("nd_tp"),
+        F.round(F.min("o_totalprice"), 4).alias("mn_tp"),
+        F.round(F.max("o_totalprice"), 4).alias("mx_tp"),
+    )
+    return wide.select(
+        F.expr(
+            """stack(3,
+               'o_orderkey',  n_rows, nn_ok, nd_ok, CAST(mn_ok AS DOUBLE), CAST(mx_ok AS DOUBLE),
+               'o_custkey',   n_rows, nn_ck, nd_ck, CAST(mn_ck AS DOUBLE), CAST(mx_ck AS DOUBLE),
+               'o_totalprice',n_rows, nn_tp, nd_tp, CAST(mn_tp AS DOUBLE), CAST(mx_tp AS DOUBLE)
+               ) AS (col, n_rows, n_nonnull, n_distinct, min_num, max_num)"""
+        )
+    )
