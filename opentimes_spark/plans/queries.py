@@ -5956,3 +5956,46 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS (col, n_rows, n_nonnull, n_distinct, min_num, max_num)"""
         )
     )
+
+
+@query(
+    "recursive_ancestor_depth",
+    """
+    WITH RECURSIVE chain AS (
+        SELECT c_custkey AS node, CAST(c_custkey AS BIGINT) AS cur, 0 AS depth
+        FROM customer WHERE c_custkey BETWEEN 1 AND 200
+        UNION ALL
+        SELECT node, CAST(FLOOR(cur / 2) AS BIGINT), depth + 1
+        FROM chain WHERE cur > 1
+    )
+    SELECT node, MAX(depth) AS depth_to_root
+    FROM chain
+    GROUP BY node
+    """,
+)
+def recursive_ancestor_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) walking a synthetic
+    parent hierarchy (parent(k) = ⌊k/2⌋, root 1) to each node's depth —
+    the org-chart / BOM traversal shape that previously needed
+    driver-side iteration (cf. operators/components.py, which remains
+    the right tool when the iteration must contract a GRAPH rather
+    than walk a FUNCTION).  Each recursion step is a distributed
+    union-join; depth is bounded by log₂(max key), so the plan is a
+    short fixed chain at any scale.  DuckDB replays the identical CTE."""
+    d = _t(spark, sf_dir, "customer")
+    d.createOrReplaceTempView("_rec_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT c_custkey AS node, CAST(c_custkey AS BIGINT) AS cur,
+                   0 AS depth
+            FROM _rec_customer WHERE c_custkey BETWEEN 1 AND 200
+            UNION ALL
+            SELECT node, CAST(FLOOR(cur / 2) AS BIGINT), depth + 1
+            FROM chain WHERE cur > 1
+        )
+        SELECT node, MAX(depth) AS depth_to_root
+        FROM chain
+        GROUP BY node
+        """
+    )
