@@ -474,3 +474,26 @@ def test_snapshot_crash_before_pointer_swap_invisible(spark, tmp_path):
     v = write_snapshot(spark.range(7), root)      # must skip the orphan dir
     assert v == 2
     assert read_snapshot(spark, root).count() == 7
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: an overwrite carrying only
+    part=b data must replace part=b and leave part=a intact (static
+    mode would drop every partition) — the incremental-backfill write
+    contract."""
+    root = str(tmp_path / "dyn")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, part string"
+    ).write.partitionBy("part").parquet(root)
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame(
+            [(20, "b"), (21, "b")], "id long, part string"
+        ).write.mode("overwrite").partitionBy("part").parquet(root)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    got = {(r.id, r.part) for r in spark.read.parquet(root).collect()}
+    assert got == {(1, "a"), (20, "b"), (21, "b")}
