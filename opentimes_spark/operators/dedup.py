@@ -469,13 +469,18 @@ def duplicated_span_stats(
 
     The span stream is hashed ONCE: both consumers (the nd>=2 dup-hash
     set and the per-doc dup count) hang off the same
-    ``groupBy(h, id)`` exchange, so the md5 explode — the dominant
-    cost — is a single pass and the second consumer is a
-    ReusedExchange.  (The earlier form ran the whole span projection
-    twice: once under count_distinct, once under the join back —
-    measured 2.4s → 1.5s at sf0.1.)  The ``nd >= 2`` side collapses to
-    almost nothing at realistic duplication rates, so AQE turns the
-    join back into a broadcast over the reused pairs.
+    ``groupBy(h, id)`` exchange, so the md5 explode runs a single pass
+    and the second consumer is a ReusedExchange.  The earlier form ran
+    the whole span projection twice (once under count_distinct, once
+    under the join back); at sf0.1 the two plans measure within host
+    noise of each other (~1.2-2s, the exchange materialization costs
+    locally what the recompute saves), but at corpus scale the trade is
+    not symmetric: the reused exchange shuffles ~40 B/span ONCE, while
+    the old shape re-scanned and re-hashed the full corpus — a second
+    100 TB scan+md5 pass vs shuffle I/O that AQE/compression already
+    amortize.  The ``nd >= 2`` side collapses to almost nothing at
+    realistic duplication rates, so AQE turns the join back into a
+    broadcast over the reused pairs.
 
     md5 span hashes keep the result engine-portable for the oracle; a
     production run would swap in xxhash64.
