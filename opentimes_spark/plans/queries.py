@@ -5999,3 +5999,183 @@ def recursive_ancestor_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY node
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic partsupp: the test corpus has no partsupp table, so the
+# remaining classic TPC-H shapes (Q2 correlated min, Q11 value share)
+# derive one DETERMINISTICALLY from part × supplier — 4 candidate
+# suppliers per part by key arithmetic, inner-joined against the real
+# supplier table so the construction is valid at every scale factor.
+# Both engines derive the identical relation, so the oracle stays
+# hash-exact; the JOIN/AGG structure above it is the faithful TPC-H plan.
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+    SELECT p.p_partkey AS ps_partkey,
+           s.s_suppkey AS ps_suppkey,
+           (p.p_partkey * 31 + s.s_suppkey * 17) % 9999 + 1 AS ps_availqty,
+           ROUND(((p.p_partkey * 13 + s.s_suppkey * 7) % 100000) / 100.0 + 1.0, 2)
+               AS ps_supplycost
+    FROM part p
+    JOIN supplier s
+      ON s.s_suppkey IN ((p.p_partkey * 7 + 0 * 13) % 100,
+                         (p.p_partkey * 7 + 1 * 13) % 100,
+                         (p.p_partkey * 7 + 2 * 13) % 100,
+                         (p.p_partkey * 7 + 3 * 13) % 100)
+"""
+
+
+def _synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    cand = p.select(
+        "p_partkey",
+        F.explode(
+            F.array(*[(F.col("p_partkey") * 7 + i * 13) % 100 for i in range(4)])
+        ).alias("s_suppkey"),
+    )
+    return (
+        cand.join(s, "s_suppkey")
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.col("s_suppkey").alias("ps_suppkey"),
+            ((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 9999 + 1).alias(
+                "ps_availqty"
+            ),
+            F.round(
+                ((F.col("p_partkey") * 13 + F.col("s_suppkey") * 7) % 100000)
+                / 100.0
+                + 1.0,
+                2,
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p.p_partkey, s.s_name, n.n_name AS nation,
+           ps.ps_supplycost AS cost
+    FROM part p
+    JOIN ps          ON ps.ps_partkey = p.p_partkey
+    JOIN supplier s  ON s.s_suppkey   = ps.ps_suppkey
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey
+    JOIN region r    ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+          SELECT MIN(ps2.ps_supplycost)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey   = ps2.ps_suppkey
+          JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape over the synthetic partsupp: cheapest in-region
+    supplier per qualifying part.  The correlated MIN subquery
+    decorrelates into a window MIN over the partkey partition of the
+    SAME joined stream — the region-filtered partsupp is computed once,
+    scanned once, and the min-cost filter is a per-row compare against
+    the window value (the oracle keeps the textbook correlated form).
+    (SURVEY.md §2.2 P-sub correlated scalar.)"""
+    from pyspark.sql import Window
+
+    ps = _synth_partsupp(spark, sf_dir)
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    joined = (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("_min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
+        .select(
+            "p_partkey", "s_name", "nation",
+            F.col("ps_supplycost").alias("cost"),
+        )
+    )
+
+
+@query(
+    "q11_important_stock",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    vals AS (
+        SELECT ps.ps_partkey,
+               CAST(SUM(CAST(ps.ps_supplycost * ps.ps_availqty
+                             AS DECIMAL(28,4))) AS DOUBLE) AS part_value
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        GROUP BY ps.ps_partkey
+    ),
+    tot AS (SELECT SUM(part_value) AS total FROM vals)
+    SELECT v.ps_partkey AS partkey,
+           ROUND(v.part_value, 2) AS part_value
+    FROM vals v, tot
+    WHERE v.part_value > tot.total * 0.001
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose in-scope inventory value exceeds a
+    fraction of the GLOBAL inventory value.  The per-part value agg
+    feeds BOTH the output rows and the 1-row total (broadcast cross
+    join — no driver action, and the agg subtree is shared so AQE
+    reuses its exchange rather than recomputing partsupp).  Value sums
+    accumulate as DECIMAL so the threshold compare can't flip on
+    summation order.  (SURVEY.md §2.4 A-Ext global-threshold HAVING.)"""
+    ps = _synth_partsupp(spark, sf_dir)
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+        .select("n_nationkey")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    vals = (
+        ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                (F.col("ps_supplycost") * F.col("ps_availqty")).cast(
+                    "decimal(28,4)"
+                )
+            )
+            .cast("double")
+            .alias("part_value")
+        )
+    )
+    tot = vals.agg(F.sum("part_value").alias("total"))
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("total") * 0.001)
+        .select(
+            F.col("ps_partkey").alias("partkey"),
+            F.round("part_value", 2).alias("part_value"),
+        )
+    )
