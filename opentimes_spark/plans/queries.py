@@ -6179,3 +6179,119 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("part_value", 2).alias("part_value"),
         )
     )
+
+
+@query(
+    "q16_supplier_part_counts",
+    f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (5, 10, 15, 20, 25, 30)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can source each
+    (brand, type, size) bucket, excluding a complainant set.  The NOT
+    IN compiles to a null-safe anti join (the excluded-supplier set is
+    tiny → broadcast); the part attributes broadcast onto partsupp; the
+    only wide op is the distinct-count, which Spark runs as the
+    standard two-phase (keys+suppkey partial, then count) expansion.
+    (SURVEY.md §2.3 J7 + §2.4 A4.)"""
+    ps = _synth_partsupp(spark, sf_dir)
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM ps
+        JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                       AND sh.l_suppkey = ps.ps_suppkey
+        WHERE ps.ps_availqty > 0.5 * sh.qty
+          AND ps.ps_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+          )
+    )
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding excess stock (availqty > half
+    of what they shipped in a year) of 'red' parts — the nested
+    semi-join chain.  Innermost part filter broadcasts into partsupp;
+    the year's shipments aggregate once on (partkey, suppkey) and join
+    the SAME keys; the final IN is a left-semi of supplier against the
+    qualifying suppkey set.  Every join key is equi and the fact
+    aggregates before joining — no fan-out anywhere.  (SURVEY.md §2.3
+    J6 nested semi-joins.)"""
+    ps = _synth_partsupp(spark, sf_dir)
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    qualifying = (
+        ps.join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+    ).distinct()
