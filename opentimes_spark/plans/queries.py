@@ -6295,3 +6295,111 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
     ).distinct()
+
+
+@query(
+    "q12_shipmode_priority",
+    """
+    SELECT l.l_linestatus AS ship_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/commitdate/receiptdate —
+    linestatus stands in for ship mode and "late" = shipped >60 days
+    after ordering).  The priority split is the classic dual
+    conditional aggregate over the orderkey join; the cross-table
+    lateness predicate evaluates as a join residual after the
+    scan-pushed date range.  One shuffle pair + a 2-group agg.
+    (SURVEY.md §2.4 A-Ext conditional agg.)"""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    all_lines AS (SELECT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM all_lines l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted lateness: shipped >90 days after
+    ordering): suppliers who were the SOLE late supplier on a
+    multi-supplier order — the dual correlated EXISTS / NOT EXISTS on
+    the same fact with opposite correlation, the hardest classic
+    subquery shape.  Both quantifiers compile to one left-semi and one
+    left-anti join against key-projected streams; the `late` stream is
+    derived once (orderkey-join residual) and consumed three times.
+    (SURVEY.md §2.3 J6/J7 combined.)"""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sk")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sk3")
+    )
+    sole_late = l1.join(
+        others.withColumnRenamed("k", "k2"),
+        (F.col("k") == F.col("k2")) & (F.col("sk") != F.col("sk2")),
+        "left_semi",
+    ).join(
+        late_others.withColumnRenamed("k", "k3"),
+        (F.col("k") == F.col("k3")) & (F.col("sk") != F.col("sk3")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
