@@ -355,3 +355,31 @@ def test_jaccard_verify_single_corpus_pass(spark):
     final = executed.split("== Initial Plan ==")[0]
     assert "ReusedExchange" in final
     assert final.count("Scan parquet") == 2, final[:3000]
+
+
+def test_q2_single_partsupp_pass_window_min(spark):
+    """Decorrelated Q2: the correlated MIN becomes a window min over
+    the SAME joined stream — part and supplier each scan once, and no
+    second partsupp derivation exists in the plan."""
+    from opentimes_spark.plans.queries import QUERIES
+
+    p = plan(QUERIES["q2_min_cost_supplier"](spark, SF_DIR), "simple")
+    # part appears twice (partsupp derivation + the size/type filter),
+    # supplier twice (partsupp join + name attach), nation/region once;
+    # the textbook correlated form would double all of it
+    assert p.count("FileScan parquet") <= 6
+    assert "Window" in p
+
+
+def test_q20_fact_aggregated_before_join(spark):
+    """Q20: the year's shipments must aggregate on (partkey, suppkey)
+    BEFORE joining partsupp — the HashAggregate sits below the join in
+    the lineitem subtree, so the join never sees raw lineitem rows."""
+    from opentimes_spark.plans.queries import QUERIES
+
+    p = plan(QUERIES["q20_excess_stock_suppliers"](spark, SF_DIR))
+    i_li = p.find("lineitem.parquet")
+    assert i_li > 0
+    # a partial aggregate over l_quantity exists (map-side combine of
+    # the shipments rollup) — visible as partial_sum in the plan
+    assert "partial_sum" in p and "l_quantity" in p
