@@ -253,12 +253,17 @@ def lsh_candidate_pairs(
             .select("id_a", "id_b")
         )
         return pairs.distinct()
-    # per-band size + representative on the same partitioning as the
-    # join (groupBy keys == repartition keys: no second exchange)
-    stats = banded.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__rep")
+    # per-band size + representative as a WINDOW over the band keys —
+    # the banded stream is already repartitioned on exactly these keys,
+    # so the window is a per-partition sort with no exchange and no
+    # join (the earlier groupBy+join form paid a join merge for the
+    # same information)
+    from pyspark.sql import Window
+
+    wband = Window.partitionBy("band_idx", "band_hash")
+    tagged_r = right.withColumn("__n", F.count(F.lit(1)).over(wband)).withColumn(
+        "__rep", F.min("id_b").over(wband)
     )
-    tagged_r = right.join(stats, ["band_idx", "band_hash"])
     cool = tagged_r.filter(F.col("__n") <= max_band_size)
     pairs_cool = (
         left.join(cool, ["band_idx", "band_hash"])
