@@ -45,6 +45,48 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def ensure_bucketed_pair(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    cache_key: str,
+    n_buckets: int = 16,
+    base_dir: str | None = None,
+) -> tuple[str, str]:
+    """Build-once co-bucketed layout for a recurring big-big equi-join
+    (same contract as ``ensure_ivf_index``): if catalog tables named
+    ``{left_table}/{right_table}_<digest>`` already exist with matching
+    bucket counts, return them without touching the data; otherwise pay
+    the one-off bucketed write.  The digest keys on ``cache_key`` (use
+    the source directory) so different scale factors get distinct
+    layouts; rewriting a source under the same path requires dropping
+    the tables (same documented staleness contract as the IVF index)."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(cache_key.encode("utf-8")).hexdigest()[:12]
+    lt, rt = f"{left_table}_{digest}", f"{right_table}_{digest}"
+    if (
+        spark.catalog.tableExists(lt)
+        and spark.catalog.tableExists(rt)
+        and cobucketed(spark, lt, rt)
+    ):
+        return lt, rt
+    base = base_dir or os.path.join(tempfile.gettempdir(), "opentimes_bucketed")
+    write_bucketed(
+        left, lt, os.path.join(base, lt), [left_key], n_buckets, [left_key]
+    )
+    write_bucketed(
+        right, rt, os.path.join(base, rt), [right_key], n_buckets, [right_key]
+    )
+    return lt, rt
+
+
 def bucket_spec(spark: SparkSession, table: str) -> tuple[str | None, str | None]:
     """(num_buckets, bucket_columns) from the catalog, (None, None) if
     the table isn't bucketed."""

@@ -26,6 +26,15 @@ listing of data files on the read path beyond the chosen version's own
 directory; writers pay one directory rename-free commit (the ``v=N``
 dir is born complete).  On object stores without atomic rename the
 ``os.replace`` seam is the one piece to swap for a conditional-put.
+
+Concurrency contract: publishing is SINGLE-WRITER, enforced by an
+O_EXCL ``_PUBLISH.lock`` taken before version allocation and released
+after the pointer swap — a second concurrent publisher fails fast with
+``ConcurrentPublishError`` instead of silently orphaning its data or
+regressing the pointer.  A crash while holding the lock leaves a stale
+lock file (its content names pid + timestamp); remove it manually once
+the dead publisher is confirmed gone.  On object stores, swap the
+O_EXCL create for a conditional-put (same seam as the pointer).
 """
 
 from __future__ import annotations
@@ -39,6 +48,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_LATEST"
 _MANIFEST = "_MANIFEST.json"
+_LOCK = "_PUBLISH.lock"
+
+
+class ConcurrentPublishError(RuntimeError):
+    """A second publisher raced ``write_snapshot`` on the same root."""
 
 
 def _version_dir(root: str, version: int) -> str:
@@ -63,42 +77,62 @@ def write_snapshot(
 ) -> int:
     """Publish ``df`` as the next snapshot version; returns the version.
 
-    Commit order is the whole contract: (1) data files into a fresh
-    ``v=N`` dir, (2) the version's manifest, (3) the atomic pointer
-    swap.  A crash before (3) leaves the previous version live and the
-    orphan directory invisible to readers (re-publish simply takes the
-    next free N)."""
+    Commit order is the whole contract: (1) the exclusive publish lock,
+    (2) data files into a fresh ``v=N`` dir, (3) the version's
+    manifest, (4) the atomic pointer swap, (5) lock release.  A crash
+    before (4) leaves the previous version live and the orphan
+    directory invisible to readers (re-publish simply takes the next
+    free N after the stale lock is cleared).  The lock is what makes
+    the read-pointer → scan-free-dir → publish sequence safe: without
+    it two racing publishers can both pass the exists() check and the
+    loser's data is silently orphaned (or the pointer regresses to the
+    slower writer's lower version)."""
     os.makedirs(root, exist_ok=True)
-    prev = latest_version(root)
-    version = 0 if prev is None else prev + 1
-    while os.path.exists(_version_dir(root, version)):  # orphan from a crash
-        version += 1
-    vdir = _version_dir(root, version)
-    out = df.sortWithinPartitions(sort_by) if sort_by else df
-    out.write.mode("errorifexists").option("compression", compression).parquet(vdir)
+    lock_path = os.path.join(root, _LOCK)
+    try:
+        fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentPublishError(
+            f"another publisher holds {lock_path}; if its process is "
+            "confirmed dead, remove the stale lock file and re-run"
+        ) from None
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as lf:
+            json.dump({"pid": os.getpid(), "taken_unix": int(time.time())}, lf)
+        prev = latest_version(root)
+        version = 0 if prev is None else prev + 1
+        while os.path.exists(_version_dir(root, version)):  # orphan from a crash
+            version += 1
+        vdir = _version_dir(root, version)
+        out = df.sortWithinPartitions(sort_by) if sort_by else df
+        out.write.mode("errorifexists").option("compression", compression).parquet(
+            vdir
+        )
 
-    files = [
-        f
-        for f in os.listdir(vdir)
-        if f.endswith(".parquet") and not f.startswith("_")
-    ]
-    manifest = {
-        "version": version,
-        "created_unix": int(time.time()),
-        "n_files": len(files),
-        "bytes": sum(os.path.getsize(os.path.join(vdir, f)) for f in files),
-        "schema": out.schema.jsonValue(),
-    }
-    with open(os.path.join(vdir, _MANIFEST), "w", encoding="utf-8") as f:
-        json.dump(manifest, f)
+        files = [
+            f
+            for f in os.listdir(vdir)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        manifest = {
+            "version": version,
+            "created_unix": int(time.time()),
+            "n_files": len(files),
+            "bytes": sum(os.path.getsize(os.path.join(vdir, f)) for f in files),
+            "schema": out.schema.jsonValue(),
+        }
+        with open(os.path.join(vdir, _MANIFEST), "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
 
-    tmp = os.path.join(root, _POINTER + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"version": version}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, _POINTER))  # the atomic publish
-    return version
+        tmp = os.path.join(root, _POINTER + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(root, _POINTER))  # the atomic publish
+        return version
+    finally:
+        os.unlink(lock_path)
 
 
 def read_snapshot(

@@ -1,0 +1,69 @@
+"""Equi-depth histogram via mergeable approx-percentile cutpoints — the
+at-scale replacement for a global NTILE sort.
+
+The exact form (``hist_equidepth_price`` in plans/queries.py) ranks the
+whole column with ``NTILE(k) OVER (ORDER BY ...)``: a single-partition
+global sort, the one plan shape that cannot scale past one executor.
+This operator computes the SAME histogram contract (per-bucket row
+count + lo/hi bounds) from ``percentile_approx`` cutpoints instead:
+
+1. one aggregate builds the Greenwald-Khanna quantile sketch — partials
+   merge associatively, so the pass is map-side parallel with a tiny
+   final merge (no row ever leaves its partition unsorted);
+2. the k−1 cutpoints (a single 1-row array) broadcast back onto the
+   stream via a literal 1-row cross join;
+3. bucket id = 1 + #cutpoints strictly below the value — a per-row
+   fold over a k−1 array, whole-stage-codegen'd JVM work;
+4. the final agg groups on k bucket ids — k rows out, trivially
+   shuffled.
+
+Accuracy: bucket POPULATIONS deviate from n/k by at most the sketch's
+relative error ε·n per cutpoint (ε defaults to 1/10000); bucket BOUNDS
+are exact observed min/max within each assigned bucket.  Ties at a
+cutpoint all land in the lower bucket (deterministic, value-stable —
+unlike NTILE, which splits equal values across buckets by rank).
+
+SURVEY.md §2.4 A-Ext; VERDICT r4 "What's wrong" #3 names this swap as
+the required scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Equi-depth histogram of ``value_col``: one row per bucket with
+    ``(bucket, n_rows, lo, hi)`` — same output contract as the exact
+    NTILE form, no global sort anywhere in the plan."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile_approx(value_col, probs, accuracy).alias("__cuts")
+    )
+    v = F.col(value_col)
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("__cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(v > c, 1).otherwise(0),
+        )
+    ).alias("bucket")
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .select(v.alias("__v"), bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("__v"), 2).alias("lo"),
+            F.round(F.max("__v"), 2).alias("hi"),
+        )
+    )

@@ -72,3 +72,59 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
 
 def test_cobucketed_detector(spark, bucketed_pair):
     assert cobucketed(spark, "orders_b", "lineitem_b")
+
+
+def test_ensure_bucketed_pair_builds_once_and_join_is_exchange_free(
+    spark, tmp_path
+):
+    """The bench variant's build-once seam: first call writes the
+    layout, second call returns the same catalog tables without
+    touching data; the big-big join over them plans no Exchange on
+    the fact sides (only the final small-group agg shuffles)."""
+    from opentimes_spark.io.bucketed import ensure_bucketed_pair
+    from opentimes_spark.plans.queries import BENCH_ONLY, QUERIES
+
+    o = read_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    key = f"test::{tmp_path}"
+    args = (spark, o, li, "orders_b", "lineitem_b", "o_orderkey", "l_orderkey")
+    ot, lt = ensure_bucketed_pair(
+        *args, cache_key=key, base_dir=str(tmp_path)
+    )
+    import os
+
+    mtime = os.path.getmtime(str(tmp_path / ot))
+    ot2, lt2 = ensure_bucketed_pair(
+        *args, cache_key=key, base_dir=str(tmp_path)
+    )
+    assert (ot, lt) == (ot2, lt2)
+    assert os.path.getmtime(str(tmp_path / ot)) == mtime  # untouched
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table(ot).join(
+                spark.table(lt), F.col("o_orderkey") == F.col("l_orderkey")
+            )
+            p = _plan(j)
+            assert "SortMergeJoin" in p and "Exchange" not in p
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # the bench variant over this layout matches the registry twin
+        got = {
+            (r["region"], r["nation"]): (r["revenue"], r["n_items"])
+            for r in BENCH_ONLY["join_region_revenue_bucketed"](
+                spark, SF_DIR
+            ).collect()
+        }
+        want = {
+            (r["region"], r["nation"]): (r["revenue"], r["n_items"])
+            for r in QUERIES["join_region_revenue"](spark, SF_DIR).collect()
+        }
+        assert got == want
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith(("orders_b_", "lineitem_b_")):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")

@@ -1,0 +1,74 @@
+"""Equi-depth histogram via percentile_approx cutpoints: the at-scale
+path must (a) reproduce the NTILE contract within sketch tolerance and
+(b) contain NO single-partition sort in its physical plan — that plan
+shape is exactly what it exists to remove."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentimes_spark.io.read import read_table
+from opentimes_spark.operators.histogram import equidepth_histogram
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_equidepth_counts_and_bounds(spark):
+    o = read_table(spark, SF, "orders")
+    n = o.count()
+    rows = {
+        r["bucket"]: r
+        for r in equidepth_histogram(o, "o_totalprice", 10).collect()
+    }
+    assert sorted(rows) == list(range(1, 11))
+    assert sum(r["n_rows"] for r in rows.values()) == n
+    # sketch accuracy 1/10000 on ~1.5k rows → essentially exact deciles;
+    # allow a loose 10% band so the assert is about the algorithm, not
+    # the sketch's exact tie handling
+    for b, r in rows.items():
+        assert abs(r["n_rows"] - n / 10) <= max(2, 0.1 * n / 10), (b, r)
+    # data-driven boundaries must be monotone across buckets
+    for b in range(1, 10):
+        assert rows[b]["hi"] <= rows[b + 1]["lo"], (b, rows[b], rows[b + 1])
+
+
+def test_equidepth_plan_has_no_global_sort(spark):
+    """The NTILE twin plans a global Sort into a single partition + a
+    Window over the FULL ROW STREAM (the 100 TB bottleneck); the approx
+    path must plan neither.  Its only SinglePartition exchange is the
+    final merge of partial_percentile_approx — one fixed-size sketch
+    buffer per upstream partition, not data rows — which is exactly the
+    mergeable-partials shape this operator exists to reach."""
+    o = read_table(spark, SF, "orders")
+    approx_plan = (
+        equidepth_histogram(o, "o_totalprice", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Sort " not in approx_plan and "Sort[" not in approx_plan
+    assert "Window" not in approx_plan
+    # the one single-partition exchange carries sketch partials, proven
+    # by it feeding from the partial percentile aggregate
+    assert "partial_percentile_approx" in approx_plan
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ntile_plan = (
+        o.select(F.ntile(10).over(w).alias("b"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the contrast this test pins: full-stream global sort + window
+    assert "SinglePartition" in ntile_plan
+    assert "Sort [" in ntile_plan and "Window" in ntile_plan
+
+
+def test_equidepth_rejects_degenerate_bucket_count(spark):
+    import pytest
+
+    o = read_table(spark, SF, "orders")
+    with pytest.raises(ValueError):
+        equidepth_histogram(o, "o_totalprice", 1)

@@ -476,6 +476,35 @@ def test_snapshot_crash_before_pointer_swap_invisible(spark, tmp_path):
     assert read_snapshot(spark, root).count() == 7
 
 
+def test_snapshot_publish_lock_excludes_concurrent_writer(spark, tmp_path):
+    """A held _PUBLISH.lock makes a second publisher fail fast with
+    ConcurrentPublishError (no orphaned data, no pointer regression);
+    a successful publish releases the lock for the next writer."""
+    import os
+
+    from opentimes_spark.io.snapshots import (
+        ConcurrentPublishError,
+        latest_version,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "locked")
+    write_snapshot(spark.range(3), root)  # v=0; also creates root
+    lock = os.path.join(root, "_PUBLISH.lock")
+    assert not os.path.exists(lock)  # released after success
+
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write("{}")  # simulate a concurrent publisher holding the lock
+    import pytest
+
+    with pytest.raises(ConcurrentPublishError):
+        write_snapshot(spark.range(4), root)
+    assert latest_version(root) == 0  # pointer untouched by the loser
+
+    os.unlink(lock)  # stale-lock manual clear per the documented contract
+    assert write_snapshot(spark.range(4), root) == 1
+
+
 def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
     """partitionOverwriteMode=dynamic: an overwrite carrying only
     part=b data must replace part=b and leave part=a intact (static

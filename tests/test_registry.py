@@ -15,29 +15,28 @@ import __spark_entry__ as entry
 def test_registry_shapes():
     qs, osql = entry.queries(), entry.oracle_sql()
     assert len(qs) >= 145
-    # every oracle key has a query; the rows-only set is exactly the
-    # three documented hash-function/HLL/float variants
-    assert set(osql) <= set(qs)
-    assert set(qs) - set(osql) == {
-        "approx_distinct_users",
-        "dedup_minhash_lsh_xxhash",
-        "sim_topk_cosine_numpy",
-    }
+    # every registered query now carries a DuckDB oracle (the former
+    # rows-only trio gained real oracles in round 5)
+    assert set(osql) == set(qs)
     # both dicts enumerate in the same order (the driver may zip them)
-    common = [n for n in qs if n in osql]
-    assert common == list(osql)
+    assert list(qs) == list(osql)
 
 
 def test_uncertified_queries_lead_the_gate_window():
     """The driver records the FIRST 50 entries; every query without a
-    prior CORRECTNESS row must sit inside that window."""
+    prior hash-green CORRECTNESS row must sit inside that window.
+    Rows-only records (err=no_oracle) and hash_match=false rows do NOT
+    count as certified — those names must re-enter the window."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     certified = set()
-    for rnd in (1, 2, 3):
+    for rnd in (1, 2, 3, 4):
         p = os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.isfile(p):
             with open(p, encoding="utf-8") as fh:
-                certified |= set(json.load(fh))
+                rows = json.load(fh)
+            certified |= {
+                n for n, v in rows.items() if v.get("hash_match") is True
+            }
     names = list(entry.queries())
     stragglers = [n for n in names[50:] if n not in certified]
     assert stragglers == [], f"uncertified beyond the gate window: {stragglers}"

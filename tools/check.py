@@ -47,6 +47,20 @@ def compare(name: str, sdf, ddf) -> list[str]:
     if len(sdf) != len(ddf):
         return [f"row count differs: spark={len(sdf)} duck={len(ddf)}"]
     s, d = normalize(sdf), normalize(ddf)
+    # Dtype parity FIRST: the driver hashes serialized values, so an
+    # integer column on one side materializing as float on the other
+    # (e.g. DuckDB HUGEINT -> pandas float64) breaks the hash even when
+    # every value compares equal after coercion.  r4 shipped 4 such
+    # failures that the value-coercing loop below could not see.
+    for col in s.columns:
+        sk, dk = s[col].dtype.kind, d[col].dtype.kind
+        if sk != dk and {sk, dk} <= {"i", "u", "f"}:
+            problems.append(
+                f"col {col}: DTYPE KIND MISMATCH (hash would fail): "
+                f"spark={s[col].dtype} duck={d[col].dtype}"
+            )
+    if problems:
+        return problems
     for col in s.columns:
         sv, dv = s[col].tolist(), d[col].tolist()
         exact = all(_eq(a, b) for a, b in zip(sv, dv))
