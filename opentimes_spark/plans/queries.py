@@ -6526,6 +6526,891 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline, round 5: corpus curation (splits, novelty,
+# containment, cluster shape, readability, digit-law profiling).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "train_val_split",
+    """
+    WITH s AS (
+        SELECT source,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                 || ':split'), 1, 8)
+                         AS UBIGINT) % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs
+    FROM s GROUP BY source, split
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation split: an md5 coin on the doc id
+    (salted so other coins in the pipeline stay independent) — the
+    split every training pipeline needs to be REPRODUCIBLE and
+    join-free: membership is a pure function of the id, so any later
+    stage re-derives it without carrying a split column or joining an
+    assignment table.  No rand(): identical output on every run,
+    engine, and retry.  Zero-shuffle except the final tiny count.
+    (LLM-pipeline: dataset splits.)"""
+    d = _t(spark, sf_dir, "documents")
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        d.select(
+            "source",
+            F.when(coin < 90, "train").otherwise("val").alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "docs_cluster_size_hist",
+    """
+    WITH fp AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    g AS (SELECT f, COUNT(*) AS sz FROM fp GROUP BY f)
+    SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+    FROM g GROUP BY sz
+    """,
+)
+def docs_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram over the exact-dedup
+    fingerprint (same normalization as operators/dedup.py:exact_dedup)
+    — the shape every dedup report leads with: how much of the corpus
+    is singletons vs boilerplate blobs, and the expected row reduction
+    of the keep-one pass.  Two cheap shuffles, both on uniform hash
+    keys (fingerprint, then size).  (LLM-pipeline: dedup reporting.)"""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))).alias(
+            "f"
+        )
+    )
+    g = fp.groupBy("f").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        g.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+_SHINGLE3_SQL = """
+        SELECT DISTINCT doc_id, g.tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x != '') AS t
+              FROM documents),
+             UNNEST(list_transform(range(1, GREATEST(LENGTH(t) - 1, 1)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                 AS g(tok)
+"""
+
+
+@query(
+    "docs_novel_ngrams_rate",
+    f"""
+    WITH toks AS ({_SHINGLE3_SQL}),
+    first_seen AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS novelty
+    FROM toks t JOIN first_seen f ON f.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+)
+def docs_novel_ngrams_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's word-3gram
+    shingles whose earliest appearance (by doc_id — ingestion order) is
+    that doc.  Low novelty = boilerplate/recombination; the score dedup
+    teams use to rank which docs ADD information to a corpus.  Plan:
+    one (tok → min doc_id) shuffle builds the first-seen table, which
+    rejoins the shingle stream on the same uniform tok key; the per-doc
+    verdict agg groups on doc_id.  (LLM-pipeline: corpus curation /
+    information-gain ranking.)"""
+    from opentimes_spark.operators.dedup import shingle_sets
+
+    d = _t(spark, sf_dir, "documents")
+    toks = shingle_sets(d, "doc_id", "text", 3)
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        toks.join(first_seen, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(novel.cast("double")) / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "docs_containment_pairs",
+    f"""
+    WITH toks AS ({_SHINGLE3_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_inter / CAST(sa.n AS DOUBLE), 6) AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+    WHERE i.n_inter / CAST(sa.n AS DOUBLE) >= 0.8
+    """,
+)
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment C(a→b) = |A∩B|/|A| —
+    catches sub-document duplication (a short doc wholly quoted inside
+    a long one) that symmetric Jaccard misses because the union is
+    dominated by the long side.  Emits ordered pairs ≥ 0.8, so a
+    quote and its source BOTH appear only when each covers the other.
+    Same melted-pair plan as the Jaccard verifier: candidates blocked
+    by shared shingles, per-shingle fan-out bounded by posting-list
+    length.  (LLM-pipeline: quotation/subset dedup.)"""
+    from opentimes_spark.operators.dedup import shingle_sets
+
+    d = _t(spark, sf_dir, "documents")
+    toks = shingle_sets(d, "doc_id", "text", 3)
+    a = toks.select(F.col("doc_id").alias("id_a"), "tok")
+    b = toks.select(F.col("doc_id").alias("id_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cont = F.col("n_inter") / F.col("n").cast("double")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .filter(cont >= 0.8)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
+@query(
+    "text_readability_score",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               len({_TOKS_SQL}) AS n_words,
+               GREATEST(len(regexp_extract_all(text, '[.!?]')), 1) AS n_sents,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_vruns
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sents,
+           ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                 - 84.6 * (n_vruns * 1.0 / GREATEST(n_words, 1)), 4)
+               AS flesch
+    FROM m
+    """,
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document: words/sentence and a
+    vowel-run syllable proxy (a vowel group ≈ one syllable — the
+    standard dictionary-free approximation), composed with the
+    published Flesch reading-ease coefficients.  Pure per-row JVM
+    regex work, zero shuffle — the cheap quality feature set next to
+    `text_quality`.  Sentence count floors at 1 so fragment docs
+    don't divide by zero.  (LLM-pipeline: quality scoring.)"""
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(_tokens(F.col("text")))
+    n_sents = F.greatest(F.regexp_count(F.col("text"), F.lit("[.!?]")), F.lit(1))
+    n_vruns = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    flesch = F.round(
+        206.835
+        - 1.015 * (n_words * F.lit(1.0) / n_sents)
+        - 84.6 * (n_vruns * F.lit(1.0) / F.greatest(n_words, F.lit(1))),
+        4,
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sents.cast("bigint").alias("n_sents"),
+        flesch.alias("flesch"),
+    )
+
+
+@query(
+    "docs_benford_digits",
+    """
+    WITH d AS (
+        SELECT CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM documents
+    )
+    SELECT digit,
+           COUNT(*) AS n_docs,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS observed_p,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_p
+    FROM d GROUP BY digit
+    """,
+)
+def docs_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of document lengths vs the Benford
+    expectation — the data-forensics smell test for synthetic or
+    truncated corpora (organic size distributions lean low-digit;
+    generator artifacts show up as spikes).  The whole stream
+    collapses to ≤9 digit groups in one shuffle; the share
+    normalization is a window over those 9 rows (SinglePartition over
+    9 ROWS is free — it is the post-agg result, not the stream).
+    (LLM-pipeline: corpus QA / provenance forensics.)"""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    digit = F.substring(F.col("n_chars").cast("string"), 1, 1).cast("int")
+    g = d.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "digit",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 6).alias(
+            "observed_p"
+        ),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: behavioral analytics over events (markov transitions,
+# seasonality, robust anomaly flags, batch sessionization).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    )
+    SELECT prev, event_type AS next, COUNT(*) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, next
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user — the behavioral-sequence feature behind next-action
+    models and funnel diagnostics.  One shuffle partitions each user's
+    history (per-user windows scale: no global ordering anywhere), the
+    lag is a within-partition scan, and the transition agg collapses to
+    ≤ |types|² rows.  Ties at identical timestamps break by event_id in
+    both engines.  (LLM-pipeline: behavioral features.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type", F.lag("event_type").over(w).alias("prev")
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "events_hour_seasonality",
+    """
+    SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS tot_value
+    FROM events
+    GROUP BY hr, event_type
+    """,
+)
+def events_hour_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type seasonality profile (count + spend) —
+    the load-shape table behind traffic-aware sampling and anomaly
+    baselines.  Single shuffle to ≤ 24 × |types| groups; the money
+    total accumulates as DECIMAL(18,2) in both engines (order-exact).
+    (SURVEY.md §2.8 F8 date parts + §2.4 grouped agg.)"""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.hour("ts").cast("int").alias("hr"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("tot_value"),
+        )
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+    WITH stats AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(value) AS s, SUM(value * value) AS s2
+        FROM events GROUP BY user_id
+    ),
+    z AS (
+        SELECT e.user_id, e.value, st.n,
+               (e.value - st.s / st.n)
+               / sqrt((st.s2 - st.s * st.s / st.n) / (st.n - 1)) AS zscore
+        FROM events e
+        JOIN stats st ON st.user_id = e.user_id
+        WHERE st.n >= 2 AND (st.s2 - st.s * st.s / st.n) > 1e-12
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN abs(zscore) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies,
+           ROUND(MAX(abs(zscore)), 4) AS max_abs_z
+    FROM z GROUP BY user_id
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly flags on spend: two-pass (grouped
+    moment sums, then a rejoin that AQE broadcasts when the user table
+    fits) with the z computed from the SAME explicit sum-of-squares
+    formula in both engines — not each engine's stddev builtin, whose
+    internal summation algorithms (Welford vs naive) differ in the
+    last ulp and could flip the |z|>3 verdict at the boundary.
+    Degenerate users (n<2 or ~zero variance) are excluded in the same
+    predicate on both sides.  (LLM-pipeline: outlier mining /
+    data-quality features.)"""
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    var_num = F.col("s2") - F.col("s") * F.col("s") / F.col("n")
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(
+        var_num / (F.col("n") - 1)
+    )
+    joined = (
+        e.select("user_id", "value")
+        .join(stats, "user_id")
+        .filter((F.col("n") >= 2) & (var_num > 1e-12))
+        .select("user_id", "n", z.alias("zscore"))
+    )
+    return joined.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.abs(F.col("zscore")) > 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_anomalies"),
+        F.round(F.max(F.abs(F.col("zscore"))), 4).alias("max_abs_z"),
+    )
+
+
+@query(
+    "events_session_stats_batch",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sess_id
+        FROM seq
+    ),
+    per AS (
+        SELECT user_id, sess_id, COUNT(*) AS n_ev,
+               DATE_DIFF('second', MIN(ts), MAX(ts)) AS dur_sec
+        FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(MAX(n_ev) AS BIGINT) AS longest_session_events,
+           CAST(SUM(dur_sec) AS BIGINT) AS tot_active_sec
+    FROM per GROUP BY user_id
+    """,
+)
+def events_session_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization (30-minute inactivity gap) via the classic
+    lag→flag→running-sum window chain — the offline twin of the
+    streaming `sessionize_events` (session_window), for backfills over
+    historical data where no watermark exists.  All three passes ride
+    ONE user_id partitioning (lag, cumulative flag sum, and the
+    session agg reuse the same exchange); output is integer-only so
+    the hash is exact.  (SURVEY.md §2.10 counterpart; LLM-pipeline:
+    behavioral features.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts may be TIMESTAMP_NTZ: hop through TIMESTAMP before the epoch
+    # cast (identity under the UTC session tz) — same seam as
+    # events_attribution_join
+    ts_long = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_long - F.lag(ts_long).over(w)
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = seq.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "sess_id"
+        ),
+    )
+    per = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (
+            F.max(F.col("ts").cast("timestamp").cast("long"))
+            - F.min(F.col("ts").cast("timestamp").cast("long"))
+        ).alias("dur_sec"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.max("n_ev").cast("bigint").alias("longest_session_events"),
+        F.sum("dur_sec").cast("bigint").alias("tot_active_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: relational & statistical shapes (lateral top-n, skyline,
+# inequality/concentration metrics, trend regression, Zipf fit,
+# embedding-space diagnostics).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lateral_topn_per_nation",
+    """
+    SELECT n.n_name AS nation, t.c_name, t.acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_name, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 3
+    ) t
+    """,
+)
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-3 customers by balance per
+    nation, expressed as the SQL-standard lateral join both engines
+    support natively (Spark ≥3.2 plans it as a LateralJoin and
+    decorrelates to the same window-rank shape as the per-group top-k
+    recipe).  The registry's window variants cover the DataFrame
+    route; this pins the SQL surface itself.  (SURVEY.md §2.3 J-Ext /
+    §2.6 top-k.)"""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("_nat_lat")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_cust_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name, t.acctbal
+        FROM _nat_lat n,
+        LATERAL (
+            SELECT c_name, ROUND(c_acctbal, 2) AS acctbal
+            FROM _cust_lat
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 3
+        ) t
+        """
+    )
+
+
+@query(
+    "part_skyline",
+    """
+    SELECT p.p_partkey, p.p_size, ROUND(p.p_retailprice, 2) AS price
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+          AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+    )
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator: parts not DOMINATED on
+    (maximize size, minimize price) — the multi-criteria shortlist
+    query (Börzsönyi et al. 2001).  Expressed as a dominance anti-join;
+    the probe side broadcasts (dimension table), so the nested-loop
+    residual is per-executor against a broadcast copy, never a
+    shuffled n².  For a FACT-sized skyline the 2-D case degrades to
+    sort-by-size + running-min-price (one range partition + scan);
+    kept as the anti-join here because it states the general N-D
+    dominance contract the oracle can replay."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    q = p.select(
+        F.col("p_size").alias("q_size"), F.col("p_retailprice").alias("q_price")
+    )
+    dominated = (
+        (F.col("q_size") >= F.col("p_size"))
+        & (F.col("q_price") <= F.col("p_retailprice"))
+        & (
+            (F.col("q_size") > F.col("p_size"))
+            | (F.col("q_price") < F.col("p_retailprice"))
+        )
+    )
+    return p.join(F.broadcast(q), dominated, "left_anti").select(
+        "p_partkey", "p_size", F.round("p_retailprice", 2).alias("price")
+    )
+
+
+@query(
+    "orders_gini_by_nation",
+    """
+    WITH rev AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    rk AS (
+        SELECT c_nationkey, r,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey ORDER BY r, o_custkey
+               ) AS i
+        FROM rev
+    )
+    SELECT n.n_name AS nation, COUNT(*) AS n_cust,
+           ROUND(2.0 * SUM(i * r) / (COUNT(*) * SUM(r))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM rk JOIN nation n ON n.n_nationkey = rk.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def orders_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer revenue per nation via the
+    rank-sum identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending
+    ranks — the inequality metric for "is this market a few whales or
+    a long tail".  Per-nation windows (no global sort); customer
+    revenue accumulates as DECIMAL before the double formula, and the
+    formula is written IDENTICALLY in both engines so rounding at 6dp
+    is stable.  (SURVEY.md §2.5 W-Ext; LLM-pipeline: source-mixture
+    concentration diagnostics.)"""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("r", "o_custkey")
+    rk = rev.select("c_nationkey", "r", F.row_number().over(w).alias("i"))
+    cnt = F.count(F.lit(1))
+    return (
+        rk.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            cnt.alias("n_cust"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("r")) / (cnt * F.sum("r"))
+                - (cnt + 1.0) / cnt,
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+@query(
+    "cust_revenue_pareto",
+    """
+    WITH rev AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    rk AS (
+        SELECT c_nationkey, r,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey ORDER BY r DESC, o_custkey
+               ) AS i,
+               SUM(r) OVER (
+                   PARTITION BY c_nationkey ORDER BY r DESC, o_custkey
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               SUM(r) OVER (PARTITION BY c_nationkey) AS tot
+        FROM rev
+    )
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_cust,
+           CAST(MIN(CASE WHEN cum * 5 >= tot * 4 THEN i END) AS BIGINT) AS k80
+    FROM rk JOIN nation n ON n.n_nationkey = rk.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def cust_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 concentration: the smallest number of customers covering
+    ≥80% of each nation's revenue (descending cumulative-share
+    window).  The 80% threshold compares as ``cum·5 ≥ tot·4`` in
+    EXACT DECIMAL arithmetic — no float cumsum can flip the cut at
+    the boundary in either engine.  Per-nation windows only.
+    (SURVEY.md §2.5 frames; LLM-pipeline: mixture concentration.)"""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    wo = Window.partitionBy("c_nationkey").orderBy(F.col("r").desc(), "o_custkey")
+    rk = rev.select(
+        "c_nationkey",
+        F.row_number().over(wo).alias("i"),
+        F.sum("r").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("r").over(Window.partitionBy("c_nationkey")).alias("tot"),
+    )
+    return (
+        rk.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.min(
+                F.when(F.col("cum") * 5 >= F.col("tot") * 4, F.col("i"))
+            )
+            .cast("bigint")
+            .alias("k80"),
+        )
+    )
+
+
+@query(
+    "orders_weekly_trend_slope",
+    """
+    WITH wk AS (
+        SELECT o_orderpriority,
+               DATE_DIFF('day', DATE '1995-01-01',
+                         CAST(DATE_TRUNC('week', o_orderdate) AS DATE)) AS wday,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_weeks,
+           ROUND(REGR_SLOPE(n, wday), 6) AS slope_per_day
+    FROM wk GROUP BY priority
+    """,
+)
+def orders_weekly_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-volume trend: least-squares slope of weekly order counts
+    over time per priority class, via the SQL-standard REGR_SLOPE
+    aggregate both engines implement.  The regressor is DAYS SINCE A
+    NEARBY EPOCH (not unix seconds): small x values keep the
+    covariance/variance ratio numerically tame so the two engines'
+    accumulation orders agree at 6dp.  One shuffle to weekly grain
+    (already tiny), one to the 5 priority groups.  (SURVEY.md §2.4
+    A-Ext regression aggregates.)"""
+    o = _t(spark, sf_dir, "orders")
+    wday = F.datediff(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date"),
+        F.lit("1995-01-01").cast("date"),
+    )
+    wk = o.groupBy(
+        "o_orderpriority", wday.alias("wday")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return wk.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.round(F.expr("regr_slope(n, wday)"), 6).alias("slope_per_day"),
+    )
+
+
+@query(
+    "tokens_zipf_slope",
+    f"""
+    WITH tok AS (
+        SELECT source, UNNEST({_TOKS_SQL}) AS t FROM documents
+    ),
+    freq AS (SELECT source, t, COUNT(*) AS n FROM tok GROUP BY source, t),
+    rk AS (
+        SELECT source, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n DESC, t
+               ) AS r
+        FROM freq
+    )
+    SELECT source, COUNT(*) AS n_types,
+           ROUND(REGR_SLOPE(LOG10(n), LOG10(r)), 4) AS zipf_slope
+    FROM rk GROUP BY source
+    """,
+)
+def tokens_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: the log-log regression slope of token
+    frequency against frequency rank (natural language sits near −1;
+    strong deviation flags templated/synthetic text).  The frequency
+    table is one (source, token) shuffle; ranking is a per-source
+    window; the regression collapses each source to one row.  Rounded
+    at 4dp — REGR_SLOPE on ≤ vocab-sized groups leaves ~1e-12 engine
+    noise.  (LLM-pipeline: corpus QA / synthetic-text detection.)"""
+    from pyspark.sql import Window
+
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(_tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "t")
+    rk = freq.select("source", "n", F.row_number().over(w).alias("r"))
+    return rk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.expr("regr_slope(log10(n), log10(r))"), 4).alias("zipf_slope"),
+    )
+
+
+@query(
+    "embed_centroid_distance",
+    """
+    WITH corpus AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dims AS (
+        SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+        FROM corpus
+    ),
+    cents AS (
+        SELECT label, list(m ORDER BY dim) AS c
+        FROM (SELECT label, dim, AVG(val) AS m FROM dims GROUP BY label, dim)
+        GROUP BY label
+    ),
+    d AS (
+        SELECT co.label, co.vec_id,
+               sqrt(list_dot_product(co.v, co.v)
+                    - 2 * list_dot_product(co.v, ct.c)
+                    + list_dot_product(ct.c, ct.c)) AS dist
+        FROM corpus co JOIN cents ct ON ct.label = co.label
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(dist), 6) AS avg_dist,
+           ROUND(MAX(dist), 6) AS max_dist
+    FROM d GROUP BY label
+    """,
+)
+def embed_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-compactness diagnostics: per-label centroid (per-dim
+    mean) and each member's L2 distance to it via the expansion
+    ‖v−c‖² = v·v − 2v·c + c·c — three sequential-fold dot products
+    that replay bit-identically in the oracle's list_dot_product.
+    The max_dist column is the outlier radius an embedding-space
+    pruning pass thresholds on.  Centroids are K×dim rows (one
+    shuffle), broadcast back onto the corpus.  (LLM-pipeline:
+    embedding-space QA / outlier pruning.)"""
+    from opentimes_spark.functions.vectors import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = corpus.select("label", F.posexplode("v").alias("dim0", "val"))
+    cents = (
+        dims.groupBy("label", "dim0")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim0", "m"))).alias("sm"))
+        .select("label", F.expr("transform(sm, x -> x.m)").alias("c"))
+    )
+    v, c = F.col("v"), F.col("c")
+    dist = F.sqrt(dot(v, v) - 2 * dot(v, c) + dot(c, c))
+    return (
+        corpus.join(F.broadcast(cents), "label")
+        .select("label", dist.alias("dist"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("dist"), 6).alias("avg_dist"),
+            F.round(F.max("dist"), 6).alias("max_dist"),
+        )
+    )
+
+
+@query(
+    "embed_dim_variance",
+    """
+    WITH corpus AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+        SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM corpus
+    )
+    SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n,
+           ROUND((SUM(val * val) - SUM(val) * SUM(val) / COUNT(*))
+                 / (COUNT(*) - 1), 6) AS variance
+    FROM dims GROUP BY dim
+    """,
+)
+def embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance across the embedding corpus — the
+    PCA-prep / dead-dimension audit (near-zero-variance dims carry no
+    signal and are the first candidates for matryoshka truncation,
+    complementing embed_norm_matryoshka's norm view).  One explode to
+    (dim, val) — uniform keys, dim-count bounded groups — and the
+    variance uses the SAME explicit sum-of-squares formula in both
+    engines (not each builtin's internal algorithm).  1-based dim to
+    match SQL's generate_subscripts.  (LLM-pipeline: embedding-space
+    QA.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "val"
+        )
+    ).select((F.col("dim0") + 1).cast("int").alias("dim"), "val")
+    cnt = F.count(F.lit(1))
+    return dims.groupBy("dim").agg(
+        cnt.alias("n"),
+        F.round(
+            (F.sum(F.col("val") * F.col("val")) - F.sum("val") * F.sum("val") / cnt)
+            / (cnt - 1),
+            6,
+        ).alias("variance"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
 # number on the at-scale plan shapes the registry twins document —
