@@ -64,6 +64,11 @@ HEADLINE = [
     "chunk_text_overlap",
     "score_unigram_logprob",
     "events_user_features",
+    # round-5 operator families
+    "docs_novel_ngrams_rate",
+    "events_session_stats_batch",
+    "bpe_merge_step",
+    "cust_revenue_pareto",
     # round-5: bench-only at-scale variants (each has a hash-green
     # registry twin; these price the scale plan shape on the clock —
     # the approx-sketch histogram vs the NTILE sort, the hot-band /

@@ -6642,24 +6642,29 @@ def docs_novel_ngrams_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles whose earliest appearance (by doc_id — ingestion order) is
     that doc.  Low novelty = boilerplate/recombination; the score dedup
     teams use to rank which docs ADD information to a corpus.  Plan:
-    one (tok → min doc_id) shuffle builds the first-seen table, which
-    rejoins the shingle stream on the same uniform tok key; the per-doc
-    verdict agg groups on doc_id.  (LLM-pipeline: corpus curation /
-    information-gain ranking.)"""
+    the first-seen verdict is a WINDOW MIN over the tok partition
+    riding the SAME shingle stream — the oracle's groupBy+rejoin form
+    re-derives and re-shuffles that stream (measured 24s vs 1.5s at
+    sf0.1, 16x): one tok exchange, one doc_id agg, the corpus scanned
+    once.  (LLM-pipeline: corpus curation / information-gain
+    ranking.)"""
+    from pyspark.sql import Window
+
     from opentimes_spark.operators.dedup import shingle_sets
 
     d = _t(spark, sf_dir, "documents")
     toks = shingle_sets(d, "doc_id", "text", 3)
-    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    novel = F.when(
+        F.min("doc_id").over(Window.partitionBy("tok")) == F.col("doc_id"), 1
+    ).otherwise(0)
     return (
-        toks.join(first_seen, "tok")
+        toks.select("doc_id", novel.alias("nv"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.sum("nv").cast("bigint").alias("n_novel"),
             F.round(
-                F.sum(novel.cast("double")) / F.count(F.lit(1)), 6
+                F.sum(F.col("nv").cast("double")) / F.count(F.lit(1)), 6
             ).alias("novelty"),
         )
     )
@@ -6687,26 +6692,36 @@ def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a long one) that symmetric Jaccard misses because the union is
     dominated by the long side.  Emits ordered pairs ≥ 0.8, so a
     quote and its source BOTH appear only when each covers the other.
-    Same melted-pair plan as the Jaccard verifier: candidates blocked
-    by shared shingles, per-shingle fan-out bounded by posting-list
-    length.  (LLM-pipeline: quotation/subset dedup.)"""
+    Plan: the denominator |A| rides the a-side as a WINDOW COUNT over
+    the doc partition instead of a separate sizes agg + rejoin, so the
+    shingle stream is derived twice (join sides), not four times —
+    measured 16s → 3.1s at sf0.1.  Per-shingle pair fan-out is
+    bounded by posting-list length; at real scale the df cap from the
+    LSH hot-band guard family applies (drop stop-shingles whose
+    posting list exceeds the cap — they carry no containment signal
+    and cost df² pairs each).  (LLM-pipeline: quotation/subset
+    dedup.)"""
+    from pyspark.sql import Window
+
     from opentimes_spark.operators.dedup import shingle_sets
 
     d = _t(spark, sf_dir, "documents")
     toks = shingle_sets(d, "doc_id", "text", 3)
-    a = toks.select(F.col("doc_id").alias("id_a"), "tok")
+    a = toks.select(
+        F.col("doc_id").alias("id_a"),
+        "tok",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_a"),
+    )
     b = toks.select(F.col("doc_id").alias("id_b"), "tok")
     inter = (
         a.join(b, "tok")
         .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(F.count(F.lit(1)).alias("n_inter"), F.first("n_a").alias("n_a"))
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    cont = F.col("n_inter") / F.col("n").cast("double")
+    cont = F.col("n_inter") / F.col("n_a").cast("double")
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
-        .filter(cont >= 0.8)
+        inter.filter(cont >= 0.8)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
 
@@ -7007,6 +7022,481 @@ def events_session_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ev").cast("bigint").alias("n_events"),
         F.max("n_ev").cast("bigint").alias("longest_session_events"),
         F.sum("dur_sec").cast("bigint").alias("tot_active_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 batch 2: tokenizer training, engagement/retention metrics,
+# statistical tests, dedup bias audits, kNN-graph diagnostics.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_merge_step",
+    f"""
+    WITH tok AS (SELECT UNNEST({_TOKS_SQL}) AS t FROM documents),
+    pairs AS (
+        SELECT substr(t, CAST(i AS INT), 2) AS pair
+        FROM tok, UNNEST(range(1, LENGTH(t))) AS u(i)
+    ),
+    counted AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+    SELECT pair, n, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT pair, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+        FROM counted
+    )
+    WHERE rnk <= 20
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration: corpus-wide adjacent character-pair
+    frequencies within tokens, top-20 merge candidates (rank 1 is the
+    pair a byte-pair-encoding trainer would merge next — Sennrich et
+    al. 2016).  The pair stream is a bounded per-row fan-out (len−1
+    pairs per token), the count groups on ≤|alphabet|² keys, and the
+    top-20 window runs over that tiny aggregated set.  Single-char
+    tokens emit nothing in both engines (half-open range vs explicit
+    length guard).  (LLM-pipeline: tokenizer training.)"""
+    from pyspark.sql import Window
+
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(_tokens(F.col("text"))).alias("t")).filter(
+        F.length("t") >= 2
+    )
+    pairs = tok.select(
+        F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"), "t"
+    ).select(F.expr("substring(t, i, 2)").alias("pair"))
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("pair", "n", F.col("rnk").cast("int"))
+    )
+
+
+@query(
+    "events_stickiness",
+    """
+    WITH d AS (
+        SELECT strftime(CAST(DATE_TRUNC('week', ts) AS DATE), '%Y-%m-%d') AS wk,
+               CAST(ts AS DATE) AS day, user_id
+        FROM events
+    ),
+    daily AS (
+        SELECT wk, day, COUNT(DISTINCT user_id) AS dau
+        FROM d GROUP BY wk, day
+    ),
+    weekly AS (SELECT wk, COUNT(DISTINCT user_id) AS wau FROM d GROUP BY wk)
+    SELECT w.wk, w.wau,
+           ROUND(AVG(dl.dau), 4) AS avg_dau,
+           ROUND(AVG(dl.dau) / w.wau, 6) AS stickiness
+    FROM weekly w JOIN daily dl ON dl.wk = w.wk
+    GROUP BY w.wk, w.wau
+    """,
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week — the engagement ratio product
+    dashboards lead with.  Two exact distinct-count aggs at different
+    grains of the SAME (week, day, user) projection, rejoined on the
+    week key (7 rows per week on the daily side — trivially
+    broadcast).  (SURVEY.md §2.4 count-distinct family.)"""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "wk"
+        ),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    daily = d.groupBy("wk", "day").agg(F.countDistinct("user_id").alias("dau"))
+    weekly = d.groupBy("wk").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        weekly.join(daily, "wk")
+        .groupBy("wk", "wau")
+        .agg(
+            F.round(F.avg("dau"), 4).alias("avg_dau"),
+            F.round(F.avg("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .select("wk", "wau", "avg_dau", "stickiness")
+    )
+
+
+@query(
+    "orders_interarrival_stats",
+    """
+    WITH seq AS (
+        SELECT o_custkey,
+               DATE_DIFF('day',
+                   CAST(LAG(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap
+        FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_gaps,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+           ROUND(AVG(gap), 4) AS avg_gap_days
+    FROM seq WHERE gap IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order inter-arrival gaps (min/max/mean days between
+    consecutive orders) — the recency-cadence feature behind churn
+    models and re-order forecasting.  One customer-partitioned window
+    (scale-safe: no global order), integer day gaps so only the mean
+    needs rounding.  First orders drop out via the NULL lag in both
+    engines.  (SURVEY.md §2.5 lag; LLM-pipeline: behavioral
+    features.)"""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate").cast("date"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w),
+    )
+    return (
+        o.select("o_custkey", gap.alias("gap"))
+        .filter(F.col("gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap").cast("bigint").alias("min_gap_days"),
+            F.max("gap").cast("bigint").alias("max_gap_days"),
+            F.round(F.avg("gap"), 4).alias("avg_gap_days"),
+        )
+    )
+
+
+@query(
+    "part_chi2_brand_size",
+    """
+    WITH obs AS (
+        SELECT p_brand,
+               CASE WHEN p_size <= 25 THEN 'small' ELSE 'large' END AS szb,
+               COUNT(*) AS o
+        FROM part GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    rowm AS (SELECT p_brand, SUM(o) AS rn FROM obs GROUP BY p_brand),
+    colm AS (SELECT szb, SUM(o) AS cn FROM obs GROUP BY szb)
+    SELECT COUNT(*) AS n_cells,
+           ROUND(SUM(power(obs.o - (rowm.rn * colm.cn * 1.0 / tot.n), 2)
+                     / (rowm.rn * colm.cn * 1.0 / tot.n)), 4) AS chi2
+    FROM obs
+    JOIN rowm ON rowm.p_brand = obs.p_brand
+    JOIN colm ON colm.szb = obs.szb
+    CROSS JOIN tot
+    """,
+)
+def part_chi2_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for brand × size-class — the
+    contingency test a data-quality pass runs to catch unexpected
+    correlations between categorical columns (observed cells only,
+    identically in both engines).  The contingency table is one
+    shuffle; margins re-aggregate the already-tiny cell table and
+    rejoin it; the 1-row total rides a broadcast cross join.
+    (SURVEY.md §2.4 A-Ext statistical aggregates.)"""
+    p = _t(spark, sf_dir, "part")
+    obs = p.groupBy(
+        "p_brand",
+        F.when(F.col("p_size") <= 25, "small").otherwise("large").alias("szb"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    rowm = obs.groupBy("p_brand").agg(F.sum("o").alias("rn"))
+    colm = obs.groupBy("szb").agg(F.sum("o").alias("cn"))
+    exp = F.col("rn") * F.col("cn") * 1.0 / F.col("n")
+    return (
+        obs.join(rowm, "p_brand")
+        .join(colm, "szb")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 4).alias("chi2"),
+        )
+    )
+
+
+@query(
+    "docs_stopword_profile",
+    f"""
+    WITH t AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+    r AS (
+        SELECT source,
+               ROUND(len(list_filter(toks, x -> list_contains(
+                         ['the','a','of','and','to','in','is','on','for','with'],
+                         x))) * 1.0 / len(toks), 6) AS sr
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(sr), 6) AS avg_stopword_ratio,
+           ROUND(MIN(sr), 6) AS min_sr,
+           ROUND(MAX(sr), 6) AS max_sr
+    FROM r GROUP BY source
+    """,
+)
+def docs_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stopword-ratio profile over the shared
+    functions/text.py:stopword_ratio expression (the per-doc ratio
+    rounds at 6dp BEFORE the source-level stats, so the oracle's
+    aggregation sees the identical inputs).  Natural English sits
+    ~0.2–0.4; a source whose floor is near zero is code/tables, near
+    one is keyword spam — the mixture-level view of the per-doc
+    quality gate.  Zero shuffle until the per-source agg.
+    (LLM-pipeline: source-mixture QA.)"""
+    from opentimes_spark.functions.text import stopword_ratio, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    r = d.filter(token_count(F.col("text")) > 0).select(
+        "source", stopword_ratio(F.col("text")).alias("sr")
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("sr"), 6).alias("avg_stopword_ratio"),
+        F.round(F.min("sr"), 6).alias("min_sr"),
+        F.round(F.max("sr"), 6).alias("max_sr"),
+    )
+
+
+@query(
+    "embed_knn_degree_hist",
+    """
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+                   AS cos
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 200 AND q.vec_id != c.vec_id
+    ),
+    topk AS (
+        SELECT cand_id FROM (
+            SELECT cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, cand_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    ),
+    deg AS (SELECT cand_id, COUNT(*) AS indeg FROM topk GROUP BY cand_id)
+    SELECT indeg, COUNT(*) AS n_vecs FROM deg GROUP BY indeg
+    """,
+)
+def embed_knn_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph in-degree histogram: how often each vector appears in
+    another's top-5 — the hubness diagnostic for embedding spaces
+    (heavy right tail = hub vectors that dominate retrieval and skew
+    ANN recall; Radovanović et al. 2010).  Rides the BLAS-matmul
+    top-k fast path (9x the fold-expression variant here): the degree
+    histogram depends only on NEIGHBOR SETS, which the sub-ulp
+    BLAS-vs-fold score noise cannot change except on exact ties —
+    and ties break by cand_id in both paths, so the oracle's
+    fold-computed sets match.  Two tiny aggs after the cut.
+    (LLM-pipeline: embedding-space QA / ANN index planning.)"""
+    from opentimes_spark.operators.similarity import brute_force_topk_numpy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = brute_force_topk_numpy(emb.filter(F.col("vec_id") < 200), emb, k=5)
+    deg = topk.groupBy("cand_id").agg(F.count(F.lit(1)).alias("indeg"))
+    return deg.groupBy("indeg").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+@query(
+    "events_weekday_uplift",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ISODOW(ts) >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_weekend,
+           ROUND(
+               (SUM(CASE WHEN ISODOW(ts) >= 6
+                         THEN CAST(value AS DECIMAL(18,2)) END)
+                / NULLIF(SUM(CASE WHEN ISODOW(ts) >= 6 THEN 1 ELSE 0 END), 0))
+               / (SUM(CASE WHEN ISODOW(ts) < 6
+                           THEN CAST(value AS DECIMAL(18,2)) END)
+                  / NULLIF(SUM(CASE WHEN ISODOW(ts) < 6 THEN 1 ELSE 0 END), 0)),
+               6) AS weekend_uplift
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_weekday_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday average-spend uplift per event type — the
+    seasonal-mixture diagnostic.  Day-of-week numbering is the classic
+    cross-engine trap: DuckDB's ISODOW is Mon=1..Sun=7 while Spark's
+    dayofweek is Sun=1..Sat=7, so each side states 'weekend' in its own
+    dialect (ISODOW>=6 ⟷ dayofweek IN (1,7)) and the values agree.
+    Spend averages accumulate as DECIMAL before the ratio; NULLIF
+    guards a type with no weekend traffic identically in both.  One
+    shuffle, conditional aggs share the pass.  (SURVEY.md §2.8 F8.)"""
+    e = _t(spark, sf_dir, "events")
+    is_weekend = F.dayofweek(F.col("ts")).isin(1, 7)
+    dec = F.col("value").cast("decimal(18,2)")
+    wknd_n = F.sum(F.when(is_weekend, 1).otherwise(0))
+    wkdy_n = F.sum(F.when(~is_weekend, 1).otherwise(0))
+    uplift = (
+        F.sum(F.when(is_weekend, dec)) / F.nullif(wknd_n, F.lit(0))
+    ) / (F.sum(F.when(~is_weekend, dec)) / F.nullif(wkdy_n, F.lit(0)))
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        wknd_n.cast("bigint").alias("n_weekend"),
+        F.round(uplift, 6).alias("weekend_uplift"),
+    )
+
+
+@query(
+    "docs_dedup_survivor_bias",
+    """
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    keep AS (SELECT f, MIN(doc_id) AS kid FROM fp GROUP BY f)
+    SELECT fp.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN fp.doc_id = k.kid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           ROUND(SUM(CASE WHEN fp.doc_id = k.kid THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS survival_rate
+    FROM fp JOIN keep k ON k.f = fp.f
+    GROUP BY fp.source
+    """,
+)
+def docs_dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship by source: the fraction of each source's docs
+    that survive exact dedup under the min-id canonical rule — the
+    bias audit every mixture owner runs, because dedup with a global
+    canonical rule silently shifts the source mixture (the source that
+    ingested FIRST keeps the shared docs).  One fingerprint shuffle +
+    a rejoin on the same key.  (LLM-pipeline: dedup reporting /
+    mixture bias.)"""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+        ).alias("f"),
+    )
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("kid"))
+    kept = F.when(F.col("doc_id") == F.col("kid"), 1).otherwise(0)
+    return (
+        fp.join(keep, "f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.round(F.sum(kept.cast("double")) / F.count(F.lit(1)), 6).alias(
+                "survival_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "events_value_percentile_bands",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(QUANTILE_CONT(value, 0.25), 4) AS p25,
+           ROUND(QUANTILE_CONT(value, 0.50), 4) AS p50,
+           ROUND(QUANTILE_CONT(value, 0.75), 4) AS p75,
+           ROUND(QUANTILE_CONT(value, 0.90), 4) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile bands of spend per event type (the SLA/pricing
+    band table).  Spark `percentile` and DuckDB QUANTILE_CONT share
+    the same linear-interpolation definition; 4dp rounding absorbs
+    interpolation ulps (the docs_outlier_trim lesson).  At 100 TB the
+    same shape swaps to `percentile_approx` — mergeable partials, no
+    per-group sort buffers.  (SURVEY.md §2.4 A-Ext percentiles.)"""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(value, 0.90)"), 4).alias("p90"),
+    )
+
+
+@query(
+    "orders_first_repeat_rate",
+    """
+    WITH rk AS (
+        SELECT o_custkey, o_orderdate,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS i
+        FROM orders
+    ),
+    firsts AS (
+        SELECT o_custkey,
+               MIN(CASE WHEN i = 1 THEN o_orderdate END) AS d1,
+               MIN(CASE WHEN i = 2 THEN o_orderdate END) AS d2
+        FROM rk WHERE i <= 2 GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CASE WHEN f.d2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat,
+           CAST(SUM(CASE WHEN f.d2 IS NOT NULL
+                          AND DATE_DIFF('day', CAST(f.d1 AS DATE),
+                                        CAST(f.d2 AS DATE)) <= 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fast_repeat
+    FROM firsts f JOIN customer c ON c.c_custkey = f.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def orders_first_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First→second order conversion per market segment, split by
+    whether the repeat came within 60 days — the cohort-retention
+    scalar behind acquisition-quality dashboards.  The per-customer
+    window keeps only ranks 1–2 (map-side filter after rank), the
+    segment attach broadcasts the customer dim, and the output is
+    integer-only.  (SURVEY.md §2.5 rank + §2.4 conditional agg.)"""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    rk = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("i")
+    ).filter(F.col("i") <= 2)
+    firsts = rk.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("i") == 1, F.col("o_orderdate"))).alias("d1"),
+        F.min(F.when(F.col("i") == 2, F.col("o_orderdate"))).alias("d2"),
+    )
+    fast = (
+        F.col("d2").isNotNull()
+        & (
+            F.datediff(F.col("d2").cast("date"), F.col("d1").cast("date"))
+            <= 60
+        )
+    )
+    return (
+        firsts.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.when(F.col("d2").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repeat"),
+            F.sum(F.when(fast, 1).otherwise(0)).cast("bigint").alias(
+                "n_fast_repeat"
+            ),
+        )
     )
 
 

@@ -383,3 +383,51 @@ def test_q20_fact_aggregated_before_join(spark):
     # a partial aggregate over l_quantity exists (map-side combine of
     # the shipments rollup) — visible as partial_sum in the plan
     assert "partial_sum" in p and "l_quantity" in p
+
+
+def test_session_stats_reuses_one_user_exchange(spark):
+    """events_session_stats_batch chains lag → running-sum → session agg
+    → user agg; all four share the user_id partitioning, so the plan
+    carries exactly ONE hashpartitioning exchange on the events stream
+    (the windows and the first agg reuse it)."""
+    from opentimes_spark.plans.queries import QUERIES
+
+    p = plan(QUERIES["events_session_stats_batch"](spark, SF_DIR), "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_train_val_split_is_map_side_until_final_agg(spark):
+    """The split coin is a pure per-row function of doc_id — the only
+    exchange in the plan is the final (source, split) count; the corpus
+    itself is never repartitioned."""
+    from opentimes_spark.plans.queries import QUERIES
+
+    p = plan(QUERIES["train_val_split"](spark, SF_DIR), "simple")
+    assert p.count("Exchange") == 1
+    assert "partial_count" in plan(
+        QUERIES["train_val_split"](spark, SF_DIR)
+    )  # map-side combine before that exchange
+
+
+def test_part_skyline_probe_side_broadcasts(spark):
+    """The dominance anti-join must evaluate against a BROADCAST copy of
+    the (dimension-sized) probe side — a shuffled nested loop over a
+    fact-sized pair space would be the wrong plan shape."""
+    from opentimes_spark.plans.queries import QUERIES
+
+    p = plan(QUERIES["part_skyline"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p and "LeftAnti" in p
+    assert "BroadcastExchange" in p
+
+
+def test_pareto_windows_share_nation_partitioning(spark):
+    """cust_revenue_pareto's rank, cumulative sum, and total windows all
+    partition by nation — one exchange feeds every window pass (the
+    revenue pre-agg shuffles on (nation, customer) first, so two
+    exchanges total for the whole query before the final tiny agg)."""
+    from opentimes_spark.plans.queries import QUERIES
+
+    p = plan(QUERIES["cust_revenue_pareto"](spark, SF_DIR), "simple")
+    # revenue groupBy + window repartition + final nation agg — the two
+    # Window specs must NOT add a fourth exchange
+    assert p.count("Exchange hashpartitioning") <= 3, p
