@@ -7500,6 +7500,45 @@ def orders_first_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tile_assignment_stats",
+    """
+    WITH pts AS (
+        SELECT -100.0 + (c_custkey % 200) * 0.1 AS lon,
+               30.0 + (c_custkey % 150) * 0.1 AS lat
+        FROM customer
+    )
+    SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 16) AS INT) AS x,
+           CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat)))
+                       / PI()) / 2.0 * 16) AS INT) AS y,
+           COUNT(*) AS n_points
+    FROM pts
+    GROUP BY x, y
+    """,
+)
+def tile_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator tile binning (zoom 4) over the synthetic customer
+    point cloud — the distributed half of the S14 vector-tile sink
+    (operators/tiles.py), certified in the gate: the oracle replays
+    the identical slippy-map formulas, so tile membership (floor of
+    transcendental expressions — the part that could silently drift
+    between engines) is value-checked, while the MVT/PMTiles byte
+    encoding is byte-level round-trip tested in tests/test_tiles.py.
+    One groupBy((x, y)) shuffle bins any corpus size; per-tile MVT
+    encode then rides applyInPandas.  (SURVEY.md §2.1 S14.)"""
+    from opentimes_spark.operators.tiles import tile_xy
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        (F.lit(-100.0) + (F.col("c_custkey") % 200) * 0.1).alias("lon"),
+        (F.lit(30.0) + (F.col("c_custkey") % 150) * 0.1).alias("lat"),
+    )
+    tx, ty, _, _ = tile_xy(F.col("lon"), F.col("lat"), 4)
+    return pts.select(tx.alias("x"), ty.alias("y")).groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 5: relational & statistical shapes (lateral top-n, skyline,
 # inequality/concentration metrics, trend regression, Zipf fit,
