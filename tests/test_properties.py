@@ -132,3 +132,54 @@ def test_dist_to_ring_vs_dense_boundary_sampling(seed):
     )
     assert (d <= brute + 1e-9).all()
     assert (brute - d <= 0.05).all()  # sampling resolution bound
+
+
+@given(
+    z=st.integers(min_value=0, max_value=10),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_hilbert_tile_id_bijective_and_in_range(z, data):
+    """PMTiles tile ids: every (z, x, y) maps into its zoom's id block
+    [ (4^z-1)/3, (4^(z+1)-1)/3 ) and distinct coords never collide —
+    the invariant the archive's binary-searchable directory rests on."""
+    from opentimes_spark.operators.tiles import hilbert_tile_id
+
+    n = 2**z
+    x1 = data.draw(st.integers(min_value=0, max_value=n - 1))
+    y1 = data.draw(st.integers(min_value=0, max_value=n - 1))
+    x2 = data.draw(st.integers(min_value=0, max_value=n - 1))
+    y2 = data.draw(st.integers(min_value=0, max_value=n - 1))
+    lo = (4**z - 1) // 3
+    hi = (4 ** (z + 1) - 1) // 3
+    i1 = hilbert_tile_id(z, x1, y1)
+    assert lo <= i1 < hi
+    if (x1, y1) != (x2, y2):
+        assert i1 != hilbert_tile_id(z, x2, y2)
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=60
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_protobuf_varint_round_trip(values):
+    """varint+zigzag encode → independent decode round-trips any int64
+    list — the wire primitive every MVT geometry and PMTiles directory
+    rides on."""
+    from opentimes_spark.operators.tiles import varint, zigzag
+
+    buf = b"".join(varint(zigzag(v)) for v in values)
+    out, pos = [], 0
+    while pos < len(buf):
+        shift = val = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            val |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        out.append((val >> 1) ^ -(val & 1))
+    assert out == values
