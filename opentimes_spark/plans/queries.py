@@ -7500,6 +7500,424 @@ def orders_first_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 5 batch 3: RFM scoring, growth/elasticity, association mining,
+# robust outliers, character-class profiling, co-occurrence.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rfm_segments",
+    """
+    WITH base AS (
+        SELECT user_id,
+               DATE_DIFF('day', CAST(MAX(ts) AS DATE),
+                         (SELECT CAST(MAX(ts) AS DATE) FROM events)) AS recency,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        FROM events GROUP BY user_id
+    ),
+    cuts AS (
+        SELECT ROUND(QUANTILE_CONT(recency, 0.5), 4)   AS r_med,
+               ROUND(QUANTILE_CONT(frequency, 0.5), 4) AS f_med,
+               ROUND(QUANTILE_CONT(monetary, 0.5), 4)  AS m_med
+        FROM base
+    )
+    SELECT user_id,
+           CAST(recency AS BIGINT) AS recency,
+           frequency,
+           ROUND(monetary, 2) AS monetary,
+           CASE WHEN recency <= cuts.r_med THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN frequency > cuts.f_med THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN monetary > cuts.m_med THEN 2 ELSE 1 END AS m_score
+    FROM base, cuts
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) scoring — the classic
+    behavioral segmentation: one shuffle builds the per-user feature
+    row, the three median cutpoints collapse to ONE broadcast row, and
+    scores are per-row compares against the ROUNDED medians (rounded
+    in both engines, so an interpolation ulp cannot flip a segment —
+    the docs_outlier_trim rule).  Spend is decimal-summed.  At 100 TB
+    the medians swap to percentile_approx; everything else is
+    unchanged.  (LLM-pipeline: user feature engineering.)"""
+    e = _t(spark, sf_dir, "events")
+    maxd = e.agg(F.max(F.col("ts").cast("date")).alias("dmax"))
+    base = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "user_id",
+            F.datediff(F.col("dmax"), F.col("last_d"))
+            .cast("bigint")
+            .alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    cuts = base.agg(
+        F.round(F.expr("percentile(recency, 0.5)"), 4).alias("r_med"),
+        F.round(F.expr("percentile(frequency, 0.5)"), 4).alias("f_med"),
+        F.round(F.expr("percentile(monetary, 0.5)"), 4).alias("m_med"),
+    )
+    return base.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "recency",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        F.when(F.col("recency") <= F.col("r_med"), 2).otherwise(1).alias("r_score"),
+        F.when(F.col("frequency") > F.col("f_med"), 2).otherwise(1).alias("f_score"),
+        F.when(F.col("monetary") > F.col("m_med"), 2).otherwise(1).alias("m_score"),
+    )
+
+
+@query(
+    "orders_yoy_growth",
+    """
+    WITH y AS (
+        SELECT o_orderpriority AS priority,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, yr, ROUND(rev, 2) AS revenue,
+           ROUND(100.0 * (rev - LAG(rev) OVER w) / LAG(rev) OVER w, 4)
+               AS yoy_pct
+    FROM y
+    WINDOW w AS (PARTITION BY priority ORDER BY yr)
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per priority — the trend table
+    behind every KPI dashboard.  Yearly grain first (tiny), then a lag
+    window over ≤ |priorities| × |years| rows; revenue is
+    decimal-exact before the growth ratio.  First year's growth is
+    NULL in both engines.  (SURVEY.md §2.5 lag over aggregated
+    grains.)"""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    y = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.partitionBy("priority").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return y.select(
+        "priority",
+        "yr",
+        F.round("rev", 2).alias("revenue"),
+        F.round(100.0 * (F.col("rev") - prev) / prev, 4).alias("yoy_pct"),
+    )
+
+
+@query(
+    "part_name_bigram_pmi",
+    """
+    WITH toks AS (
+        SELECT p_partkey,
+               list_filter(string_split_regex(lower(p_name), '\\s+'),
+                           x -> x != '') AS t
+        FROM part
+    ),
+    uni AS (
+        SELECT u.tok, COUNT(*) AS n
+        FROM toks, UNNEST(t) AS u(tok) GROUP BY u.tok
+    ),
+    tot AS (SELECT SUM(n) AS nu FROM uni),
+    bi AS (
+        SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b,
+               COUNT(*) AS n
+        FROM toks, UNNEST(range(1, LENGTH(t))) AS r(i)
+        GROUP BY 1, 2
+    ),
+    btot AS (SELECT SUM(n) AS nb FROM bi)
+    SELECT a, b, bi.n AS n_pair,
+           ROUND(LN((bi.n * 1.0 / btot.nb)
+                    / ((ua.n * 1.0 / tot.nu) * (ub.n * 1.0 / tot.nu))), 4)
+               AS pmi
+    FROM bi
+    JOIN uni ua ON ua.tok = bi.a
+    JOIN uni ub ON ub.tok = bi.b
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE bi.n >= 5
+    """,
+)
+def part_name_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs in part
+    names — collocation mining (Church & Hanks 1990): high PMI =
+    pairs that belong together ("forest green"), the signal behind
+    multi-word-expression tokenizer entries.  Unigram and bigram
+    counts are two explode+count passes over vocabulary-bounded keys;
+    the 1-row totals ride broadcast cross joins; the PMI formula is
+    written identically in both engines and rounds at 4dp.
+    (LLM-pipeline: tokenizer/phrase mining.)"""
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    p = _t(spark, sf_dir, "part")
+    toks = p.select(_tokens(F.col("p_name")).alias("t"))
+    uni = toks.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = uni.agg(F.sum("n").alias("nu"))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.col("t")[i - 1].alias("a"), F.col("t")[i].alias("b")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    btot = bi.agg(F.sum("n").alias("nb"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("na"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("nb_u"))
+    pmi = F.log(
+        (F.col("n") * 1.0 / F.col("nb"))
+        / ((F.col("na") * 1.0 / F.col("nu")) * (F.col("nb_u") * 1.0 / F.col("nu")))
+    )
+    return (
+        bi.filter(F.col("n") >= 5)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select("a", "b", F.col("n").alias("n_pair"), F.round(pmi, 4).alias("pmi"))
+    )
+
+
+@query(
+    "cust_segment_priority_lift",
+    """
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cnt AS (SELECT seg, pri, COUNT(*) AS n FROM j GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) AS nt FROM cnt),
+    s AS (SELECT seg, SUM(n) AS ns FROM cnt GROUP BY seg),
+    p AS (SELECT pri, SUM(n) AS np FROM cnt GROUP BY pri)
+    SELECT cnt.seg, cnt.pri, cnt.n,
+           ROUND((cnt.n * 1.0 / tot.nt)
+                 / ((s.ns * 1.0 / tot.nt) * (p.np * 1.0 / tot.nt)), 6) AS lift
+    FROM cnt
+    JOIN s ON s.seg = cnt.seg
+    JOIN p ON p.pri = cnt.pri
+    CROSS JOIN tot
+    """,
+)
+def cust_segment_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift between market segment and order priority —
+    the contingency ratio P(seg, pri) / (P(seg)·P(pri)) from
+    market-basket analysis (lift > 1 = the pair co-occurs above
+    independence).  One fact shuffle to the |seg|×|pri| cell table;
+    margins re-aggregate that tiny table and everything rejoins
+    broadcast.  (SURVEY.md §2.4; LLM-pipeline: association mining.)"""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cnt = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.agg(F.sum("n").alias("nt"))
+    s = cnt.groupBy("seg").agg(F.sum("n").alias("ns"))
+    pr = cnt.groupBy("pri").agg(F.sum("n").alias("np"))
+    lift = (F.col("n") * 1.0 / F.col("nt")) / (
+        (F.col("ns") * 1.0 / F.col("nt")) * (F.col("np") * 1.0 / F.col("nt"))
+    )
+    return (
+        cnt.join(F.broadcast(s), "seg")
+        .join(F.broadcast(pr), "pri")
+        .crossJoin(F.broadcast(tot))
+        .select("seg", "pri", "n", F.round(lift, 6).alias("lift"))
+    )
+
+
+@query(
+    "supplier_balance_iqr_outliers",
+    """
+    WITH cuts AS (
+        SELECT s_nationkey,
+               ROUND(QUANTILE_CONT(s_acctbal, 0.25), 4) AS q1,
+               ROUND(QUANTILE_CONT(s_acctbal, 0.75), 4) AS q3
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CASE WHEN s.s_acctbal < cuts.q1 - 1.5 * (cuts.q3 - cuts.q1)
+                           OR s.s_acctbal > cuts.q3 + 1.5 * (cuts.q3 - cuts.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(cuts.q3 - cuts.q1, 4) AS iqr
+    FROM supplier s
+    JOIN cuts ON cuts.s_nationkey = s.s_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name, cuts.q1, cuts.q3
+    """,
+)
+def supplier_balance_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5×IQR) outlier counts for supplier balances per
+    nation — the robust alternative to the z-score flag (no normality
+    assumption).  Quartiles round at 4dp in BOTH engines before the
+    fence compare, so interpolation ulps cannot flip a count; the
+    K-row cutpoint table broadcasts back onto the stream.  (SURVEY.md
+    §2.4 percentiles; LLM-pipeline: robust outlier mining.)"""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cuts = s.groupBy("s_nationkey").agg(
+        F.round(F.expr("percentile(s_acctbal, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(s_acctbal, 0.75)"), 4).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("s_acctbal") < F.col("q1") - 1.5 * iqr) | (
+        F.col("s_acctbal") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        s.join(F.broadcast(cuts), "s_nationkey")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            "n_outliers",
+            F.round(iqr, 4).alias("iqr"),
+        )
+    )
+
+
+@query(
+    "docs_char_classes",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(SUM(LENGTH(text) - LENGTH(translate(text,
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz', '')))
+                 * 1.0 / SUM(LENGTH(text)), 6) AS alpha_frac,
+           ROUND(SUM(LENGTH(text) - LENGTH(translate(text, '0123456789', '')))
+                 * 1.0 / SUM(LENGTH(text)), 6) AS digit_frac,
+           ROUND(SUM(LENGTH(text) - LENGTH(translate(text, ' ', '')))
+                 * 1.0 / SUM(LENGTH(text)), 6) AS space_frac
+    FROM documents
+    WHERE LENGTH(text) > 0
+    GROUP BY source
+    """,
+)
+def docs_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source (alpha/digit/space
+    fractions) via the translate() char-map identity — counting by
+    DELETION (|text| − |text with the class stripped|) instead of a
+    regex engine, the same trick that made text_quality 23× faster
+    (SCALE.md).  Pure per-row JVM work + one source-grain agg.
+    (LLM-pipeline: source-mixture QA / encoding-junk detection.)"""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    t = F.col("text")
+
+    def stripped(chars: str):
+        return F.length(t) - F.length(F.translate(t, chars, ""))
+
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(stripped(alpha)) * 1.0 / F.sum(F.length(t)), 6
+        ).alias("alpha_frac"),
+        F.round(
+            F.sum(stripped("0123456789")) * 1.0 / F.sum(F.length(t)), 6
+        ).alias("digit_frac"),
+        F.round(F.sum(stripped(" ")) * 1.0 / F.sum(F.length(t)), 6).alias(
+            "space_frac"
+        ),
+    )
+
+
+@query(
+    "events_type_cooccurrence",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: users who performed BOTH event
+    types, for every type pair — the support table association rules
+    start from.  The distinct (user, type) projection bounds the
+    self-join at |types| rows per user (≤ 5 here → ≤ 10 pairs/user),
+    so the fan-out is constant per user regardless of event volume.
+    (LLM-pipeline: association mining.)"""
+    e = _t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "lineitem_discount_elasticity",
+    """
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n_rows,
+           ROUND(REGR_SLOPE(l_quantity, l_discount), 4) AS qty_per_discount,
+           ROUND(REGR_AVGX(l_quantity, l_discount), 6) AS avg_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-vs-discount regression slope per return flag — the
+    price-elasticity probe, via the SQL-standard REGR_* aggregates
+    (slope + the regression's mean-x diagnostic).  Discounts live in
+    [0, 0.1] so the covariance accumulators stay small and the two
+    engines agree at the rounded digits; one fact shuffle to ≤3
+    groups.  (SURVEY.md §2.4 A-Ext regression aggregates.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.expr("regr_slope(l_quantity, l_discount)"), 4).alias(
+            "qty_per_discount"
+        ),
+        F.round(F.expr("regr_avgx(l_quantity, l_discount)"), 6).alias(
+            "avg_discount"
+        ),
+    )
+
+
 @query(
     "tile_assignment_stats",
     """

@@ -69,3 +69,64 @@ def test_two_phase_agg_rejects_avg(spark):
         raise AssertionError("should have raised")
     except ValueError:
         pass
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """The implicit third skew tool (SCALE.md): AQE's runtime re-plan.
+    A join with one hot key (1M rows of key 0 against a uniform dim)
+    must come out of execution marked SortMergeJoin(skew=true) with the
+    hot side read as 'coalesced and skewed' — the oversized partition
+    was split into advisory-sized reader splits at RUNTIME, no salting
+    in the query.  The payload is md5 text because skew detection reads
+    COMPRESSED shuffle sizes: a constant-key column of longs compresses
+    below any threshold and hides the skew (which is itself the lesson:
+    size-based skew triggers see post-codec bytes, not row counts)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        left = spark.range(1_000_000).select(
+            (F.col("id") * 0).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("x"),
+        ).union(
+            spark.range(100_000).select(
+                (F.col("id") % 1000 + 1).alias("k"),
+                F.md5(F.col("id").cast("string")).alias("x"),
+            )
+        )
+        right = spark.range(1001).select(
+            F.col("id").alias("k"), F.lit("v").alias("v")
+        )
+        # max(x) keeps the payload column alive through column pruning —
+        # drop it and the shuffled rows are a single constant-key long
+        # column that compresses below any size threshold (see docstring)
+        j = left.join(right, "k").groupBy("v").agg(
+            F.count(F.lit(1)).alias("n"), F.max("x").alias("mx")
+        )
+        rows = j.collect()
+        assert rows[0]["n"] == 1_100_000  # every row joined exactly once
+        final = (
+            j._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "SortMergeJoin(skew=true)" in final, final[:2000]
+        assert "skewed" in final  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
