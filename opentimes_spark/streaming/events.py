@@ -98,6 +98,24 @@ def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def dedup_stream_redelivery(
+    stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Dedup on event_id ALONE within the watermark horizon
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+): the redelivery
+    case ``dedup_stream`` cannot express — an at-least-once source
+    re-emits the same event_id with a DIFFERENT timestamp, so a
+    (event_id, ts) key sees two distinct rows.  Here state is keyed by
+    event_id only and each entry expires one watermark horizon after
+    the FIRST sighting's event time, so state stays bounded by
+    rate × horizon without the time column in the key."""
+    return (
+        _with_event_time(stream)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
 def stream_stream_join(
     clicks: DataFrame,
     purchases: DataFrame,

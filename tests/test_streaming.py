@@ -102,6 +102,60 @@ def test_dedup_stream_passthrough_when_unique(spark, events_stream):
     assert spark.sql("SELECT COUNT(*) c FROM dedup").collect()[0]["c"] == batch.count()
 
 
+def test_dedup_within_watermark_collapses_redelivered_ids(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (Spark 3.5+): the same event_id
+    redelivered with a DIFFERENT timestamp must collapse to one row —
+    the at-least-once-source case a (event_id, ts)-keyed dropDuplicates
+    cannot express (it sees two distinct keys and keeps both)."""
+    from opentimes_spark.streaming.events import dedup_stream_redelivery
+
+    base = read_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dupes = base.limit(50).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 7 SECONDS")  # redelivery drift
+    )
+    src = str(tmp_path / "redelivered_src")
+    base.unionByName(dupes).repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream_redelivery(stream, watermark="90 days")
+        .writeStream.format("memory")
+        .queryName("dedup_redeliver")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT COUNT(*) c, COUNT(DISTINCT event_id) d FROM dedup_redeliver"
+    ).collect()[0]
+    assert got["c"] == base.count()  # duplicates collapsed
+    assert got["d"] == got["c"]  # one row per event_id
+
+    # the contrast: key-based dedup keeps BOTH timestamp variants
+    q2 = (
+        dedup_stream(
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            watermark="90 days",
+        )
+        .writeStream.format("memory")
+        .queryName("dedup_keyed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    keyed = spark.sql("SELECT COUNT(*) c FROM dedup_keyed").collect()[0]["c"]
+    assert keyed == base.count() + 50
+
+
 def test_watermark_drops_late_data(spark, events_stream):
     """The late-data contract itself: with a small watermark and files
     arriving out of time order, late rows must be dropped — fewer events
