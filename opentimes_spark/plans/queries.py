@@ -7500,6 +7500,225 @@ def orders_first_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_pagerank_3iter",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT s AS src, p + 1000000 AS dst FROM pairs
+        UNION ALL
+        SELECT p + 1000000 AS src, s AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    n AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+    r0 AS (SELECT src AS node, 1.0 / n.n AS pr FROM deg, n),
+    r1 AS (
+        SELECT e.dst AS node, 0.15 / MAX(n.n) + 0.85 * SUM(r.pr / dg.d) AS pr
+        FROM edges e
+        JOIN r0 r ON r.node = e.src
+        JOIN deg dg ON dg.src = e.src
+        CROSS JOIN n GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT e.dst AS node, 0.15 / MAX(n.n) + 0.85 * SUM(r.pr / dg.d) AS pr
+        FROM edges e
+        JOIN r1 r ON r.node = e.src
+        JOIN deg dg ON dg.src = e.src
+        CROSS JOIN n GROUP BY e.dst
+    ),
+    r3 AS (
+        SELECT e.dst AS node, 0.15 / MAX(n.n) + 0.85 * SUM(r.pr / dg.d) AS pr
+        FROM edges e
+        JOIN r2 r ON r.node = e.src
+        JOIN deg dg ON dg.src = e.src
+        CROSS JOIN n GROUP BY e.dst
+    )
+    SELECT node, ROUND(pr * 1000000, 4) AS pr_ppm, rnk
+    FROM (
+        SELECT node, pr,
+               ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rnk
+        FROM r3
+    )
+    WHERE rnk <= 20
+    """,
+)
+def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 bounded iterations, d=0.85) over the supplier⇄part
+    bipartite graph from distinct lineitem pairs — hub suppliers and
+    commodity parts surface at the top.  The iterative algorithm as a
+    BOUNDED UNROLL: each iteration is one edges⋈ranks join + a
+    dst-keyed agg (the same shuffle key every round, so a bucketed or
+    pre-partitioned edge layout makes every iteration exchange-free on
+    the edge side); 3 unrolled rounds replay exactly in the SQL
+    oracle.  On this undirected (symmetrized) graph every node has
+    out-degree ≥ 1, so no dangling-mass term is needed.  Ranks scale
+    to parts-per-million before rounding so the 4dp round bites on
+    meaningful digits.  (SURVEY.md §2 Ext iterative algorithms;
+    complements the unbounded-convergence connected-components
+    operator.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    fwd = pairs.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+    )
+    rev = pairs.select(
+        (F.col("l_partkey") + 1_000_000).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    edges = fwd.unionByName(rev)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # node count rides a 1-row broadcast (no driver-side action)
+    ncnt = deg.agg(F.count(F.lit(1)).alias("nn"))
+    ranks = deg.crossJoin(F.broadcast(ncnt)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("nn")).alias("pr")
+    )
+    contrib_edges = edges.join(deg, "src")
+    for _ in range(3):
+        ranks = (
+            contrib_edges.join(ranks, F.col("src") == F.col("node"))
+            .crossJoin(F.broadcast(ncnt))
+            .groupBy("dst")
+            .agg(
+                (
+                    0.15 / F.max("nn")
+                    + 0.85 * F.sum(F.col("pr") / F.col("d"))
+                ).alias("pr")
+            )
+            .withColumnRenamed("dst", "node")
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pr").desc(), "node")
+    return (
+        ranks.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("node", F.round(F.col("pr") * 1_000_000, 4).alias("pr_ppm"), "rnk")
+    )
+
+
+@query(
+    "kmeans_lloyd_2iter",
+    """
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, v AS c
+        FROM corpus ORDER BY vec_id LIMIT 8
+    ),
+    assign1 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT co.vec_id, co.v, ct.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY co.vec_id
+                       ORDER BY list_dot_product(co.v, co.v)
+                                - 2 * list_dot_product(co.v, ct.c)
+                                + list_dot_product(ct.c, ct.c), ct.cid
+                   ) AS rnk
+            FROM corpus co CROSS JOIN cents0 ct
+        ) WHERE rnk = 1
+    ),
+    cents1 AS (
+        SELECT cid, list(m ORDER BY dim) AS c FROM (
+            SELECT cid, dim, AVG(val) AS m FROM (
+                SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+                FROM assign1
+            ) GROUP BY cid, dim
+        ) GROUP BY cid
+    ),
+    assign2 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT co.vec_id, co.v, ct.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY co.vec_id
+                       ORDER BY list_dot_product(co.v, co.v)
+                                - 2 * list_dot_product(co.v, ct.c)
+                                + list_dot_product(ct.c, ct.c), ct.cid
+                   ) AS rnk
+            FROM corpus co CROSS JOIN cents1 ct
+        ) WHERE rnk = 1
+    ),
+    cents2 AS (
+        SELECT cid, list(m ORDER BY dim) AS c FROM (
+            SELECT cid, dim, AVG(val) AS m FROM (
+                SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+                FROM assign2
+            ) GROUP BY cid, dim
+        ) GROUP BY cid
+    )
+    SELECT a.cid AS cluster_id, COUNT(*) AS n_members,
+           ROUND(MAX(c.c[1]), 6) AS c0, ROUND(MAX(c.c[2]), 6) AS c1,
+           ROUND(MAX(c.c[3]), 6) AS c2, ROUND(MAX(c.c[4]), 6) AS c3
+    FROM assign2 a JOIN cents2 c ON c.cid = a.cid
+    GROUP BY a.cid
+    """,
+)
+def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, two bounded iterations, deterministic
+    first-k init): assign each vector to its nearest centroid via the
+    ‖v−c‖² dot expansion, recompute per-dimension means, repeat — the
+    index-build primitive under IVF, here with REAL reassignment
+    rounds rather than label means.  Every step is engine-replayable:
+    deterministic init (smallest vec_ids), cid tie-break on equal
+    distances, and the oracle unrolls both iterations in SQL.  Plan:
+    the centroid table is k rows — each assignment is a broadcast
+    cross join + per-vector window over k candidates (no corpus
+    self-join), each update one (cid, dim) shuffle; iterations scale
+    linearly in corpus size, exactly like the production Lloyd loop.
+    (SURVEY.md §2 Ext iterative algorithms; LLM-pipeline: clustering /
+    IVF index construction.)"""
+    from pyspark.sql import Window
+
+    from opentimes_spark.functions.vectors import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    k = 8
+    wi = Window.orderBy("vec_id")
+    cents = (
+        corpus.orderBy("vec_id")
+        .limit(k)
+        .select(F.row_number().over(wi).alias("cid"), F.col("v").alias("c"))
+    )
+    d2 = dot(F.col("v"), F.col("v")) - 2 * dot(F.col("v"), F.col("c")) + dot(
+        F.col("c"), F.col("c")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cid").asc())
+    for _ in range(2):
+        assign = (
+            corpus.crossJoin(F.broadcast(cents))
+            .withColumn("rnk", F.row_number().over(wa))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "v", "cid")
+        )
+        cents = (
+            assign.select("cid", F.posexplode("v").alias("dim0", "val"))
+            .groupBy("cid", "dim0")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim0", "m"))).alias("sm")
+            )
+            .select("cid", F.expr("transform(sm, x -> x.m)").alias("c"))
+        )
+    return (
+        assign.join(F.broadcast(cents), "cid")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.max(F.col("c")[0]), 6).alias("c0"),
+            F.round(F.max(F.col("c")[1]), 6).alias("c1"),
+            F.round(F.max(F.col("c")[2]), 6).alias("c2"),
+            F.round(F.max(F.col("c")[3]), 6).alias("c3"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 5 batch 3: RFM scoring, growth/elasticity, association mining,
 # robust outliers, character-class profiling, co-occurrence.
