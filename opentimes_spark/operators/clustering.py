@@ -1,0 +1,194 @@
+"""Lloyd k-means over ``array<float>`` embedding columns.
+
+The index-construction primitive under IVF ANN (``operators/
+similarity.py``), promoted from the query-local unrolled loop in
+``plans/queries.py:kmeans_lloyd_2iter`` so the same iteration drives
+both the registered 2-iteration oracle query and the production
+``ensure_ivf_index(builder="kmeans")`` path with convergence-based
+stopping.
+
+Scale shape (the reason this is NOT the textbook crossJoin+window
+loop):
+
+* **Centroids live on the driver.** k x dim doubles is bytes, not data
+  — the same contract as Spark MLlib's KMeans.  Each iteration embeds
+  them as a LITERAL expression, so the assignment step is a pure
+  per-row projection: **zero shuffle, zero corpus expansion** (the
+  crossJoin+window form shuffles a k-times-expanded corpus through a
+  ``Window.partitionBy(vec_id)`` every iteration).
+* **The update is one map-side-combined shuffle.** ``posexplode`` to
+  (cid, dim, val) then ``groupBy(cid, dim).avg`` — partial aggregation
+  reduces the exchange to k x dim rows per map partition regardless of
+  corpus size.
+* **Convergence is a k-row collect.** Max squared centroid movement
+  against ``tol``; the corpus is persisted across iterations and
+  unpersisted on exit.
+
+Determinism contract (what makes the oracle replay bit-exact):
+initialisation takes the k vectors with the smallest ids; distances use
+the ``v.v - 2 v.c + c.c`` dot expansion with sequential left folds
+(``functions/vectors.dot``), matching DuckDB ``list_dot_product``; ties
+break on the smaller centroid id; ``c.c`` and the literal centroid
+values round-trip through the driver as exact float64.
+
+Empty clusters keep their previous centroid (documented; at real scale
+pair with a k-means|| style re-seed if empties persist).
+
+Reference parity: the reference (dfsnow/opentimes) has no clustering
+stage; this exists for the LLM-pipeline surface (IVF index build,
+SemDeDup-style semantic dedup).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opentimes_spark.functions.vectors import dot
+
+
+@dataclass
+class KMeansModel:
+    """Fitted centroids, driver-side.
+
+    ``centroids`` maps 1-based cid -> float64 centroid (result of the
+    final mean update); ``assign_centroids`` are the centroids that
+    produced the LAST assignment pass (one update behind) — exposed so
+    a caller replaying an unrolled oracle can join "assignment under
+    cents_{n-1}" with "centroids cents_n" without an extra pass, and so
+    an index build can reuse the already-shaped last assignment.
+    """
+
+    centroids: dict[int, list[float]]
+    assign_centroids: dict[int, list[float]]
+    n_iter: int
+    shift: float
+
+    def centroids_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(self.centroids.items())],
+            "cid int, c array<double>",
+        )
+
+
+def _lit_vec(vec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _self_dot(vec: list[float]) -> float:
+    # Sequential left fold — bit-identical to the engines' list folds.
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return acc
+
+
+def assign_expr(vec_col, cents: dict[int, list[float]]):
+    """Nearest-centroid cid as a single JVM expression (no shuffle).
+
+    dist(v, c_j) = v.v - 2 (v.c_j) + c_j.c_j with c_j.c_j precomputed
+    driver-side; argmin via ``array_sort`` over (dist, cid) structs so
+    ties take the smaller cid — the oracle's ROW_NUMBER ordering.
+    """
+    v = vec_col.cast("array<double>")
+    vv = dot(v, v)
+    cands = [
+        F.struct(
+            (vv - 2.0 * dot(v, _lit_vec(c)) + F.lit(_self_dot(c))).alias("d"),
+            F.lit(int(cid)).alias("cid"),
+        )
+        for cid, c in sorted(cents.items())
+    ]
+    return F.array_sort(F.array(*cands))[0]["cid"]
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    cents: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cid) under the given centroids — a pure projection."""
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("cid", assign_expr(F.col("v"), cents))
+
+
+def _mean_update(
+    assigned: DataFrame, prev: dict[int, list[float]]
+) -> dict[int, list[float]]:
+    """Per-dimension means by cid; empty clusters keep ``prev``'s."""
+    rows = (
+        assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.avg("val").alias("m"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+    out: dict[int, list[float]] = {}
+    for cid, old in prev.items():
+        dims = by_cid.get(cid)
+        if dims is None:
+            out[cid] = list(old)  # empty cluster: retain
+        else:
+            out[cid] = [dims[i] for i in range(len(old))]
+    return out
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    max_iter: int = 20,
+    tol: float = 1e-9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> KMeansModel:
+    """Lloyd's algorithm with convergence-based stopping.
+
+    Stops when the max squared centroid movement <= ``tol`` or after
+    ``max_iter`` iterations (``tol=0.0`` forces exactly ``max_iter``
+    rounds — the unrolled-oracle mode).  Per-iteration cost: one
+    zero-shuffle assignment projection + one (cid, dim) shuffle that
+    partial-aggregates to k x dim rows per map partition.
+    """
+    if k < 1 or max_iter < 1:
+        raise ValueError("kmeans_fit requires k >= 1 and max_iter >= 1")
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist()
+    try:
+        seed = base.orderBy(F.col(id_col)).limit(k).collect()
+        if len(seed) < k:
+            raise ValueError(
+                f"kmeans_fit: corpus has {len(seed)} rows < k={k}"
+            )
+        cents = {i + 1: list(r["v"]) for i, r in enumerate(seed)}
+        assign_cents = cents
+        shift = float("inf")
+        it = 0
+        for it in range(1, max_iter + 1):
+            assign_cents = cents
+            assigned = base.withColumn(
+                "cid", assign_expr(F.col("v"), cents)
+            )
+            new = _mean_update(assigned, cents)
+            shift = max(
+                sum((a - b) ** 2 for a, b in zip(new[cid], cents[cid]))
+                for cid in cents
+            )
+            cents = new
+            if shift <= tol:
+                break
+        return KMeansModel(
+            centroids=cents,
+            assign_centroids=assign_cents,
+            n_iter=it,
+            shift=shift,
+        )
+    finally:
+        base.unpersist()

@@ -214,6 +214,48 @@ def write_ivf_index(
     ).parquet(path + "/_centroids")
 
 
+def write_ivf_index_kmeans(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    k: int = 8,
+    max_iter: int = 20,
+    tol: float = 1e-9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """IVF index built by REAL Lloyd k-means (``operators/
+    clustering.py``) instead of per-label means — the unsupervised path
+    for corpora without a partitioning label.  Fit runs driver-bounded
+    Lloyd (zero-shuffle literal-centroid assignment, one map-side-
+    combined update shuffle per iteration, convergence on ``tol``); the
+    final assignment partitions the Hive layout exactly like
+    ``write_ivf_index``; the k fitted centroids land in
+    ``<path>/_centroids`` from the driver (k x dim — bytes).  Same
+    storage contract, so ``ivf_topk_probe`` works unchanged."""
+    from opentimes_spark.functions.vectors import norm
+    from opentimes_spark.operators.clustering import assign_expr, kmeans_fit
+
+    model = kmeans_fit(
+        corpus, k=k, max_iter=max_iter, tol=tol, id_col=id_col, vec_col=vec_col
+    )
+    (
+        corpus.select(
+            id_col,
+            vec_col,
+            norm(F.col(vec_col)).alias("_norm"),
+            assign_expr(F.col(vec_col), model.centroids).alias("centroid_id"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(model.centroids.items())],
+        "centroid_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(path + "/_centroids")
+
+
 def read_ivf_centroids(spark, path: str) -> DataFrame:
     """The centroid table materialized by ``write_ivf_index``."""
     return spark.read.parquet(path + "/_centroids")
@@ -228,27 +270,45 @@ def ensure_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    builder: str = "label",
+    k: int = 8,
+    max_iter: int = 20,
+    tol: float = 1e-9,
 ) -> str:
     """Build-once semantics of a real ANN index: if an index keyed by
     ``cache_key`` (e.g. the source directory) already exists and is
     complete (_SUCCESS markers for both the partitioned corpus and the
     centroid table), return its path without touching the corpus;
     otherwise build it.  Key is content-addressed on the cache_key
-    string only — rewriting the source under the same path requires
-    clearing the index dir (documented staleness contract)."""
+    string (plus the builder settings) only — rewriting the source
+    under the same path requires clearing the index dir (documented
+    staleness contract).
+
+    ``builder="label"`` partitions by per-label mean centroids (needs a
+    label column); ``builder="kmeans"`` fits real Lloyd k-means
+    (``k``/``max_iter``/``tol``) for unlabeled corpora."""
     import hashlib
     import os
     import tempfile
 
+    if builder not in ("label", "kmeans"):
+        raise ValueError(f"unknown IVF builder: {builder!r}")
     base = base_dir or os.path.join(tempfile.gettempdir(), "opentimes_ivf")
+    keyed = f"{cache_key}::{builder}::{k}::{max_iter}::{tol!r}"
     path = os.path.join(
-        base, hashlib.md5(cache_key.encode("utf-8")).hexdigest()[:16]
+        base, hashlib.md5(keyed.encode("utf-8")).hexdigest()[:16]
     )
     complete = os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
         os.path.join(path, "_centroids", "_SUCCESS")
     )
     if not complete:
-        write_ivf_index(corpus, path, label_col, vec_col, id_col, dim)
+        if builder == "kmeans":
+            write_ivf_index_kmeans(
+                spark, corpus, path, k=k, max_iter=max_iter, tol=tol,
+                vec_col=vec_col, id_col=id_col,
+            )
+        else:
+            write_ivf_index(corpus, path, label_col, vec_col, id_col, dim)
     return path
 
 

@@ -6670,9 +6670,11 @@ def docs_novel_ngrams_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_containment_pairs",
-    f"""
+# Exact shingle-containment pair oracle — shared verbatim by the direct
+# melted-pair plan (docs_containment_pairs) and the PPJoin
+# prefix-filtered plan (docs_containment_prefix): same declarative
+# semantics, two physical strategies.
+_CONTAINMENT_ORACLE = f"""
     WITH toks AS ({_SHINGLE3_SQL}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
     inter AS (
@@ -6684,8 +6686,10 @@ def docs_novel_ngrams_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(i.n_inter / CAST(sa.n AS DOUBLE), 6) AS containment
     FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
     WHERE i.n_inter / CAST(sa.n AS DOUBLE) >= 0.8
-    """,
-)
+    """
+
+
+@query("docs_containment_pairs", _CONTAINMENT_ORACLE)
 def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC near-dup: shingle containment C(a→b) = |A∩B|/|A| —
     catches sub-document duplication (a short doc wholly quoted inside
@@ -7599,10 +7603,13 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "kmeans_lloyd_2iter",
-    """
-    WITH corpus AS (
+# Shared unrolled-Lloyd CTE block (k=8, deterministic first-8 init, two
+# full iterations): corpus -> cents0 -> assign1 -> cents1 -> assign2 ->
+# cents2.  Reused by kmeans_lloyd_2iter and sim_ivf_kmeans_topk so the
+# oracle replays the EXACT operator iteration (operators/clustering.py)
+# in both places.
+_KMEANS2_CTES = """
+    corpus AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
     cents0 AS (
@@ -7649,6 +7656,30 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) GROUP BY cid, dim
         ) GROUP BY cid
     )
+"""
+
+# Assignment of every vector under the final (cents2) centroids — the
+# partitioning an index build or a semantic-dedup pass consumes.
+_KMEANS2_ASSIGN_FINAL = """
+    assign_final AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT co.vec_id, co.v, ct.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY co.vec_id
+                       ORDER BY list_dot_product(co.v, co.v)
+                                - 2 * list_dot_product(co.v, ct.c)
+                                + list_dot_product(ct.c, ct.c), ct.cid
+                   ) AS rnk
+            FROM corpus co CROSS JOIN cents2 ct
+        ) WHERE rnk = 1
+    )
+"""
+
+
+@query(
+    "kmeans_lloyd_2iter",
+    f"""
+    WITH {_KMEANS2_CTES}
     SELECT a.cid AS cluster_id, COUNT(*) AS n_members,
            ROUND(MAX(c.c[1]), 6) AS c0, ROUND(MAX(c.c[2]), 6) AS c1,
            ROUND(MAX(c.c[3]), 6) AS c2, ROUND(MAX(c.c[4]), 6) AS c3
@@ -7658,54 +7689,27 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, two bounded iterations, deterministic
-    first-k init): assign each vector to its nearest centroid via the
-    ‖v−c‖² dot expansion, recompute per-dimension means, repeat — the
-    index-build primitive under IVF, here with REAL reassignment
-    rounds rather than label means.  Every step is engine-replayable:
-    deterministic init (smallest vec_ids), cid tie-break on equal
-    distances, and the oracle unrolls both iterations in SQL.  Plan:
-    the centroid table is k rows — each assignment is a broadcast
-    cross join + per-vector window over k candidates (no corpus
-    self-join), each update one (cid, dim) shuffle; iterations scale
-    linearly in corpus size, exactly like the production Lloyd loop.
+    first-k init) via ``operators/clustering.py`` — the index-build
+    primitive under IVF, with REAL reassignment rounds rather than
+    label means.  ``tol=0.0`` forces exactly two iterations so the
+    oracle can unroll both in SQL; determinism contract (first-k-by-id
+    init, ‖v−c‖² dot expansion with left folds, cid tie-break) lives in
+    the operator's docstring.  Plan: centroids are k rows held
+    driver-side and re-embedded as LITERALS, so each assignment is a
+    zero-shuffle projection (no crossJoin, no per-vector window over a
+    k-expanded corpus) and each update is one map-side-combined
+    (cid, dim) shuffle; iterations scale linearly in corpus size.
     (SURVEY.md §2 Ext iterative algorithms; LLM-pipeline: clustering /
     IVF index construction.)"""
-    from pyspark.sql import Window
-
-    from opentimes_spark.functions.vectors import dot
+    from opentimes_spark.operators.clustering import kmeans_assign, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    k = 8
-    wi = Window.orderBy("vec_id")
-    cents = (
-        corpus.orderBy("vec_id")
-        .limit(k)
-        .select(F.row_number().over(wi).alias("cid"), F.col("v").alias("c"))
-    )
-    d2 = dot(F.col("v"), F.col("v")) - 2 * dot(F.col("v"), F.col("c")) + dot(
-        F.col("c"), F.col("c")
-    )
-    wa = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cid").asc())
-    for _ in range(2):
-        assign = (
-            corpus.crossJoin(F.broadcast(cents))
-            .withColumn("rnk", F.row_number().over(wa))
-            .filter(F.col("rnk") == 1)
-            .select("vec_id", "v", "cid")
-        )
-        cents = (
-            assign.select("cid", F.posexplode("v").alias("dim0", "val"))
-            .groupBy("cid", "dim0")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("dim0", "m"))).alias("sm")
-            )
-            .select("cid", F.expr("transform(sm, x -> x.m)").alias("c"))
-        )
+    model = kmeans_fit(emb, k=8, max_iter=2, tol=0.0)
+    # The unrolled oracle reports assignment under cents_1 joined with
+    # cents_2 (the update computed FROM that assignment) — exactly
+    # model.assign_centroids and model.centroids.
+    assign = kmeans_assign(emb, model.assign_centroids)
+    cents = model.centroids_df(spark)
     return (
         assign.join(F.broadcast(cents), "cid")
         .groupBy(F.col("cid").alias("cluster_id"))
@@ -7716,6 +7720,80 @@ def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(F.col("c")[2]), 6).alias("c2"),
             F.round(F.max(F.col("c")[3]), 6).alias("c3"),
         )
+    )
+
+
+@query(
+    "sim_ivf_kmeans_topk",
+    f"""
+    WITH {_KMEANS2_CTES},
+    {_KMEANS2_ASSIGN_FINAL},
+    q AS (
+        SELECT vec_id AS query_id, v AS q_vec FROM corpus WHERE vec_id < 20
+    ),
+    probes AS (
+        SELECT query_id, q_vec, cid
+        FROM (
+            SELECT q.query_id, q.q_vec, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.q_vec, c.c)
+                                / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                                   * sqrt(list_dot_product(c.c, c.c)))
+                                DESC, c.cid
+                   ) AS cent_rnk
+            FROM q CROSS JOIN cents2 c
+        )
+        WHERE cent_rnk <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS cand_id,
+               list_dot_product(p.q_vec, a.v)
+               / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                  * sqrt(list_dot_product(a.v, a.v))) AS cos
+        FROM probes p JOIN assign_final a ON a.cid = p.cid
+        WHERE p.query_id != a.vec_id
+    )
+    SELECT query_id, cand_id, ROUND(cos, 6) AS cos_sim, rnk
+    FROM (
+        SELECT query_id, cand_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+)
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over an UNLABELED corpus: the index partitioning comes
+    from real Lloyd k-means (``ensure_ivf_index(builder="kmeans")`` →
+    ``operators/clustering.py``), not per-label means — the path a
+    production embedding store takes when no class column exists.
+    Probes the 2 nearest of 8 fitted centroids per query against the
+    materialized Hive-partitioned index; build cost is paid once at
+    write time.  The oracle replays the ENTIRE algorithm in SQL — both
+    Lloyd iterations (shared ``_KMEANS2_CTES``), the final assignment
+    that defines the physical partitioning, centroid ranking, and the
+    left-fold cosine rescore — so the approximation structure itself is
+    value-checked, not just row counts.  ``tol=0.0, max_iter=2`` pins
+    the fit to the oracle's unroll depth."""
+    from opentimes_spark.operators.similarity import (
+        ensure_ivf_index,
+        ivf_topk_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ensure_ivf_index(
+        spark,
+        emb,
+        cache_key=f"ivf-kmeans::{sf_dir}",
+        builder="kmeans",
+        k=8,
+        max_iter=2,
+        tol=0.0,
+    )
+    return ivf_topk_probe(
+        spark, emb.filter(F.col("vec_id") < 20), idx, k=5, n_probe=2
     )
 
 

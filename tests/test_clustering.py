@@ -1,0 +1,167 @@
+"""Lloyd k-means operator: convergence vs a numpy replay, empty-cluster
+retention, zero-shuffle assignment plan, and the kmeans-built IVF index
+probing through the unchanged ``ivf_topk_probe`` contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opentimes_spark.operators.clustering import (
+    KMeansModel,
+    kmeans_assign,
+    kmeans_fit,
+)
+
+
+@pytest.fixture(scope="module")
+def blob_rows():
+    rng = np.random.RandomState(11)
+    centers = np.array([[5.0, 5.0, 5.0], [-5.0, -5.0, -5.0], [5.0, -5.0, 5.0]])
+    rows = []
+    for i in range(60):
+        c = i % 3
+        v = centers[c] + 0.2 * rng.randn(3)
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def blobs(spark, blob_rows):
+    return spark.createDataFrame(blob_rows, "vec_id int, embedding array<double>")
+
+
+def _numpy_lloyd(rows, k, n_iter):
+    """Replay the operator's exact semantics: first-k-by-id init,
+    squared-distance argmin with smaller-cid tie-break, mean update."""
+    by_id = dict(rows)
+    ids = sorted(by_id)
+    cents = {j + 1: np.array(by_id[ids[j]]) for j in range(k)}
+    assign = {}
+    for _ in range(n_iter):
+        assign = {}
+        for i in ids:
+            v = np.array(by_id[i])
+            d = sorted((float(((v - c) ** 2).sum()), cid) for cid, c in cents.items())
+            assign[i] = d[0][1]
+        for cid in cents:
+            members = [np.array(by_id[i]) for i in ids if assign[i] == cid]
+            if members:
+                cents[cid] = np.mean(members, axis=0)
+    return cents, assign
+
+
+def test_converges_on_separable_blobs(blobs, blob_rows):
+    model = kmeans_fit(blobs, k=3, max_iter=25, tol=1e-12)
+    # Separable data: Lloyd reaches a fixed point well before max_iter
+    # and the convergence test must detect it.
+    assert model.n_iter < 25
+    assert model.shift <= 1e-12
+    np_cents, np_assign = _numpy_lloyd(blob_rows, 3, model.n_iter)
+    for cid, c in model.centroids.items():
+        assert np.allclose(c, np_cents[cid], atol=1e-9)
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in kmeans_assign(blobs, model.centroids).collect()
+    }
+    assert got == np_assign
+
+
+def test_tol_zero_runs_exactly_max_iter(blobs):
+    model = kmeans_fit(blobs, k=3, max_iter=2, tol=0.0)
+    assert model.n_iter == 2
+    # assign_centroids is one update behind the final centroids.
+    assert model.assign_centroids != model.centroids or model.shift == 0.0
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # Two coincident far points seed cids 1-2; every row is nearer cid 1
+    # after the first update, so cid 3's (distinct) seed loses all
+    # members and must survive verbatim.
+    rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [100.0, 100.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    model = kmeans_fit(df, k=3, max_iter=3, tol=1e-12)
+    assert set(model.centroids) == {1, 2, 3}
+    counts = (
+        kmeans_assign(df, model.centroids).groupBy("cid").count().collect()
+    )
+    assert sum(r["count"] for r in counts) == 3
+
+
+def test_assignment_plan_has_no_exchange(blobs):
+    model = kmeans_fit(blobs, k=3, max_iter=1, tol=0.0)
+    plan = kmeans_assign(blobs, model.centroids)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # literal-centroid argmin is a pure projection
+
+
+def test_fit_validates_inputs(blobs, spark):
+    with pytest.raises(ValueError, match="k >= 1"):
+        kmeans_fit(blobs, k=0)
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="< k"):
+        kmeans_fit(tiny, k=5)
+
+
+def test_kmeans_ivf_index_probe(spark, blobs, blob_rows, tmp_path_factory):
+    from opentimes_spark.operators.similarity import (
+        ensure_ivf_index,
+        ivf_topk_probe,
+        read_ivf_centroids,
+    )
+
+    base = str(tmp_path_factory.mktemp("ivf_km"))
+    idx = ensure_ivf_index(
+        spark,
+        blobs,
+        cache_key="test-km",
+        base_dir=base,
+        builder="kmeans",
+        k=3,
+        max_iter=10,
+        tol=1e-9,
+    )
+    cents = read_ivf_centroids(spark, idx)
+    assert cents.count() == 3
+    out = ivf_topk_probe(
+        spark, blobs.filter(F.col("vec_id") < 3), idx, k=4, n_probe=1
+    ).collect()
+    # Blobs are tight: probing ONE fitted centroid must recover the
+    # exact brute-force neighbours (all in the query's own cluster).
+    by_id = dict(blob_rows)
+    for qid in range(3):
+        q = np.array(by_id[qid])
+        cos = {
+            i: float(q @ np.array(v) / (np.linalg.norm(q) * np.linalg.norm(np.array(v))))
+            for i, v in blob_rows
+            if i != qid
+        }
+        want = sorted(cos, key=lambda i: (-cos[i], i))[:4]
+        got = [r["cand_id"] for r in sorted(
+            (r for r in out if r["query_id"] == qid), key=lambda r: r["rnk"]
+        )]
+        assert got == want
+
+    # Build-once: a second ensure with the same key returns the same
+    # path without rebuilding (mtime unchanged).
+    import os
+
+    marker = os.path.getmtime(os.path.join(idx, "_SUCCESS"))
+    assert ensure_ivf_index(
+        spark, blobs, cache_key="test-km", base_dir=base,
+        builder="kmeans", k=3, max_iter=10, tol=1e-9,
+    ) == idx
+    assert os.path.getmtime(os.path.join(idx, "_SUCCESS")) == marker
+
+
+def test_model_centroids_df_roundtrip(spark):
+    m = KMeansModel(
+        centroids={1: [1.0, 2.0], 2: [3.0, 4.0]},
+        assign_centroids={1: [0.0, 0.0], 2: [1.0, 1.0]},
+        n_iter=1,
+        shift=0.5,
+    )
+    rows = {r["cid"]: r["c"] for r in m.centroids_df(spark).collect()}
+    assert rows == {1: [1.0, 2.0], 2: [3.0, 4.0]}
