@@ -340,6 +340,74 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT containment join:
+    C(a→b) = |A∩B| / |A| ≥ ``threshold`` over distinct shingle sets —
+    value-identical output to the direct melted-pair form
+    (``plans/queries.py:docs_containment_pairs``), different physical
+    plan (prefix filtering, Chaudhuri/Xiao et al.'s published SSJoin /
+    PPJoin family).
+
+    Why it survives adversarial vocabulary where the direct form is
+    Σdf² — candidate generation probes ONLY each a-doc's PREFIX: its
+    rarest shingles under a global (document frequency ASC, shingle)
+    total order, of length |A| − ⌈t·|A|⌉ + 1.  If no prefix shingle
+    hits B, the intersection is confined to the remaining ⌈t|A|⌉ − 1
+    shingles, so C < t — no pair is lost.  A stop-shingle shared by
+    every document sorts LAST in the df order and never enters any
+    prefix, so the df² pair blow-up it causes in the direct join simply
+    does not occur; the b-side still indexes all shingles (the
+    asymmetric-containment requirement), but pair fan-out is bounded by
+    prefix postings, not full postings.  Exact verification (one
+    pair-constrained join back to the shingle stream) then touches only
+    surviving candidates.
+
+    ``⌈t·n⌉`` is computed as ``ceil(t·n − 1e-9)``: the ε-nudge keeps
+    float representation error (0.8·5 = 4.0000000000000002 → ceil 5)
+    from SHORTENING the prefix below the correctness bound; it can only
+    lengthen it by one shingle on exact-integer boundaries.
+    """
+    from pyspark.sql import Window
+
+    toks = shingle_sets(df, id_col, text_col, shingle_size)
+    w_tok = Window.partitionBy("tok")
+    w_doc = Window.partitionBy(id_col).orderBy("df", "tok")
+    ranked = (
+        toks.withColumn("df", F.count(F.lit(1)).over(w_tok))
+        .withColumn("rnk", F.row_number().over(w_doc))
+        .withColumn("n_a", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    need = F.ceil(F.lit(float(threshold)) * F.col("n_a") - F.lit(1e-9))
+    prefix = ranked.filter(F.col("rnk") <= F.col("n_a") - need + 1)
+    cands = (
+        prefix.select(F.col(id_col).alias("id_a"), "tok", "n_a")
+        .join(toks.select(F.col(id_col).alias("id_b"), "tok"), "tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("n_a").alias("n_a"))
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"), F.first("n_a").alias("n_a"))
+    )
+    cont = F.col("n_inter") / F.col("n_a").cast("double")
+    return (
+        inter.filter(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, round_to).alias("containment"))
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

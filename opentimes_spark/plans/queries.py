@@ -6730,6 +6730,28 @@ def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("docs_containment_prefix", _CONTAINMENT_ORACLE)
+def docs_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact containment-pair semantics as
+    `docs_containment_pairs` (identical oracle, value-identical
+    output), through the PPJoin prefix-filtered physical plan
+    (`operators/dedup.py:containment_pairs_prefix`): candidate pairs
+    come from each probe doc's ⌈(1−t)·|A|⌉-rarest shingles only, so a
+    corpus-wide stop-shingle — which costs the direct melted join df²
+    pairs — never generates a candidate; exact verification then
+    touches only survivors.  This is the scale path SCALE.md's
+    adversarial-vocabulary note calls for; registering it beside the
+    direct form certifies the rewrite end-to-end, the same twin
+    pattern as the equi-depth histogram.  (LLM-pipeline: quotation /
+    subset dedup at adversarial vocabulary scale.)"""
+    from opentimes_spark.operators.dedup import containment_pairs_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs_prefix(
+        d, "doc_id", "text", shingle_size=3, threshold=0.8
+    )
+
+
 @query(
     "text_readability_score",
     f"""
@@ -7794,6 +7816,77 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_topk_probe(
         spark, emb.filter(F.col("vec_id") < 20), idx, k=5, n_probe=2
+    )
+
+
+@query(
+    "semdedup_prune",
+    f"""
+    WITH {_KMEANS2_CTES},
+    {_KMEANS2_ASSIGN_FINAL},
+    mc AS (
+        SELECT b.vec_id, b.cid,
+               ROUND(MAX(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v)))), 6)
+                   AS max_cos_lower
+        FROM assign_final b
+        JOIN assign_final a ON a.cid = b.cid AND a.vec_id < b.vec_id
+        GROUP BY b.vec_id, b.cid
+    )
+    SELECT f.vec_id, f.cid, mc.max_cos_lower,
+           CAST(CASE WHEN mc.max_cos_lower >= 0.2 THEN 0 ELSE 1 END
+                AS INT) AS kept
+    FROM assign_final f LEFT JOIN mc ON mc.vec_id = f.vec_id
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, public):
+    cluster the embedding space with k-means, then inside each cluster
+    drop every vector whose cosine to a LOWER-id member reaches the
+    threshold — the keep-one-representative rule, made deterministic
+    by keying on id order.  The published algorithm's point is the
+    scale shape: pairwise comparison happens only WITHIN a cluster
+    (n²/k per cluster, k grows with corpus), never corpus-wide.
+    Clustering is the shared deterministic 2-iteration Lloyd fit
+    (operators/clustering.py, tol=0 pins the oracle's unroll depth);
+    the threshold compares the ROUNDED max-cosine so an interpolation
+    ulp cannot flip a keep decision (the docs_outlier_trim rule);
+    vectors with no lower-id neighbour keep a NULL max and stay.
+    Threshold 0.2 sits at this corpus's within-cluster p95 so both
+    branches carry rows.  (LLM-pipeline: semantic dedup over
+    embeddings.)"""
+    from opentimes_spark.functions.vectors import cosine
+    from opentimes_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, k=8, max_iter=2, tol=0.0)
+    a = kmeans_assign(emb, model.centroids)
+    lo = a.select(
+        F.col("vec_id").alias("id_lo"), F.col("v").alias("v_lo"), "cid"
+    )
+    mc = (
+        a.join(lo, "cid")
+        .filter(F.col("id_lo") < F.col("vec_id"))
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.round(F.max(cosine(F.col("v"), F.col("v_lo"))), 6).alias(
+                "max_cos_lower"
+            )
+        )
+    )
+    return (
+        a.select("vec_id", "cid")
+        .join(mc, ["vec_id", "cid"], "left")
+        .select(
+            "vec_id",
+            "cid",
+            "max_cos_lower",
+            F.when(F.col("max_cos_lower") >= 0.2, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("kept"),
+        )
     )
 
 

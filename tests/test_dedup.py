@@ -195,3 +195,80 @@ def test_incremental_exact_dedup_across_batches(spark):
     # idempotence: re-ingesting batch 2 adds nothing
     fresh3, ledger3 = incremental_exact_dedup(b2, ledger2)
     assert fresh3.count() == 0 and ledger3.count() == 4
+
+
+def _brute_containment(rows, shingle_size, t):
+    """Python reference: C(a->b) = |A∩B|/|A| >= t over distinct word
+    n-gram shingle sets."""
+    import re
+
+    sets = {}
+    for i, text in rows:
+        toks = re.findall(r"\S+", text.lower())
+        grams = {
+            " ".join(toks[j : j + shingle_size])
+            for j in range(len(toks) - shingle_size + 1)
+        }
+        if grams:
+            sets[i] = grams
+    out = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and len(sa & sb) / len(sa) >= t:
+                out.add((a, b))
+    return out
+
+
+def test_containment_prefix_matches_direct(spark, docs):
+    from opentimes_spark.operators.dedup import containment_pairs_prefix
+
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_prefix(docs, threshold=0.8).collect()
+    }
+    assert got == _brute_containment(rows, 3, 0.8)
+
+
+def test_containment_prefix_survives_stop_shingle(spark):
+    """A shingle shared by EVERY doc (df = n) must neither break
+    correctness nor enter any prefix: pairs still match brute force."""
+    from opentimes_spark.operators.dedup import containment_pairs_prefix
+
+    stop = "lorem ipsum dolor"
+    rows = [
+        (i, f"{stop} unique{i} filler{i} tail{i} extra{i} pad{i}")
+        for i in range(20)
+    ] + [
+        # true containment: doc 100's shingles all appear inside doc 101
+        (100, "alpha beta gamma delta epsilon"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_prefix(df, threshold=0.8).collect()
+    }
+    want = _brute_containment(rows, 3, 0.8)
+    assert (100, 101) in want and got == want
+
+
+def test_containment_prefix_exact_boundary(spark):
+    """C exactly == t must be FOUND: float ceil(0.8*5)=5 would shorten
+    the prefix below the bound without the epsilon nudge."""
+    from opentimes_spark.operators.dedup import containment_pairs_prefix
+
+    # doc 1 has exactly 5 shingles (7 words), 4 of them inside doc 2.
+    d1 = "a b c d e f g"
+    d2 = "a b c d e f x zz yy ww vv"  # shares shingles abc bcd cde def (4 of 5)
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id int, text string"
+    )
+    rows = [(1, d1), (2, d2)]
+    want = _brute_containment(rows, 3, 0.8)
+    assert (1, 2) in want  # 4/5 = 0.8 exactly
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_prefix(df, threshold=0.8).collect()
+    }
+    assert got == want
