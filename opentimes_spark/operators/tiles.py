@@ -178,18 +178,23 @@ def _gz(data: bytes) -> bytes:
     return gzip.compress(data, mtime=0)
 
 
-def _encode_directory(entries: list[tuple[int, int, int]]) -> bytes:
+def _encode_directory(
+    entries: list[tuple[int, int, int]], runs: list[int] | None = None
+) -> bytes:
     """PMTiles v3 directory: [(tile_id, offset, length)] sorted by id →
-    varint columns (count, delta ids, run lengths(=1), lengths,
-    offsets+1)."""
-    entries = sorted(entries)
+    varint columns (count, delta ids, run lengths, lengths, offsets+1).
+    ``runs`` defaults to all-1 (tile entries); leaf-pointer entries in a
+    root directory pass run_length 0 per the spec."""
+    order = sorted(range(len(entries)), key=lambda i: entries[i])
+    entries = [entries[i] for i in order]
+    runs = [1] * len(entries) if runs is None else [runs[i] for i in order]
     out = varint(len(entries))
     last = 0
     for tid, _, _ in entries:
         out += varint(tid - last)
         last = tid
-    for _ in entries:
-        out += varint(1)  # run_length 1 (no deduped runs)
+    for r in runs:
+        out += varint(r)  # 0 marks a leaf-directory pointer
     for _, _, length in entries:
         out += varint(length)
     for _, offset, _ in entries:
@@ -197,16 +202,51 @@ def _encode_directory(entries: list[tuple[int, int, int]]) -> bytes:
     return out
 
 
+def _build_directories(
+    entries: list[tuple[int, int, int]],
+    max_root_entries: int,
+    leaf_entries: int,
+) -> tuple[bytes, bytes]:
+    """(gzip'd root directory, leaf-directory section bytes).
+
+    Small archives keep the single-root fast path (empty leaf section).
+    Past ``max_root_entries`` tile entries, the spec's leaf tier kicks
+    in: tile entries are chunked id-ordered into leaves of
+    ``leaf_entries``, each gzip'd into the leaf section; the root then
+    holds one POINTER entry per leaf — tile_id = first id in the leaf,
+    offset/length = the leaf's slice of the leaf section, run_length = 0
+    (the spec's leaf marker).  Root size is n/leaf_entries, so a
+    100M-tile planet archive keeps its root inside the first fetch
+    while lookups touch exactly one leaf."""
+    entries = sorted(entries)
+    if len(entries) <= max_root_entries:
+        return _gz(_encode_directory(entries)), b""
+    leaf_section = b""
+    root_entries: list[tuple[int, int, int]] = []
+    for i in range(0, len(entries), leaf_entries):
+        chunk = entries[i : i + leaf_entries]
+        leaf = _gz(_encode_directory(chunk))
+        root_entries.append((chunk[0][0], len(leaf_section), len(leaf)))
+        leaf_section += leaf
+    root = _gz(_encode_directory(root_entries, runs=[0] * len(root_entries)))
+    return root, leaf_section
+
+
 def write_pmtiles(
     path: str,
     tiles: list[tuple[int, int, int, bytes]],
     metadata: bytes = b"{}",
+    max_root_entries: int = 4096,
+    leaf_entries: int = 2048,
 ) -> dict:
     """Assemble a PMTiles v3 archive from [(z, x, y, mvt_bytes)].
-    Returns the header fields for inspection.  Single root directory
-    (no leaf directories) — sufficient up to thousands of tiles, the
-    packaging scale of one (year, geography) publish; tile DATA is
-    gzip'd per tile, directory+metadata gzip'd, all mtime=0."""
+    Returns the header fields for inspection.  Up to
+    ``max_root_entries`` tiles the directory is a single root; beyond
+    that the spec's LEAF tier engages (``_build_directories``): the
+    root becomes run_length-0 pointer entries into gzip'd leaves of
+    ``leaf_entries`` each, so archive size no longer bounds root size —
+    the >10k-tiles-per-publish case from SCALE.md.  Tile DATA is
+    gzip'd per tile, directories+metadata gzip'd, all mtime=0."""
     if not tiles:
         raise ValueError("no tiles to write")
     zs = [t[0] for t in tiles]
@@ -218,14 +258,16 @@ def write_pmtiles(
         gz_blob = _gz(blob)
         entries.append((hilbert_tile_id(z, x, y), len(data), len(gz_blob)))
         data += gz_blob
-    root = _gz(_encode_directory(entries))
+    root, leaf_section = _build_directories(
+        entries, max_root_entries, leaf_entries
+    )
     meta = _gz(metadata)
 
     header_len = 127
     root_off = header_len
     meta_off = root_off + len(root)
     leaf_off = meta_off + len(meta)
-    data_off = leaf_off  # no leaf directories
+    data_off = leaf_off + len(leaf_section)
     header = b"PMTiles" + bytes([3])
     header += struct.pack(
         "<QQQQQQQQQQQ",
@@ -234,7 +276,7 @@ def write_pmtiles(
         meta_off,
         len(meta),
         leaf_off,
-        0,
+        len(leaf_section),
         data_off,
         len(data),
         len(entries),  # addressed tiles
@@ -253,29 +295,20 @@ def write_pmtiles(
     assert len(header) == header_len
 
     with open(path, "wb") as f:
-        f.write(header + root + meta + data)
+        f.write(header + root + meta + leaf_section + data)
     return {
         "n_tiles": len(entries),
         "root_len": len(root),
+        "leaf_len": len(leaf_section),
         "data_len": len(data),
         "minzoom": min(zs),
         "maxzoom": max(zs),
     }
 
 
-def read_pmtiles_tile(path: str, z: int, x: int, y: int) -> bytes | None:
-    """Minimal PMTiles v3 reader (round-trip check + the browser-side
-    lookup contract): header → gunzip root directory → binary-search
-    tile id → gunzip tile bytes."""
-    want = hilbert_tile_id(z, x, y)
-    with open(path, "rb") as f:
-        blob = f.read()
-    if blob[:7] != b"PMTiles" or blob[7] != 3:
-        raise ValueError("not a PMTiles v3 archive")
-    fields = struct.unpack("<QQQQQQQQQQQ", blob[8:96])
-    root_off, root_len, _, _, _, _, data_off, _ = fields[:8]
-    dir_bytes = gzip.decompress(blob[root_off : root_off + root_len])
-    # decode directory
+def _decode_directory(dir_bytes: bytes) -> list[tuple[int, int, int, int]]:
+    """[(tile_id, run_length, offset, length)] from a gunzip'd v3
+    directory."""
     pos = 0
 
     def rv() -> int:
@@ -295,13 +328,53 @@ def read_pmtiles_tile(path: str, z: int, x: int, y: int) -> bytes | None:
     for _ in range(n):
         last += rv()
         ids.append(last)
-    _run_lengths = [rv() for _ in range(n)]
+    runs = [rv() for _ in range(n)]
     lengths = [rv() for _ in range(n)]
     offsets = [rv() - 1 for _ in range(n)]
-    for tid, off, ln in zip(ids, offsets, lengths):
-        if tid == want:
-            return gzip.decompress(blob[data_off + off : data_off + off + ln])
-    return None
+    return list(zip(ids, runs, offsets, lengths))
+
+
+def read_pmtiles_tile(path: str, z: int, x: int, y: int) -> bytes | None:
+    """Minimal PMTiles v3 reader (round-trip check + the browser-side
+    lookup contract): header → gunzip root directory → resolve the tile
+    id, following at most ONE run_length-0 leaf pointer (gunzip that
+    leaf, search inside) → gunzip tile bytes.  Exactly the spec's
+    two-level lookup: a remote client pays one ranged read for the leaf
+    and one for the tile, never the whole directory."""
+    want = hilbert_tile_id(z, x, y)
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[:7] != b"PMTiles" or blob[7] != 3:
+        raise ValueError("not a PMTiles v3 archive")
+    fields = struct.unpack("<QQQQQQQQQQQ", blob[8:96])
+    root_off, root_len, _, _, leaf_off, _, data_off, _ = fields[:8]
+    entries = _decode_directory(
+        gzip.decompress(blob[root_off : root_off + root_len])
+    )
+    # Floor search: the governing entry is the last one with id <= want
+    # (exact-match for tile entries, range containment for leaves).
+    floor = None
+    for e in entries:
+        if e[0] <= want:
+            floor = e
+        else:
+            break
+    if floor is None:
+        return None
+    if floor[1] == 0:  # leaf pointer — descend once
+        _, _, off, ln = floor
+        leaf = _decode_directory(
+            gzip.decompress(blob[leaf_off + off : leaf_off + off + ln])
+        )
+        match = [e for e in leaf if e[0] == want]
+        if not match:
+            return None
+        _, _, off, ln = match[0]
+        return gzip.decompress(blob[data_off + off : data_off + off + ln])
+    if floor[0] != want:
+        return None
+    _, _, off, ln = floor
+    return gzip.decompress(blob[data_off + off : data_off + off + ln])
 
 
 # --------------------------------------------------------------------------

@@ -171,3 +171,39 @@ def test_spark_tiling_end_to_end(spark, tmp_path):
     (layers,) = _decode_pb(blob)
     n_feats = sum(1 for f, _, _ in _decode_pb(layers[2]) if f == 2)
     assert n_feats == n
+
+
+def test_pmtiles_leaf_tier_round_trip(tmp_path):
+    """Past max_root_entries the spec's leaf-directory tier engages:
+    every tile must still resolve through the root->leaf->data path,
+    misses must return None, and the header must carve a leaf section."""
+    z = 7
+    tiles = [(z, x, y, f"tile-{x}-{y}".encode()) for x in range(10) for y in range(5)]
+    path = str(tmp_path / "leaf.pmtiles")
+    stats = write_pmtiles(path, tiles, max_root_entries=8, leaf_entries=4)
+    assert stats["n_tiles"] == 50
+    assert stats["leaf_len"] > 0
+    for zz, x, y, blob in tiles:
+        assert read_pmtiles_tile(path, zz, x, y) == blob
+    assert read_pmtiles_tile(path, z, 99, 99) is None
+    assert read_pmtiles_tile(path, z, 10, 0) is None
+
+
+def test_pmtiles_small_archive_keeps_single_root(tmp_path):
+    t1 = b"only-tile"
+    path = str(tmp_path / "root.pmtiles")
+    stats = write_pmtiles(path, [(3, 1, 2, t1)])
+    assert stats["leaf_len"] == 0
+    assert read_pmtiles_tile(path, 3, 1, 2) == t1
+
+
+def test_pmtiles_leaf_boundary_ids(tmp_path):
+    """First and last ids of each leaf chunk are the floor-search edge
+    cases; a miss BELOW the first root id must return None."""
+    z = 6
+    tiles = [(z, x, 0, bytes([x])) for x in range(1, 33)]  # x=0 absent
+    path = str(tmp_path / "edge.pmtiles")
+    write_pmtiles(path, tiles, max_root_entries=4, leaf_entries=4)
+    for zz, x, y, blob in tiles:
+        assert read_pmtiles_tile(path, zz, x, y) == blob
+    assert read_pmtiles_tile(path, z, 0, 0) is None
