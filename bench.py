@@ -78,6 +78,12 @@ HEADLINE = [
     "dedup_lsh_skewstress",
     "fuzzy_skewstress",
     "join_region_revenue_bucketed",
+    # round-5b: kmeans-built IVF probe; PPJoin containment under the
+    # adversarial stop-shingle corpus (the direct melted plan does not
+    # finish at sf0.1 on that corpus — >880 s before kill; the prefix
+    # plan stays within ~1.3x of the uniform corpus)
+    "sim_ivf_kmeans_topk",
+    "containment_prefix_stopshingle",
 ]
 
 

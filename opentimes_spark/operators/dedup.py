@@ -369,6 +369,14 @@ def containment_pairs_prefix(
     pair-constrained join back to the shingle stream) then touches only
     surviving candidates.
 
+    Two further published PPJoin prunes keep candidate count near the
+    true pair count: a LENGTH filter on the index side (|A∩B| ≥ t|A|
+    forces |B| ≥ ⌈t|A|⌉, so shorter b-docs never pair), and
+    verification by per-pair ``array_intersect`` on the distinct
+    shingle ARRAYS via the same 2-rows-per-pair melt ``jaccard_pairs``
+    uses — one join + one groupBy over surviving candidates instead of
+    a pair-constrained re-join of the whole shingle stream.
+
     ``⌈t·n⌉`` is computed as ``ceil(t·n − 1e-9)``: the ε-nudge keeps
     float representation error (0.8·5 = 4.0000000000000002 → ceil 5)
     from SHORTENING the prefix below the correctness bound; it can only
@@ -377,33 +385,65 @@ def containment_pairs_prefix(
     from pyspark.sql import Window
 
     toks = shingle_sets(df, id_col, text_col, shingle_size)
-    w_tok = Window.partitionBy("tok")
+    sized = toks.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
     w_doc = Window.partitionBy(id_col).orderBy("df", "tok")
-    ranked = (
-        toks.withColumn("df", F.count(F.lit(1)).over(w_tok))
-        .withColumn("rnk", F.row_number().over(w_doc))
-        .withColumn("n_a", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    ranked = sized.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    ).withColumn("rnk", F.row_number().over(w_doc))
+    need = F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+    prefix = ranked.filter(F.col("rnk") <= F.col("n") - need + 1).select(
+        F.col(id_col).alias("id_a"), "tok", need.alias("need_a")
     )
-    need = F.ceil(F.lit(float(threshold)) * F.col("n_a") - F.lit(1e-9))
-    prefix = ranked.filter(F.col("rnk") <= F.col("n_a") - need + 1)
+    # Positional filter (PPJoin): for the FIRST matching token in the
+    # global df order, the whole intersection sits at b-positions >= j,
+    # so |A∩B| <= n_b - j + 1 — a pair whose every match fails the
+    # bound cannot reach the threshold.  j is the rnk already computed
+    # for the prefix, reused for the full index side.
     cands = (
-        prefix.select(F.col(id_col).alias("id_a"), "tok", "n_a")
-        .join(toks.select(F.col(id_col).alias("id_b"), "tok"), "tok")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("n_a").alias("n_a"))
+        prefix.join(
+            ranked.select(
+                F.col(id_col).alias("id_b"),
+                "tok",
+                F.col("n").alias("n_b"),
+                F.col("rnk").alias("j_b"),
+            ),
+            "tok",
+        )
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("n_b") - F.col("j_b") + 1 >= F.col("need_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
     )
-    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
-    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
-    inter = (
-        cands.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"), F.first("n_a").alias("n_a"))
+    arrs = shingle_arrays(df, id_col, text_col, shingle_size)
+    melt = cands.select(
+        "id_a",
+        "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("__member"),
     )
-    cont = F.col("n_inter") / F.col("n_a").cast("double")
+    joined = (
+        arrs.join(melt, F.col(id_col) == F.col("__member"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("__member") == F.col("id_a"), F.col("grams")),
+                ignorenulls=True,
+            ).alias("__ga"),
+            F.first(
+                F.when(F.col("__member") == F.col("id_b"), F.col("grams")),
+                ignorenulls=True,
+            ).alias("__gb"),
+        )
+        .filter(F.col("__ga").isNotNull() & F.col("__gb").isNotNull())
+    )
+    cont = F.size(F.array_intersect("__ga", "__gb")) / F.size("__ga").cast(
+        "double"
+    )
     return (
-        inter.filter(cont >= threshold)
+        joined.filter(cont >= threshold)
         .select("id_a", "id_b", F.round(cont, round_to).alias("containment"))
     )
 

@@ -8818,6 +8818,29 @@ def dedup_lsh_skewstress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(corpus, cands, min_jaccard=0.5, shingle_size=3)
 
 
+@bench_only("containment_prefix_stopshingle")
+def containment_prefix_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_containment_prefix's plan on the adversarial STOP-SHINGLE
+    corpus: every document gains the same 8-word boilerplate footer, so
+    ~6 shingles have df = n.  The direct melted join pays ~6·n² pair
+    rows for them (at sf0.1 that is ~10⁸ rows carrying zero containment
+    signal); the PPJoin prefix plan never generates them — df-maximal
+    shingles sort last and cannot enter any prefix — so wall-clock
+    stays at the uniform corpus's scale.  The containment twin of the
+    LSH/fuzzy skew-stress entries."""
+    from opentimes_spark.operators.dedup import containment_pairs_prefix
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.lit("shared boilerplate footer text appears in every single document"),
+        ).alias("text"),
+    )
+    return containment_pairs_prefix(d, "doc_id", "text", 3, 0.8)
+
+
 @bench_only("fuzzy_skewstress")
 def fuzzy_skewstress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fuzzy_name_linkage's operator on part names plus 1000 identical
