@@ -183,3 +183,55 @@ def test_protobuf_varint_round_trip(values):
             shift += 7
         out.append((val >> 1) ^ -(val & 1))
     assert out == values
+
+
+@given(
+    data=st.data(),
+    t=st.floats(min_value=0.1, max_value=1.0, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_ppjoin_filters_never_lose_a_true_containment_pair(data, t):
+    """The three candidate prunes in
+    ``operators/dedup.py:containment_pairs_prefix`` (prefix, length,
+    positional) are pure set/arithmetic claims — model them exactly
+    (same eps-nudged ceil) over random corpora and assert every TRUE
+    pair (C(a→b) ≥ t) survives all three.  This is the part of the
+    operator that could silently lose pairs; the Spark plan itself is
+    example-tested for equivalence in test_dedup.py."""
+    import math
+
+    n_docs = data.draw(st.integers(min_value=2, max_value=8))
+    corpus = {}
+    for i in range(n_docs):
+        toks = data.draw(
+            st.frozensets(
+                st.integers(min_value=0, max_value=12), min_size=1, max_size=10
+            )
+        )
+        corpus[i] = toks
+    df = {}
+    for toks in corpus.values():
+        for tok in toks:
+            df[tok] = df.get(tok, 0) + 1
+    order = {tok: pos for pos, tok in enumerate(sorted(df, key=lambda x: (df[x], x)))}
+
+    def ranked(toks):
+        return sorted(toks, key=lambda x: order[x])
+
+    for a, A in corpus.items():
+        need = math.ceil(t * len(A) - 1e-9)
+        p = len(A) - need + 1
+        prefix = set(ranked(A)[:p])
+        for b, B in corpus.items():
+            if a == b or len(A & B) / len(A) < t:
+                continue
+            # prefix bound: some intersection token is in a's prefix
+            assert prefix & B, (A, B, t)
+            # length filter
+            assert len(B) >= need, (A, B, t)
+            # positional filter: SOME prefix∩B token satisfies
+            # n_b - j_b + 1 >= need (j_b is its 1-based rank within B)
+            rb = {tok: i + 1 for i, tok in enumerate(ranked(B))}
+            assert any(
+                len(B) - rb[tok] + 1 >= need for tok in prefix & B
+            ), (A, B, t)
