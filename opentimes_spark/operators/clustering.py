@@ -85,8 +85,8 @@ def _self_dot(vec: list[float]) -> float:
     return acc
 
 
-def assign_expr(vec_col, cents: dict[int, list[float]]):
-    """Nearest-centroid cid as a single JVM expression (no shuffle).
+def _nearest_struct(vec_col, cents: dict[int, list[float]]):
+    """(distance², cid) of the nearest centroid as ONE JVM expression.
 
     dist(v, c_j) = v.v - 2 (v.c_j) + c_j.c_j with c_j.c_j precomputed
     driver-side; argmin via ``array_sort`` over (dist, cid) structs so
@@ -101,7 +101,19 @@ def assign_expr(vec_col, cents: dict[int, list[float]]):
         )
         for cid, c in sorted(cents.items())
     ]
-    return F.array_sort(F.array(*cands))[0]["cid"]
+    return F.array_sort(F.array(*cands))[0]
+
+
+def assign_expr(vec_col, cents: dict[int, list[float]]):
+    """Nearest-centroid cid as a single JVM expression (no shuffle)."""
+    return _nearest_struct(vec_col, cents)["cid"]
+
+
+def min_dist2_expr(vec_col, cents: dict[int, list[float]]):
+    """Squared distance to the nearest centroid — same zero-shuffle
+    expression family as ``assign_expr`` (k-means|| sampling weight,
+    inertia)."""
+    return _nearest_struct(vec_col, cents)["d"]
 
 
 def kmeans_assign(
@@ -140,6 +152,119 @@ def _mean_update(
     return out
 
 
+def inertia(base: DataFrame, cents: dict[int, list[float]]) -> float:
+    """Σ min_j ‖v − c_j‖² over a (·, v) frame — one zero-shuffle
+    projection + a 1-row agg."""
+    row = base.select(
+        F.sum(min_dist2_expr(F.col("v"), cents)).alias("s")
+    ).collect()[0]
+    return float(row["s"] or 0.0)
+
+
+def _weighted_farthest(
+    cands: list[list[float]], weights: list[float], k: int
+) -> list[list[float]]:
+    """Deterministic weighted k-means++ style reduction of the
+    candidate pool to k seeds, driver-side (the pool is ≤ 1 + l·rounds
+    vectors): start from the heaviest candidate, then greedily take the
+    candidate maximizing weight × d²-to-chosen.  Ties break on input
+    order, so the whole init is reproducible with no RNG."""
+    if len(cands) < k:
+        raise ValueError(
+            f"k-means|| produced {len(cands)} candidates < k={k}; "
+            "raise oversample/rounds"
+        )
+    chosen = [max(range(len(cands)), key=lambda i: (weights[i], -i))]
+    d2 = [
+        sum((a - b) ** 2 for a, b in zip(c, cands[chosen[0]])) for c in cands
+    ]
+    while len(chosen) < k:
+        nxt = max(
+            (i for i in range(len(cands)) if i not in set(chosen)),
+            key=lambda i: (weights[i] * d2[i], -i),
+        )
+        chosen.append(nxt)
+        for i, c in enumerate(cands):
+            d = sum((a - b) ** 2 for a, b in zip(c, cands[nxt]))
+            if d < d2[i]:
+                d2[i] = d
+    return [cands[i] for i in chosen]
+
+
+def kmeans_parallel_init(
+    base: DataFrame,
+    k: int,
+    oversample: int | None = None,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+) -> dict[int, list[float]]:
+    """Deterministic k-means|| seeding (Bahmani et al. 2012, public):
+    start from the smallest-id point, then for each round sample every
+    point with probability min(1, l·d²(x, C)/φ) — the coin is an
+    md5-derived uniform on (round, id), not rand(), so the init is
+    bit-reproducible — and finally reduce the weighted candidate pool
+    to k seeds driver-side (``_weighted_farthest``).
+
+    Scale shape: each round is one zero-shuffle min-distance projection
+    + a 1-row cost agg + a collect of ~l expected candidates (hard-
+    capped at 8·l by a deterministic top-d² TakeOrdered, so a
+    degenerate φ cannot flood the driver).  The candidate pool, not the
+    corpus, is what reaches Python.  The literal-expression distance
+    grows with |C| ≈ l·rounds; for k beyond a few hundred swap the
+    assignment to a broadcast join (documented limit).
+
+    ``base`` must be a (id, v:array<double>) frame, ideally persisted.
+    """
+    l = oversample or 2 * k
+    first = base.orderBy(F.col(id_col)).limit(1).collect()
+    if not first:
+        raise ValueError("empty corpus")
+    pool: list[list[float]] = [list(first[0]["v"])]
+    for r in range(rounds):
+        cents = {i + 1: c for i, c in enumerate(pool)}
+        d2 = min_dist2_expr(F.col("v"), cents)
+        phi = base.select(F.sum(d2).alias("s")).collect()[0]["s"]
+        if not phi or phi <= 0.0:
+            break  # every point coincides with a candidate
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(f"kmeans||{r}"),
+                            F.col(id_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(0xFFFFFFFF))
+        )
+        picked = (
+            base.select(F.col(id_col), F.col("v"), d2.alias("_d2"))
+            .filter(coin < F.lit(float(l)) * F.col("_d2") / F.lit(float(phi)))
+            .orderBy(F.desc("_d2"), F.col(id_col))
+            .limit(8 * l)
+            .collect()
+        )
+        pool.extend(list(p["v"]) for p in picked)
+    cents = {i + 1: c for i, c in enumerate(pool)}
+    counts = {
+        r["cid"]: r["count"]
+        for r in base.select(assign_expr(F.col("v"), cents).alias("cid"))
+        .groupBy("cid")
+        .count()
+        .collect()
+    }
+    weights = [float(counts.get(i + 1, 0)) for i in range(len(pool))]
+    seeds = _weighted_farthest(pool, weights, k)
+    return {i + 1: list(c) for i, c in enumerate(seeds)}
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 8,
@@ -147,6 +272,7 @@ def kmeans_fit(
     tol: float = 1e-9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "first-k",
 ) -> KMeansModel:
     """Lloyd's algorithm with convergence-based stopping.
 
@@ -155,9 +281,17 @@ def kmeans_fit(
     rounds — the unrolled-oracle mode).  Per-iteration cost: one
     zero-shuffle assignment projection + one (cid, dim) shuffle that
     partial-aggregates to k x dim rows per map partition.
+
+    ``init="first-k"`` (default) seeds with the k smallest-id vectors —
+    the oracle-replayable mode; ``init="kmeans||"`` runs the
+    deterministic k-means|| oversampling pass (``kmeans_parallel_init``)
+    first, the production mode when arbitrary first-k seeds would land
+    inside one cluster.
     """
     if k < 1 or max_iter < 1:
         raise ValueError("kmeans_fit requires k >= 1 and max_iter >= 1")
+    if init not in ("first-k", "kmeans||"):
+        raise ValueError(f"unknown init: {init!r}")
     base = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).persist()
@@ -167,7 +301,10 @@ def kmeans_fit(
             raise ValueError(
                 f"kmeans_fit: corpus has {len(seed)} rows < k={k}"
             )
-        cents = {i + 1: list(r["v"]) for i, r in enumerate(seed)}
+        if init == "kmeans||":
+            cents = kmeans_parallel_init(base, k, id_col=id_col)
+        else:
+            cents = {i + 1: list(r["v"]) for i, r in enumerate(seed)}
         assign_cents = cents
         shift = float("inf")
         it = 0

@@ -165,3 +165,65 @@ def test_model_centroids_df_roundtrip(spark):
     )
     rows = {r["cid"]: r["c"] for r in m.centroids_df(spark).collect()}
     assert rows == {1: [1.0, 2.0], 2: [3.0, 4.0]}
+
+
+@pytest.fixture(scope="module")
+def skewed_blobs(spark):
+    """ids ordered so the first k points ALL sit in one blob — the
+    failure mode first-k seeding exists to be rescued from."""
+    rng = np.random.RandomState(3)
+    centers = np.array([[8.0, 0.0], [-8.0, 0.0], [0.0, 8.0]])
+    rows = []
+    i = 0
+    for c in range(3):          # blob-major id order
+        for _ in range(20):
+            v = centers[c] + 0.3 * rng.randn(2)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_kmeans_parallel_init_is_deterministic(skewed_blobs):
+    from opentimes_spark.operators.clustering import kmeans_fit
+
+    m1 = kmeans_fit(skewed_blobs, k=3, max_iter=10, init="kmeans||")
+    m2 = kmeans_fit(skewed_blobs, k=3, max_iter=10, init="kmeans||")
+    assert m1.centroids == m2.centroids
+    assert m1.n_iter == m2.n_iter
+
+
+def test_kmeans_parallel_init_beats_degenerate_first_k(skewed_blobs):
+    """First-3 ids are all in blob 0, so first-k Lloyd strands two
+    centroids inside one blob; k-means|| must seed all three blobs and
+    land a strictly lower inertia."""
+    from opentimes_spark.operators.clustering import inertia, kmeans_fit
+
+    base = skewed_blobs.selectExpr("vec_id", "embedding as v")
+    bad = kmeans_fit(skewed_blobs, k=3, max_iter=15, init="first-k")
+    good = kmeans_fit(skewed_blobs, k=3, max_iter=15, init="kmeans||")
+    i_bad = inertia(base, bad.centroids)
+    i_good = inertia(base, good.centroids)
+    assert i_good < i_bad / 5  # one blob split vs three blobs found
+    # each fitted centroid sits on a distinct true blob center
+    trues = [(8.0, 0.0), (-8.0, 0.0), (0.0, 8.0)]
+    matched = set()
+    for c in good.centroids.values():
+        d, j = min(
+            (sum((a - b) ** 2 for a, b in zip(c, t)), j)
+            for j, t in enumerate(trues)
+        )
+        assert d < 1.0
+        matched.add(j)
+    assert matched == {0, 1, 2}
+
+
+def test_kmeans_parallel_init_raises_when_pool_too_small(spark):
+    from opentimes_spark.operators.clustering import kmeans_parallel_init
+
+    # two coincident points: after the first seed, phi = 0 and the pool
+    # cannot reach k=3
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0])], "vec_id int, embedding array<double>"
+    ).selectExpr("vec_id", "embedding as v")
+    with pytest.raises(ValueError, match="candidates < k"):
+        kmeans_parallel_init(df, k=3)
