@@ -15,6 +15,10 @@ recomputing, the reference's DVC semantics):
                    that end up empty.
 4. ``decontam``  — drop docs sharing any 8-token span with the
                    held-out eval source.
+4b. ``semantic`` — (opt-in ``--semantic-tau``) SemDeDup: drop docs
+                   whose embedding is a within-cluster cosine near-dup
+                   of a lower-id doc; docs without an embedding pass
+                   through.
 5. ``curated``   — mixture-sample per source weights, assign each doc
                    its token-budget training-sequence bin, write the
                    final corpus + a manifest of per-stage row counts.
@@ -41,6 +45,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--min-score", type=int, default=50)
     p.add_argument("--budget", type=int, default=512)
     p.add_argument("--span", type=int, default=8)
+    p.add_argument(
+        "--semantic-tau",
+        type=float,
+        default=None,
+        help="enable SemDeDup semantic dedup at this cosine threshold "
+        "(docs whose embedding is a within-cluster near-dup of a "
+        "lower-id doc are dropped; docs without an embedding pass "
+        "through)",
+    )
     p.add_argument(
         "--publish",
         action="store_true",
@@ -137,6 +150,33 @@ def curate(spark: SparkSession, args: argparse.Namespace) -> dict:
         build_decontam, params={"eval": args.eval_source, "n": args.span},
     )
     record("decontam", dc, skipped)
+    upstream = path("decontam")
+
+    if args.semantic_tau is not None:
+        emb_src = os.path.join(args.sf_dir, "embeddings.parquet")
+
+        def build_semantic():
+            from opentimes_spark.operators.clustering import semantic_prune
+
+            emb = spark.read.parquet(emb_src)
+            pruned = semantic_prune(
+                emb, k=8, threshold=args.semantic_tau, max_iter=10, tol=1e-9
+            ).filter(F.col("kept") == 0)
+            # Embedding coverage is partial (not every doc has a
+            # vector); docs without one pass through untouched — only a
+            # vector-certified semantic dup is dropped.
+            return dc.join(
+                pruned.select(F.col("vec_id").alias("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+
+        dc, skipped = run_stage(
+            spark, "semantic", [path("decontam"), emb_src], path("semantic"),
+            build_semantic, params={"tau": args.semantic_tau},
+        )
+        record("semantic", dc, skipped)
+        upstream = path("semantic")
 
     def build_curated():
         src_mod = F.substring("source", 4, 8).cast("int") % 4
@@ -152,7 +192,7 @@ def curate(spark: SparkSession, args: argparse.Namespace) -> dict:
         )
 
     cur, skipped = run_stage(
-        spark, "curated", [path("decontam")], path("curated"),
+        spark, "curated", [upstream], path("curated"),
         build_curated, params={"budget": args.budget},
     )
     record("curated", cur, skipped)

@@ -152,6 +152,65 @@ def _mean_update(
     return out
 
 
+def semantic_prune(
+    vectors: DataFrame,
+    k: int = 8,
+    threshold: float = 0.2,
+    max_iter: int = 2,
+    tol: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "first-k",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public):
+    k-means cluster the vectors, then inside each cluster mark every
+    vector whose ROUNDED cosine to a LOWER-id member reaches
+    ``threshold`` as pruned — the keep-one-representative rule, made
+    deterministic by keying on id order.  Returns
+    (id, cid, max_cos_lower, kept∈{0,1}); vectors with no lower-id
+    cluster neighbour keep a NULL max and stay.
+
+    Scale shape (the published algorithm's point): pairwise cosine
+    happens only WITHIN a cluster — n²/k per cluster with k grown
+    alongside the corpus — never corpus-wide; the cluster assignment
+    itself is the zero-shuffle literal-centroid projection.  Backs the
+    ``semdedup_prune`` oracle query and the curation job's
+    ``--semantic-tau`` stage."""
+    from opentimes_spark.functions.vectors import cosine
+
+    model = kmeans_fit(
+        vectors, k=k, max_iter=max_iter, tol=tol,
+        id_col=id_col, vec_col=vec_col, init=init,
+    )
+    a = kmeans_assign(vectors, model.centroids, id_col=id_col, vec_col=vec_col)
+    lo = a.select(
+        F.col(id_col).alias("__id_lo"), F.col("v").alias("__v_lo"), "cid"
+    )
+    mc = (
+        a.join(lo, "cid")
+        .filter(F.col("__id_lo") < F.col(id_col))
+        .groupBy(id_col, "cid")
+        .agg(
+            F.round(F.max(cosine(F.col("v"), F.col("__v_lo"))), round_to)
+            .alias("max_cos_lower")
+        )
+    )
+    return (
+        a.select(id_col, "cid")
+        .join(mc, [id_col, "cid"], "left")
+        .select(
+            id_col,
+            "cid",
+            "max_cos_lower",
+            F.when(F.col("max_cos_lower") >= threshold, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
 def inertia(base: DataFrame, cents: dict[int, list[float]]) -> float:
     """Σ min_j ‖v − c_j‖² over a (·, v) frame — one zero-shuffle
     projection + a 1-row agg."""

@@ -7856,38 +7856,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold 0.2 sits at this corpus's within-cluster p95 so both
     branches carry rows.  (LLM-pipeline: semantic dedup over
     embeddings.)"""
-    from opentimes_spark.functions.vectors import cosine
-    from opentimes_spark.operators.clustering import kmeans_assign, kmeans_fit
+    from opentimes_spark.operators.clustering import semantic_prune
 
     emb = _t(spark, sf_dir, "embeddings")
-    model = kmeans_fit(emb, k=8, max_iter=2, tol=0.0)
-    a = kmeans_assign(emb, model.centroids)
-    lo = a.select(
-        F.col("vec_id").alias("id_lo"), F.col("v").alias("v_lo"), "cid"
-    )
-    mc = (
-        a.join(lo, "cid")
-        .filter(F.col("id_lo") < F.col("vec_id"))
-        .groupBy("vec_id", "cid")
-        .agg(
-            F.round(F.max(cosine(F.col("v"), F.col("v_lo"))), 6).alias(
-                "max_cos_lower"
-            )
-        )
-    )
-    return (
-        a.select("vec_id", "cid")
-        .join(mc, ["vec_id", "cid"], "left")
-        .select(
-            "vec_id",
-            "cid",
-            "max_cos_lower",
-            F.when(F.col("max_cos_lower") >= 0.2, F.lit(0))
-            .otherwise(F.lit(1))
-            .cast("int")
-            .alias("kept"),
-        )
-    )
+    return semantic_prune(emb, k=8, threshold=0.2, max_iter=2, tol=0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -64,3 +64,43 @@ def test_curate_publish_versioned_snapshot(spark, tmp_path):
     assert m2["published_version"] == 1
     assert read_snapshot(spark, root).count() == n_curated
     assert read_snapshot(spark, root, version=0).count() == n_curated
+
+
+def test_curate_semantic_stage(spark, tmp_path):
+    """--semantic-tau inserts the SemDeDup stage: the funnel stays
+    monotone through it, dropped docs are exactly the operator's
+    kept=0 ids (restricted to decontam survivors), and docs without an
+    embedding pass through."""
+    out = str(tmp_path / "curated_sem")
+    os.makedirs(out, exist_ok=True)
+    args = parse_args(
+        [
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", out,
+            "--semantic-tau", "0.2",
+        ]
+    )
+    m = curate(spark, args)
+    stages = ["quality", "exact", "spans", "decontam", "semantic", "curated"]
+    rows = [m["stages"][s]["rows"] for s in stages]
+    assert all(a >= b for a, b in zip(rows, rows[1:]))
+    assert rows[-1] > 0
+    # the semantic stage must drop SOMETHING at tau=0.2 on this corpus
+    assert m["stages"]["semantic"]["rows"] < m["stages"]["decontam"]["rows"]
+
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.clustering import semantic_prune
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pruned_ids = {
+        r["vec_id"]
+        for r in semantic_prune(emb, k=8, threshold=0.2, max_iter=10, tol=1e-9)
+        .filter(F.col("kept") == 0)
+        .collect()
+    }
+    dec = spark.read.parquet(os.path.join(out, "decontam"))
+    sem = spark.read.parquet(os.path.join(out, "semantic"))
+    dec_ids = {r["doc_id"] for r in dec.select("doc_id").collect()}
+    sem_ids = {r["doc_id"] for r in sem.select("doc_id").collect()}
+    assert dec_ids - sem_ids == dec_ids & pruned_ids
