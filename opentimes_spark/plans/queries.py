@@ -8719,6 +8719,81 @@ def embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One BPE merge-iteration of the oracle's CTE chain: count adjacent
+# symbol pairs of {prev} weighted by word freq, pick the (count desc,
+# pair) winner, rewrite sequences by non-overlapping left-to-right
+# string replace on the US-separator form — exactly the array fold in
+# operators/bpe.py:merge_expr (replace() cannot re-match its own
+# output: the merged symbol has no interior separator).
+def _bpe_step_sql(i: int) -> str:
+    prev, p, b, s = f"s{i-1}", f"p{i}", f"b{i}", f"s{i}"
+    return f"""
+    {p} AS (
+        SELECT u.syms[i] AS a, u.syms[i+1] AS b, SUM(u.freq) AS n FROM (
+            SELECT freq,
+                   string_split(trim(seq, chr(31)), chr(31)) AS syms,
+                   UNNEST(range(1, len(string_split(trim(seq, chr(31)),
+                                                    chr(31))))) AS i
+            FROM {prev}) u
+        GROUP BY 1, 2
+    ),
+    {b} AS (SELECT a, b, n FROM {p} ORDER BY n DESC, a, b LIMIT 1),
+    {s} AS (
+        SELECT {prev}.freq,
+               replace({prev}.seq,
+                       chr(31) || {b}.a || chr(31) || {b}.b || chr(31),
+                       chr(31) || {b}.a || {b}.b || chr(31)) AS seq
+        FROM {prev}, {b}
+    )"""
+
+
+@query(
+    "bpe_train_3merges",
+    f"""
+    WITH toks AS (
+        SELECT UNNEST({_TOKS_SQL}) AS word FROM documents
+    ),
+    wf AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+    s0 AS (
+        SELECT freq,
+               chr(31) || array_to_string(string_split(word, ''), chr(31))
+                       || chr(31) || '</w>' || chr(31) AS seq
+        FROM wf
+    ),
+    {_bpe_step_sql(1)},
+    {_bpe_step_sql(2)},
+    {_bpe_step_sql(3)}
+    SELECT * FROM (
+        SELECT 1 AS step, a, b, CAST(n AS BIGINT) AS n FROM b1
+        UNION ALL SELECT 2, a, b, CAST(n AS BIGINT) FROM b2
+        UNION ALL SELECT 3, a, b, CAST(n AS BIGINT) FROM b3
+    ) ORDER BY step
+    """,
+)
+def bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATED BPE trainer (operators/bpe.py:train_bpe_steps),
+    certified end-to-end: three full merge iterations — corpus-wide
+    weighted pair count, deterministic (count desc, pair) winner,
+    left-to-right non-overlapping sequence rewrite — with the oracle
+    unrolling all three in SQL via the separator-string replace()
+    identity of the operator's array fold.  One corpus-scale shuffle
+    total (the word-frequency groupBy); each iteration then costs one
+    vocabulary-sized pair-count shuffle + a TakeOrdered(1) + a
+    zero-shuffle rewrite projection (plan-asserted in
+    tests/test_bpe.py), which is how BPE training actually scales —
+    Zipf keeps the vocab table small while the corpus grows.
+    (LLM-pipeline: tokenizer training; extends the single-step
+    `bpe_merge_step` certification to the full loop.)"""
+    from opentimes_spark.operators.bpe import train_bpe_steps
+
+    d = _t(spark, sf_dir, "documents")
+    steps = train_bpe_steps(d, n_merges=3)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(steps)],
+        "step int, a string, b string, n bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
