@@ -158,7 +158,17 @@ def curate(spark: SparkSession, args: argparse.Namespace) -> dict:
         def build_semantic():
             from opentimes_spark.operators.clustering import semantic_prune
 
-            emb = spark.read.parquet(emb_src)
+            # Prune among SURVIVORS only: running semantic_prune over
+            # the full embeddings table would drop a surviving doc as a
+            # near-dup of a lower-id doc the earlier stages already
+            # removed — losing every representative of that content.
+            # The keep-one-representative rule requires the kept
+            # lower-id doc to actually be in the corpus.
+            emb = spark.read.parquet(emb_src).join(
+                dc.select(F.col("doc_id").alias("vec_id")),
+                "vec_id",
+                "left_semi",
+            )
             pruned = semantic_prune(
                 emb, k=8, threshold=args.semantic_tau, max_iter=10, tol=1e-9
             ).filter(F.col("kept") == 0)

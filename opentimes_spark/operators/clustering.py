@@ -183,7 +183,13 @@ def semantic_prune(
         vectors, k=k, max_iter=max_iter, tol=tol,
         id_col=id_col, vec_col=vec_col, init=init,
     )
-    a = kmeans_assign(vectors, model.centroids, id_col=id_col, vec_col=vec_col)
+    # The assignment frame feeds three lineages (probe side, lo side,
+    # final keep join) — persist it so the k-literal argmin projection
+    # runs once, not three times.  The cache lives with the returned
+    # DataFrame's lineage; Spark evicts LRU when memory is needed.
+    a = kmeans_assign(
+        vectors, model.centroids, id_col=id_col, vec_col=vec_col
+    ).persist()
     lo = a.select(
         F.col(id_col).alias("__id_lo"), F.col("v").alias("__v_lo"), "cid"
     )

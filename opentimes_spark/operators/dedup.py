@@ -385,13 +385,18 @@ def containment_pairs_prefix(
     from pyspark.sql import Window
 
     toks = shingle_sets(df, id_col, text_col, shingle_size)
-    sized = toks.withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    )
+    # df first (one Exchange on tok), THEN both doc-partitioned windows
+    # — same partition key, so |A| and the prefix rank share a single
+    # Exchange on id (computing |A| before the df window would insert a
+    # third full shuffle of the shingle stream).
     w_doc = Window.partitionBy(id_col).orderBy("df", "tok")
-    ranked = sized.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
-    ).withColumn("rnk", F.row_number().over(w_doc))
+    ranked = (
+        toks.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .withColumn("rnk", F.row_number().over(w_doc))
+    )
     need = F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
     prefix = ranked.filter(F.col("rnk") <= F.col("n") - need + 1).select(
         F.col(id_col).alias("id_a"), "tok", need.alias("need_a")

@@ -7651,12 +7651,20 @@ _KMEANS2_CTES = """
         ) WHERE rnk = 1
     ),
     cents1 AS (
-        SELECT cid, list(m ORDER BY dim) AS c FROM (
-            SELECT cid, dim, AVG(val) AS m FROM (
-                SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS val
-                FROM assign1
-            ) GROUP BY cid, dim
-        ) GROUP BY cid
+        -- LEFT JOIN from the previous round's centroids mirrors the
+        -- operator's empty-cluster policy (clustering.py:_mean_update):
+        -- a cid that lost every member RETAINS its old centroid instead
+        -- of silently dropping out of the candidate set.
+        SELECT c0.cid, COALESCE(m1.c, c0.c) AS c
+        FROM cents0 c0 LEFT JOIN (
+            SELECT cid, list(m ORDER BY dim) AS c FROM (
+                SELECT cid, dim, AVG(val) AS m FROM (
+                    SELECT cid, generate_subscripts(v, 1) AS dim,
+                           unnest(v) AS val
+                    FROM assign1
+                ) GROUP BY cid, dim
+            ) GROUP BY cid
+        ) m1 ON m1.cid = c0.cid
     ),
     assign2 AS (
         SELECT vec_id, v, cid FROM (
@@ -7671,12 +7679,16 @@ _KMEANS2_CTES = """
         ) WHERE rnk = 1
     ),
     cents2 AS (
-        SELECT cid, list(m ORDER BY dim) AS c FROM (
-            SELECT cid, dim, AVG(val) AS m FROM (
-                SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS val
-                FROM assign2
-            ) GROUP BY cid, dim
-        ) GROUP BY cid
+        SELECT c1.cid, COALESCE(m2.c, c1.c) AS c
+        FROM cents1 c1 LEFT JOIN (
+            SELECT cid, list(m ORDER BY dim) AS c FROM (
+                SELECT cid, dim, AVG(val) AS m FROM (
+                    SELECT cid, generate_subscripts(v, 1) AS dim,
+                           unnest(v) AS val
+                    FROM assign2
+                ) GROUP BY cid, dim
+            ) GROUP BY cid
+        ) m2 ON m2.cid = c1.cid
     )
 """
 
@@ -8721,19 +8733,24 @@ def embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # One BPE merge-iteration of the oracle's CTE chain: count adjacent
 # symbol pairs of {prev} weighted by word freq, pick the (count desc,
-# pair) winner, rewrite sequences by non-overlapping left-to-right
-# string replace on the US-separator form — exactly the array fold in
-# operators/bpe.py:merge_expr (replace() cannot re-match its own
-# output: the merged symbol has no interior separator).
+# pair) winner, rewrite sequences by leftmost non-overlapping string
+# replace — exactly the array fold in operators/bpe.py:merge_expr.
+# Each symbol is BLOCK-encoded as chr(31)+s+chr(31) (a doubled
+# separator between symbols), so adjacent pattern occurrences share
+# ZERO characters: a single-separator form would let back-to-back
+# occurrences share the middle separator and replace() would merge
+# only the first ("coco" under (c,o) → [co,c,o], diverging from the
+# fold's [co,co]).  With disjoint blocks, leftmost non-overlapping
+# replace() IS the greedy left-to-right merge, for every input.
 def _bpe_step_sql(i: int) -> str:
     prev, p, b, s = f"s{i-1}", f"p{i}", f"b{i}", f"s{i}"
+    split = f"string_split(trim(seq, chr(31)), chr(31) || chr(31))"
     return f"""
     {p} AS (
         SELECT u.syms[i] AS a, u.syms[i+1] AS b, SUM(u.freq) AS n FROM (
             SELECT freq,
-                   string_split(trim(seq, chr(31)), chr(31)) AS syms,
-                   UNNEST(range(1, len(string_split(trim(seq, chr(31)),
-                                                    chr(31))))) AS i
+                   {split} AS syms,
+                   UNNEST(range(1, len({split}))) AS i
             FROM {prev}) u
         GROUP BY 1, 2
     ),
@@ -8741,7 +8758,7 @@ def _bpe_step_sql(i: int) -> str:
     {s} AS (
         SELECT {prev}.freq,
                replace({prev}.seq,
-                       chr(31) || {b}.a || chr(31) || {b}.b || chr(31),
+                       chr(31) || {b}.a || chr(31) || chr(31) || {b}.b || chr(31),
                        chr(31) || {b}.a || {b}.b || chr(31)) AS seq
         FROM {prev}, {b}
     )"""
@@ -8756,8 +8773,9 @@ def _bpe_step_sql(i: int) -> str:
     wf AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
     s0 AS (
         SELECT freq,
-               chr(31) || array_to_string(string_split(word, ''), chr(31))
-                       || chr(31) || '</w>' || chr(31) AS seq
+               chr(31) || array_to_string(
+                   list_append(string_split(word, ''), '</w>'),
+                   chr(31) || chr(31)) || chr(31) AS seq
         FROM wf
     ),
     {_bpe_step_sql(1)},

@@ -168,3 +168,57 @@ def test_train_stops_when_dry(spark):
     # min_freq=1 merges the three (char, END) pairs then runs dry
     m = train_bpe(df, n_merges=10, min_freq=1)
     assert len(m) == 3
+
+
+def test_oracle_sql_matches_reference_on_adversarial_corpus(spark):
+    """Run the registered DuckDB oracle on a corpus engineered so the
+    winning merges repeat back-to-back inside words (coco/banana/aaaa
+    class) — the case where a single-separator replace() would share
+    the middle separator and merge only the first occurrence.  The
+    block-encoded oracle must reproduce the Python reference (and the
+    operator, by the train-matches-reference test) exactly."""
+    import duckdb
+
+    texts = [
+        "coco cocoa coco banana bananas",
+        "aaaa aaa aa coco banana",
+        "murmur tartar coco banana aaaa",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(text VARCHAR)")
+    for t in texts:
+        con.execute("INSERT INTO documents VALUES (?)", [t])
+    from opentimes_spark.plans.queries import ORACLE_SQL
+
+    got = con.sql(ORACLE_SQL["bpe_train_3merges"]).fetchall()
+    want = [
+        (i + 1, a, b, n) for i, (a, b, n) in enumerate(_py_train_counts(texts, 3))
+    ]
+    assert got == want
+    # and the Spark operator agrees on the same corpus
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    from opentimes_spark.operators.bpe import train_bpe_steps
+
+    assert train_bpe_steps(docs, 3) == [(a, b, n) for _, a, b, n in want]
+
+
+def _py_train_counts(texts, n_merges, min_freq=1):
+    vocab = {
+        tuple(list(w) + [END]): f for w, f in _py_word_freqs(texts).items()
+    }
+    out = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += f
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_freq:
+            break
+        out.append((a, b, n))
+        vocab = {
+            tuple(_py_merge(list(s), a, b)): f for s, f in vocab.items()
+        }
+    return out

@@ -76,17 +76,59 @@ def test_tol_zero_runs_exactly_max_iter(blobs):
 
 
 def test_empty_cluster_keeps_previous_centroid(spark):
-    # Two coincident far points seed cids 1-2; every row is nearer cid 1
-    # after the first update, so cid 3's (distinct) seed loses all
-    # members and must survive verbatim.
-    rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [100.0, 100.0])]
+    # ids 0 and 1 share one vector, so both seed cids 1-2 identically;
+    # every tie resolves to the smaller cid and cid 2 loses ALL members
+    # in iteration 1 — the retention branch (_mean_update dims-None)
+    # must keep its seed verbatim.
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [5.0, 5.0]),
+            (3, [5.1, 5.0]), (4, [1.2, 1.0])]
     df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
-    model = kmeans_fit(df, k=3, max_iter=3, tol=1e-12)
-    assert set(model.centroids) == {1, 2, 3}
-    counts = (
-        kmeans_assign(df, model.centroids).groupBy("cid").count().collect()
+    model = kmeans_fit(df, k=2, max_iter=1, tol=0.0)
+    assert model.centroids[2] == [1.0, 1.0]  # retained seed, not a mean
+    assert model.centroids[1] != [1.0, 1.0]  # cid 1 DID update
+    counts = {
+        r["cid"]: r["count"]
+        for r in kmeans_assign(df, model.assign_centroids)
+        .groupBy("cid")
+        .count()
+        .collect()
+    }
+    assert counts == {1: 5}  # cid 2 truly empty under the seed centroids
+
+
+def test_kmeans_oracle_retains_empty_clusters_like_operator(spark, tmp_path):
+    """End-to-end operator-vs-oracle on a corpus where a cluster
+    EMPTIES mid-run (duplicate seed vectors): the SQL unroll must
+    mirror the operator's retain-previous-centroid policy, or the two
+    diverge the moment a retained centroid recaptures members."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(5)
+    rows = [(0, [1.0, 1.0, 1.0, 1.0], 0), (1, [1.0, 1.0, 1.0, 1.0], 0)] + [
+        (i, [rng.uniform(-5, 5) for _ in range(4)], 0) for i in range(2, 40)
+    ]
+    d = str(tmp_path / "sf_tiny")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES
+
+    got = sorted(
+        tuple(r) for r in QUERIES["kmeans_lloyd_2iter"](spark, d).collect()
     )
-    assert sum(r["count"] for r in counts) == 3
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(ORACLE_SQL["kmeans_lloyd_2iter"]).fetchall())
+    assert got == want
+    # the scenario is real: some cluster must have recaptured members
+    # after being retained (cids span the full 1..8 despite dup seeds)
+    assert {c for c, *_ in got} == set(range(1, 9))
 
 
 def test_assignment_plan_has_no_exchange(blobs):

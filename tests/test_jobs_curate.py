@@ -92,15 +92,24 @@ def test_curate_semantic_stage(spark, tmp_path):
 
     from opentimes_spark.operators.clustering import semantic_prune
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dec = spark.read.parquet(os.path.join(out, "decontam"))
+    sem = spark.read.parquet(os.path.join(out, "semantic"))
+    dec_ids = {r["doc_id"] for r in dec.select("doc_id").collect()}
+    sem_ids = {r["doc_id"] for r in sem.select("doc_id").collect()}
+    # keep decisions are computed among SURVIVORS: restrict embeddings
+    # to decontam's ids first, exactly as the stage does — a near-dup
+    # of an already-removed doc must NOT be dropped
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id").isin([int(i) for i in dec_ids]))
+    )
     pruned_ids = {
         r["vec_id"]
         for r in semantic_prune(emb, k=8, threshold=0.2, max_iter=10, tol=1e-9)
         .filter(F.col("kept") == 0)
         .collect()
     }
-    dec = spark.read.parquet(os.path.join(out, "decontam"))
-    sem = spark.read.parquet(os.path.join(out, "semantic"))
-    dec_ids = {r["doc_id"] for r in dec.select("doc_id").collect()}
-    sem_ids = {r["doc_id"] for r in sem.select("doc_id").collect()}
-    assert dec_ids - sem_ids == dec_ids & pruned_ids
+    assert dec_ids - sem_ids == pruned_ids
+    # every dropped doc's kept lower-id twin is still in the corpus: the
+    # keep-one-representative invariant
+    assert pruned_ids <= dec_ids and pruned_ids.isdisjoint(sem_ids)

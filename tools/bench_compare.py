@@ -36,7 +36,13 @@ def main() -> int:
     shared = sorted(set(old) & set(new))
     regressions = []
     for name in shared:
-        ratio = new[name] / old[name] if old[name] else float("inf")
+        if not old[name]:
+            # sub-resolution old timing: no meaningful ratio — flag only
+            # when the new time is non-trivially large
+            if new[name] > 0.1:
+                regressions.append((name, old[name], new[name], float("inf")))
+            continue
+        ratio = new[name] / old[name]
         if ratio > threshold:
             regressions.append((name, old[name], new[name], ratio))
     print(
