@@ -64,17 +64,25 @@ def ensure_bucketed_pair(
     the one-off bucketed write.  The digest keys on ``cache_key`` (use
     the source directory) so different scale factors get distinct
     layouts; rewriting a source under the same path requires dropping
-    the tables (same documented staleness contract as the IVF index)."""
+    the tables (same documented staleness contract as the IVF index).
+
+    ``n_buckets`` participates in the digest, so asking for a different
+    bucket count builds a NEW layout rather than silently returning the
+    stale one; the cached tables are additionally verified to carry the
+    requested count before reuse."""
     import hashlib
     import os
     import tempfile
 
-    digest = hashlib.md5(cache_key.encode("utf-8")).hexdigest()[:12]
+    digest = hashlib.md5(
+        f"{cache_key}::{n_buckets}".encode("utf-8")
+    ).hexdigest()[:12]
     lt, rt = f"{left_table}_{digest}", f"{right_table}_{digest}"
     if (
         spark.catalog.tableExists(lt)
         and spark.catalog.tableExists(rt)
         and cobucketed(spark, lt, rt)
+        and bucket_spec(spark, lt)[0] == str(n_buckets)
     ):
         return lt, rt
     base = base_dir or os.path.join(tempfile.gettempdir(), "opentimes_bucketed")

@@ -21,7 +21,15 @@ Accuracy: bucket POPULATIONS deviate from n/k by at most the sketch's
 relative error ε·n per cutpoint (ε defaults to 1/10000); bucket BOUNDS
 are exact observed min/max within each assigned bucket.  Ties at a
 cutpoint all land in the lower bucket (deterministic, value-stable —
-unlike NTILE, which splits equal values across buckets by rank).
+unlike NTILE, which splits equal values across buckets by rank).  Two
+deliberate contract deviations from the NTILE twin on degenerate
+columns: (a) when a value's frequency exceeds n/k, consecutive
+cutpoints coincide and the buckets between them come back EMPTY (and
+are omitted) — equal values are never split across buckets, where
+NTILE splits them arbitrarily by rank; a constant column therefore
+yields one bucket, not k.  (b) NULL values are excluded up front (they
+have no position in a value ordering); the NTILE twin's ordering would
+otherwise place them first and skew bucket 1's bounds.
 
 SURVEY.md §2.4 A-Ext; VERDICT r4 "What's wrong" #3 names this swap as
 the required scale path.
@@ -44,6 +52,7 @@ def equidepth_histogram(
     NTILE form, no global sort anywhere in the plan."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    df = df.filter(F.col(value_col).isNotNull())
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = df.agg(
         F.percentile_approx(value_col, probs, accuracy).alias("__cuts")

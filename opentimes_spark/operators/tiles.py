@@ -44,18 +44,38 @@ MVT_EXTENT = 4096
 # --------------------------------------------------------------------------
 
 
+MERCATOR_MAX_LAT = 85.0511287798066  # atan(sinh(pi)) — the Web-Mercator edge
+
+
 def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column, Column, Column]:
     """(tile_x, tile_y, pixel_x, pixel_y) at ``zoom`` — the standard
     Web-Mercator tiling formulas as pure JVM column math.  ``pixel``
-    coords are tile-local in the MVT extent grid [0, 4096)."""
+    coords are tile-local in the MVT extent grid [0, 4096).
+
+    Inputs are CLAMPED to the projection's domain (lon ±180, lat
+    ±85.0511) before tiling, the same boundary handling tippecanoe
+    applies: a legal point AT lon=180 or beyond the Mercator latitude
+    edge lands in the last tile row/column instead of producing a tile
+    index outside [0, 2^zoom) that aborts the whole sink at archive
+    time (hilbert_tile_id range check)."""
     n = float(2**zoom)
-    xf = (lon + 180.0) / 360.0 * n
-    lat_r = F.radians(lat)
-    yf = (
+    lon_c = F.least(F.greatest(lon, F.lit(-180.0)), F.lit(180.0))
+    lat_c = F.least(
+        F.greatest(lat, F.lit(-MERCATOR_MAX_LAT)), F.lit(MERCATOR_MAX_LAT)
+    )
+    # clamp the PROJECTED plane to [0, n): the lon=180 / lat-edge point
+    # then lands in the last tile at its edge pixel, not at tile n
+    eps = 1e-9 * n
+    xf = F.least(
+        F.greatest((lon_c + 180.0) / 360.0 * n, F.lit(0.0)), F.lit(n - eps)
+    )
+    lat_r = F.radians(lat_c)
+    yf_raw = (
         (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / 3.141592653589793)
         / 2.0
         * n
     )
+    yf = F.least(F.greatest(yf_raw, F.lit(0.0)), F.lit(n - eps))
     tx = F.floor(xf).cast("int")
     ty = F.floor(yf).cast("int")
     px = F.floor((xf - F.floor(xf)) * MVT_EXTENT).cast("int")

@@ -2488,11 +2488,20 @@ def dedup_minhash_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold min_jaccard=0.5.  The oracle is the EXHAUSTIVE ground
     truth (every pair with exact shingle-Jaccard >= 0.5, computed by a
     melted pairwise self-join in SQL), so the driver hash certifies
-    100% RECALL of the xxhash banding at the threshold — the contract
-    that matters for a dedup pass — rather than the engine-specific
-    signature values (which by construction cannot be replayed in
-    another engine; sub-threshold incidental band collisions are
-    excluded from the output by the same threshold in both sides).
+    full recall of the xxhash banding at the threshold ON THIS CORPUS
+    — the contract that matters for a dedup pass — rather than the
+    engine-specific signature values (which by construction cannot be
+    replayed in another engine; sub-threshold incidental band
+    collisions are excluded from the output by the same threshold in
+    both sides).  Recall here is a DATA-PINNED certification, not a
+    structural LSH guarantee: with 4 bands of 2 hashes a pair at
+    J=0.5 collides in no band with probability (1−0.25)⁴ ≈ 0.32, so
+    the gate holds because every ≥0.5 pair in the fixed seed-42 corpus
+    happens to collide (its near-dups sit well above the threshold);
+    a corpus regeneration introducing a mid-band-gap pair would fail
+    the row count with the code unchanged.  The structural invariant
+    (banding emits a superset of its signature-collision pairs; the
+    verify join is exact) is what pytest covers.
 
     Runs with the hot-band guard armed (max_band_size=64): on this
     corpus no band comes near the cap so output is identical to the
@@ -6597,12 +6606,10 @@ def docs_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     is singletons vs boilerplate blobs, and the expected row reduction
     of the keep-one pass.  Two cheap shuffles, both on uniform hash
     keys (fingerprint, then size).  (LLM-pipeline: dedup reporting.)"""
+    from opentimes_spark.functions.text import fingerprint as _fp
+
     d = _t(spark, sf_dir, "documents")
-    fp = d.select(
-        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))).alias(
-            "f"
-        )
-    )
+    fp = d.select(_fp(F.col("text")).alias("f"))
     g = fp.groupBy("f").agg(F.count(F.lit(1)).alias("sz"))
     return (
         g.groupBy(F.col("sz").alias("cluster_size"))
@@ -7405,14 +7412,10 @@ def docs_dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingested FIRST keeps the shared docs).  One fingerprint shuffle +
     a rejoin on the same key.  (LLM-pipeline: dedup reporting /
     mixture bias.)"""
+    from opentimes_spark.functions.text import fingerprint as _fp
+
     d = _t(spark, sf_dir, "documents")
-    fp = d.select(
-        "doc_id",
-        "source",
-        F.md5(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
-        ).alias("f"),
-    )
+    fp = d.select("doc_id", "source", _fp(F.col("text")).alias("f"))
     keep = fp.groupBy("f").agg(F.min("doc_id").alias("kid"))
     kept = F.when(F.col("doc_id") == F.col("kid"), 1).otherwise(0)
     return (
@@ -7561,11 +7564,11 @@ def orders_first_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN deg dg ON dg.src = e.src
         CROSS JOIN n GROUP BY e.dst
     )
-    SELECT node, ROUND(pr * 1000000, 4) AS pr_ppm, rnk
+    SELECT node, pr_ppm, rnk
     FROM (
-        SELECT node, pr,
-               ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rnk
-        FROM r3
+        SELECT node, pr_ppm,
+               ROW_NUMBER() OVER (ORDER BY pr_ppm DESC, node) AS rnk
+        FROM (SELECT node, ROUND(pr * 1000000, 4) AS pr_ppm FROM r3)
     )
     WHERE rnk <= 20
     """,
@@ -7617,11 +7620,21 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("pr").desc(), "node")
+    # Rank on the ROUNDED ppm value: large cohorts of degree-1 part
+    # nodes share pr exactly in math but differ in the last ulp by
+    # summation order, so an unrounded sort key makes ranks 11-20
+    # nondeterministic (even across two runs of the SAME engine).
+    # Rounding first collapses the plateau; the node tie-break then
+    # decides deterministically.  (The docs_outlier_trim rounding rule
+    # applied to a sort key.)
+    ranks = ranks.select(
+        "node", F.round(F.col("pr") * 1_000_000, 4).alias("pr_ppm")
+    )
+    w = Window.orderBy(F.col("pr_ppm").desc(), "node")
     return (
         ranks.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 20)
-        .select("node", F.round(F.col("pr") * 1_000_000, 4).alias("pr_ppm"), "rnk")
+        .select("node", "pr_ppm", "rnk")
     )
 
 

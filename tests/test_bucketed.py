@@ -128,3 +128,29 @@ def test_ensure_bucketed_pair_builds_once_and_join_is_exchange_free(
         for t in spark.catalog.listTables():
             if t.name.startswith(("orders_b_", "lineitem_b_")):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_ensure_bucketed_pair_honors_n_buckets(spark, tmp_path):
+    """A changed bucket count must build a NEW layout, not silently
+    return the stale cache hit (n_buckets is part of the digest and
+    verified against the catalog on reuse)."""
+    from opentimes_spark.io.bucketed import bucket_spec, ensure_bucketed_pair
+
+    left = spark.range(100).selectExpr("id as k", "id * 2 as a")
+    right = spark.range(100).selectExpr("id as k", "id * 3 as b")
+    lt4, rt4 = ensure_bucketed_pair(
+        spark, left, right, "tl", "tr", "k", "k",
+        cache_key="nb-test", n_buckets=4, base_dir=str(tmp_path),
+    )
+    lt8, rt8 = ensure_bucketed_pair(
+        spark, left, right, "tl", "tr", "k", "k",
+        cache_key="nb-test", n_buckets=8, base_dir=str(tmp_path),
+    )
+    assert (lt4, rt4) != (lt8, rt8)
+    assert bucket_spec(spark, lt4)[0] == "4"
+    assert bucket_spec(spark, lt8)[0] == "8"
+    # same params again: cache hit returns the existing tables
+    assert ensure_bucketed_pair(
+        spark, left, right, "tl", "tr", "k", "k",
+        cache_key="nb-test", n_buckets=4, base_dir=str(tmp_path),
+    ) == (lt4, rt4)

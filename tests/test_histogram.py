@@ -72,3 +72,24 @@ def test_equidepth_rejects_degenerate_bucket_count(spark):
     o = read_table(spark, SF, "orders")
     with pytest.raises(ValueError):
         equidepth_histogram(o, "o_totalprice", 1)
+
+
+def test_equidepth_degenerate_columns(spark):
+    """The documented contract deviations: a constant column collapses
+    to ONE bucket (equal values are never split), and NULLs are
+    excluded rather than skewing bucket 1."""
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.histogram import equidepth_histogram
+
+    const = spark.range(100).select(F.lit(7.0).alias("v"))
+    out = equidepth_histogram(const, "v", n_buckets=4).collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 100 and out[0]["lo"] == out[0]["hi"] == 7.0
+
+    with_nulls = spark.createDataFrame(
+        [(float(i),) for i in range(1, 9)] + [(None,)] * 4, "v double"
+    )
+    rows = equidepth_histogram(with_nulls, "v", n_buckets=2).collect()
+    assert sum(r["n_rows"] for r in rows) == 8  # the 4 NULLs are out
+    assert all(r["lo"] is not None and r["hi"] is not None for r in rows)

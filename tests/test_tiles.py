@@ -207,3 +207,32 @@ def test_pmtiles_leaf_boundary_ids(tmp_path):
     for zz, x, y, blob in tiles:
         assert read_pmtiles_tile(path, zz, x, y) == blob
     assert read_pmtiles_tile(path, z, 0, 0) is None
+
+
+def test_tile_xy_clamps_domain_edges(spark):
+    """Points AT the projection boundary (lon=180, |lat| past the
+    Mercator edge, the poles) must land in the last tile row/column at
+    its edge — never at tile index 2^zoom, which hilbert_tile_id
+    rejects and which would abort the whole sink."""
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.tiles import tile_xy
+
+    z = 4
+    rows = [
+        (0, 180.0, 0.0), (1, -180.0, 0.0), (2, 0.0, 90.0),
+        (3, 0.0, -90.0), (4, 179.9999, 85.3), (5, 200.0, -86.0),
+    ]
+    df = spark.createDataFrame(rows, "id int, lon double, lat double")
+    tx, ty, px, py = tile_xy(F.col("lon"), F.col("lat"), z)
+    out = df.select("id", tx.alias("tx"), ty.alias("ty"),
+                    px.alias("px"), py.alias("py")).collect()
+    n = 2 ** z
+    for r in out:
+        assert 0 <= r["tx"] < n and 0 <= r["ty"] < n, dict(r.asDict())
+        assert 0 <= r["px"] < 4096 and 0 <= r["py"] < 4096
+    by = {r["id"]: r for r in out}
+    assert by[0]["tx"] == n - 1 and by[0]["px"] == 4095  # east edge
+    assert by[1]["tx"] == 0
+    assert by[2]["ty"] == 0          # north pole -> top row
+    assert by[3]["ty"] == n - 1      # south pole -> bottom row
