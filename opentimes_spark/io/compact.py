@@ -72,27 +72,53 @@ def compact_dir(
     by a previous crash is repaired before (and instead of silently
     breaking) the new run. The rewrite goes to a sibling temp dir first
     and swaps in only after success — a crashed compaction leaves the
-    original intact, and a failed write cleans up its temp dir."""
-    recover_compaction(path)
-    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
-    df = spark.read.parquet(path)
-    if target_files:
-        df = df.coalesce(target_files)
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    original intact, and a failed write cleans up its temp dir.
+
+    Single-compactor-per-path, enforced by an O_EXCL ``__compact.lock``
+    sibling (the snapshots publish-lock contract): without it a second
+    overlapping run's recovery pass would delete the first run's live
+    temp dir or roll the dataset back between its two swap renames.
+    A crash while holding the lock leaves a stale lock file (content
+    names pid + host); remove it manually once no compactor runs."""
+    # a trailing slash would make every sibling (f"{path}__...") resolve
+    # INSIDE the dataset and the swap rename fail after the full rewrite
+    path = os.path.normpath(path)
+    lock = f"{path}__compact.lock"
     try:
-        write_sorted_partitioned(
-            df,
-            tmp,
-            order_by=order_by,
-            max_records_per_file=max_records_per_file,
-            num_range_partitions=target_files if order_by else None,
-        )
-    except BaseException:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
-    backup = f"{path}__precompact"
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    shutil.rmtree(backup)
-    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
-    return len(before), len(after)
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"another compaction holds {lock} (or crashed holding it — "
+            "remove the stale lock once no compactor is running)"
+        ) from None
+    try:
+        os.write(fd, f"{os.getpid()}@{os.uname().nodename}\n".encode())
+        os.close(fd)
+        recover_compaction(path)
+        before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        df = spark.read.parquet(path)
+        if target_files and not order_by:
+            # with order_by the file count comes from range partitioning
+            # inside write_sorted_partitioned; coalescing here too would
+            # just narrow the scan's parallelism for no benefit
+            df = df.coalesce(target_files)
+        tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+        try:
+            write_sorted_partitioned(
+                df,
+                tmp,
+                order_by=order_by,
+                max_records_per_file=max_records_per_file,
+                num_range_partitions=target_files if order_by else None,
+            )
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        backup = f"{path}__precompact"
+        os.rename(path, backup)
+        os.rename(tmp, path)
+        shutil.rmtree(backup)
+        after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        return len(before), len(after)
+    finally:
+        os.unlink(lock)

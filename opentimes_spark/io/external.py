@@ -67,11 +67,22 @@ def fetch_files(
 ) -> list[str]:
     """S7: parallel file fetch to a local/staging directory (reference
     thread-pools its cartographic downloads, fetch_cb.py:86-100). Returns
-    the written paths, one per url, named by the url basename."""
+    the written paths, one per url, named by the url basename — except
+    when two urls share a basename (``.../state01/tract.zip`` and
+    ``.../state02/tract.zip``), where each colliding name gains a short
+    url-hash prefix so concurrent writers cannot silently clobber each
+    other and drop a file."""
+    import hashlib
+    from collections import Counter
+
     os.makedirs(dest_dir, exist_ok=True)
+    base_counts = Counter(os.path.basename(u) for u in urls)
 
     def one(url: str) -> str:
-        out = os.path.join(dest_dir, os.path.basename(url))
+        base = os.path.basename(url)
+        if base_counts[base] > 1:
+            base = f"{hashlib.md5(url.encode()).hexdigest()[:8]}_{base}"
+        out = os.path.join(dest_dir, base)
         with open(out, "wb") as f:
             f.write(fetcher(url))
         return out

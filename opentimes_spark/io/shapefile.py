@@ -179,8 +179,13 @@ def parse_dbf(b: bytes) -> tuple[list[tuple[str, str, int, int]], list[list], li
                     else None
                 )
             elif ftype == "L":
+                # len check matters: a blank (uninitialized) field strips
+                # to "" and the bare substring test `"" in "YyTt"` is
+                # True — blanks must load as NULL, not True
                 vals.append(
-                    True if raw in "YyTt" else False if raw in "NnFf" else None
+                    True if len(raw) == 1 and raw in "YyTt"
+                    else False if len(raw) == 1 and raw in "NnFf"
+                    else None
                 )
             elif ftype == "M":
                 # memo fields store a block pointer into the sidecar .dbt;

@@ -138,13 +138,23 @@ def write_snapshot(
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
-    """Scan the latest snapshot, or time-travel to ``version``."""
+    """Scan the latest snapshot, or time-travel to ``version``.
+
+    A version is readable only once COMMITTED (its ``_MANIFEST``
+    exists, written immediately before the pointer swap): a directory
+    left by a publisher that crashed mid-write is an orphan, and
+    explicit time travel to it must fail like any other missing
+    version rather than return a partial, never-published dataset."""
     v = latest_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshot published under {root}")
     vdir = _version_dir(root, v)
-    if not os.path.isdir(vdir):
-        raise FileNotFoundError(f"snapshot v={v} not found under {root}")
+    if not os.path.isdir(vdir) or not os.path.isfile(
+        os.path.join(vdir, _MANIFEST)
+    ):
+        raise FileNotFoundError(
+            f"snapshot v={v} not found (or never committed) under {root}"
+        )
     return spark.read.parquet(vdir)
 
 

@@ -107,6 +107,11 @@ def rename_deterministic(path: str, key_column: str, width: int = 11) -> dict[st
         lo, hi = min(mins), max(maxs)
         if isinstance(lo, bytes):
             lo, hi = lo.decode(), hi.decode()
+        if not isinstance(lo, str):
+            # numeric keys zero-pad to ``width`` so lexicographic file
+            # listing order equals key order (string keys — GEOIDs —
+            # arrive pre-padded by construction)
+            lo, hi = str(lo).zfill(width), str(hi).zfill(width)
         stem = f"part-{lo}-{hi}"
         # already deterministic (with or without ordinal) → idempotent no-op
         if re.fullmatch(re.escape(stem) + r"(-\d+)?\.parquet", base):

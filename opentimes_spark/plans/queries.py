@@ -2359,8 +2359,10 @@ def docs_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT nationkey, metric, ROUND(val, 2) AS val
     FROM (
         SELECT c_nationkey AS nationkey,
-               ROUND(SUM(c_acctbal), 2)  AS total_bal,
-               ROUND(AVG(c_acctbal), 2)  AS avg_bal,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total_bal,
+               FLOOR(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*) * 100 + 0.5) / 100 AS avg_bal,
                ROUND(MAX(c_acctbal), 2)  AS max_bal
         FROM customer GROUP BY c_nationkey
     )
@@ -2370,11 +2372,21 @@ def docs_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unpivot_balance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ext unpivot (wide→long, the inverse of pivot): per-nation balance
     metrics melted to (metric, value) rows via DataFrame.unpivot —
-    a Generate/Expand node, no shuffle beyond the aggregation."""
+    a Generate/Expand node, no shuffle beyond the aggregation.  Money
+    sums (and the mean, as exact-sum/count) accumulate in DECIMAL per
+    the engine-wide money rule: a float SUM's last ulp depends on
+    summation order, and ROUND( ,2) at a .xx5 boundary then flips —
+    caught live by the sf0.001 replay sweep.  The mean additionally
+    goes through stable_round: the exact division lands ON the .xx5
+    boundary, where Spark's ROUND (shortest-decimal half-up) and
+    DuckDB's (binary) disagree."""
+    from opentimes_spark.functions.text import stable_round
+
     c = _t(spark, sf_dir, "customer")
+    dec = F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
     wide = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
-        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.round(dec, 2).alias("total_bal"),
+        stable_round(dec / F.count(F.lit(1)), 2).alias("avg_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
     )
     return wide.unpivot(

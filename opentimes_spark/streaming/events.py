@@ -171,5 +171,12 @@ def enrich_with_dim(
     so a dim TABLE backed by files picks up slowly-changing updates at
     batch boundaries; pin a snapshot version (io/snapshots.py) when
     that drift is unwanted."""
+    if dim_key != stream_key and stream_key in dim.columns:
+        # renaming dim_key onto an already-present column would leave
+        # TWO stream_key columns and the join would fail as ambiguous
+        raise ValueError(
+            f"dim already has a column named {stream_key!r}; drop or "
+            f"rename it before joining on {dim_key!r}"
+        )
     d = dim.withColumnRenamed(dim_key, stream_key) if dim_key != stream_key else dim
     return stream.join(F.broadcast(d), stream_key, how)

@@ -2,9 +2,12 @@
 (SURVEY.md §2.10 extension surface — arbitrary per-key state beyond the
 built-in windowed aggregations).
 
-The state function is deliberately self-contained (pure pandas, no
-package imports) so the closure ships to executors without
-``session.ship_package``.
+The state functions are pure pandas (no package-internal imports), but
+as module-level functions they pickle BY REFERENCE: a real cluster's
+Python workers must be able to import ``opentimes_spark`` — ship it
+with ``session.ship_package`` (or ``--py-files``) exactly like every
+other operator.  Local-mode tests pass without it only because workers
+inherit the driver's ``sys.path``.
 
 Scale notes: state lives in the state store partitioned by the group
 key — per-key state here is O(1) (a few counters), so total state is
@@ -29,15 +32,18 @@ def _update_user_stats(key, pdfs, state):
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-        if len(pdf):
-            mx = max(mx, float(pdf["value"].max()))
+        vals = pdf["value"].dropna()  # all-NaN max() is NaN — keep it out
+        if len(vals):
+            mx = max(mx, float(vals.max()))
     state.update((n, total, mx))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
             "total_value": [total],
-            "max_value": [mx],
+            # -inf is the internal "no non-null value yet" sentinel; the
+            # batch twin's MAX(value) yields NULL there, so emit NULL
+            "max_value": [None if mx == float("-inf") else mx],
         }
     )
 

@@ -366,3 +366,29 @@ def test_dbf_date_logical_memo_and_sloppy_numeric(spark, tmp_path):
     got = sorted(df.collect(), key=lambda r: r["pop"])
     assert got[0]["notes"] == "state boundary revised"
     assert got[1]["notes"] is None and got[0]["effdate"] == datetime.date(2024, 1, 31)
+
+
+def test_dbf_blank_logical_is_null():
+    """A space-filled logical field must load as NULL — the bare
+    substring test ('' in 'YyTt') would call it True."""
+    from opentimes_spark.io.shapefile import parse_dbf
+
+    # minimal dbf: header + one 'L' field, three records: Y, N, blank
+    import struct
+
+    fields = [("FLAG", "L", 1)]
+    n_rec = 3
+    header_len = 32 + 32 * len(fields) + 1
+    rec_len = 1 + sum(f[2] for f in fields)
+    out = struct.pack(
+        "<BBBBIHH20x", 3, 24, 1, 1, n_rec, header_len, rec_len
+    )
+    for name, ftype, ln in fields:
+        out += name.encode().ljust(11, b"\x00") + ftype.encode()
+        out += b"\x00" * 4 + bytes([ln]) + b"\x00" * 15
+    out += b"\x0d"
+    for v in (b"Y", b"N", b" "):
+        out += b" " + v
+    out += b"\x1a"
+    _, rows, _ = parse_dbf(out)
+    assert [r[0] for r in rows] == [True, False, None]

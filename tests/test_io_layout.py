@@ -526,3 +526,48 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_
 
     got = {(r.id, r.part) for r in spark.read.parquet(root).collect()}
     assert got == {(1, "a"), (20, "b"), (21, "b")}
+
+
+def test_compact_dir_lock_and_trailing_slash(spark, tmp_path):
+    """compact_dir holds an O_EXCL lock (a second run fails loudly
+    instead of destroying the first's state) and normalizes a trailing
+    slash so swap siblings are real siblings, not children."""
+    import os
+
+    from opentimes_spark.io.compact import compact_dir
+
+    p = str(tmp_path / "ds")
+    spark.range(100).repartition(8).write.parquet(p)
+    # trailing slash: must behave identically to the clean path
+    nb, na = compact_dir(spark, p + "/", target_files=2)
+    assert nb == 8 and na <= 2
+    assert spark.read.parquet(p).count() == 100
+    assert not os.path.exists(p + "__compact.lock")  # released
+
+    # held lock -> loud refusal, dataset untouched
+    with open(p + "__compact.lock", "w") as fh:
+        fh.write("999@test\n")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="compaction holds"):
+        compact_dir(spark, p, target_files=1)
+    os.unlink(p + "__compact.lock")
+
+
+def test_snapshot_time_travel_rejects_uncommitted_version(spark, tmp_path):
+    """Explicit time travel to an orphan directory (publisher crashed
+    before writing _MANIFEST) must fail, not return partial data."""
+    import os
+
+    import pytest as _pytest
+
+    from opentimes_spark.io.snapshots import read_snapshot, write_snapshot
+
+    root = str(tmp_path / "snaps")
+    write_snapshot(spark.range(10).toDF("id"), root)
+    # fabricate an orphan v=1: parquet present, no _MANIFEST
+    orphan = os.path.join(root, "v=1")
+    spark.range(3).toDF("id").write.parquet(orphan)
+    assert read_snapshot(spark, root).count() == 10  # pointer unaffected
+    with _pytest.raises(FileNotFoundError, match="never committed"):
+        read_snapshot(spark, root, version=1)
