@@ -23,6 +23,16 @@ _ALNUM = (
 _WHITESPACE = " \t\n\x0b\f\r"  # Java regex \s
 
 
+# Shared heuristic constants — quality_score / langid_en and the
+# one-pass profile() MUST read these same values: the two surfaces are
+# documented twins, and restating the numbers in both places let them
+# silently drift (review finding).  The arithmetic in each stays
+# otherwise unchanged so their oracles are unaffected.
+QUALITY_WEIGHTS = (0.4, 0.3, 0.3)  # length band / punctuation / diversity
+QUALITY_LEN_BAND = (20, 1000)
+LANGID_STOP_THRESHOLD = 0.03
+
+
 def tokens(text: Column) -> Column:
     """Lowercased whitespace tokens, empties removed."""
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
@@ -37,19 +47,29 @@ def distinct_token_count(text: Column) -> Column:
 
 
 def avg_token_len(text: Column, round_to: int = 4) -> Column:
+    """NULL for token-less docs — an unguarded ratio DIVIDE_BY_ZEROs
+    the whole job under default ANSI mode (same guard family as
+    profile())."""
     toks = tokens(text)
-    return F.round(
-        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
-        / F.size(toks),
-        round_to,
+    return F.when(
+        F.size(toks) > 0,
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+            )
+            / F.size(toks),
+            round_to,
+        ),
     )
 
 
 def stopword_ratio(text: Column, round_to: int = 6) -> Column:
-    """Fraction of tokens that are (English) stopwords."""
+    """Fraction of tokens that are (English) stopwords; NULL for
+    token-less docs (ANSI divide guard — langid_en then falls through
+    to 'unknown' by NULL-compare semantics)."""
     toks = tokens(text)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
-    return F.round(n_stop / F.size(toks), round_to)
+    return F.when(F.size(toks) > 0, F.round(n_stop / F.size(toks), round_to))
 
 
 def _punct_count(text: Column) -> Column:
@@ -74,8 +94,12 @@ def _punct_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column, round_to: int = 6) -> Column:
-    """Fraction of characters that are not alphanumeric or whitespace."""
-    return F.round(_punct_count(text) / F.length(text), round_to)
+    """Fraction of characters that are not alphanumeric or whitespace;
+    NULL for empty docs (ANSI divide guard)."""
+    return F.when(
+        F.length(text) > 0,
+        F.round(_punct_count(text) / F.length(text), round_to),
+    )
 
 
 def stable_round(x: Column, digits: int) -> Column:
@@ -93,15 +117,21 @@ def quality_score(text: Column, round_to: int = 4) -> Column:
     vocabulary diversity. Deterministic arithmetic only; stable_round so
     the oracle matches bit-for-bit on .5 boundaries."""
     n_tok = token_count(text)
-    diversity = distinct_token_count(text) / n_tok
-    length_band = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).otherwise(0.5)
-    raw_punct = _punct_count(text) / F.length(text)
+    # ANSI divide guards: empty/whitespace-only docs get a NULL score
+    # (the composite has no meaning without tokens) instead of killing
+    # the job with DIVIDE_BY_ZERO
+    diversity = F.when(n_tok > 0, distinct_token_count(text) / n_tok)
+    w_band, w_punct, w_div = QUALITY_WEIGHTS
+    lo, hi = QUALITY_LEN_BAND
+    length_band = F.when((n_tok >= lo) & (n_tok <= hi), 1.0).otherwise(0.5)
+    raw_punct = F.when(F.length(text) > 0, _punct_count(text) / F.length(text))
     return stable_round(
-        0.4 * length_band + 0.3 * (1 - raw_punct) + 0.3 * diversity, round_to
+        w_band * length_band + w_punct * (1 - raw_punct) + w_div * diversity,
+        round_to,
     )
 
 
-def langid_en(text: Column, threshold: float = 0.03) -> Column:
+def langid_en(text: Column, threshold: float = LANGID_STOP_THRESHOLD) -> Column:
     """Heuristic language ID: stopword-ratio thresholding ('en' vs
     'unknown'). The scale path for real language ID is a Pandas-UDF model
     scorer; this built-in variant exists for the oracle-checked surface."""
@@ -130,7 +160,9 @@ def profile(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)):
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
-    length_band = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).otherwise(0.5)
+    w_band, w_punct, w_div = QUALITY_WEIGHTS
+    lo, hi = QUALITY_LEN_BAND
+    length_band = F.when((n_tok >= lo) & (n_tok <= hi), 1.0).otherwise(0.5)
     nonzero = F.when(n_tok > 0, n_tok)  # NULL divisor → NULL ratio, no error
     return staged.select(
         *id_cols,
@@ -142,9 +174,11 @@ def profile(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)):
         F.round(n_stop / nonzero, 6).alias("stop_ratio"),
         F.round(F.col("_praw"), 6).alias("punct_ratio"),
         stable_round(
-            0.4 * length_band + 0.3 * (1 - F.col("_praw")) + 0.3 * (n_uniq / nonzero), 4
+            w_band * length_band + w_punct * (1 - F.col("_praw"))
+            + w_div * (n_uniq / nonzero),
+            4,
         ).alias("quality"),
-        F.when(n_stop / nonzero >= 0.03, F.lit("en"))
+        F.when(n_stop / nonzero >= LANGID_STOP_THRESHOLD, F.lit("en"))
         .otherwise(F.lit("unknown"))
         .alias("lang_pred"),
     )

@@ -31,4 +31,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL when either vector has zero norm (a zero embedding — failed
+    embed, padding row — is similar to nothing): under Spark 4's
+    default ANSI mode an unguarded division would raise
+    DIVIDE_BY_ZERO and kill the whole job on one bad row.  Consumers'
+    threshold compares (``cos >= t``) are NULL-safe by SQL semantics —
+    a NULL similarity never passes."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)

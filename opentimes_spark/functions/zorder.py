@@ -25,8 +25,30 @@ from pyspark.sql import functions as F
 
 
 def _hex_fixed(col: Column, width: int) -> Column:
-    """Lower-case zero-padded hex of a non-negative integral column."""
-    return F.lpad(F.lower(F.hex(col.cast("bigint"))), width, "0")
+    """Lower-case zero-padded hex of a non-negative integral column.
+
+    RAISES (raise_error, at execution) when a value needs more than
+    ``width`` hex digits: lpad would otherwise silently TRUNCATE to the
+    high-order digits, colliding distinct keys and breaking Z-curve
+    order (2³² would sort before 2³²−1) — a silent wrong layout is
+    strictly worse than a loud failure telling the caller to raise
+    ``nibbles``."""
+    v = col.cast("bigint")
+    if width >= 16:  # any non-negative bigint fits 16 hex digits
+        fits = v >= 0
+    else:
+        fits = (v >= 0) & (v < F.lit(16**width))
+    return F.when(
+        fits, F.lpad(F.lower(F.hex(v)), width, "0")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("morton key overflow: value "),
+                v.cast("string"),
+                F.lit(f" does not fit {width} hex digits — raise nibbles"),
+            )
+        )
+    )
 
 
 def morton_key(a: Column, b: Column, nibbles: int = 8) -> Column:

@@ -36,7 +36,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="car", choices=["car", "bike", "foot"])
     p.add_argument("--year", default="2024")
-    p.add_argument("--geography", default="tract")
+    p.add_argument(
+        "--geography",
+        default="tract",
+        choices=["state", "county", "tract", "block_group"],
+    )
     p.add_argument("--state", default="17")
     p.add_argument(
         "--centroid-type", default="weighted", choices=["weighted", "unweighted"]
@@ -150,17 +154,21 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
         times, os.path.join(args.out, "times"), observation=times_obs, **keys
     )
     # the four sibling datasets of the reference's step 8
-    lon, lat = (
-        ("x_4326_wt", "y_4326_wt")
-        if args.centroid_type == "weighted"
-        else ("x_4326", "y_4326")
-    )
+    from opentimes_spark.plans.pipeline import od_cols
+
+    lon, lat = od_cols(args.centroid_type)
+    # the points writes scan origins/destinations anyway — ride their
+    # counts on Observations instead of re-executing the (expensive)
+    # cenloc/destpoint lineages with .count(), per this file's own
+    # no-second-pass rule
     missing_obs = Observation("missing_metrics")
+    origin_obs = Observation("origin_metrics")
+    dest_obs = Observation("dest_metrics")
     for name, df, obs in (
         ("points/origin", origins.select(
-            F.col("geoid").alias("id"), F.col(lon).alias("lon"), F.col(lat).alias("lat")), None),
+            F.col("geoid").alias("id"), F.col(lon).alias("lon"), F.col(lat).alias("lat")), origin_obs),
         ("points/destination", destinations.select(
-            F.col("geoid").alias("id"), F.col(lon).alias("lon"), F.col(lat).alias("lat")), None),
+            F.col("geoid").alias("id"), F.col(lon).alias("lon"), F.col(lat).alias("lat")), dest_obs),
         ("missing_pairs", missing, missing_obs),
         ("metadata", metadata, None),
     ):
@@ -168,8 +176,8 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
     summary = {
         "n_times": times_obs.get["n"],
         "n_missing": missing_obs.get["n"],
-        "n_origins": origins.count(),
-        "n_destinations": destinations.count(),
+        "n_origins": origin_obs.get["n"],
+        "n_destinations": dest_obs.get["n"],
         "out": args.out,
     }
     return summary

@@ -189,7 +189,10 @@ def curate(spark: SparkSession, args: argparse.Namespace) -> dict:
         upstream = path("semantic")
 
     def build_curated():
-        src_mod = F.substring("source", 4, 8).cast("int") % 4
+        # try_cast: source names are user data — a corpus whose sources
+        # aren't 'src<NN>' must fall through to the default weight, not
+        # die on an ANSI CAST_INVALID_INPUT
+        src_mod = F.expr("try_cast(substring(source, 4, 8) AS int)") % 4
         wt = (
             F.when(src_mod == 0, 0.5)
             .when(src_mod == 1, 0.75)

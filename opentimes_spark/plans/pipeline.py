@@ -96,8 +96,14 @@ def build_blockloc(
         F.col("lon").alias("x_4326"),
         F.col("lat").alias("y_4326"),
     )
+    # No forced broadcast: blockpop is block-granularity (the fact
+    # table's full key domain — ~8.2M rows nationally), so the hint is
+    # only safe for the per-state inputs the reference fetches.  The
+    # 10 MB auto-broadcast threshold still broadcasts per-state inputs;
+    # a national population table shuffles safely instead of OOMing the
+    # driver.
     joined = located.join(
-        F.broadcast(blockpop),
+        blockpop,
         on=["state", "county", "tract", "block"],
         how="left",
     ).withColumn("population", F.coalesce(F.col("population"), F.lit(0)).cast("int"))
@@ -240,12 +246,14 @@ def build_destpoint(
     cenloc_all_states: DataFrame,
     state_center: tuple[float, float] | None = None,
     buffer_m: float = 300_000.0,
-    centroid_type: str = "weighted",
     state_ring_5071: list[tuple[float, float]] | None = None,
 ) -> DataFrame:
     """Destinations = every geography whose (weighted OR unweighted)
     centroid falls within the buffered state (reference
-    create_destpoint.py:57-75: two match sets, union, semi-join).
+    create_destpoint.py:57-75: two match sets, union, semi-join —
+    BOTH centroid kinds always participate, per the reference; a
+    former ``centroid_type`` parameter implied a selection that never
+    existed and was removed).
 
     Two buffer forms:
     - ``state_ring_5071``: the reference's actual semantics — the state
@@ -342,6 +350,20 @@ def build_osmclip(
     return out
 
 
+def od_cols(centroid_type: str) -> tuple[str, str]:
+    """(lon, lat) column pair for a centroid type — the single source
+    of the OD_COLS mapping (reference utils/times.py:310-313), shared
+    by compute_times and the jobs' point exports so the two cannot
+    drift apart."""
+    if centroid_type not in ("weighted", "unweighted"):
+        raise ValueError(f"unknown centroid_type: {centroid_type!r}")
+    return (
+        ("x_4326_wt", "y_4326_wt")
+        if centroid_type == "weighted"
+        else ("x_4326", "y_4326")
+    )
+
+
 def compute_times(
     origins_cenloc: DataFrame,
     destinations: DataFrame,
@@ -352,9 +374,7 @@ def compute_times(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """X3 over centroid points → (times, missing_pairs, metadata).
     Column choice by centroid type mirrors OD_COLS (utils/times.py:310-313)."""
-    lon, lat = (
-        ("x_4326_wt", "y_4326_wt") if centroid_type == "weighted" else ("x_4326", "y_4326")
-    )
+    lon, lat = od_cols(centroid_type)
     o = origins_cenloc.select(
         F.col("geoid").alias("id"), F.col(lon).alias("lon"), F.col(lat).alias("lat")
     )
