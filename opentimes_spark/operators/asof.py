@@ -55,7 +55,12 @@ def asof_join(
     l_tag = left.withColumn("__side", F.lit(1)).withColumn(
         "__p", F.lit(None).cast(p_type)
     )
-    r_tag = right.select(
+    # A NULL-ts right row must never match: ASOF semantics (DuckDB,
+    # merge_asof) skip NULL keys, but NULLS FIRST ordering would make
+    # such a row the "prior" match for every left row — filter it out
+    # before the union.  (A NULL-ts LEFT row needs no guard: it sorts
+    # before every real right row and correctly sees no match.)
+    r_tag = right.filter(F.col(ts).isNotNull()).select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("__side"),

@@ -27,7 +27,11 @@ def chunk_bounds(n: int, n_chunks: int, min_chunk_size: int) -> list[tuple[int, 
     if n <= 0:
         return []
     size = max(min_chunk_size, n // max(n_chunks, 1))
-    n_full = max(n // size, 1)
+    # cap at n_chunks: when the remainder (n mod n_chunks) is >= size,
+    # n // size alone would emit MORE than n_chunks chunks (n=11, c=4:
+    # size 2, 11//2 = 5) — the excess folds into the last chunk with
+    # the rest of the remainder
+    n_full = max(min(n // size, max(n_chunks, 1)), 1)
     bounds = [(i * size, (i + 1) * size) for i in range(n_full)]
     start, _ = bounds[-1]
     bounds[-1] = (start, n)  # fold remainder into last chunk
@@ -45,6 +49,13 @@ def with_chunk_id(
     """Add ``chunk_idx`` and zero-padded ``chunk_label`` ("start-end",
     end exclusive) columns matching the reference's labels."""
     n = total if total is not None else df.count()
+    if len(str(n)) > label_width:
+        # lpad TRUNCATES over-width strings, silently corrupting (and
+        # potentially colliding) chunk labels — fail loudly instead
+        raise ValueError(
+            f"label_width={label_width} cannot represent bounds up to "
+            f"{n}; pass label_width >= {len(str(n))}"
+        )
     bounds = chunk_bounds(n, n_chunks, min_chunk_size)
     rn = F.row_number().over(Window.orderBy(order_col)) - 1
     out = df.withColumn("_rn", rn)

@@ -514,9 +514,12 @@ def simhash(
 
 
 def _span_base(
-    df: DataFrame, n: int, id_col: str, text_col: str
+    df: DataFrame, n: int, id_col: str, text_col: str,
+    keep_tokens: bool = False,
 ) -> DataFrame:
-    """(id, _hs: array of md5 span hashes, n_spans) per document.
+    """(id, _hs: array of md5 span hashes, n_spans) per document —
+    plus the staged token array ``_tk`` when ``keep_tokens`` (the
+    rewrite path needs it to cut covered spans).
 
     Two hard-won plan rules live here:
 
@@ -541,8 +544,11 @@ def _span_base(
             lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, n))),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    cols = [F.col(id_col)]
+    if keep_tokens:
+        cols.append(tk)
     return staged.select(
-        F.col(id_col),
+        *cols,
         span_hashes.alias("_hs"),
         F.greatest(F.size(tk) - (n - 1), F.lit(0)).alias("n_spans"),
     )
@@ -704,21 +710,10 @@ def remove_duplicated_spans(
     second pass removes nothing, because each surviving span now has
     one holder.
     """
-    staged = train.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
-    )
-    ctx = train.sparkSession.sparkContext
-    if staged.rdd.getNumPartitions() < ctx.defaultParallelism:
-        staged = staged.repartition(ctx.defaultParallelism)
     tk = F.col("_tk")
-    span_hashes = F.when(
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, n))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = staged.select(F.col(id_col), tk.alias("_tk"), span_hashes.alias("_hs"))
+    base = _span_base(train, n, id_col, text_col, keep_tokens=True).drop(
+        "n_spans"
+    )
     # posexplode_outer for the same InferFiltersFromGenerate reason as
     # _span_stream; pos is 1-based to match the sequence() start.
     spans = base.select(

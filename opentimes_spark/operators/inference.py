@@ -37,7 +37,9 @@ def _linear_model(weights):
     w_tok, w_uniq, w_chars, bias = weights
 
     def score(texts: pd.Series) -> pd.Series:
-        toks = texts.str.lower().str.split()
+        # NULL text -> score as empty: str.split maps NaN through, and
+        # iterating the NaN float would TypeError the whole task
+        toks = texts.fillna("").str.lower().str.split()
         toks = toks.apply(lambda ts: [t for t in ts if t])
         n_tok = toks.apply(len)
         n_uniq = toks.apply(lambda ts: len(set(ts)))
@@ -81,6 +83,9 @@ def score_documents(
                 }
             )
 
+    # carry the id column's REAL type through the output schema — a
+    # hardcoded `long` breaks Arrow conversion for string ids
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        run, schema=f"{id_col} long, score long, keep boolean"
+        run, schema=f"{id_col} {id_type}, score long, keep boolean"
     )

@@ -272,14 +272,16 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     without decoding — the shuffle-light pattern: plan rows first, decode
     only sampled frames in a later mapInPandas."""
     n_frames = (F.length(F.col("payload")) / 8).cast("int")
+    # guard the generator: sequence(0, -1, every_n) has illegal
+    # boundaries (start > stop, positive step) and raises at runtime —
+    # a frameless payload must emit zero rows, not kill the job (the
+    # dedup shingle-guard rule applied to media)
+    idx = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    ).otherwise(F.array().cast("array<int>"))
     return (
         df.filter(F.col("kind") == "video")
-        .select(
-            "media_id",
-            F.explode(
-                F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
-            ).alias("frame_idx"),
-        )
+        .select("media_id", F.explode(idx).alias("frame_idx"))
     )
 
 

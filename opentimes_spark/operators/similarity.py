@@ -352,13 +352,17 @@ def ivf_topk_probe(
         F.col("_norm").alias("c_norm"),
         "centroid_id",
     )
+    # NULL (not NaN) for a zero-norm side: a raw double division gives
+    # NaN, which Spark sorts GREATER than every double — a zero vector
+    # would rank #1 under desc.  NULL sorts last, matching the guarded
+    # cosine() contract ivf_topk uses.
+    denom = F.col("q_norm") * F.col("c_norm")
     scored = (
         c.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn(
             "cos",
-            dot(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_norm") * F.col("c_norm")),
+            F.when(denom != 0.0, dot(F.col("q_vec"), F.col("c_vec")) / denom),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))

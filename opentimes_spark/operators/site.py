@@ -110,7 +110,10 @@ def directory_pages(listing: DataFrame) -> DataFrame:
     return (
         files.join(subdirs, "dir_path", "full_outer")
         .join(totals, "dir_path", "left")
-        .select("dir_path", "files", "subdirs", "total_size", "max_mtime_ms")
+        .select(
+            "dir_path", "files", "subdirs", "total_size", "max_mtime_ms",
+            "n_files",
+        )
     )
 
 
@@ -161,9 +164,11 @@ def render_site_index(listing: DataFrame, out_dir: str) -> int:
             if d
             else ""
         )
+        # both numbers cover the SUBTREE (directory_totals): pairing the
+        # subtree size with only the direct file count read as
+        # "10 GB (2 files)" on nested layouts
         total_note = "Total: {0} ({1} files)".format(
-            format_size(row["total_size"] or 0),
-            sum(1 for _ in (row["files"] or [])),
+            format_size(row["total_size"] or 0), row["n_files"] or 0
         )
         page_dir = os.path.join(out_dir, d) if d else out_dir
         os.makedirs(page_dir, exist_ok=True)

@@ -39,7 +39,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``on`` with the big side salted and
     the small side replicated ``salt``×. Result columns = big ∪ small
-    (join key once), same as ``big.join(small, on, how)``."""
+    (join key once), same as ``big.join(small, on, how)`` for ``how``
+    in {inner, left, left_semi, left_anti}.
+
+    RIGHT/FULL outer joins are rejected: the small side's rows exist in
+    ``salt`` replicas, so a small-side key unmatched in ``big`` would
+    survive the outer join ``salt`` times where the plain join emits it
+    once — salting cannot preserve right-outer multiplicity.  (A
+    right-skew problem wants the roles swapped:
+    ``salted_join(small_as_big, ...)`` with how="left".)"""
+    if how in ("right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"):
+        raise ValueError(
+            f"salted_join cannot express how={how!r}: replicated small-"
+            "side rows would duplicate unmatched keys salt times"
+        )
     tb = F.col(tiebreaker) if tiebreaker else F.monotonically_increasing_id()
     b = big.withColumn("__salt", _salt_col(tb, salt))
     s = small.withColumn(

@@ -136,3 +136,21 @@ def test_null_payload_not_forward_filled(spark):
     # ts=3 matches the ts=3 right row wholesale: tag stays NULL (a
     # per-column fill would stitch price=30 with tag='b' from ts=2)
     assert out[3] == (30, None)
+
+
+def test_asof_ignores_null_timestamp_right_rows(spark):
+    """ASOF semantics (DuckDB, merge_asof) never match NULL keys: a
+    NULL-ts right row must not become anyone's 'prior' match via
+    NULLS FIRST ordering."""
+    from opentimes_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 3, 42.0)], "k int, ts int, price double"
+    )
+    out = asof_join(left, right, "k", "ts", ["price"]).collect()
+    assert out[0]["asof_price"] == 42.0
+    # with ONLY a NULL-ts right row: no match at all
+    right2 = spark.createDataFrame([(1, None, 99.0)], "k int, ts int, price double")
+    out2 = asof_join(left, right2, "k", "ts", ["price"]).collect()
+    assert out2[0]["asof_price"] is None

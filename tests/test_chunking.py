@@ -33,3 +33,13 @@ def test_labels_and_assignment(spark):
     assert got[5] == (1, "0005-0010")
     assert got[22] == (3, "0015-0023")  # remainder chunk
     assert len({v for v in got.values()}) == 4
+
+
+def test_chunk_bounds_remainder_never_exceeds_n_chunks():
+    """n=11, chunks=4, size 2: 11//2 = 5 ranges would exceed the
+    contract; the cap folds the excess into the last chunk."""
+    from opentimes_spark.operators.chunking import chunk_bounds
+
+    b = chunk_bounds(11, 4, 1)
+    assert b == [(0, 2), (2, 4), (4, 6), (6, 11)]
+    assert len(b) <= 4 and b[-1][1] == 11

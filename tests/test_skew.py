@@ -130,3 +130,21 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_outer_forms(spark):
+    """Right/full outer would emit salt copies of an unmatched
+    small-side row — the operator must refuse rather than silently
+    multiply rows."""
+    import pytest as _pytest
+
+    from opentimes_spark.operators.skew import salted_join
+
+    big = spark.range(10).selectExpr("id as k", "id as a")
+    small = spark.range(5).selectExpr("id + 100 as k", "id as b")
+    for how in ("right", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError, match="salted_join cannot"):
+            salted_join(big, small, "k", salt=4, how=how)
+    # left stays supported and multiplicity-correct
+    n = salted_join(big, small, "k", salt=4, how="left").count()
+    assert n == 10
