@@ -547,3 +547,41 @@ def test_checkpoint_recovery_resumes_stateful_query(spark, tmp_path):
     progress = [p for p in q2.recentProgress if p["numInputRows"] > 0]
     assert sum(p["numInputRows"] for p in progress) == second.count()
     _sh.rmtree(ckpt, ignore_errors=True)
+
+
+def test_enrich_with_dim_rejects_column_collision(spark):
+    from opentimes_spark.streaming.events import enrich_with_dim
+
+    stream = spark.createDataFrame([(1, 5.0)], "user_id long, value double")
+    dim = spark.createDataFrame(
+        [(1, 2, "gold")], "uid long, user_id long, tier string"
+    )
+    with pytest.raises(ValueError, match="already has a column"):
+        enrich_with_dim(stream, dim, stream_key="user_id", dim_key="uid")
+
+
+def test_stateful_update_emits_null_max_for_all_null_values():
+    """The batch twin's MAX(value) is NULL when every value is null —
+    the -inf internal sentinel must not leak into the emitted row."""
+    import pandas as pd
+
+    from opentimes_spark.streaming.stateful import _update_user_stats
+
+    class FakeState:
+        exists = False
+
+        def update(self, t):
+            self.stored = t
+
+    st = FakeState()
+    pdf = pd.DataFrame({"value": [None, float("nan")]})
+    out = list(_update_user_stats((7,), iter([pdf]), st))[0]
+    assert out["n_events"].iloc[0] == 2
+    assert out["max_value"].iloc[0] is None or pd.isna(out["max_value"].iloc[0])
+    # a later non-null batch recovers the real max
+    st2 = FakeState()
+    st2.exists = False
+    out2 = list(
+        _update_user_stats((7,), iter([pd.DataFrame({"value": [None, 3.5]})]), st2)
+    )[0]
+    assert out2["max_value"].iloc[0] == 3.5
