@@ -1,0 +1,66 @@
+"""Static lint for the oracle registry: flag cross-engine flake
+patterns before the driver's value hash does.
+
+Checks, each a defect class found live during round 5:
+
+1. ``ROUND(SUM|AVG(<float>))`` without a DECIMAL accumulator — a float
+   sum's last ulp depends on summation order, so a .xx5 boundary can
+   round apart between engines (the ``unpivot_balance_metrics`` flake,
+   caught only at sf0.001).  Sites listed here are CANDIDATES: many are
+   empirically stable across three scale-factor sweeps — fix on first
+   flake with the decimal-sum + stable_round rule rather than churning
+   certified queries.
+2. ``ORDER BY`` on an unrounded float aggregate inside ROW_NUMBER —
+   rank plateaus split nondeterministically (the PageRank flake).
+3. Integer ``SUM(CASE ...)`` without ``CAST(... AS BIGINT)`` — DuckDB
+   types it HUGEINT, pandas materializes float64, and the driver hash
+   fails on equal values (the round-4 failure class).
+
+Usage: python tools/lint_oracles.py   (exit 0 always — informational)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from opentimes_spark.plans.queries import ORACLE_SQL
+
+    n1 = n2 = n3 = 0
+    for name, sql in sorted(ORACLE_SQL.items()):
+        for m in re.finditer(
+            r"ROUND\(\s*(SUM|AVG)\(([^()]*(?:\([^()]*\))?[^()]*)\)", sql, re.I
+        ):
+            inner = m.group(2).upper()
+            if "DECIMAL" not in inner and "BIGINT" not in inner:
+                print(f"[float-round] {name}: {m.group(0)[:80]}")
+                n1 += 1
+        for m in re.finditer(
+            r"ROW_NUMBER\(\)\s*OVER\s*\([^)]*ORDER\s+BY\s+(SUM|AVG)\(",
+            sql,
+            re.I | re.S,
+        ):
+            print(f"[float-rank]  {name}: {m.group(0)[:80]}")
+            n2 += 1
+        for m in re.finditer(
+            r"SUM\(\s*CASE\s+WHEN[^)]*THEN\s+1\s+ELSE\s+0\s+END\s*\)", sql, re.I
+        ):
+            before = sql[max(0, m.start() - 12) : m.start()].upper()
+            after = sql[m.end() : m.end() + 40].upper()
+            if "CAST" not in before or "BIGINT" not in after:
+                print(f"[hugeint]     {name}: {m.group(0)[:80]}")
+                n3 += 1
+    print(
+        f"\n{n1} float-round candidates, {n2} float-rank sites, "
+        f"{n3} uncast integer CASE sums"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
