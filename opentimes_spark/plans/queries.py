@@ -397,7 +397,7 @@ def agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col="l_quantity",
         out_col="weighted_avg_price",
         round_to=4,
-    ).withColumn("n", F.col("n"))
+    )
 
 
 @query(
@@ -919,14 +919,16 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           ROUND(LENGTH(list_filter(toks,
-               x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
-               / CAST(LENGTH(toks) AS DOUBLE), 6) AS stop_ratio,
+           CASE WHEN LENGTH(toks) > 0 THEN
+               ROUND(LENGTH(list_filter(toks,
+                   x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
+                   / CAST(LENGTH(toks) AS DOUBLE), 6) END AS stop_ratio,
            ROUND(praw, 6) AS punct_ratio,
-           FLOOR((0.4 * (CASE WHEN LENGTH(toks) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
-                 + 0.3 * (1 - praw)
-                 + 0.3 * (LENGTH(list_distinct(toks)) / CAST(LENGTH(toks) AS DOUBLE)))
-                 * 10000 + 0.5) / 10000 AS quality
+           CASE WHEN LENGTH(toks) > 0 THEN
+               FLOOR((0.4 * (CASE WHEN LENGTH(toks) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1 - praw)
+                     + 0.3 * (LENGTH(list_distinct(toks)) / CAST(LENGTH(toks) AS DOUBLE)))
+                     * 10000 + 0.5) / 10000 END AS quality
     FROM t
     """,
 )
@@ -943,7 +945,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_langid",
     f"""
     SELECT doc_id, lang AS lang_label,
-           CASE WHEN LENGTH(list_filter({_TOKS_SQL},
+           CASE WHEN LENGTH(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) > 0 AND LENGTH(list_filter({_TOKS_SQL},
                     x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x)))
                     / CAST(LENGTH({_TOKS_SQL}) AS DOUBLE) >= 0.03
                 THEN 'en' ELSE 'unknown' END AS lang_pred
@@ -1015,7 +1017,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT DISTINCT doc_id, g.tok
         FROM (SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS t
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
               FROM documents),
              UNNEST(list_transform(range(1, GREATEST(LENGTH(t) - 1, 1)),
                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g(tok)
@@ -1086,7 +1088,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT DISTINCT doc_id, t.tok
         FROM documents,
-             UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS t(tok)
+             UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS t(tok)
     )
     SELECT doc_id,
            (CASE WHEN s0 > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END)
@@ -1167,6 +1169,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"), num_bits=32)
 
 
+def _lang_bigram_pairs(d, threshold: float):
+    """(id_a, id_b, n_inter, n_a, n_b) for lang-blocked word-bigram
+    Jaccard >= threshold — shared by dedup_ngram_jaccard and
+    dedup_components (one guarded implementation, not two inline
+    copies).  The bigram generator is GUARDED: a doc with <2 tokens
+    emits no bigrams, matching the oracles' half-open range —
+    sequence(1, size-1) alone goes DESCENDING there and t[1] aborts the
+    job with INVALID_ARRAY_INDEX under ANSI mode."""
+    from opentimes_spark.functions.text import tokens as tok_fn
+
+    toks = d.select("doc_id", "lang", tok_fn(F.col("text")).alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(" ", F.col("t")[i - 1], F.col("t")[i]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        "doc_id", "lang", F.explode(bigrams).alias("gram")
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("id_a"), "lang", "gram")
+    gb = grams.select(F.col("doc_id").alias("id_b"), "lang", "gram")
+    inter = (
+        ga.join(gb, ["lang", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return inter.join(sa, "id_a").join(sb, "id_b").filter(jac >= threshold)
+
+
+
 @query(
     "dedup_ngram_jaccard",
     """
@@ -1200,40 +1239,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard near-dup pairs, blocked by language
     (training-pipeline operator). Blocking bounds the self-join: at scale
     the block key is (lang, LSH band), never the full corpus."""
-    from opentimes_spark.functions.text import tokens as tok_fn
-
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", tok_fn(F.col("text")).alias("t"))
-    grams = (
-        toks.select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 1),
-                    lambda i: F.concat_ws(" ", F.col("t")[i - 1], F.col("t")[i]),
-                )
-            ).alias("gram"),
-        )
-        .distinct()
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga = grams.select(F.col("doc_id").alias("id_a"), "lang", "gram")
-    gb = grams.select(F.col("doc_id").alias("id_b"), "lang", "gram")
-    inter = (
-        ga.join(gb, ["lang", "gram"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= 0.05)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return _lang_bigram_pairs(d, 0.05).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -1569,9 +1578,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             # false), which won't cast to a numeric — diff via timestamp
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("timestamp").cast("long")
-                - F.lag("ts").over(w).cast("timestamp").cast("long")
-                > 1800
+                # unix_micros, not cast-to-long: the long cast FLOORS to
+                # whole seconds, so a 1800.8s gap between sub-second
+                # timestamps would read 1800 and miss the break while
+                # the oracle's exact INTERVAL compare splits (and vice
+                # versa just under the threshold)
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > 1800 * 1_000_000
             ),
             1,
         ).otherwise(0),
@@ -2584,36 +2598,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     into keep-one-per-cluster decisions. The oracle computes the same
     components with a recursive CTE, so the ITERATIVE Spark algorithm is
     value-checked end-to-end, not just row-counted."""
-    from opentimes_spark.functions.text import tokens as tok_fn
     from opentimes_spark.operators.components import dedup_groups
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", tok_fn(F.col("text")).alias("t"))
-    grams = toks.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.concat_ws(" ", F.col("t")[i - 1], F.col("t")[i]),
-            )
-        ).alias("gram"),
-    ).distinct()
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga = grams.select(F.col("doc_id").alias("id_a"), "lang", "gram")
-    gb = grams.select(F.col("doc_id").alias("id_b"), "lang", "gram")
-    inter = (
-        ga.join(gb, ["lang", "gram"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    edges = (
-        inter.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.4).select("id_a", "id_b")
-    )
+    edges = _lang_bigram_pairs(d, 0.4).select("id_a", "id_b")
     return dedup_groups(edges).select(
         F.col("node").alias("doc_id"), "component_id", "n_members"
     )
@@ -7040,13 +7028,17 @@ def events_session_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ts may be TIMESTAMP_NTZ: hop through TIMESTAMP before the epoch
     # cast (identity under the UTC session tz) — same seam as
     # events_attribution_join
-    ts_long = F.col("ts").cast("timestamp").cast("long")
-    gap = ts_long - F.lag(ts_long).over(w)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)  # exact micros — a long cast
+    # would floor to seconds and disagree with the oracle's INTERVAL
+    # compare on sub-second timestamps at the 1800s boundary
     seq = e.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
     )
     sess = seq.select(
         "user_id",

@@ -272,3 +272,23 @@ def test_containment_prefix_exact_boundary(spark):
         for r in containment_pairs_prefix(df, threshold=0.8).collect()
     }
     assert got == want
+
+
+def test_lang_bigram_pairs_survives_short_docs(spark):
+    """A <=1-token doc must emit no bigrams: the unguarded
+    sequence(1, size-1) went DESCENDING there and t[1] aborted the job
+    with INVALID_ARRAY_INDEX under ANSI mode (review finding, fixed by
+    the shared guarded helper)."""
+    from opentimes_spark.plans.queries import _lang_bigram_pairs
+
+    d = spark.createDataFrame(
+        [
+            (1, "single", "en"),
+            (2, "", "en"),
+            (3, "the quick brown fox", "en"),
+            (4, "the quick brown fox", "en"),
+        ],
+        "doc_id int, text string, lang string",
+    )
+    rows = _lang_bigram_pairs(d, 0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(3, 4)}

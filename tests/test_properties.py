@@ -235,3 +235,26 @@ def test_ppjoin_filters_never_lose_a_true_containment_pair(data, t):
             assert any(
                 len(B) - rb[tok] + 1 >= need for tok in prefix & B
             ), (A, B, t)
+
+
+def test_quality_langid_oracles_match_spark_on_empty_docs():
+    """An empty / whitespace-only / one-word doc must produce the SAME
+    row in the DuckDB oracle as in Spark's profile(): without the
+    oracle-side guards, 0/0 is NaN and DuckDB's NaN-is-greatest makes
+    'NaN >= 0.03' TRUE -> lang_pred 'en' where Spark says 'unknown'."""
+    import duckdb
+
+    from opentimes_spark.plans.queries import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    for i, t in enumerate(["", "   ", "word", "the of and to in is on for with a word here"]):
+        con.execute("INSERT INTO documents VALUES (?, ?, 'en')", [i, t])
+    lang = dict(
+        (r[0], r[2]) for r in con.sql(ORACLE_SQL["text_langid"]).fetchall()
+    )
+    assert lang[0] == "unknown" and lang[1] == "unknown"
+    assert lang[3] == "en"
+    q = {r[0]: r[1:] for r in con.sql(ORACLE_SQL["text_quality"]).fetchall()}
+    assert q[0] == (None, None, None)  # empty doc: all NULL, like Spark
+    assert q[1][0] is None             # whitespace-only: NULL stop_ratio
