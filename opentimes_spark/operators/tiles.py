@@ -371,16 +371,18 @@ def read_pmtiles_tile(path: str, z: int, x: int, y: int) -> bytes | None:
     entries = _decode_directory(
         gzip.decompress(blob[root_off : root_off + root_len])
     )
-    # Floor search: the governing entry is the last one with id <= want
-    # (exact-match for tile entries, range containment for leaves).
-    floor = None
-    for e in entries:
-        if e[0] <= want:
-            floor = e
-        else:
-            break
-    if floor is None:
+    # Floor search (bisect — directory entries are id-ascending by
+    # construction): the governing entry is the last one with
+    # id <= want (exact-match for tile entries, range containment for
+    # leaves).  A planet-scale root holds ~n/leaf_entries pointer
+    # entries; binary search keeps the lookup sublinear like the spec
+    # implementations.
+    import bisect
+
+    i = bisect.bisect_right([e[0] for e in entries], want) - 1
+    if i < 0:
         return None
+    floor = entries[i]
     if floor[1] == 0:  # leaf pointer — descend once
         _, _, off, ln = floor
         leaf = _decode_directory(

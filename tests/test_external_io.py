@@ -392,3 +392,21 @@ def test_dbf_blank_logical_is_null():
     out += b"\x1a"
     _, rows, _ = parse_dbf(out)
     assert [r[0] for r in rows] == [True, False, None]
+
+
+def test_fetch_files_disambiguates_colliding_basenames(tmp_path):
+    """Two urls sharing a basename must both survive (hash-prefixed),
+    not silently clobber each other."""
+    from opentimes_spark.io.external import fetch_files
+
+    urls = [
+        "http://x/state01/tract.zip",
+        "http://x/state02/tract.zip",
+        "http://x/unique/other.zip",
+    ]
+    out = fetch_files(urls, str(tmp_path), fetcher=lambda u: u.encode())
+    assert len(set(out)) == 3
+    contents = sorted(open(p, "rb").read() for p in out)
+    assert contents == sorted(u.encode() for u in urls)
+    # the non-colliding name stays clean
+    assert any(p.endswith("/other.zip") for p in out)
