@@ -258,3 +258,54 @@ def test_quality_langid_oracles_match_spark_on_empty_docs():
     q = {r[0]: r[1:] for r in con.sql(ORACLE_SQL["text_quality"]).fetchall()}
     assert q[0] == (None, None, None)  # empty doc: all NULL, like Spark
     assert q[1][0] is None             # whitespace-only: NULL stop_ratio
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "c", "ab"]), max_size=12),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "c", "ab"]),
+        st.sampled_from(["a", "b", "c", "ab"]),
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_python_model_merge_invariants(syms, pair):
+    """The reference merge model (mirrored by the Spark fold, which is
+    fuzz-equivalence-tested in test_bpe.py): merged output is never
+    longer, concatenates back to the same string, and contains no
+    remaining adjacent (a, b) pair unless it was created by the merge
+    itself (a+b == one of the pair's own members chained)."""
+    from tests.test_bpe import _py_merge
+
+    a, b = pair
+    out = _py_merge(list(syms), a, b)
+    assert len(out) <= len(syms)
+    assert "".join(out) == "".join(syms)
+    if a + b not in (a, b) and not any(
+        (a + b).endswith(a) or (a + b).startswith(b) for _ in [0]
+    ):
+        assert all(
+            not (x == a and y == b) for x, y in zip(out, out[1:])
+        )
+
+
+@given(
+    data=st.data(),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_weighted_farthest_is_deterministic_and_complete(data, k):
+    from opentimes_spark.operators.clustering import _weighted_farthest
+
+    n = data.draw(st.integers(min_value=k, max_value=8))
+    cands = [
+        [data.draw(st.floats(-10, 10, allow_nan=False)) for _ in range(2)]
+        for _ in range(n)
+    ]
+    weights = [float(data.draw(st.integers(0, 5))) for _ in range(n)]
+    s1 = _weighted_farthest([list(c) for c in cands], list(weights), k)
+    s2 = _weighted_farthest([list(c) for c in cands], list(weights), k)
+    assert s1 == s2                      # deterministic, no RNG
+    assert len(s1) == k
+    ids = [cands.index(c) for c in s1]
+    assert len(set(map(tuple, s1))) <= len(s1)  # drawn from the pool
+    assert all(c in cands for c in s1)
