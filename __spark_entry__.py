@@ -26,22 +26,15 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # and semantics; only dict order changes.  `tools/check.py` independently
 # replays ALL registered queries regardless of order.
 #
-# After r4: 142 distinct names hash-certified across r1-r4.  _FRONT = the
-# 7 names needing a fresh green row this round: 4 whose r4 row was
-# hash_match=false (oracle integer SUMs typed HUGEINT by DuckDB → pandas
-# float64; fixed with CAST(... AS BIGINT) this round) and the 3 former
-# rows-only variants that now carry real oracles (exhaustive-recall LSH
-# check, shared BLAS-twin oracle, linear-counting rework).  Round-5
-# additions slot right behind them via the `fresh` rule, inside the
-# 50-entry window.
+# After r5: 187 distinct names hash-certified across r1-r5.  _FRONT = the
+# 1 name needing a fresh green row this round: events_weekday_uplift,
+# whose r5 row was hash_match=false on EQUAL values (Spark DecimalType
+# ratio → pandas decimal.Decimal objects vs DuckDB float64; fixed this
+# round by casting both averages to DOUBLE before the ratio on both
+# engines).  Round-6 additions slot right behind it via the `fresh`
+# rule, inside the 50-entry window (budget ≤ 49 new names).
 _FRONT = [
-    "vocab_oov_rate",
-    "events_user_features",
-    "docs_outlier_trim",
-    "q12_shipmode_priority",
-    "approx_distinct_users",
-    "dedup_minhash_lsh_xxhash",
-    "sim_topk_cosine_numpy",
+    "events_weekday_uplift",
 ]
 
 
@@ -57,12 +50,9 @@ def _ordered(mapping):
 
 
 # Names with a hash-green row in CORRECTNESS_r01/r02 (first set), r03
-# (second set), or r04 (third set).  Kept verbatim so the order stays
-# stable even if a member is ever renamed (a rename re-enters via
-# `fresh`).  The three former rows-only names (approx_distinct_users,
-# dedup_minhash_lsh_xxhash, sim_topk_cosine_numpy) are deliberately NOT
-# here despite r3 rows-only records — they gained real oracles in r5 and
-# ride _FRONT for a first hash-checked row.
+# (second set), r04 (third set), or r05 (fourth set).  Kept verbatim so
+# the order stays stable even if a member is ever renamed (a rename
+# re-enters via `fresh`).
 _CERTIFIED = {
     "q1_pricing_summary", "filter_prefix", "filter_isin", "filter_range_date",
     "distinct_pairs", "scalar_strings", "scalar_datetime",
@@ -112,6 +102,27 @@ _CERTIFIED = {
     "profile_orders_columns", "recursive_ancestor_depth",
     "q2_min_cost_supplier", "q11_important_stock", "q16_supplier_part_counts",
     "q20_excess_stock_suppliers", "q21_waiting_suppliers",
+    # r5-certified (CORRECTNESS_r05.json, hash_match=true):
+    "vocab_oov_rate", "events_user_features", "docs_outlier_trim",
+    "q12_shipmode_priority", "approx_distinct_users",
+    "dedup_minhash_lsh_xxhash", "sim_topk_cosine_numpy", "train_val_split",
+    "docs_cluster_size_hist", "docs_novel_ngrams_rate",
+    "docs_containment_pairs", "docs_containment_prefix",
+    "text_readability_score", "docs_benford_digits",
+    "events_transition_matrix", "events_hour_seasonality",
+    "events_anomaly_zscore", "events_session_stats_batch", "bpe_merge_step",
+    "events_stickiness", "orders_interarrival_stats", "part_chi2_brand_size",
+    "docs_stopword_profile", "embed_knn_degree_hist",
+    "docs_dedup_survivor_bias", "events_value_percentile_bands",
+    "orders_first_repeat_rate", "graph_pagerank_3iter", "kmeans_lloyd_2iter",
+    "sim_ivf_kmeans_topk", "semdedup_prune", "events_rfm_segments",
+    "orders_yoy_growth", "part_name_bigram_pmi", "cust_segment_priority_lift",
+    "supplier_balance_iqr_outliers", "docs_char_classes",
+    "events_type_cooccurrence", "lineitem_discount_elasticity",
+    "tile_assignment_stats", "lateral_topn_per_nation", "part_skyline",
+    "orders_gini_by_nation", "cust_revenue_pareto",
+    "orders_weekly_trend_slope", "tokens_zipf_slope",
+    "embed_centroid_distance", "embed_dim_variance", "bpe_train_3merges",
 }
 
 

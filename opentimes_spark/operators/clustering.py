@@ -185,36 +185,46 @@ def semantic_prune(
     )
     # The assignment frame feeds three lineages (probe side, lo side,
     # final keep join) — persist it so the k-literal argmin projection
-    # runs once, not three times.  The cache lives with the returned
-    # DataFrame's lineage; Spark evicts LRU when memory is needed.
+    # runs once, not three times.  The cache is released before return:
+    # the narrow (id, cid, max_cos, kept) result is eagerly persisted
+    # and counted, after which the wide vector cache is unpersisted —
+    # repeated calls in a long-lived session (one per curation run)
+    # must not accumulate cached vector RDDs until LRU pressure.
+    # Callers may ``.unpersist()`` the returned frame when done.
     a = kmeans_assign(
         vectors, model.centroids, id_col=id_col, vec_col=vec_col
     ).persist()
-    lo = a.select(
-        F.col(id_col).alias("__id_lo"), F.col("v").alias("__v_lo"), "cid"
-    )
-    mc = (
-        a.join(lo, "cid")
-        .filter(F.col("__id_lo") < F.col(id_col))
-        .groupBy(id_col, "cid")
-        .agg(
-            F.round(F.max(cosine(F.col("v"), F.col("__v_lo"))), round_to)
-            .alias("max_cos_lower")
+    try:
+        lo = a.select(
+            F.col(id_col).alias("__id_lo"), F.col("v").alias("__v_lo"), "cid"
         )
-    )
-    return (
-        a.select(id_col, "cid")
-        .join(mc, [id_col, "cid"], "left")
-        .select(
-            id_col,
-            "cid",
-            "max_cos_lower",
-            F.when(F.col("max_cos_lower") >= threshold, F.lit(0))
-            .otherwise(F.lit(1))
-            .cast("int")
-            .alias("kept"),
+        mc = (
+            a.join(lo, "cid")
+            .filter(F.col("__id_lo") < F.col(id_col))
+            .groupBy(id_col, "cid")
+            .agg(
+                F.round(F.max(cosine(F.col("v"), F.col("__v_lo"))), round_to)
+                .alias("max_cos_lower")
+            )
         )
-    )
+        out = (
+            a.select(id_col, "cid")
+            .join(mc, [id_col, "cid"], "left")
+            .select(
+                id_col,
+                "cid",
+                "max_cos_lower",
+                F.when(F.col("max_cos_lower") >= threshold, F.lit(0))
+                .otherwise(F.lit(1))
+                .cast("int")
+                .alias("kept"),
+            )
+            .persist()
+        )
+        out.count()  # eager: fills the result cache off the `a` cache
+        return out
+    finally:
+        a.unpersist()
 
 
 def inertia(base: DataFrame, cents: dict[int, list[float]]) -> float:

@@ -64,8 +64,11 @@ def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column, Column
         F.greatest(lat, F.lit(-MERCATOR_MAX_LAT)), F.lit(MERCATOR_MAX_LAT)
     )
     # clamp the PROJECTED plane to [0, n): the lon=180 / lat-edge point
-    # then lands in the last tile at its edge pixel, not at tile n
-    eps = 1e-9 * n
+    # then lands in the last tile at its edge pixel, not at tile n.
+    # The epsilon is a FIXED sub-tile offset (2^-20 of one tile, ~4e-3
+    # of an MVT pixel): a zoom-scaled epsilon (1e-9 * n) exceeds a whole
+    # tile at zoom >= 30 and would drop edge points into tile n-2.
+    eps = 2.0**-20
     xf = F.least(
         F.greatest((lon_c + 180.0) / 360.0 * n, F.lit(0.0)), F.lit(n - eps)
     )

@@ -7077,13 +7077,9 @@ def events_session_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok, UNNEST(range(1, LENGTH(t))) AS u(i)
     ),
     counted AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
-    SELECT pair, n, CAST(rnk AS INT) AS rnk
-    FROM (
-        SELECT pair, n,
-               ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
-        FROM counted
-    )
-    WHERE rnk <= 20
+    SELECT pair, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS INT) AS rnk
+    FROM (SELECT pair, n FROM counted ORDER BY n DESC, pair LIMIT 20)
     """,
 )
 def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7092,9 +7088,11 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair a byte-pair-encoding trainer would merge next — Sennrich et
     al. 2016).  The pair stream is a bounded per-row fan-out (len−1
     pairs per token), the count groups on ≤|alphabet|² keys, and the
-    top-20 window runs over that tiny aggregated set.  Single-char
-    tokens emit nothing in both engines (half-open range vs explicit
-    length guard).  (LLM-pipeline: tokenizer training.)"""
+    top-20 cut is a TakeOrderedAndProject (k rows per partition, heap
+    merge on the driver) with the rank number applied AFTER the cut so
+    the only Window input is the 20-row result.  Single-char tokens
+    emit nothing in both engines (half-open range vs explicit length
+    guard).  (LLM-pipeline: tokenizer training.)"""
     from pyspark.sql import Window
 
     from opentimes_spark.functions.text import tokens as _tokens
@@ -7107,11 +7105,10 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"), "t"
     ).select(F.expr("substring(t, i, 2)").alias("pair"))
     counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    top = counted.orderBy(F.col("n").desc(), "pair").limit(20)
     w = Window.orderBy(F.col("n").desc(), "pair")
-    return (
-        counted.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select("pair", "n", F.col("rnk").cast("int"))
+    return top.select(
+        "pair", "n", F.row_number().over(w).cast("int").alias("rnk")
     )
 
 
@@ -7354,12 +7351,14 @@ def embed_knn_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN ISODOW(ts) >= 6 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_weekend,
            ROUND(
-               (SUM(CASE WHEN ISODOW(ts) >= 6
-                         THEN CAST(value AS DECIMAL(18,2)) END)
-                / NULLIF(SUM(CASE WHEN ISODOW(ts) >= 6 THEN 1 ELSE 0 END), 0))
-               / (SUM(CASE WHEN ISODOW(ts) < 6
-                           THEN CAST(value AS DECIMAL(18,2)) END)
-                  / NULLIF(SUM(CASE WHEN ISODOW(ts) < 6 THEN 1 ELSE 0 END), 0)),
+               CAST(SUM(CASE WHEN ISODOW(ts) >= 6
+                            THEN CAST(value AS DECIMAL(18,2)) END)
+                    / NULLIF(SUM(CASE WHEN ISODOW(ts) >= 6 THEN 1 ELSE 0 END),
+                             0) AS DOUBLE)
+               / CAST(SUM(CASE WHEN ISODOW(ts) < 6
+                              THEN CAST(value AS DECIMAL(18,2)) END)
+                      / NULLIF(SUM(CASE WHEN ISODOW(ts) < 6 THEN 1 ELSE 0 END),
+                               0) AS DOUBLE),
                6) AS weekend_uplift
     FROM events
     GROUP BY event_type
@@ -7371,9 +7370,13 @@ def events_weekday_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine trap: DuckDB's ISODOW is Mon=1..Sun=7 while Spark's
     dayofweek is Sun=1..Sat=7, so each side states 'weekend' in its own
     dialect (ISODOW>=6 ⟷ dayofweek IN (1,7)) and the values agree.
-    Spend averages accumulate as DECIMAL before the ratio; NULLIF
-    guards a type with no weekend traffic identically in both.  One
-    shuffle, conditional aggs share the pass.  (SURVEY.md §2.8 F8.)"""
+    Spend averages accumulate as DECIMAL before the ratio (the money
+    rule), then each average is cast to DOUBLE *before* dividing so the
+    final column is float64 on both engines — a DECIMAL ratio would
+    materialize as decimal.Decimal objects in pandas and break hash
+    parity on equal values (the r5 driver finding).  NULLIF guards a
+    type with no weekend traffic identically in both.  One shuffle,
+    conditional aggs share the pass.  (SURVEY.md §2.8 F8.)"""
     e = _t(spark, sf_dir, "events")
     is_weekend = F.dayofweek(F.col("ts")).isin(1, 7)
     dec = F.col("value").cast("decimal(18,2)")
@@ -7381,7 +7384,9 @@ def events_weekday_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wkdy_n = F.sum(F.when(~is_weekend, 1).otherwise(0))
     uplift = (
         F.sum(F.when(is_weekend, dec)) / F.nullif(wknd_n, F.lit(0))
-    ) / (F.sum(F.when(~is_weekend, dec)) / F.nullif(wkdy_n, F.lit(0)))
+    ).cast("double") / (
+        F.sum(F.when(~is_weekend, dec)) / F.nullif(wkdy_n, F.lit(0))
+    ).cast("double")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         wknd_n.cast("bigint").alias("n_weekend"),
@@ -7568,13 +7573,12 @@ def orders_first_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN deg dg ON dg.src = e.src
         CROSS JOIN n GROUP BY e.dst
     )
-    SELECT node, pr_ppm, rnk
+    SELECT node, pr_ppm,
+           ROW_NUMBER() OVER (ORDER BY pr_ppm DESC, node) AS rnk
     FROM (
-        SELECT node, pr_ppm,
-               ROW_NUMBER() OVER (ORDER BY pr_ppm DESC, node) AS rnk
-        FROM (SELECT node, ROUND(pr * 1000000, 4) AS pr_ppm FROM r3)
+        SELECT node, ROUND(pr * 1000000, 4) AS pr_ppm FROM r3
+        ORDER BY pr_ppm DESC, node LIMIT 20
     )
-    WHERE rnk <= 20
     """,
 )
 def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7631,14 +7635,18 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rounding first collapses the plateau; the node tie-break then
     # decides deterministically.  (The docs_outlier_trim rounding rule
     # applied to a sort key.)
+    #
+    # Top-k via orderBy().limit(k) — TakeOrderedAndProject keeps k rows
+    # per partition and merges heaps on the driver, never sorting the
+    # full rank set in one task.  The rank number is applied AFTER the
+    # cut, so the only Window input is the 20-row result.
     ranks = ranks.select(
         "node", F.round(F.col("pr") * 1_000_000, 4).alias("pr_ppm")
     )
+    top = ranks.orderBy(F.col("pr_ppm").desc(), "node").limit(20)
     w = Window.orderBy(F.col("pr_ppm").desc(), "node")
-    return (
-        ranks.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select("node", "pr_ppm", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "node", "pr_ppm", "rnk"
     )
 
 

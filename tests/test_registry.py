@@ -29,7 +29,7 @@ def test_uncertified_queries_lead_the_gate_window():
     count as certified — those names must re-enter the window."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     certified = set()
-    for rnd in (1, 2, 3, 4):
+    for rnd in (1, 2, 3, 4, 5):
         p = os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.isfile(p):
             with open(p, encoding="utf-8") as fh:

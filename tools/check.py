@@ -10,6 +10,7 @@ Usage: python tools/check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -52,9 +53,14 @@ def compare(name: str, sdf, ddf) -> list[str]:
     # (e.g. DuckDB HUGEINT -> pandas float64) breaks the hash even when
     # every value compares equal after coercion.  r4 shipped 4 such
     # failures that the value-coercing loop below could not see.
+    # The r5 driver failure was one kind over: Spark DecimalType →
+    # pandas object column of decimal.Decimal, DuckDB float64 — equal
+    # values, different serialized hash.  So any kind split where one
+    # side is numeric and the other is object (or numeric of a
+    # different kind) is a hash failure, not a value question.
     for col in s.columns:
         sk, dk = s[col].dtype.kind, d[col].dtype.kind
-        if sk != dk and {sk, dk} <= {"i", "u", "f"}:
+        if sk != dk and ({sk, dk} <= {"i", "u", "f"} or "O" in {sk, dk}):
             problems.append(
                 f"col {col}: DTYPE KIND MISMATCH (hash would fail): "
                 f"spark={s[col].dtype} duck={d[col].dtype}"
@@ -80,6 +86,10 @@ def _eq(a, b) -> bool:
         na = a is None or (isinstance(a, float) and math.isnan(a))
         nb = b is None or (isinstance(b, float) and math.isnan(b))
         return na == nb
+    # A decimal.Decimal on one side and a float on the other serialize
+    # differently even when numerically equal — the driver hash fails.
+    if isinstance(a, decimal.Decimal) != isinstance(b, decimal.Decimal):
+        return False
     if isinstance(a, float) or isinstance(b, float):
         return float(a) == float(b)
     return a == b

@@ -15,8 +15,16 @@ Checks, each a defect class found live during round 5:
 3. Integer ``SUM(CASE ...)`` without ``CAST(... AS BIGINT)`` — DuckDB
    types it HUGEINT, pandas materializes float64, and the driver hash
    fails on equal values (the round-4 failure class).
+4. (``--schemas`` mode) Any registered Spark query whose resolved
+   output schema contains DecimalType — ``toPandas()`` materializes
+   decimal.Decimal objects while DuckDB materializes float64, so the
+   driver hash fails on equal values (the round-5 failure class,
+   ``events_weekday_uplift``).  Needs a SparkSession for schema
+   analysis, so it is opt-in.
 
-Usage: python tools/lint_oracles.py   (exit 0 always — informational)
+Usage: python tools/lint_oracles.py [--schemas [sf_dir]]
+       (static checks exit 0 always — informational;
+        --schemas exits 1 on any DecimalType output column)
 """
 
 from __future__ import annotations
@@ -28,7 +36,37 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def lint_schemas(sf_dir: str) -> int:
+    """Build every registered query's DataFrame (schema analysis only —
+    no job runs unless the query's *construction* executes one) and flag
+    DecimalType anywhere in the output schema."""
+    from pyspark.sql.types import DecimalType
+
+    import __spark_entry__ as entrymod
+    from opentimes_spark.session import get_spark
+
+    spark = get_spark("lint-schemas")
+    n_dec = 0
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            schema = fn(spark, sf_dir).schema
+        except Exception as e:  # surface, don't mask, a broken query
+            print(f"[schema-err]  {name}: {e}")
+            n_dec += 1
+            continue
+        dec_cols = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+        if dec_cols:
+            print(f"[decimal-out] {name}: {dec_cols} — driver hash will fail "
+                  "(cast to double before the final projection)")
+            n_dec += 1
+    print(f"\n{n_dec} DecimalType-emitting queries")
+    return 1 if n_dec else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--schemas":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+        return lint_schemas(sf_dir)
     from opentimes_spark.plans.queries import ORACLE_SQL
 
     n1 = n2 = n3 = 0
