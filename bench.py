@@ -84,6 +84,13 @@ HEADLINE = [
     # plan stays within ~1.3x of the uniform corpus)
     "sim_ivf_kmeans_topk",
     "containment_prefix_stopshingle",
+    # round-6: the flagship OD produce path END-TO-END (world →
+    # blockloc → cenloc → destpoint → travel matrix → sorted
+    # partitioned public write → partition-pruned point lookup) — the
+    # composed pipeline priced on the clock, not just its operator
+    # queries (VERDICT r5 item 6; plan assertion in
+    # tests/test_pipeline.py::test_write_path_adds_only_the_range_exchange)
+    "produce_pipeline_e2e",
 ]
 
 

@@ -17,6 +17,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def sorted_layout(
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+    order_by: list[str] | None = None,
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """The pre-write layout transform of ``write_sorted_partitioned``,
+    exposed so plan tests can assert on the EXACT production lineage:
+    one range-partitioning exchange on the non-Hive sort keys, an
+    in-partition sort, and nothing else — the write path must not add
+    any hash exchange above the producing plan."""
+    out = df
+    if order_by:
+        range_cols = [c for c in order_by if not partition_by or c not in partition_by]
+        if range_cols:
+            if num_range_partitions:
+                out = out.repartitionByRange(num_range_partitions, *range_cols)
+            else:
+                out = out.repartitionByRange(*range_cols)
+        out = out.sortWithinPartitions(*order_by)
+    return out
+
+
 def write_sorted_partitioned(
     df: DataFrame,
     path: str,
@@ -47,15 +70,7 @@ def write_sorted_partitioned(
     """
     from pyspark.sql import functions as F
 
-    out = df
-    if order_by:
-        range_cols = [c for c in order_by if not partition_by or c not in partition_by]
-        if range_cols:
-            if num_range_partitions:
-                out = out.repartitionByRange(num_range_partitions, *range_cols)
-            else:
-                out = out.repartitionByRange(*range_cols)
-        out = out.sortWithinPartitions(*order_by)
+    out = sorted_layout(df, partition_by, order_by, num_range_partitions)
     if observation is not None:
         out = out.observe(observation, F.count(F.lit(1)).alias("n"))
     writer = out.write.mode("overwrite").option("compression", compression)

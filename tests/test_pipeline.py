@@ -232,3 +232,48 @@ def test_expect_observed_rides_the_action(spark, world, tmp_path):
     observed.write.format("noop").mode("overwrite").save()
     with pytest.raises(AssertionError, match="null values present"):
         check()
+
+
+def test_write_path_adds_only_the_range_exchange(spark, world):
+    """The T4 public-write path must not introduce any exchange beyond
+    its ONE range partitioning on (origin_id, destination_id): the
+    matrix output flows straight into the sorted layout — no hash
+    shuffle, no extra sort — so at 100 TB the write costs exactly one
+    pass over the times rows (VERDICT r5 item 6 plan assertion)."""
+    from opentimes_spark.io.write import sorted_layout
+    from opentimes_spark.plans.pipeline import PARTITION_KEYS
+
+    blocks_df, pop_df = world
+    blockloc = build_blockloc(blocks_df, pop_df, check=False)
+    cenloc = build_cenloc(blockloc, "tract")
+    state_rows = cenloc.filter(F.col("geoid").startswith("17"))
+    dest = build_destpoint(cenloc, (-87.7, 41.2), buffer_m=250_000)
+    times, _missing, _metadata = compute_times(state_rows, dest, HaversineRouter)
+    tagged = (
+        times.withColumn("version", F.lit("0.0.1"))
+        .withColumn("mode", F.lit("car"))
+        .withColumn("year", F.lit("2024"))
+        .withColumn("geography", F.lit("tract"))
+        .withColumn("state", F.lit("17"))
+        .withColumn("centroid_type", F.lit("weighted"))
+    )
+    out = sorted_layout(
+        tagged, PARTITION_KEYS, ["origin_id", "destination_id"]
+    )
+    base_plan = spark._jvm.PythonSQLUtils.explainString(
+        times._jdf.queryExecution(), "simple"
+    )
+    write_plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    added = write_plan.count("Exchange") - base_plan.count("Exchange")
+    assert added == 1, f"write path added {added} exchanges:\n{write_plan}"
+    assert write_plan.count("rangepartitioning") == base_plan.count(
+        "rangepartitioning"
+    ) + 1
+    # the added exchange is the ONLY new one — no hash shuffle appears
+    # between the matrix output and the files (the hash exchanges both
+    # plans share belong to the cenloc aggregation BELOW the matrix)
+    assert write_plan.count("hashpartitioning") == base_plan.count(
+        "hashpartitioning"
+    )
