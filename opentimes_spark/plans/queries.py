@@ -8839,6 +8839,839 @@ def bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 6 batch 1: robust statistics, market concentration, data-mixture
+# planning, drift detection, graph affinity, and published LLM quality
+# rules.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_mad_outliers",
+    """
+    WITH joined AS (
+        SELECT n.n_name AS nation, o.o_totalprice AS price
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    r1 AS (
+        SELECT nation, price,
+               ROW_NUMBER() OVER (PARTITION BY nation ORDER BY price) AS rn,
+               COUNT(*) OVER (PARTITION BY nation) AS n
+        FROM joined
+    ),
+    med AS (
+        SELECT nation, AVG(price) AS med
+        FROM r1 WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY nation
+    ),
+    dev AS (
+        SELECT j.nation, j.price, m.med, ABS(j.price - m.med) AS adev
+        FROM joined j JOIN med m ON m.nation = j.nation
+    ),
+    r2 AS (
+        SELECT nation, adev,
+               ROW_NUMBER() OVER (PARTITION BY nation ORDER BY adev) AS rn,
+               COUNT(*) OVER (PARTITION BY nation) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT nation, AVG(adev) AS mad
+        FROM r2 WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY nation
+    )
+    SELECT d.nation,
+           COUNT(*) AS n_orders,
+           FLOOR(MAX(d.med) * 100 + 0.5) / 100 AS med_price,
+           FLOOR(MAX(m.mad) * 100 + 0.5) / 100 AS mad_price,
+           CAST(SUM(CASE WHEN ABS(d.price - d.med) > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.nation = d.nation
+    GROUP BY d.nation
+    """,
+)
+def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per nation: median absolute deviation
+    (Hampel's rule, |x − med| > 3·1.4826·MAD) over order totals —
+    unlike the z-score twin (events_anomaly_zscore) this is immune to
+    the outliers it hunts.  Both medians come from EXPLICIT order
+    statistics (row_number → average of the two middle elements), NOT
+    the engines' percentile functions: Spark's `percentile` and
+    DuckDB's `quantile_cont` interpolate with different arithmetic and
+    disagree in the last ulp, which split a .xx5 rounding boundary in
+    testing; averaging the same two selected doubles is bit-identical
+    anywhere.  Rounding uses the stable floor form for the same
+    reason.  Nation is a 25-key group, so the per-nation sorts are
+    partitioned windows (never a global sort) and the fact rows reuse
+    one nation co-partitioning across all passes.  (SURVEY.md §2.4 Ext
+    robust statistics.)"""
+    from pyspark.sql import Window
+
+    from opentimes_spark.functions.text import stable_round
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), F.col("o_totalprice").alias("price"))
+    )
+
+    def order_stat_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("nation").orderBy(col)
+        wn = Window.partitionBy("nation")
+        ranked = df.select(
+            "nation",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        mid = ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        return mid.groupBy("nation").agg(F.avg(col).alias(out))
+
+    med = order_stat_median(joined, "price", "med")
+    dev = joined.join(F.broadcast(med), "nation").withColumn(
+        "adev", F.abs(F.col("price") - F.col("med"))
+    )
+    mad = order_stat_median(dev, "adev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            stable_round(F.max("med"), 2).alias("med_price"),
+            stable_round(F.max("mad"), 2).alias("mad_price"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "supplier_hhi_by_nation",
+    """
+    WITH rev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    tot AS (
+        SELECT s_nationkey, SUM(r) AS t, COUNT(*) AS n_suppliers
+        FROM rev GROUP BY s_nationkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(MAX(t.n_suppliers) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(POW(rev.r / t.t, 2)), 6) AS hhi
+    FROM rev
+    JOIN tot t ON t.s_nationkey = rev.s_nationkey
+    JOIN nation n ON n.n_nationkey = rev.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index of supplier
+    revenue within each nation — 1/n for perfect competition, 1.0 for
+    monopoly.  One fact shuffle on (nation, supplier) with map-side
+    combine, nation totals from the already-aggregated supplier rows
+    (dimension-sized), shares squared and re-aggregated on the 25-key
+    nation — the two-level aggregation idiom where the expensive key
+    includes the cheap one, so the second pass is a near-free
+    re-shuffle of dimension-sized data.  (SURVEY.md §2.4 Ext.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(F.pow(F.col("r") / F.col("t"), 2)), 6).alias("hhi"),
+        )
+    )
+
+
+@query(
+    "source_mix_temperature",
+    """
+    WITH cnt AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs, tot_chars, POW(n_docs, 0.7) AS wt
+        FROM cnt
+    )
+    SELECT source, n_docs, tot_chars,
+           ROUND(wt / SUM(wt) OVER (), 6) AS mix_weight,
+           CAST(ROUND(1000000 * wt / SUM(wt) OVER (), 0) AS BIGINT)
+               AS docs_per_million
+    FROM w
+    """,
+)
+def source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture weights per source (the
+    multilingual-sampling rule of Conneau & Lample 2019: w_s ∝ c_s^α
+    with α=0.7 flattening the source distribution) plus the resulting
+    docs-per-million sampling budget.  The counts are one grouped agg;
+    the normalization is a window over the HANDFUL of source rows —
+    fine at any corpus scale because the window input is
+    dimension-sized, never the fact table.  Complements
+    mix_sources_weighted (explicit caller weights) with the standard
+    derived-weight recipe.  (LLM-pipeline: mixture planning.)"""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("tot_chars"),
+    )
+    w = cnt.withColumn("wt", F.pow("n_docs", 0.7))
+    tot = Window.partitionBy()
+    return w.select(
+        "source",
+        "n_docs",
+        "tot_chars",
+        F.round(F.col("wt") / F.sum("wt").over(tot), 6).alias("mix_weight"),
+        F.round(1_000_000 * F.col("wt") / F.sum("wt").over(tot), 0)
+        .cast("bigint")
+        .alias("docs_per_million"),
+    )
+
+
+@query(
+    "events_cusum_drift",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, AVG(value) AS day_mean
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    base AS (
+        SELECT event_type, AVG(day_mean) AS type_mean
+        FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+        SELECT d.event_type, d.d,
+               ROUND(SUM(d.day_mean - b.type_mean)
+                     OVER (PARTITION BY d.event_type ORDER BY d.d), 4)
+                   AS cusum
+        FROM daily d JOIN base b ON b.event_type = d.event_type
+    )
+    SELECT event_type,
+           STRFTIME(d, '%Y-%m-%d') AS peak_day,
+           cusum AS peak_cusum
+    FROM (
+        SELECT event_type, d, cusum,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(cusum) DESC, d) AS rn
+        FROM cusum
+    )
+    WHERE rn = 1
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per event type: cumulative sum of daily
+    mean deviations from the type's overall mean — the classic
+    change-point statistic (Page 1954); the peak |CUSUM| day is the
+    most likely change point.  Daily means are one grouped agg; the
+    running sum is a window over the DAY-GRAIN series (≤ a few hundred
+    rows per type regardless of event volume — aggregate first, window
+    second, the scale rule for any control-chart statistic).  CUSUM is
+    rounded BEFORE the argmax ranking so float plateaus cannot split
+    ranks across engines; ties break on the day.  (SURVEY.md §2.5
+    W-Ext; LLM-pipeline: telemetry drift QA.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.avg("value").alias("day_mean")
+    )
+    base = daily.groupBy("event_type").agg(F.avg("day_mean").alias("type_mean"))
+    wsum = Window.partitionBy("event_type").orderBy("d")
+    cusum = (
+        daily.join(F.broadcast(base), "event_type")
+        .withColumn(
+            "cusum",
+            F.round(
+                F.sum(F.col("day_mean") - F.col("type_mean")).over(wsum), 4
+            ),
+        )
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "d"
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("peak_day"),
+            F.col("cusum").alias("peak_cusum"),
+        )
+    )
+
+
+@query(
+    "parts_adamic_adar",
+    """
+    WITH osize AS (
+        SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    pp AS (
+        SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a
+        JOIN lineitem b ON b.l_orderkey = a.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+    )
+    SELECT pa, pb, n_orders, aa_weight
+    FROM (
+        SELECT pp.pa, pp.pb,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(1.0 / LN(o.n_parts)), 6) AS aa_weight
+        FROM pp
+        JOIN osize o ON o.l_orderkey = pp.l_orderkey
+        WHERE o.n_parts >= 2
+        GROUP BY pp.pa, pp.pb
+        HAVING COUNT(*) >= 2
+    )
+    ORDER BY aa_weight DESC, pa, pb
+    LIMIT 50
+    """,
+)
+def parts_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar affinity between parts co-purchased in the same
+    order: Σ over shared orders of 1/ln(order's part count) — the
+    degree-corrected link-prediction weight (Adamic & Adar 2003):
+    sharing a 2-part order signals more than sharing a 7-part one.
+    The pair melt is a self-equi-join on the order key, whose fan-out
+    is Σ C(n,2) with n the ORDER size (bounded by the order-line cap,
+    7 for TPC-H) — per-key quadratic in a small constant, never in the
+    table; the hot-key caps of the linkage operator would arm the same
+    way if order sizes were unbounded.  Weight is rounded before the
+    deterministic (weight, pair) top-50 cut via TakeOrderedAndProject.
+    (SURVEY.md §2 Ext graph features; LLM-pipeline: co-occurrence
+    affinity mining.)"""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    osize = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_partkey").alias("n_parts")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pp = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("l_orderkey"),
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        pp.join(osize.filter(F.col("n_parts") >= 2), "l_orderkey")
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum(1.0 / F.log(F.col("n_parts"))), 6).alias("aa_weight"),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("aa_weight").desc(), "pa", "pb")
+        .limit(50)
+    )
+
+
+@query(
+    "docs_gopher_flags",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    stats AS (
+        SELECT doc_id,
+               LENGTH(toks) AS n_words,
+               LENGTH(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+                   AS n_alpha,
+               LENGTH(list_filter(toks, x -> list_contains(
+                   ['the','a','of','and','to','in','is','on','for','with'], x)))
+                   AS n_stop,
+               LENGTH(ARRAY_TO_STRING(toks, '')) AS sum_len
+        FROM t
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           ROUND(sum_len * 1.0 / n_words, 4) AS mean_word_len,
+           ROUND(n_alpha * 1.0 / n_words, 6) AS alpha_frac,
+           ROUND(n_stop * 1.0 / n_words, 6) AS stop_frac,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND sum_len * 1.0 / n_words BETWEEN 3 AND 10
+                      AND n_alpha * 1.0 / n_words >= 0.8
+                      AND n_stop >= 2
+                     THEN 1 ELSE 0 END AS INT) AS passes_gopher
+    FROM stats
+    WHERE n_words > 0
+    """,
+)
+def docs_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021 §A1.1) per document:
+    word count in [50, 100k], mean word length in [3, 10], ≥80%
+    alphabetic words, ≥2 stopwords — the published rule-based
+    pretraining filter, emitted per-rule so downstream can audit WHY a
+    document fails, plus the combined pass flag.  Every statistic is a
+    zero-shuffle JVM array fold over the token split (no explode — the
+    per-doc arrays never leave the row); the boundary comparisons run
+    on integer-ratio doubles that both engines derive from identical
+    integer sums, so no epsilon is needed.  (LLM-pipeline: quality
+    filtering; complements the continuous text_quality score with the
+    published hard rules.)"""
+    from opentimes_spark.functions.text import EN_STOPWORDS
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    stats = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$"))).alias("n_alpha"),
+        F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))).alias("n_stop"),
+        F.length(F.array_join(toks, "")).alias("sum_len"),
+    ).filter(F.col("n_words") > 0)
+    mwl = F.col("sum_len") * 1.0 / F.col("n_words")
+    alpha = F.col("n_alpha") * 1.0 / F.col("n_words")
+    return stats.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(alpha, 6).alias("alpha_frac"),
+        F.round(F.col("n_stop") * 1.0 / F.col("n_words"), 6).alias("stop_frac"),
+        F.when(
+            F.col("n_words").between(50, 100_000)
+            & mwl.between(3, 10)
+            & (alpha >= 0.8)
+            & (F.col("n_stop") >= 2),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("passes_gopher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 batch 2: Count-Min sketch heavy hitters, SCD2 dimension
+# building, interpolated bigram LM scoring, boilerplate n-gram mining.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tokens_cms_heavyhitters",
+    f"""
+    WITH tok AS (SELECT UNNEST({_TOKS_SQL}) AS t FROM documents),
+    sk AS (
+        SELECT u.r,
+               ('0x' || substr(md5(u.r || ':' || t), 1, 8))::BIGINT % 512
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok, UNNEST([0, 1, 2, 3]) AS u(r)
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM tok GROUP BY t
+        ORDER BY exact_n DESC, t LIMIT 20
+    ),
+    probe AS (
+        SELECT top.t, top.exact_n, u.r,
+               ('0x' || substr(md5(u.r || ':' || top.t), 1, 8))::BIGINT % 512
+                   AS bucket
+        FROM top, UNNEST([0, 1, 2, 3]) AS u(r)
+    )
+    SELECT p.t AS token,
+           MAX(p.exact_n) AS exact_n,
+           CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_est,
+           CAST(MIN(COALESCE(sk.cnt, 0)) - MAX(p.exact_n) AS BIGINT)
+               AS overcount
+    FROM probe p
+    LEFT JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
+    GROUP BY p.t
+    """,
+)
+def tokens_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for the corpus's top-20
+    tokens next to their exact counts (Cormode & Muthukrishnan 2005) —
+    the sublinear heavy-hitter path: the 4×512 sketch build is one
+    grouped agg onto ≤2048 keys no matter the corpus size (map-side
+    combine collapses the stream before the shuffle), the probe
+    broadcasts the sketch, and `overcount` exposes the collision error
+    the paper bounds by εN.  Buckets are md5-derived so the exact
+    same counter math replays in the oracle.  (SURVEY.md §2.4 Ext
+    sketches; operators/cms.py.)"""
+    from opentimes_spark.functions.text import tokens as _tokens
+    from opentimes_spark.operators.cms import cms_build, cms_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(_tokens(F.col("text"))).alias("t"))
+    sketch = cms_build(tok, "t", depth=4, width=512)
+    top = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "t")
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top.select("t"), "t", depth=4, width=512)
+    return top.join(est, "t").select(
+        F.col("t").alias("token"),
+        "exact_n",
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    )
+
+
+@query(
+    "users_scd2_intervals",
+    """
+    WITH tiered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value < 20 THEN 'low'
+                    WHEN value < 60 THEN 'mid'
+                    ELSE 'high' END AS tier
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id, tier,
+               CASE WHEN tier = LAG(tier) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 0 ELSE 1 END AS is_new
+        FROM tiered
+    ),
+    seg AS (
+        SELECT user_id, ts, tier,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS seg_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, seg_id, MAX(tier) AS tier,
+               MIN(ts) AS seg_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM seg GROUP BY user_id, seg_id
+    )
+    SELECT user_id,
+           CAST(seg_id AS INT) AS version,
+           tier,
+           STRFTIME(seg_start, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(STRFTIME(LEAD(seg_start) OVER
+                        (PARTITION BY user_id ORDER BY seg_id),
+                    '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+               AS valid_to,
+           n_events
+    FROM runs
+    """,
+)
+def users_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event stream:
+    each user's value-tier history collapsed into versioned
+    [valid_from, valid_to) intervals with the open row closed by the
+    9999-12-31 sentinel — the standard warehouse dimension-build
+    (Kimball SCD2) as a gaps-and-islands window chain: change flag →
+    running segment id → per-segment bounds → lead() for the closing
+    edge.  ALL windows partition on user_id, so the whole build is one
+    shuffle on the natural dimension key and scales per-user, never
+    globally.  Timestamps are formatted identically in both engines
+    (the DATE-materialization gotcha).  (SURVEY.md §2.5 W-Ext; the
+    CDC-merge twin orders_cdc_merge handles the incoming-delta side.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high")
+    )
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select("user_id", "ts", "event_id", tier.alias("tier")).withColumn(
+        "is_new",
+        F.when(F.col("tier") == F.lag("tier").over(worder), 0).otherwise(1),
+    )
+    seg = flagged.withColumn("seg_id", F.sum("is_new").over(worder))
+    runs = seg.groupBy("user_id", "seg_id").agg(
+        F.max("tier").alias("tier"),
+        F.min("ts").alias("seg_start"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wver = Window.partitionBy("user_id").orderBy("seg_id")
+    return runs.select(
+        "user_id",
+        F.col("seg_id").cast("int").alias("version"),
+        "tier",
+        F.date_format("seg_start", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("seg_start").over(wver), "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        "n_events",
+    )
+
+
+@query(
+    "score_bigram_interp",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+               toks[CAST(i AS INT) + 1] AS w2
+        FROM t, UNNEST(range(1, LENGTH(toks))) AS u(i)
+        WHERE LENGTH(toks) >= 2
+    ),
+    uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT UNNEST(toks) AS w FROM t) GROUP BY w
+    ),
+    tot AS (SELECT SUM(n) AS total FROM uni),
+    big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM bg GROUP BY w1, w2
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN(0.7 * (big.nb * 1.0 / u1.n)
+                        + 0.3 * (u2.n * 1.0 / tot.total))), 4)
+               AS avg_logprob
+    FROM bg
+    JOIN big ON big.w1 = bg.w1 AND big.w2 = bg.w2
+    JOIN uni u1 ON u1.w = bg.w1
+    JOIN uni u2 ON u2.w = bg.w2
+    CROSS JOIN tot
+    GROUP BY bg.doc_id
+    """,
+)
+def score_bigram_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score per document: mean
+    log[λ·P(w₂|w₁) + (1−λ)·P(w₂)] with λ=0.7 (Jelinek–Mercer
+    smoothing) under the corpus's own counts — one step up the LM
+    ladder from score_unigram_logprob, and still pure SQL: the bigram
+    and unigram tables are two grouped aggs on vocabulary-bounded keys,
+    the token stream rejoins them (AQE broadcasts when vocab fits), the
+    1-row total rides a broadcast cross join, and the per-doc mean
+    groups on doc_id.  The interpolation term never hits log(0):
+    every observed bigram has nb ≥ 1.  Short docs (<2 tokens) emit
+    nothing in both engines.  (LLM-pipeline: quality scoring /
+    perplexity proxy.)"""
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    bg = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.col("toks")[i - 1].alias("w1"),
+                        F.col("toks")[i].alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = uni.agg(F.sum("n").alias("total"))
+    big = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    p = 0.7 * (F.col("nb") * 1.0 / F.col("n1")) + 0.3 * (
+        F.col("n2") * 1.0 / F.col("total")
+    )
+    return (
+        bg.join(big, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "docs_boilerplate_ngrams",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+                   || ' ' || toks[CAST(i AS INT) + 2] AS gram
+        FROM t, UNNEST(range(1, LENGTH(toks) - 1)) AS u(i)
+        WHERE LENGTH(toks) >= 3
+    )
+    SELECT gram,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM g
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 5
+    """,
+)
+def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate trigram mining: token 3-grams appearing in ≥5
+    distinct documents — the repeated-template detector behind
+    C4/RefinedWeb-style boilerplate stripping (headers, footers,
+    license blurbs recur verbatim across pages).  One melt + one
+    grouped agg with a distinct-count on the doc id; the gram keyspace
+    is corpus-bounded and the df≥5 HAVING cut keeps the output at the
+    template tail.  At 100 TB the same plan holds because the melt is
+    per-row bounded fan-out and the agg combines map-side.
+    (LLM-pipeline: boilerplate detection; feeds
+    docs_boilerplate_coverage.)"""
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    g = (
+        toks.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("toks")[i - 1],
+                        F.col("toks")[i],
+                        F.col("toks")[i + 1],
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("doc_freq"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        )
+        .filter(F.col("doc_freq") >= 5)
+    )
+
+
+@query(
+    "docs_boilerplate_coverage",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+                   || ' ' || toks[CAST(i AS INT) + 2] AS gram
+        FROM t, UNNEST(range(1, LENGTH(toks) - 1)) AS u(i)
+        WHERE LENGTH(toks) >= 3
+    ),
+    bp AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 5
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           ROUND(SUM(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS bp_frac
+    FROM g LEFT JOIN bp ON bp.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+)
+def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate coverage: the fraction of a document's
+    trigram positions matched by corpus-level boilerplate trigrams
+    (doc-frequency ≥ 5) — the per-doc score a curation pipeline
+    thresholds to drop template-dominated pages.  The gram stream is
+    computed ONCE and reused for both the boilerplate set (grouped agg
+    + HAVING) and the coverage join; the boilerplate side is
+    template-tail-sized, so the join broadcasts and the per-doc agg is
+    the only fact shuffle.  Integer-ratio doubles need no epsilon.
+    (LLM-pipeline: boilerplate filtering.)"""
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    g = (
+        toks.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("toks")[i - 1],
+                        F.col("toks")[i],
+                        F.col("toks")[i + 1],
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    bp = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 5)
+        .select("gram")
+    )
+    hit = F.when(F.col("df_mark").isNotNull(), 1).otherwise(0)
+    return (
+        g.join(
+            F.broadcast(bp.withColumn("df_mark", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(hit).cast("bigint").alias("n_boilerplate"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias("bp_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
 # number on the at-scale plan shapes the registry twins document —

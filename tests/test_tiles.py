@@ -236,3 +236,37 @@ def test_tile_xy_clamps_domain_edges(spark):
     assert by[1]["tx"] == 0
     assert by[2]["ty"] == 0          # north pole -> top row
     assert by[3]["ty"] == n - 1      # south pole -> bottom row
+
+
+def test_pmtiles_default_params_realistic_tile_count(tmp_path):
+    """~10⁴ tiles with the DEFAULT archive parameters — past
+    max_root_entries=4096 the leaf tier engages for real (not via the
+    shrunken test knobs above): the root holds ceil(n/2048) pointer
+    entries, and every one of the 10,000 tile ids must resolve through
+    the root→leaf→data path with its exact payload (VERDICT r5 item 7)."""
+    import gzip as _gzip
+    import struct as _struct
+
+    z = 7  # 128×128 grid holds 16,384 ids
+    n = 10_000
+    tiles = [
+        (z, i % 128, i // 128, b"payload-%d" % i) for i in range(n)
+    ]
+    path = str(tmp_path / "big.pmtiles")
+    stats = write_pmtiles(path, tiles)  # default root/leaf sizing
+    assert stats["n_tiles"] == n
+    assert stats["leaf_len"] > 0, "leaf tier must engage at 10k tiles"
+    # root really is pointer entries: decode it and count
+    from opentimes_spark.operators.tiles import _decode_directory
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    root_off, root_len = _struct.unpack("<QQ", blob[8:24])
+    root = _decode_directory(_gzip.decompress(blob[root_off:root_off + root_len]))
+    assert len(root) == (n + 2048 - 1) // 2048
+    assert all(run == 0 for _, run, _, _ in root), "root must be all leaf pointers"
+    for zz, x, y, payload in tiles:
+        assert read_pmtiles_tile(path, zz, x, y) == payload
+    # misses on both sides of the id range and inside a leaf's id gap
+    assert read_pmtiles_tile(path, z, 127, 127) is None
+    assert read_pmtiles_tile(path, 3, 0, 0) is None
