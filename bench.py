@@ -84,6 +84,14 @@ HEADLINE = [
     # plan stays within ~1.3x of the uniform corpus)
     "sim_ivf_kmeans_topk",
     "containment_prefix_stopshingle",
+    # round-6 operator families: Count-Min sketch heavy hitters, product
+    # quantization encode, boilerplate trigram coverage, SCD2 dimension
+    # build, robust MAD outliers
+    "tokens_cms_heavyhitters",
+    "embed_pq_codes",
+    "docs_boilerplate_coverage",
+    "users_scd2_intervals",
+    "orders_mad_outliers",
     # round-6: the flagship OD produce path END-TO-END (world →
     # blockloc → cenloc → destpoint → travel matrix → sorted
     # partitioned public write → partition-pruned point lookup) — the

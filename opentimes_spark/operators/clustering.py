@@ -404,3 +404,49 @@ def kmeans_fit(
         )
     finally:
         base.unpersist()
+
+
+def pq_codes(
+    corpus: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    max_iter: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou, Douze & Schmid 2011): split each
+    vector into ``m`` contiguous subspaces, k-means each subspace
+    independently, and encode a vector as its m nearest-centroid codes
+    — the memory side of IVF-PQ, compressing dim float32s to m small
+    ints plus a shared m×k codebook.  Returns
+    (id, code0..code{m-1}, recon_err) with ``recon_err`` the summed
+    squared subspace quantization error.
+
+    Scale shape: the m codebooks are fitted with the driver-side-
+    centroid ``kmeans_fit`` (k·dim/m doubles each — bytes), and the
+    final encode is ONE zero-shuffle projection: every code and every
+    subspace error is a literal-centroid argmin expression over a
+    column slice, so encoding 10¹⁰ vectors is a map-only pass.
+    Determinism: first-k init, sequential-fold dot products, cid
+    tie-break — the same oracle-replayable contract as kmeans_fit."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cols = [F.col(id_col)]
+    err = None
+    for j in range(m):
+        subdf = base.select(
+            F.col(id_col),
+            F.slice(F.col("v"), j * sub + 1, sub).alias("embedding"),
+        )
+        model = kmeans_fit(
+            subdf, k=k, max_iter=max_iter, tol=0.0, id_col=id_col
+        )
+        ns = _nearest_struct(F.slice(F.col("v"), j * sub + 1, sub), model.centroids)
+        cols.append(ns["cid"].cast("int").alias(f"code{j}"))
+        err = ns["d"] if err is None else err + ns["d"]
+    return base.select(*cols, err.alias("recon_err"))

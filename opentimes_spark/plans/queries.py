@@ -9672,6 +9672,706 @@ def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 6 batch 3: product quantization and ANN recall certification.
+# ---------------------------------------------------------------------------
+
+
+def _pq_sub_ctes(tag: str, lo: int, hi: int) -> str:
+    """One PQ subspace's unrolled 1-iteration k-means CTE block (k=4,
+    first-4 init, empty-cluster retention) over ``v[lo:hi]`` — the same
+    deterministic iteration contract as _KMEANS2_CTES, per subspace."""
+    return f"""
+    s{tag} AS (
+        SELECT vec_id, v[{lo}:{hi}] AS sv FROM corpus
+    ),
+    c{tag}_0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, sv AS c
+        FROM s{tag} ORDER BY vec_id LIMIT 4
+    ),
+    a{tag} AS (
+        SELECT vec_id, sv, cid FROM (
+            SELECT s.vec_id, s.sv, ct.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY list_dot_product(s.sv, s.sv)
+                                - 2 * list_dot_product(s.sv, ct.c)
+                                + list_dot_product(ct.c, ct.c), ct.cid
+                   ) AS rnk
+            FROM s{tag} s CROSS JOIN c{tag}_0 ct
+        ) WHERE rnk = 1
+    ),
+    c{tag}_1 AS (
+        SELECT c0.cid, COALESCE(m.c, c0.c) AS c
+        FROM c{tag}_0 c0 LEFT JOIN (
+            SELECT cid, list(m ORDER BY dim) AS c FROM (
+                SELECT cid, dim, AVG(val) AS m FROM (
+                    SELECT cid, generate_subscripts(sv, 1) AS dim,
+                           unnest(sv) AS val
+                    FROM a{tag}
+                ) GROUP BY cid, dim
+            ) GROUP BY cid
+        ) m ON m.cid = c0.cid
+    ),
+    f{tag} AS (
+        SELECT vec_id, cid, d FROM (
+            SELECT s.vec_id, ct.cid,
+                   list_dot_product(s.sv, s.sv)
+                   - 2 * list_dot_product(s.sv, ct.c)
+                   + list_dot_product(ct.c, ct.c) AS d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY list_dot_product(s.sv, s.sv)
+                                - 2 * list_dot_product(s.sv, ct.c)
+                                + list_dot_product(ct.c, ct.c), ct.cid
+                   ) AS rnk
+            FROM s{tag} s CROSS JOIN c{tag}_1 ct
+        ) WHERE rnk = 1
+    )"""
+
+
+@query(
+    "embed_pq_codes",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),{_pq_sub_ctes("1", 1, 32)},{_pq_sub_ctes("2", 33, 64)}
+    SELECT f1.vec_id,
+           CAST(f1.cid AS INT) AS code0,
+           CAST(f2.cid AS INT) AS code1,
+           FLOOR((f1.d + f2.d) * 10000 + 0.5) / 10000 AS recon_err
+    FROM f1 JOIN f2 ON f2.vec_id = f1.vec_id
+    """,
+)
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou, Douze & Schmid 2011):
+    each 64-dim embedding split into 2 subspaces, each subspace
+    k-means'd independently (k=4, one deterministic Lloyd iteration),
+    a vector encoded as its per-subspace nearest-codebook ids plus the
+    summed squared quantization error — the memory half of IVF-PQ,
+    compressing vectors to m small codes against a shared codebook.
+    The codebooks live driver-side (k·dim/m doubles), so the encode is
+    ONE zero-shuffle literal-centroid projection — encoding 10¹⁰
+    vectors is a map-only pass; the oracle unrolls both subspace
+    fits exactly (first-4 init, fold dot products, cid tie-break,
+    empty-cluster retention).  (SURVEY.md §2 Ext; LLM-pipeline: ANN
+    index compression; operators/clustering.py:pq_codes.)"""
+    from opentimes_spark.functions.text import stable_round
+    from opentimes_spark.operators.clustering import pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pq_codes(emb, m=2, k=4, max_iter=1, dim=64)
+    return out.select(
+        "vec_id",
+        "code0",
+        F.col("code1"),
+        stable_round(F.col("recon_err"), 4).alias("recon_err"),
+    )
+
+
+@query(
+    "sim_ivf_recall_at_k",
+    f"""
+    WITH {_KMEANS2_CTES},
+    {_KMEANS2_ASSIGN_FINAL},
+    q AS (
+        SELECT vec_id AS query_id, v AS q_vec FROM corpus WHERE vec_id < 20
+    ),
+    probes AS (
+        SELECT query_id, q_vec, cid
+        FROM (
+            SELECT q.query_id, q.q_vec, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.q_vec, c.c)
+                                / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                                   * sqrt(list_dot_product(c.c, c.c)))
+                                DESC, c.cid
+                   ) AS cent_rnk
+            FROM q CROSS JOIN cents2 c
+        )
+        WHERE cent_rnk <= 2
+    ),
+    ivf AS (
+        SELECT query_id, cand_id FROM (
+            SELECT p.query_id, a.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_dot_product(p.q_vec, a.v)
+                                / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                                   * sqrt(list_dot_product(a.v, a.v)))
+                                DESC, a.vec_id
+                   ) AS rnk
+            FROM probes p JOIN assign_final a ON a.cid = p.cid
+            WHERE p.query_id != a.vec_id
+        ) WHERE rnk <= 5
+    ),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.q_vec, c.v)
+                                / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                                   * sqrt(list_dot_product(c.v, c.v)))
+                                DESC, c.vec_id
+                   ) AS rnk
+            FROM q JOIN corpus c ON c.vec_id != q.query_id
+        ) WHERE rnk <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           ROUND(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS recall_at_5
+    FROM exact e
+    LEFT JOIN ivf i ON i.query_id = e.query_id AND i.cand_id = e.cand_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the kmeans-built IVF index against the exact
+    brute-force neighbors, per query — the QA metric every production
+    ANN deployment tracks (how much recall does n_probe=2 of 8 buy?).
+    Composes two already-certified paths (ivf_topk_probe over the
+    materialized index; brute_force_topk's broadcast scan) and joins
+    them on (query, candidate); the oracle replays BOTH sides from the
+    shared k-means unroll, so the recall numbers themselves are
+    value-checked, not sampled.  At scale the exact side is the
+    expensive one — that is the point: this query runs on a QUERY
+    SAMPLE (20 here) to certify the index, never corpus-wide.
+    (LLM-pipeline: ANN index QA; SURVEY.md §2 Ext.)"""
+    from opentimes_spark.operators.similarity import (
+        brute_force_topk,
+        ensure_ivf_index,
+        ivf_topk_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    idx = ensure_ivf_index(
+        spark,
+        emb,
+        cache_key=f"ivf-kmeans::{sf_dir}",
+        builder="kmeans",
+        k=8,
+        max_iter=2,
+        tol=0.0,
+    )
+    ivf = ivf_topk_probe(spark, q, idx, k=5, n_probe=2).select(
+        "query_id", F.col("cand_id").alias("ivf_cand")
+    )
+    exact = brute_force_topk(q, emb, k=5).select("query_id", "cand_id")
+    hit = F.when(F.col("ivf_cand").isNotNull(), 1).otherwise(0)
+    return (
+        exact.join(
+            ivf,
+            (exact.query_id == ivf.query_id)
+            & (F.col("cand_id") == F.col("ivf_cand")),
+            "left",
+        )
+        .drop(ivf.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(hit).cast("bigint").alias("n_hits"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 batch 4: estimator QA, behavioral entropy, vocab planning,
+# Markov powers, RAKE keywords, growth accounting.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_estimator_qa",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, g.tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+              FROM documents),
+             UNNEST(list_transform(range(1, GREATEST(LENGTH(t) - 1, 1)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g(tok)
+    ),
+    sigs AS (
+        SELECT doc_id,
+               MIN(md5(concat('0|', tok))) AS h0,
+               MIN(md5(concat('1|', tok))) AS h1,
+               MIN(md5(concat('2|', tok))) AS h2,
+               MIN(md5(concat('3|', tok))) AS h3,
+               MIN(md5(concat('4|', tok))) AS h4,
+               MIN(md5(concat('5|', tok))) AS h5,
+               MIN(md5(concat('6|', tok))) AS h6,
+               MIN(md5(concat('7|', tok))) AS h7
+        FROM toks GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, b.band_idx, b.band_hash
+        FROM sigs, (VALUES (0, md5(concat_ws('|', h0, h1))),
+            (1, md5(concat_ws('|', h2, h3))),
+            (2, md5(concat_ws('|', h4, h5))),
+            (3, md5(concat_ws('|', h6, h7)))) AS v(bi, bh),
+             LATERAL (SELECT v.bi AS band_idx, v.bh AS band_hash) b
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cands c
+        JOIN toks ta ON ta.doc_id = c.id_a
+        JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+        GROUP BY c.id_a, c.id_b
+    ),
+    agree AS (
+        SELECT c.id_a, c.id_b,
+               (sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT
+             + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT
+             + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+             + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT AS n_match
+        FROM cands c
+        JOIN sigs sa ON sa.doc_id = c.id_a
+        JOIN sigs sb ON sb.doc_id = c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(g.n_match AS BIGINT) AS n_sig_match,
+           ROUND(g.n_match / 8.0, 6) AS est_jaccard,
+           ROUND(i.n_inter * 1.0
+                 / (za.n_tok + zb.n_tok - i.n_inter), 6) AS exact_jaccard
+    FROM inter i
+    JOIN agree g ON g.id_a = i.id_a AND g.id_b = i.id_b
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    """,
+)
+def dedup_minhash_estimator_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair, the
+    signature-agreement Jaccard estimate (matches/8 — the Broder 1997
+    unbiased estimator) NEXT TO the exact shingle Jaccard — the QA
+    table that tells you whether 8 hashes suffice before you commit a
+    corpus-wide dedup threshold.  Composes three certified operators
+    (signatures, banded candidates, exact verify) and adds only a
+    dimension-cheap signature self-join on the candidate pairs; the
+    estimate is an integer ratio, so no float risk.  The ANN twin of
+    this query is sim_ivf_recall_at_k.  (LLM-pipeline: dedup
+    estimator QA.)"""
+    from opentimes_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=8, shingle_size=3, hash_fn="md5")
+    cands = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2, hash_fn="md5")
+    exact = jaccard_pairs(d, cands, min_jaccard=0.0, shingle_size=3)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)]
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    agree = cands.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", n_match.alias("n_match")
+    )
+    return (
+        exact.join(agree, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_match").cast("bigint").alias("n_sig_match"),
+            F.round(F.col("n_match") / 8.0, 6).alias("est_jaccard"),
+            F.col("jaccard").alias("exact_jaccard"),
+        )
+    )
+
+
+@query(
+    "events_entropy_by_user",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ),
+    n AS (
+        SELECT user_id, SUM(cnt) AS n, COUNT(*) AS n_types
+        FROM c GROUP BY user_id
+    ),
+    l AS (
+        SELECT c.user_id, MAX(n.n) AS n, MAX(n.n_types) AS n_types,
+               list(c.cnt / n.n ORDER BY c.event_type) AS ps
+        FROM c JOIN n ON n.user_id = c.user_id
+        GROUP BY c.user_id
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(n_types AS INT) AS n_types,
+           ROUND(-list_reduce(list_transform(ps, p -> p * LN(p)),
+                              (a, b) -> a + b), 6) + 0.0 AS entropy
+    FROM l
+    """,
+)
+def events_entropy_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy per user: Shannon entropy of the user's
+    event-type distribution — 0 for single-minded users, ln(5) for
+    uniform browsers; the diversity feature behind bot filtering and
+    engagement segmentation.  The p·ln p terms are folded in SORTED
+    type order on both engines (collect → sort → sequential fold), so
+    the floating sum is bit-identical — a grouped SUM's
+    partial-aggregation order is engine-nondeterministic and would
+    flake the 6dp round.  `+ 0.0` normalizes IEEE −0.0 for the
+    single-type rows.  (SURVEY.md §2.4 Ext; LLM-pipeline: behavioral
+    features.)"""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    n = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    l = (
+        c.join(n, "user_id")
+        .withColumn("p", F.col("cnt") / F.col("n"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("n_types").alias("n_types"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_type", "p"))),
+                lambda s: s["p"],
+            ).alias("ps"),
+        )
+    )
+    ent = -F.aggregate(
+        F.transform(F.col("ps"), lambda p: p * F.log(p)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return l.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_types").cast("int").alias("n_types"),
+        (F.round(ent, 6) + F.lit(0.0)).alias("entropy"),
+    )
+
+
+@query(
+    "vocab_coverage_curve",
+    f"""
+    WITH tok AS (SELECT UNNEST({_TOKS_SQL}) AS t FROM documents),
+    freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+    tot AS (SELECT SUM(n) AS total FROM freq),
+    ranked AS (
+        SELECT t, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rnk,
+               SUM(n) OVER (ORDER BY n DESC, t
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM freq
+    )
+    SELECT CAST(FLOOR(LOG2(rnk)) AS INT) AS rank_bucket,
+           CAST(MAX(rnk) AS BIGINT) AS max_rank,
+           ROUND(MAX(cum) * 1.0 / MAX(tot.total), 6) AS cum_coverage
+    FROM ranked CROSS JOIN tot
+    GROUP BY CAST(FLOOR(LOG2(rnk)) AS INT)
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage curve for vocabulary sizing: cumulative corpus
+    coverage at power-of-2 vocabulary ranks — "how big must the vocab
+    be for 95% coverage" read straight off the curve (the tokenizer
+    budget question).  The token count is the only fact shuffle; the
+    ranking window runs over the VOCABULARY table, which is
+    corpus-bounded (the same disclosed vocabulary-window class as
+    part_name_bigram_pmi — a cumulative sum cannot take a limit-k
+    cut, and the window input is the aggregated vocab, never the token
+    stream).  Coverage is an integer ratio.  (LLM-pipeline: tokenizer
+    planning.)"""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    freq = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = freq.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.col("n").desc(), "t")
+    ranked = freq.select(
+        "n",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.floor(F.log2("rnk")).cast("int").alias("rank_bucket"))
+        .agg(
+            F.max("rnk").cast("bigint").alias("max_rank"),
+            F.round(F.max("cum") * 1.0 / F.max("total"), 6).alias(
+                "cum_coverage"
+            ),
+        )
+    )
+
+
+@query(
+    "events_markov_2step",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS a, nxt AS b, COUNT(*) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    t1 AS (
+        SELECT a, b, n * 1.0 / SUM(n) OVER (PARTITION BY a) AS p
+        FROM pairs
+    ),
+    terms AS (
+        SELECT x.a, y.b, list(x.p * y.p ORDER BY x.b) AS prods
+        FROM t1 x JOIN t1 y ON y.a = x.b
+        GROUP BY x.a, y.b
+    )
+    SELECT a AS from_type, b AS to_type,
+           ROUND(list_reduce(prods, (u, v) -> u + v), 6) AS p2
+    FROM terms
+    """,
+)
+def events_markov_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step transition probabilities P²(a→c) = Σ_b P(a→b)·P(b→c) —
+    the Markov-chain power that answers "where do users end up two
+    actions later", one matrix multiply past events_transition_matrix.
+    The chain is estimated per user-session order (lead window on the
+    user shuffle), the row-normalized T is a 5×5 dimension table, and
+    the multiply is a self-join + fold where the Σ_b terms are summed
+    in SORTED b order on both engines (a grouped SUM's partial order
+    would flake the last ulp).  At scale only the sequence window
+    touches the fact table; the matrix algebra is dimension-side.
+    (SURVEY.md §2 Ext graph/Markov analytics.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(worder).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("a"), F.col("nxt").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("a")
+    t1 = pairs.select(
+        "a", "b", (F.col("n") * 1.0 / F.sum("n").over(wrow)).alias("p")
+    )
+    x = t1.select(F.col("a"), F.col("b").alias("mid"), F.col("p").alias("px"))
+    y = t1.select(
+        F.col("a").alias("mid"), F.col("b"), F.col("p").alias("py")
+    )
+    terms = (
+        x.join(y, "mid")
+        .groupBy("a", "b")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("mid"), (F.col("px") * F.col("py")).alias("prod"))
+                    )
+                ),
+                lambda s: s["prod"],
+            ).alias("prods")
+        )
+    )
+    p2 = F.aggregate(F.col("prods"), F.lit(0.0), lambda u, v: u + v)
+    return terms.select(
+        F.col("a").alias("from_type"),
+        F.col("b").alias("to_type"),
+        F.round(p2, 6).alias("p2"),
+    )
+
+
+@query(
+    "docs_rake_keywords",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, toks[CAST(i AS INT)] AS w, CAST(i AS INT) AS p,
+               list_contains(['the','a','of','and','to','in','is','on',
+                              'for','with'], toks[CAST(i AS INT)]) AS is_stop
+        FROM t, UNNEST(range(1, LENGTH(toks) + 1)) AS u(i)
+    ),
+    seg AS (
+        SELECT doc_id, w, p, is_stop,
+               SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p) AS phrase_id
+        FROM pos
+    ),
+    phrases AS (
+        SELECT doc_id, phrase_id, COUNT(*) AS plen
+        FROM seg WHERE NOT is_stop GROUP BY doc_id, phrase_id
+    ),
+    scored AS (
+        SELECT s.w,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(ph.plen) AS BIGINT) AS degree
+        FROM seg s
+        JOIN phrases ph ON ph.doc_id = s.doc_id
+                       AND ph.phrase_id = s.phrase_id
+        WHERE NOT s.is_stop
+        GROUP BY s.w
+    )
+    SELECT w AS word, freq, degree,
+           ROUND(degree * 1.0 / freq, 4) AS rake_score
+    FROM scored
+    ORDER BY rake_score DESC, word
+    LIMIT 20
+    """,
+)
+def docs_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): split token streams
+    into candidate phrases at stopword boundaries, score each word by
+    degree/frequency (words living in longer phrases rank higher), and
+    emit the corpus top-20 — the unsupervised keyword baseline.  The
+    phrase segmentation is a per-doc running stopword count (window on
+    the doc shuffle — each doc's positions stay in one partition), the
+    degree join attaches the tiny per-phrase lengths, and the final
+    cut is a TakeOrderedAndProject on the rounded integer-ratio score.
+    (LLM-pipeline: keyword/topic mining.)"""
+    from pyspark.sql import Window
+
+    from opentimes_spark.functions.text import EN_STOPWORDS
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("p", "w")
+    ).withColumn("is_stop", F.col("w").isin(*EN_STOPWORDS))
+    wseg = Window.partitionBy("doc_id").orderBy("p")
+    seg = pos.withColumn(
+        "phrase_id",
+        F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wseg),
+    )
+    phrases = (
+        seg.filter(~F.col("is_stop"))
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.count(F.lit(1)).alias("plen"))
+    )
+    scored = (
+        seg.filter(~F.col("is_stop"))
+        .join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("degree"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("w").alias("word"),
+            "freq",
+            "degree",
+            F.round(F.col("degree") * 1.0 / F.col("freq"), 4).alias(
+                "rake_score"
+            ),
+        )
+        .orderBy(F.col("rake_score").desc(), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "events_user_lifecycle",
+    """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    lagged AS (
+        SELECT user_id, wk,
+               LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev
+        FROM uw
+    ),
+    states AS (
+        SELECT wk,
+               CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN DATE_DIFF('day', prev, wk) = 7
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN prev IS NOT NULL
+                              AND DATE_DIFF('day', prev, wk) > 7
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM lagged GROUP BY wk
+    )
+    SELECT STRFTIME(wk, '%Y-%m-%d') AS week_start,
+           n_new, n_retained, n_resurrected, n_active,
+           CAST(COALESCE(LAG(n_active) OVER (ORDER BY wk), 0)
+                - n_retained AS BIGINT) AS n_churned_from_prev
+    FROM states
+    """,
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the new/retained/resurrected/churned
+    ledger): each active user classified by the gap to their previous
+    active week, plus churn-out-of-last-week derived as
+    active(w−1) − retained(w) — the identity that avoids materializing
+    an every-user-×-every-week grid.  The per-user lag is one shuffle
+    on user_id over the DISTINCT user-week table; the closing window
+    runs over the handful of week rows.  Weeks are formatted
+    identically in both engines (the DATE gotcha).  (SURVEY.md §2.5
+    W-Ext; product-analytics ledger.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    wlag = Window.partitionBy("user_id").orderBy("wk")
+    lagged = uw.withColumn("prev", F.lag("wk").over(wlag))
+    gap = F.datediff(F.col("wk"), F.col("prev"))
+    states = lagged.groupBy("wk").agg(
+        F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(gap == 7, 1).otherwise(0)).cast("bigint").alias("n_retained"),
+        F.sum(F.when(F.col("prev").isNotNull() & (gap > 7), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_resurrected"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+    )
+    wweek = Window.orderBy("wk")
+    return states.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_active",
+        (F.coalesce(F.lag("n_active").over(wweek), F.lit(0)) - F.col("n_retained"))
+        .cast("bigint")
+        .alias("n_churned_from_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
 # number on the at-scale plan shapes the registry twins document —

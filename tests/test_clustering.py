@@ -269,3 +269,43 @@ def test_kmeans_parallel_init_raises_when_pool_too_small(spark):
     ).selectExpr("vec_id", "embedding as v")
     with pytest.raises(ValueError, match="candidates < k"):
         kmeans_parallel_init(df, k=3)
+
+
+def test_pq_codes_m1_degenerates_to_plain_kmeans_assignment(spark):
+    """With one subspace PQ *is* k-means: code0 must equal the cid of a
+    kmeans_fit(max_iter=1) assignment and recon_err its min-dist²."""
+    from opentimes_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        min_dist2_expr,
+        pq_codes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = {r["vec_id"]: r for r in pq_codes(emb, m=1, k=4, max_iter=1).collect()}
+    model = kmeans_fit(emb, k=4, max_iter=1, tol=0.0)
+    ref = kmeans_assign(emb, model.centroids).withColumn(
+        "d", min_dist2_expr(F.col("v"), model.centroids)
+    )
+    for r in ref.collect():
+        assert out[r["vec_id"]]["code0"] == r["cid"]
+        assert out[r["vec_id"]]["recon_err"] == r["d"]
+
+
+def test_pq_codes_shape_and_split_error(spark):
+    from opentimes_spark.operators.clustering import pq_codes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = pq_codes(emb, m=4, k=4, max_iter=1, dim=64)
+    assert df.columns == ["vec_id", "code0", "code1", "code2", "code3", "recon_err"]
+    rows = df.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        for j in range(4):
+            assert 1 <= r[f"code{j}"] <= 4
+        assert r["recon_err"] >= 0.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq_codes(emb, m=3, k=4, dim=64)  # 64 % 3 != 0
