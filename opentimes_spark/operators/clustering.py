@@ -430,23 +430,48 @@ def pq_codes(
     column slice, so encoding 10¹⁰ vectors is a map-only pass.
     Determinism: first-k init, sequential-fold dot products, cid
     tie-break — the same oracle-replayable contract as kmeans_fit."""
-    if dim % m:
-        raise ValueError(f"dim={dim} not divisible by m={m}")
+    models = pq_fit(
+        corpus, m=m, k=k, max_iter=max_iter, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
     sub = dim // m
     base = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     cols = [F.col(id_col)]
     err = None
+    for j, model in enumerate(models):
+        ns = _nearest_struct(F.slice(F.col("v"), j * sub + 1, sub), model.centroids)
+        cols.append(ns["cid"].cast("int").alias(f"code{j}"))
+        err = ns["d"] if err is None else err + ns["d"]
+    return base.select(*cols, err.alias("recon_err"))
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    max_iter: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[KMeansModel]:
+    """Fit the ``m`` per-subspace codebooks behind ``pq_codes`` and
+    return them — the handle an IVF-PQ probe needs to build per-query
+    ADC lookup tables without refitting."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    models = []
     for j in range(m):
         subdf = base.select(
             F.col(id_col),
             F.slice(F.col("v"), j * sub + 1, sub).alias("embedding"),
         )
-        model = kmeans_fit(
-            subdf, k=k, max_iter=max_iter, tol=0.0, id_col=id_col
+        models.append(
+            kmeans_fit(subdf, k=k, max_iter=max_iter, tol=0.0, id_col=id_col)
         )
-        ns = _nearest_struct(F.slice(F.col("v"), j * sub + 1, sub), model.centroids)
-        cols.append(ns["cid"].cast("int").alias(f"code{j}"))
-        err = ns["d"] if err is None else err + ns["d"]
-    return base.select(*cols, err.alias("recon_err"))
+    return models

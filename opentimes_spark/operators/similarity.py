@@ -621,3 +621,128 @@ def srp_lsh_topk(
             "query_id", "cand_id", F.round("cos", round_to).alias("cos_sim"), "rnk"
         )
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    coarse_k: int = 8,
+    coarse_iter: int = 2,
+    m: int = 2,
+    pq_k: int = 4,
+    pq_iter: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou, Douze & Schmid 2011; the Faiss
+    `IVFx,PQy` composition): a coarse k-means quantizer prunes the
+    corpus to ``n_probe`` cells per query, and candidates are ranked by
+    ASYMMETRIC DISTANCE (ADC) — the exact query subvector against the
+    candidate's quantized codes — so ranking needs only each
+    candidate's m small codes, never its full vector.
+
+    Scale shape: coarse assignment and PQ encoding are zero-shuffle
+    literal-centroid projections (both codebooks are driver-side
+    bytes); each query precomputes its m ADC lookup tables (m·pq_k
+    doubles) as literal expressions; the probe explodes queries to
+    (query, cell) rows and EQUI-JOINS candidates on the cell key —
+    with a cell-partitioned index layout that join is partition-pruned
+    I/O, and the per-candidate work is m array lookups + an add.  The
+    ADC tables ride the row, so no per-pair vector math ever runs.
+    Determinism: the same first-k/fold/cid-tie contract as kmeans_fit,
+    L2 cell ranking, (adc, cand_id) result ordering."""
+    from opentimes_spark.operators.clustering import (
+        _lit_vec,
+        _nearest_struct,
+        _self_dot,
+        assign_expr,
+        kmeans_fit,
+        pq_fit,
+    )
+    from opentimes_spark.functions.vectors import dot
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    coarse = kmeans_fit(
+        corpus, k=coarse_k, max_iter=coarse_iter, tol=0.0,
+        id_col=id_col, vec_col=vec_col,
+    )
+    pqs = pq_fit(
+        corpus, m=m, k=pq_k, max_iter=pq_iter, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+    cbase = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    code_cols = [
+        _nearest_struct(F.slice(F.col("v"), j * sub + 1, sub), pqs[j].centroids)[
+            "cid"
+        ].alias(f"code{j}")
+        for j in range(m)
+    ]
+    cand = cbase.select(
+        "cand_id", assign_expr(F.col("v"), coarse.centroids).alias("cell"), *code_cols
+    )
+
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    # top-n_probe cells by L2, ties on cid — array_sort == ROW_NUMBER
+    qv = F.col("q_vec")
+    cell_structs = F.array(
+        *[
+            F.struct(
+                (
+                    dot(qv, qv) - 2.0 * dot(qv, _lit_vec(c)) + F.lit(_self_dot(c))
+                ).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, c in sorted(coarse.centroids.items())
+        ]
+    )
+    probe_cells = F.transform(
+        F.slice(F.array_sort(cell_structs), 1, n_probe), lambda s: s["cid"]
+    )
+    # per-subspace ADC lookup tables, in cid order for element_at
+    adc_cols = []
+    for j in range(m):
+        qs = F.slice(qv, j * sub + 1, sub)
+        adc_cols.append(
+            F.array(
+                *[
+                    dot(qs, qs)
+                    - 2.0 * dot(qs, _lit_vec(c))
+                    + F.lit(_self_dot(c))
+                    for _cid, c in sorted(pqs[j].centroids.items())
+                ]
+            ).alias(f"adc{j}")
+        )
+    probes = qbase.select(
+        "query_id", F.explode(probe_cells).alias("cell"), *adc_cols
+    )
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col(f"adc{j}"), F.col(f"code{j}"))
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+    return (
+        probes.join(cand, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("adc", adc)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("adc", round_to).alias("adc_dist"),
+            "rnk",
+        )
+    )

@@ -10371,6 +10371,94 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ivfpq_topk",
+    f"""
+    WITH {_KMEANS2_CTES},
+    {_KMEANS2_ASSIGN_FINAL},{_pq_sub_ctes("1", 1, 32)},{_pq_sub_ctes("2", 33, 64)},
+    cand AS (
+        SELECT a.vec_id AS cand_id, a.cid AS cell,
+               f1.cid AS code0, f2.cid AS code1
+        FROM assign_final a
+        JOIN f1 ON f1.vec_id = a.vec_id
+        JOIN f2 ON f2.vec_id = a.vec_id
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS q_vec FROM corpus WHERE vec_id < 20
+    ),
+    probes AS (
+        SELECT query_id, cid AS cell FROM (
+            SELECT q.query_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.q_vec, q.q_vec)
+                                - 2 * list_dot_product(q.q_vec, c.c)
+                                + list_dot_product(c.c, c.c), c.cid
+                   ) AS rnk
+            FROM q CROSS JOIN cents2 c
+        ) WHERE rnk <= 2
+    ),
+    qd1 AS (
+        SELECT q.query_id, ct.cid,
+               list_dot_product(q.q_vec[1:32], q.q_vec[1:32])
+               - 2 * list_dot_product(q.q_vec[1:32], ct.c)
+               + list_dot_product(ct.c, ct.c) AS d
+        FROM q CROSS JOIN c1_1 ct
+    ),
+    qd2 AS (
+        SELECT q.query_id, ct.cid,
+               list_dot_product(q.q_vec[33:64], q.q_vec[33:64])
+               - 2 * list_dot_product(q.q_vec[33:64], ct.c)
+               + list_dot_product(ct.c, ct.c) AS d
+        FROM q CROSS JOIN c2_1 ct
+    ),
+    scored AS (
+        SELECT p.query_id, c.cand_id, qd1.d + qd2.d AS adc
+        FROM probes p
+        JOIN cand c ON c.cell = p.cell AND c.cand_id != p.query_id
+        JOIN qd1 ON qd1.query_id = p.query_id AND qd1.cid = c.code0
+        JOIN qd2 ON qd2.query_id = p.query_id AND qd2.cid = c.code1
+    )
+    SELECT query_id, cand_id, ROUND(adc, 6) AS adc_dist, rnk
+    FROM (
+        SELECT query_id, cand_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc, cand_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011; the Faiss IVF8,PQ2 shape): coarse
+    k-means prunes to 2 of 8 cells per query, candidates rank by
+    ASYMMETRIC DISTANCE — the exact query subvectors against each
+    candidate's 2 quantized codes via per-query lookup tables — so the
+    per-candidate cost is two array lookups and an add, with no
+    candidate vector ever touched.  This is THE published scale recipe
+    for billion-vector ANN (memory from PQ, I/O pruning from IVF); the
+    oracle replays every stage — both coarse Lloyd iterations, both
+    subspace codebook fits, cell ranking, ADC tables, and the final
+    (adc, cand) ordering — so the full approximation structure is
+    value-certified.  (LLM-pipeline: similarity search at scale;
+    operators/similarity.py:ivfpq_topk.)"""
+    from opentimes_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        k=5,
+        n_probe=2,
+        coarse_k=8,
+        coarse_iter=2,
+        m=2,
+        pq_k=4,
+        pq_iter=1,
+        dim=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock

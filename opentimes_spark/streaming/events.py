@@ -180,3 +180,36 @@ def enrich_with_dim(
         )
     d = dim.withColumnRenamed(dim_key, stream_key) if dim_key != stream_key else dim
     return stream.join(F.broadcast(d), stream_key, how)
+
+
+def cms_stream_sink(out_dir: str, col: str, depth: int = 4, width: int = 512):
+    """foreachBatch sink maintaining a streaming Count-Min sketch: each
+    micro-batch's PARTIAL sketch (≤ depth·width counter rows) is
+    appended under ``out_dir`` tagged with its batch id; the live
+    sketch is recovered by ``cms_read_merged`` (counter addition — the
+    CMS merge law).  Appending partials instead of rewriting the
+    merged table keeps the sink idempotent-per-batch and contention-
+    free at any ingest rate; one bounded file per batch, compactable
+    with io/compact when batch counts grow."""
+    from opentimes_spark.operators.cms import cms_build
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_build(batch_df, col, depth=depth, width=width)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return sink
+
+
+def cms_read_merged(spark, out_dir: str) -> DataFrame:
+    """The current streaming sketch: all appended partials re-summed to
+    one (row, bucket, cnt) table — bounded by depth·width rows, so the
+    merge is dimension-cheap regardless of how long the stream ran."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )

@@ -309,3 +309,17 @@ def test_pq_codes_shape_and_split_error(spark):
 
     with pytest.raises(ValueError):
         pq_codes(emb, m=3, k=4, dim=64)  # 64 % 3 != 0
+
+
+def test_pq_encode_plan_is_shuffle_free(spark):
+    """Scale claim: after the (driver-side) codebook fits, the PQ
+    encode of the corpus is a pure projection — ZERO exchanges, so
+    encoding any number of vectors is a map-only pass."""
+    from opentimes_spark.operators.clustering import pq_codes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = pq_codes(emb, m=2, k=4, max_iter=1)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan, plan

@@ -96,3 +96,16 @@ def test_build_rejects_degenerate_shape(spark):
         cms_build(_stream(spark, ["x"]), "t", depth=0, width=64)
     with pytest.raises(ValueError):
         cms_build(_stream(spark, ["x"]), "t", depth=4, width=1)
+
+
+def test_probe_plan_broadcasts_the_sketch(spark):
+    """Scale claim: the estimate join must broadcast the (bounded)
+    sketch side — a shuffle join would move the item stream for a
+    ≤ depth·width-row table."""
+    items = _stream(spark, [f"t{i}" for i in range(50)])
+    sketch = cms_build(items, "t", depth=DEPTH, width=WIDTH)
+    est = cms_estimate(sketch, items, "t", depth=DEPTH, width=WIDTH)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        est._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -233,3 +233,30 @@ def test_srp_planes_not_divisible_raises(emb):
 
     with pytest.raises(ValueError, match="not divisible"):
         srp_lsh_topk(emb, emb, n_planes=10, n_tables=4, dim=8)
+
+
+def test_ivfpq_topk_shape_and_determinism(spark):
+    """IVF-PQ: k results per query ranked by ADC; ADC is a squared
+    distance (non-negative up to fold ulp); two runs are identical
+    (no RNG anywhere in the coarse/PQ fits or ranking)."""
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    a = ivfpq_topk(q, emb, k=5, n_probe=2)
+    rows = a.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["adc_dist"] > -1e-9
+        assert r["cand_id"] != r["query_id"]
+    assert all(len(v) == 5 for v in per_q.values())
+    b = sorted(map(tuple, ivfpq_topk(q, emb, k=5, n_probe=2).collect()))
+    assert sorted(map(tuple, rows)) == b
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivfpq_topk(q, emb, m=3, dim=64)

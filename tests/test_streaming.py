@@ -585,3 +585,34 @@ def test_stateful_update_emits_null_max_for_all_null_values():
         _update_user_stats((7,), iter([pd.DataFrame({"value": [None, 3.5]})]), st2)
     )[0]
     assert out2["max_value"].iloc[0] == 3.5
+
+
+def test_streaming_cms_matches_batch_sketch(spark, events_stream, tmp_path):
+    """The CMS merge law over a real stream: per-micro-batch partial
+    sketches appended by the foreachBatch sink must re-sum to EXACTLY
+    the sketch built over the whole table in one batch pass — the
+    incremental heavy-hitter path (operators/cms.py + cms_stream_sink)."""
+    from opentimes_spark.operators.cms import cms_build
+    from opentimes_spark.streaming.events import cms_read_merged, cms_stream_sink
+
+    batch, stream = events_stream
+    out = str(tmp_path / "cms_sketch")
+    q = (
+        stream.writeStream.foreachBatch(cms_stream_sink(out, "event_type"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_read_merged(spark, out).collect()
+    }
+    direct = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(batch, "event_type").collect()
+    }
+    assert merged == direct
+    # and the stream really was incremental: multiple partial sketches
+    n_batches = spark.read.parquet(out).select("batch_id").distinct().count()
+    assert n_batches > 1
