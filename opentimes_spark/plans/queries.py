@@ -10459,6 +10459,229 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_abc_classification",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(r) AS t FROM rev),
+    ranked AS (
+        SELECT l_partkey, r,
+               SUM(r) OVER (ORDER BY r DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) / tot.t AS cum_share
+        FROM rev CROSS JOIN tot
+    )
+    SELECT CASE WHEN cum_share <= 0.5 THEN 'A'
+                WHEN cum_share <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           FLOOR(SUM(r) * 100 + 0.5) / 100 AS revenue,
+           ROUND(MAX(cum_share), 6) AS max_cum_share
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts bucketed by cumulative
+    revenue share (A = the head providing 50%, B = to 80%, C = the
+    tail) — the Pareto workhorse behind stocking policy.  Part revenue
+    is one fact shuffle; the cumulative share is a window over the
+    PART-level aggregate (dimension-bounded), and a window cumulative
+    sum is frame-order-deterministic on both engines — unlike a
+    grouped SUM — so the class boundaries compare identically.
+    (SURVEY.md §2.5 W-Ext; complements cust_revenue_pareto.)"""
+    from pyspark.sql import Window
+
+    from opentimes_spark.functions.text import stable_round
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w = Window.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).select(
+        "r", (F.sum("r").over(w) / F.col("t")).alias("cum_share")
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.5, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        stable_round(F.sum("r"), 2).alias("revenue"),
+        F.round(F.max("cum_share"), 6).alias("max_cum_share"),
+    )
+
+
+@query(
+    "events_burstiness",
+    """
+    WITH sec AS (
+        SELECT user_id, ts, event_id, epoch_us(ts) // 1000000 AS es
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               es - LAG(es) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS g
+        FROM sec
+    ),
+    stats AS (
+        SELECT user_id,
+               CAST(COUNT(g) AS BIGINT) AS n_gaps,
+               SUM(g) AS sg,
+               SUM(g * g) AS sg2
+        FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           ROUND(sg * 1.0 / n_gaps, 4) AS mean_gap_sec,
+           ROUND((SQRT((sg2 - sg * sg * 1.0 / n_gaps) * 1.0 / n_gaps)
+                  - sg * 1.0 / n_gaps)
+                 / NULLIF(SQRT((sg2 - sg * sg * 1.0 / n_gaps) * 1.0 / n_gaps)
+                          + sg * 1.0 / n_gaps, 0), 6) AS burstiness
+    FROM stats
+    WHERE n_gaps >= 2
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each user's event stream: B = (σ−μ)/(σ+μ) over
+    inter-event gaps (Goh & Barabási 2008) — −1 for clockwork, 0 for
+    Poisson, →1 for bursty humans; the temporal twin of the entropy
+    feature.  Gaps are INTEGER seconds (epoch diffs), so Σg and Σg²
+    are exact integers on both engines and the variance formula is
+    bit-identical double arithmetic — no Welford-vs-two-pass stddev
+    divergence, which is why the engines' own STDDEV functions are
+    deliberately avoided.  Whole seconds come from integer-divided
+    MICROSECONDS on both engines (DuckDB's EPOCH() is a fractional
+    double and Spark's unix_timestamp truncates — they disagree on
+    sub-second timestamps).  One user-keyed window + one grouped agg.
+    (SURVEY.md §2.5 W-Ext; behavioral features.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    gaps = e.select(
+        "user_id", (epoch - F.lag(epoch).over(worder)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        F.count("g").cast("bigint").alias("n_gaps"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sg2"),
+    ).filter(F.col("n_gaps") >= 2)
+    mu = F.col("sg") * 1.0 / F.col("n_gaps")
+    var = (F.col("sg2") - F.col("sg") * F.col("sg") * 1.0 / F.col("n_gaps")) * 1.0 / F.col(
+        "n_gaps"
+    )
+    sigma = F.sqrt(var)
+    return stats.select(
+        "user_id",
+        "n_gaps",
+        F.round(mu, 4).alias("mean_gap_sec"),
+        F.round((sigma - mu) / F.nullif(sigma + mu, F.lit(0)), 6).alias(
+            "burstiness"
+        ),
+    )
+
+
+@query(
+    "orders_cohort_ltv",
+    """
+    WITH first_order AS (
+        SELECT o_custkey,
+               MIN(YEAR(o_orderdate)) AS cohort_year
+        FROM orders GROUP BY o_custkey
+    ),
+    tagged AS (
+        SELECT f.cohort_year,
+               YEAR(o.o_orderdate) - f.cohort_year AS age_years,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+               o.o_custkey
+        FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+    ),
+    cohort_size AS (
+        SELECT cohort_year, COUNT(*) AS n_customers
+        FROM first_order GROUP BY cohort_year
+    ),
+    yearly AS (
+        SELECT cohort_year, age_years,
+               SUM(price) AS rev,
+               COUNT(DISTINCT o_custkey) AS n_active
+        FROM tagged GROUP BY cohort_year, age_years
+    )
+    SELECT y.cohort_year,
+           CAST(y.age_years AS INT) AS age_years,
+           CAST(MAX(s.n_customers) AS BIGINT) AS n_customers,
+           CAST(MAX(y.n_active) AS BIGINT) AS n_active,
+           ROUND(CAST(SUM(y2.rev) AS DOUBLE) / MAX(s.n_customers), 2)
+               AS cum_ltv_per_cust
+    FROM yearly y
+    JOIN yearly y2 ON y2.cohort_year = y.cohort_year
+                  AND y2.age_years <= y.age_years
+    JOIN cohort_size s ON s.cohort_year = y.cohort_year
+    GROUP BY y.cohort_year, y.age_years
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    year, cumulative revenue per cohort member at each account age —
+    the LTV table under every retention-economics decision.  Money
+    sums accumulate as DECIMAL (exact — a grouped double SUM's partial
+    order would flake the cents round) and cast to DOUBLE only for the
+    final per-customer division, the r5 lesson applied at design time.
+    The cumulative step is a self-join on the YEARLY aggregate
+    (cohort×age is dimension-sized), never on the fact table.
+    (SURVEY.md §2.4/2.5; product analytics.)"""
+    o = _t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    tagged = o.join(first, "o_custkey").select(
+        "cohort_year",
+        (F.year("o_orderdate") - F.col("cohort_year")).alias("age_years"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_custkey",
+    )
+    size = first.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    yearly = tagged.groupBy("cohort_year", "age_years").agg(
+        F.sum("price").alias("rev"),
+        F.count_distinct("o_custkey").alias("n_active"),
+    )
+    y2 = yearly.select(
+        F.col("cohort_year"),
+        F.col("age_years").alias("age2"),
+        F.col("rev").alias("rev2"),
+    )
+    return (
+        yearly.join(y2, "cohort_year")
+        .filter(F.col("age2") <= F.col("age_years"))
+        .groupBy("cohort_year", "age_years")
+        .agg(
+            F.max("n_active").cast("bigint").alias("n_active"),
+            F.sum("rev2").alias("cum_rev"),
+        )
+        .join(F.broadcast(size), "cohort_year")
+        .select(
+            "cohort_year",
+            F.col("age_years").cast("int").alias("age_years"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            "n_active",
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("n_customers"), 2
+            ).alias("cum_ltv_per_cust"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
