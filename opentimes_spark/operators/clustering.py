@@ -429,14 +429,19 @@ def pq_codes(
     subspace error is a literal-centroid argmin expression over a
     column slice, so encoding 10¹⁰ vectors is a map-only pass.
     Determinism: first-k init, sequential-fold dot products, cid
-    tie-break — the same oracle-replayable contract as kmeans_fit."""
+    tie-break — the same oracle-replayable contract as kmeans_fit.
+
+    A vector whose length differs from ``dim`` raises per-row
+    (assert_true): a short vector's slice would NULL the fold and the
+    argmin would silently emit an arbitrary code — the same failure
+    mode srp_signatures guards against."""
     models = pq_fit(
         corpus, m=m, k=k, max_iter=max_iter, dim=dim,
         id_col=id_col, vec_col=vec_col,
     )
     sub = dim // m
     base = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col), _pq_guarded_vec(id_col, vec_col, dim).alias("v")
     )
     cols = [F.col(id_col)]
     err = None
@@ -445,6 +450,19 @@ def pq_codes(
         cols.append(ns["cid"].cast("int").alias(f"code{j}"))
         err = ns["d"] if err is None else err + ns["d"]
     return base.select(*cols, err.alias("recon_err"))
+
+
+def _pq_guarded_vec(id_col: str, vec_col: str, dim: int):
+    """``vec_col`` as array<double>, raising per-row on a length
+    mismatch instead of letting a short slice NULL the distance fold."""
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) == dim,
+        F.concat(
+            F.lit(f"pq: vector length != dim {dim} at id="),
+            F.col(id_col).cast("string"),
+        ),
+    )
+    return F.when(guard.isNull(), F.col(vec_col).cast("array<double>"))
 
 
 def pq_fit(
@@ -463,7 +481,7 @@ def pq_fit(
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
     base = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col), _pq_guarded_vec(id_col, vec_col, dim).alias("v")
     )
     models = []
     for j in range(m):

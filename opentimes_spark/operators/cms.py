@@ -49,12 +49,17 @@ def cms_build(
 
     One shuffle onto ≤ depth·width keys regardless of input size;
     ``weight_col`` switches from unit increments to weighted counts.
-    Merging two sketches of the same shape = union + re-sum."""
+    Merging two sketches of the same shape = union + re-sum.
+
+    NULL items are excluded (COUNT(col) semantics): a NULL would hash
+    to NULL buckets and silently vanish from some rows' counters —
+    filtering makes the exclusion explicit and symmetric with
+    ``cms_estimate``."""
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
     buckets = F.array(*[_bucket(F.col(col), r, width) for r in range(depth)])
     w = F.col(weight_col) if weight_col else F.lit(1)
-    exploded = df.select(
+    exploded = df.filter(F.col(col).isNotNull()).select(
         F.posexplode(buckets).alias("row", "bucket"), w.alias("__w")
     )
     return exploded.groupBy("row", "bucket").agg(
@@ -77,7 +82,7 @@ def cms_estimate(
     item absent from the build stream estimates 0, as the paper's
     non-negative guarantee requires)."""
     buckets = F.array(*[_bucket(F.col(col), r, width) for r in range(depth)])
-    probes = items.select(
+    probes = items.filter(F.col(col).isNotNull()).select(
         F.col(col), F.posexplode(buckets).alias("row", "bucket")
     )
     return (

@@ -658,6 +658,7 @@ def ivfpq_topk(
     from opentimes_spark.operators.clustering import (
         _lit_vec,
         _nearest_struct,
+        _pq_guarded_vec,
         _self_dot,
         assign_expr,
         kmeans_fit,
@@ -677,9 +678,11 @@ def ivfpq_topk(
         id_col=id_col, vec_col=vec_col,
     )
 
+    # wrong-length vectors raise per-row rather than silently encoding
+    # to an arbitrary code (NULLed fold) — same guard as pq_codes
     cbase = corpus.select(
         F.col(id_col).alias("cand_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        _pq_guarded_vec(id_col, vec_col, dim).alias("v"),
     )
     code_cols = [
         _nearest_struct(F.slice(F.col("v"), j * sub + 1, sub), pqs[j].centroids)[
@@ -693,7 +696,7 @@ def ivfpq_topk(
 
     qbase = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        _pq_guarded_vec(id_col, vec_col, dim).alias("q_vec"),
     )
     # top-n_probe cells by L2, ties on cid — array_sort == ROW_NUMBER
     qv = F.col("q_vec")

@@ -323,3 +323,18 @@ def test_pq_encode_plan_is_shuffle_free(spark):
         df._jdf.queryExecution(), "simple"
     )
     assert "Exchange" not in plan, plan
+
+
+def test_pq_rejects_wrong_length_vectors_per_row(spark):
+    """A vector shorter than dim must raise (assert_true), not encode
+    to an arbitrary code via a NULLed distance fold."""
+    import pyspark.errors
+
+    good = [(i, [float(i + j) for j in range(8)]) for i in range(6)]
+    bad = good + [(99, [1.0, 2.0])]
+    df = spark.createDataFrame(bad, "vec_id long, embedding array<double>")
+    from opentimes_spark.operators.clustering import pq_codes
+
+    with pytest.raises(Exception) as exc:
+        pq_codes(df, m=2, k=2, max_iter=1, dim=8).collect()
+    assert "vector length != dim" in str(exc.value)

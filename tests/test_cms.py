@@ -109,3 +109,12 @@ def test_probe_plan_broadcasts_the_sketch(spark):
         est._jdf.queryExecution(), "simple"
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_null_items_are_excluded_both_sides(spark):
+    df = spark.createDataFrame([("x",), (None,), ("x",)], "t string")
+    sketch = cms_build(df, "t", depth=DEPTH, width=WIDTH)
+    total = sum(r["cnt"] for r in sketch.collect())
+    assert total == 2 * DEPTH  # the NULL row contributed nothing
+    est = cms_estimate(sketch, df, "t", depth=DEPTH, width=WIDTH).collect()
+    assert [r["t"] for r in est] == ["x"]  # NULL probe row dropped
