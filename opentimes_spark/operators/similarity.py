@@ -749,3 +749,195 @@ def ivfpq_topk(
             "rnk",
         )
     )
+
+
+def write_ivfpq_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    coarse_k: int = 8,
+    coarse_iter: int = 2,
+    m: int = 2,
+    pq_k: int = 4,
+    pq_iter: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF-PQ index: the corpus Hive-partitioned by
+    coarse cell with each row carrying its m PQ codes, the coarse
+    centroids under ``_centroids`` and the per-subspace codebooks under
+    ``_codebooks`` (subspace, cid, c).  Build cost — both fits + one
+    encode pass — is paid once at write time; the stored codes mean a
+    probe never touches candidate vectors at all (they are stored only
+    for optional exact rescoring).  Same staleness/cache contract as
+    ``write_ivf_index``."""
+    from opentimes_spark.operators.clustering import (
+        _nearest_struct,
+        _pq_guarded_vec,
+        assign_expr,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    coarse = kmeans_fit(
+        corpus, k=coarse_k, max_iter=coarse_iter, tol=0.0,
+        id_col=id_col, vec_col=vec_col,
+    )
+    pqs = pq_fit(
+        corpus, m=m, k=pq_k, max_iter=pq_iter, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    base = corpus.select(
+        F.col(id_col), _pq_guarded_vec(id_col, vec_col, dim).alias("v")
+    )
+    code_cols = [
+        _nearest_struct(F.slice(F.col("v"), j * sub + 1, sub), pqs[j].centroids)[
+            "cid"
+        ].cast("int").alias(f"code{j}")
+        for j in range(m)
+    ]
+    (
+        base.select(
+            F.col(id_col),
+            F.col("v").alias(vec_col),
+            *code_cols,
+            assign_expr(F.col("v"), coarse.centroids).alias("centroid_id"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(coarse.centroids.items())],
+        "centroid_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(path + "/_centroids")
+    spark.createDataFrame(
+        [
+            (j, cid, vec)
+            for j, model in enumerate(pqs)
+            for cid, vec in sorted(model.centroids.items())
+        ],
+        "subspace int, cid int, c array<double>",
+    ).write.mode("overwrite").parquet(path + "/_codebooks")
+
+
+def ensure_ivfpq_index(
+    spark,
+    corpus: DataFrame,
+    cache_key: str,
+    base_dir: str | None = None,
+    **kwargs,
+) -> str:
+    """Build-once wrapper for ``write_ivfpq_index`` (same content-
+    addressed cache contract as ``ensure_ivf_index``)."""
+    import hashlib
+    import os
+    import tempfile
+
+    base = base_dir or os.path.join(tempfile.gettempdir(), "opentimes_ivfpq")
+    keyed = f"{cache_key}::ivfpq::{sorted(kwargs.items())!r}"
+    path = os.path.join(base, hashlib.md5(keyed.encode("utf-8")).hexdigest()[:16])
+    complete = (
+        os.path.exists(os.path.join(path, "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "_centroids", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "_codebooks", "_SUCCESS"))
+    )
+    if not complete:
+        write_ivfpq_index(spark, corpus, path, **kwargs)
+    return path
+
+
+def ivfpq_topk_probe(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    n_probe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ probe against a MATERIALIZED index: per-query ADC tables
+    come from the stored codebooks (collected — m·pq_k·(dim/m) doubles,
+    driver-side bytes), cells rank by L2 against the stored coarse
+    centroids, and the index scan joins on the Hive ``centroid_id``
+    key so dynamic partition pruning skips every non-probed cell
+    directory.  Per-candidate cost is m ``element_at`` lookups + an
+    add on the stored codes — candidate VECTORS are never read
+    (column pruning drops them at the scan).  Bit-identical results to
+    the in-query ``ivfpq_topk`` with the same build parameters."""
+    from opentimes_spark.operators.clustering import _lit_vec, _pq_guarded_vec, _self_dot
+    from opentimes_spark.functions.vectors import dot
+
+    cents = {
+        r["centroid_id"]: list(r["centroid"])
+        for r in spark.read.parquet(index_path + "/_centroids").collect()
+    }
+    books = spark.read.parquet(index_path + "/_codebooks").collect()
+    m = 1 + max(r["subspace"] for r in books)
+    sub = dim // m
+    codebooks: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+    for r in books:
+        codebooks[r["subspace"]][r["cid"]] = list(r["c"])
+
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        _pq_guarded_vec(id_col, vec_col, dim).alias("q_vec"),
+    )
+    qv = F.col("q_vec")
+    cell_structs = F.array(
+        *[
+            F.struct(
+                (
+                    dot(qv, qv) - 2.0 * dot(qv, _lit_vec(c)) + F.lit(_self_dot(c))
+                ).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, c in sorted(cents.items())
+        ]
+    )
+    probe_cells = F.transform(
+        F.slice(F.array_sort(cell_structs), 1, n_probe), lambda s: s["cid"]
+    )
+    adc_cols = []
+    for j in range(m):
+        qs = F.slice(qv, j * sub + 1, sub)
+        adc_cols.append(
+            F.array(
+                *[
+                    dot(qs, qs) - 2.0 * dot(qs, _lit_vec(c)) + F.lit(_self_dot(c))
+                    for _cid, c in sorted(codebooks[j].items())
+                ]
+            ).alias(f"adc{j}")
+        )
+    probes = qbase.select(
+        "query_id", F.explode(probe_cells).alias("centroid_id"), *adc_cols
+    )
+    cand = spark.read.parquet(index_path).select(
+        F.col(id_col).alias("cand_id"),
+        *[F.col(f"code{j}") for j in range(m)],
+        "centroid_id",
+    )
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col(f"adc{j}"), F.col(f"code{j}"))
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+    return (
+        cand.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("adc", adc)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("adc", round_to).alias("adc_dist"),
+            "rnk",
+        )
+    )

@@ -10440,22 +10440,31 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays every stage — both coarse Lloyd iterations, both
     subspace codebook fits, cell ranking, ADC tables, and the final
     (adc, cand) ordering — so the full approximation structure is
-    value-certified.  (LLM-pipeline: similarity search at scale;
-    operators/similarity.py:ivfpq_topk.)"""
-    from opentimes_spark.operators.similarity import ivfpq_topk
+    value-certified.  Runs against the MATERIALIZED index
+    (ensure_ivfpq_index → Hive cells + stored codes + codebooks;
+    build paid once, probe partition-pruned and vector-column-free) —
+    proven bit-identical to the in-query ivfpq_topk form in
+    tests/test_similarity.py.  (LLM-pipeline: similarity search at
+    scale; operators/similarity.py:ivfpq_topk / ivfpq_topk_probe.)"""
+    from opentimes_spark.operators.similarity import (
+        ensure_ivfpq_index,
+        ivfpq_topk_probe,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivfpq_topk(
-        emb.filter(F.col("vec_id") < 20),
+    idx = ensure_ivfpq_index(
+        spark,
         emb,
-        k=5,
-        n_probe=2,
+        cache_key=f"ivfpq::{sf_dir}",
         coarse_k=8,
         coarse_iter=2,
         m=2,
         pq_k=4,
         pq_iter=1,
         dim=64,
+    )
+    return ivfpq_topk_probe(
+        spark, emb.filter(F.col("vec_id") < 20), idx, k=5, n_probe=2, dim=64
     )
 
 

@@ -260,3 +260,43 @@ def test_ivfpq_topk_shape_and_determinism(spark):
 
     with pytest.raises(ValueError):
         ivfpq_topk(q, emb, m=3, dim=64)
+
+
+def test_ivfpq_materialized_probe_matches_inline_and_prunes(spark, tmp_path):
+    """The materialized IVF-PQ index must (a) return BIT-IDENTICAL
+    results to the in-query ivfpq_topk with the same build parameters,
+    (b) join the probe via the Hive centroid_id key so partition
+    pruning applies, and (c) never read candidate vectors — the codes
+    are the whole ranking payload (column pruning at the scan)."""
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.similarity import (
+        ensure_ivfpq_index,
+        ivfpq_topk,
+        ivfpq_topk_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    idx = ensure_ivfpq_index(
+        spark, emb, cache_key=str(tmp_path), base_dir=str(tmp_path),
+        coarse_k=8, coarse_iter=2, m=2, pq_k=4, pq_iter=1, dim=64,
+    )
+    probe = ivfpq_topk_probe(spark, q, idx, k=5, n_probe=2)
+    inline = ivfpq_topk(q, emb, k=5, n_probe=2, coarse_k=8, coarse_iter=2,
+                        m=2, pq_k=4, pq_iter=1, dim=64)
+    assert sorted(map(tuple, probe.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    # the scan's ReadSchema must carry the codes, not the vectors
+    scan = next(s for s in plan.split("(") if "ReadSchema" in s)
+    assert "embedding" not in scan
+    # second ensure call returns the cached path without rebuilding
+    assert ensure_ivfpq_index(
+        spark, emb, cache_key=str(tmp_path), base_dir=str(tmp_path),
+        coarse_k=8, coarse_iter=2, m=2, pq_k=4, pq_iter=1, dim=64,
+    ) == idx
