@@ -196,3 +196,24 @@ def prefix_fingerprint(text: Column, n_tokens: int = 3) -> Column:
     documents that share an opening phrase (near-dup blocking)."""
     toks = tokens(text)
     return F.md5(F.array_join(F.slice(toks, 1, n_tokens), " "))
+
+
+def gopher_pass(text: Column) -> Column:
+    """Boolean: the document passes the Gopher rule-based quality
+    filter (Rae et al. 2021 §A1.1) — word count in [50, 100k], mean
+    word length in [3, 10], ≥80% alphabetic words, ≥2 stopwords.
+    Zero-shuffle array folds; empty docs fail.  The per-rule breakdown
+    lives in the ``docs_gopher_flags`` oracle query; this is the
+    composed verdict the curation job's ``--gopher`` stage applies."""
+    toks = tokens(text)
+    n_words = F.size(toks)
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$")))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    mwl = F.length(F.array_join(toks, "")) * 1.0 / n_words
+    return F.when(
+        n_words > 0,
+        n_words.between(50, 100_000)
+        & mwl.between(3, 10)
+        & ((n_alpha * 1.0 / n_words) >= 0.8)
+        & (n_stop >= 2),
+    ).otherwise(F.lit(False))

@@ -8,6 +8,12 @@ recomputing, the reference's DVC semantics):
 
 1. ``quality``   — classifier scoring (Arrow-batched inference seam),
                    drop low-score docs and the held-out eval source.
+1b. ``gopher``   — (opt-in ``--gopher``) the Gopher rule-based filter
+                   (word count / mean word length / alphabetic and
+                   stopword fractions, Rae et al. 2021).
+1c. ``boilerplate`` — (opt-in ``--boilerplate-max``) drop docs whose
+                   trigram positions are mostly corpus-level templates
+                   (C4/RefinedWeb-style; operators/boilerplate.py).
 2. ``exact``     — exact dedup: keep the canonical (min-id) doc per
                    normalized-text fingerprint.
 3. ``spans``     — ExactSubstr rewrite: cut cross-doc duplicated
@@ -45,6 +51,21 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--min-score", type=int, default=50)
     p.add_argument("--budget", type=int, default=512)
     p.add_argument("--span", type=int, default=8)
+    p.add_argument(
+        "--gopher",
+        action="store_true",
+        help="apply the Gopher rule-based quality filter (Rae et al. "
+        "2021: word count, mean word length, alphabetic and stopword "
+        "fractions) after classifier scoring",
+    )
+    p.add_argument(
+        "--boilerplate-max",
+        type=float,
+        default=None,
+        help="drop docs whose trigram boilerplate coverage (fraction "
+        "of n-gram positions matched by corpus-level df>=5 templates) "
+        "exceeds this threshold; docs too short to have trigrams pass",
+    )
     p.add_argument(
         "--semantic-tau",
         type=float,
@@ -105,6 +126,42 @@ def curate(spark: SparkSession, args: argparse.Namespace) -> dict:
         params={"min_score": args.min_score, "eval": args.eval_source},
     )
     record("quality", q, skipped)
+    quality_upstream = path("quality")
+
+    if args.gopher:
+
+        def build_gopher():
+            from opentimes_spark.functions.text import gopher_pass
+
+            return q.filter(gopher_pass(F.col("text")))
+
+        q, skipped = run_stage(
+            spark, "gopher", [quality_upstream], path("gopher"), build_gopher,
+        )
+        record("gopher", q, skipped)
+        quality_upstream = path("gopher")
+
+    if args.boilerplate_max is not None:
+
+        def build_boilerplate():
+            from opentimes_spark.operators.boilerplate import (
+                boilerplate_coverage,
+            )
+
+            # coverage is computed among SURVIVORS (template df counts
+            # shift as upstream stages drop docs); docs too short for a
+            # trigram emit no coverage row and pass through
+            over = boilerplate_coverage(q, n=3, min_df=5).filter(
+                F.col("bp_frac") > args.boilerplate_max
+            )
+            return q.join(over.select("doc_id"), "doc_id", "left_anti")
+
+        q, skipped = run_stage(
+            spark, "boilerplate", [quality_upstream], path("boilerplate"),
+            build_boilerplate, params={"max": args.boilerplate_max},
+        )
+        record("boilerplate", q, skipped)
+        quality_upstream = path("boilerplate")
 
     def build_exact():
         canon = (
@@ -115,7 +172,7 @@ def curate(spark: SparkSession, args: argparse.Namespace) -> dict:
         return q.join(canon.select("doc_id"), "doc_id", "left_semi")
 
     ex, skipped = run_stage(
-        spark, "exact", [path("quality")], path("exact"), build_exact,
+        spark, "exact", [quality_upstream], path("exact"), build_exact,
     )
     record("exact", ex, skipped)
 

@@ -9561,36 +9561,11 @@ def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     template tail.  At 100 TB the same plan holds because the melt is
     per-row bounded fan-out and the agg combines map-side.
     (LLM-pipeline: boilerplate detection; feeds
-    docs_boilerplate_coverage.)"""
-    from opentimes_spark.functions.text import tokens as _tokens
+    docs_boilerplate_coverage; operators/boilerplate.py.)"""
+    from opentimes_spark.operators.boilerplate import boilerplate_ngrams
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    g = (
-        toks.filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.col("toks")[i - 1],
-                        F.col("toks")[i],
-                        F.col("toks")[i + 1],
-                    ),
-                )
-            ).alias("gram"),
-        )
-    )
-    return (
-        g.groupBy("gram")
-        .agg(
-            F.count_distinct("doc_id").cast("bigint").alias("doc_freq"),
-            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
-        )
-        .filter(F.col("doc_freq") >= 5)
-    )
+    return boilerplate_ngrams(d, n=3, min_df=5)
 
 
 @query(
@@ -9629,46 +9604,12 @@ def docs_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     + HAVING) and the coverage join; the boilerplate side is
     template-tail-sized, so the join broadcasts and the per-doc agg is
     the only fact shuffle.  Integer-ratio doubles need no epsilon.
-    (LLM-pipeline: boilerplate filtering.)"""
-    from opentimes_spark.functions.text import tokens as _tokens
+    (LLM-pipeline: boilerplate filtering; operators/boilerplate.py,
+    also the curation job's --boilerplate-max stage.)"""
+    from opentimes_spark.operators.boilerplate import boilerplate_coverage
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    g = (
-        toks.filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.col("toks")[i - 1],
-                        F.col("toks")[i],
-                        F.col("toks")[i + 1],
-                    ),
-                )
-            ).alias("gram"),
-        )
-    )
-    bp = (
-        g.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 5)
-        .select("gram")
-    )
-    hit = F.when(F.col("df_mark").isNotNull(), 1).otherwise(0)
-    return (
-        g.join(
-            F.broadcast(bp.withColumn("df_mark", F.lit(1))), "gram", "left"
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(hit).cast("bigint").alias("n_boilerplate"),
-            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias("bp_frac"),
-        )
-    )
+    return boilerplate_coverage(d, n=3, min_df=5)
 
 
 # ---------------------------------------------------------------------------

@@ -113,3 +113,52 @@ def test_curate_semantic_stage(spark, tmp_path):
     # every dropped doc's kept lower-id twin is still in the corpus: the
     # keep-one-representative invariant
     assert pruned_ids <= dec_ids and pruned_ids.isdisjoint(sem_ids)
+
+
+def test_curate_gopher_and_boilerplate_stages(spark, tmp_path):
+    """The opt-in rule-filter stages slot between quality and exact:
+    each can only drop docs, the funnel stays monotone, and a permissive
+    boilerplate threshold is a no-op while a zero threshold drops every
+    doc that has any template trigram."""
+    out = str(tmp_path / "curated_gb")
+    os.makedirs(out, exist_ok=True)
+    args = parse_args(
+        [
+            "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+            "--gopher", "--boilerplate-max", "0.9",
+        ]
+    )
+    m = curate(spark, args)
+    stages = [
+        "quality", "gopher", "boilerplate", "exact", "spans",
+        "decontam", "curated",
+    ]
+    rows = [m["stages"][s]["rows"] for s in stages]
+    assert all(a >= b for a, b in zip(rows, rows[1:])), rows
+    assert rows[-1] > 0
+
+    # gopher stage really applies the composed rule: every survivor
+    # passes gopher_pass
+    from opentimes_spark.functions.text import gopher_pass
+    from pyspark.sql import functions as F
+
+    g = spark.read.parquet(os.path.join(out, "gopher"))
+    assert g.filter(~gopher_pass(F.col("text"))).count() == 0
+
+    # a zero threshold drops every doc with any template trigram —
+    # strictly fewer than its own upstream (this corpus is template-y)
+    out2 = str(tmp_path / "curated_aggr")
+    os.makedirs(out2, exist_ok=True)
+    m2 = curate(
+        spark,
+        parse_args(
+            [
+                "--sf-dir", "/root/testdata/sf0.001", "--out", out2,
+                "--boilerplate-max", "0.0",
+            ]
+        ),
+    )
+    assert (
+        m2["stages"]["boilerplate"]["rows"]
+        < m2["stages"]["quality"]["rows"]
+    )
