@@ -10632,6 +10632,279 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_bipartite_degree_dist",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    sdeg AS (SELECT s, COUNT(*) AS d FROM pairs GROUP BY s),
+    pdeg AS (SELECT p, COUNT(*) AS d FROM pairs GROUP BY p)
+    SELECT 'supplier' AS side, CAST(d AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM sdeg GROUP BY d
+    UNION ALL
+    SELECT 'part' AS side, CAST(d AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM pdeg GROUP BY d
+    """,
+)
+def graph_bipartite_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of both sides of the supplier⇄part
+    bipartite graph — the first diagnostic before any graph algorithm
+    (hub detection, join-skew prediction: a power-law degree side is
+    exactly the side that needs salting).  Distinct-pair projection +
+    two grouped counts + a count-of-counts; all keys are
+    dimension-bounded after the first distinct.  Shares its edge
+    extraction with graph_pagerank_3iter.  (SURVEY.md §2 Ext graph
+    analytics.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_suppkey", "l_partkey").distinct()
+    sdeg = pairs.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("d"))
+    pdeg = pairs.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("d"))
+
+    def dist(deg: DataFrame, side: str) -> DataFrame:
+        return deg.groupBy("d").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+        ).select(
+            F.lit(side).alias("side"),
+            F.col("d").cast("bigint").alias("degree"),
+            "n_nodes",
+        )
+
+    return dist(sdeg, "supplier").unionByName(dist(pdeg, "part"))
+
+
+@query(
+    "lineitem_price_qty_corr",
+    """
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS DECIMAL(18,2)) AS x,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        FROM lineitem
+    ),
+    sums AS (
+        SELECT flag, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM base GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n_items,
+           ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                      * CAST(sy AS DOUBLE) / n)
+                 / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                             * CAST(sx AS DOUBLE) / n)
+                    * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                               * CAST(sy AS DOUBLE) / n)), 6) AS corr
+    FROM sums
+    """,
+)
+def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag, computed from EXACT DECIMAL moment sums — the engines' own
+    CORR() aggregates double partials in nondeterministic order and
+    flakes the last ulp, so Σx, Σy, Σx², Σy², Σxy accumulate exactly
+    and only the final closed-form division runs in float64 (identical
+    arithmetic from identical exact inputs).  One shuffle on a 3-key
+    group with map-side combine.  (SURVEY.md §2.4 Ext statistics; the
+    sorted-fold idiom's decimal sibling.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    dx = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / n
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / n
+    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / n
+    return sums.select(
+        "flag",
+        n.cast("bigint").alias("n_items"),
+        F.round(dx / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr"),
+    )
+
+
+@query(
+    "events_ab_lift_ztest",
+    """
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5('ab1:' || user_id), 1, 8))::BIGINT
+                         % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 99
+                         THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n,
+               CAST(SUM(converted) AS BIGINT) AS conv
+        FROM assigned GROUP BY arm
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+               MAX(CASE WHEN arm = 'A' THEN conv END) AS ca,
+               MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+               MAX(CASE WHEN arm = 'B' THEN conv END) AS cb
+        FROM arms
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, ca AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, cb AS conv_b,
+           ROUND(cb * 1.0 / nb - ca * 1.0 / na, 6) AS abs_lift,
+           ROUND((cb * 1.0 / nb - ca * 1.0 / na)
+                 / NULLIF(SQRT((ca + cb) * 1.0 / (na + nb)
+                               * (1 - (ca + cb) * 1.0 / (na + nb))
+                               * (1.0 / na + 1.0 / nb)), 0), 6) AS z_score
+    FROM wide
+    """,
+)
+def events_ab_lift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic hash-split A/B
+    assignment: users split 50/50 by md5(user_id), per-arm purchase
+    conversion, absolute lift, and the pooled-variance z statistic —
+    the experimentation-analytics primitive, with the assignment
+    itself hash-derived so the 'experiment' replays identically in any
+    engine (no RNG).  Per-user conversion is one shuffle; the arm
+    table is 2 rows; every input to the float math is an exact integer.
+    (SURVEY.md §2.4 Ext; product experimentation.)"""
+    e = _t(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    converted = F.when(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 99), 1
+    ).otherwise(0)
+    assigned = e.groupBy("user_id").agg(
+        F.max(converted).alias("converted")
+    ).withColumn("arm", arm)
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+    )
+    pa = F.col("ca") * 1.0 / F.col("na")
+    pb = F.col("cb") * 1.0 / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")) * 1.0 / (F.col("na") + F.col("nb"))
+    se = F.nullif(
+        F.sqrt(pool * (1 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+        F.lit(0.0),
+    )
+    return wide.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        F.round(pb - pa, 6).alias("abs_lift"),
+        F.round((pb - pa) / se, 6).alias("z_score"),
+    )
+
+
+@query(
+    "part_basket_rules",
+    """
+    WITH baskets AS (
+        SELECT l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY l_orderkey, p.p_brand
+    ),
+    nbaskets AS (SELECT COUNT(DISTINCT l_orderkey) AS nb FROM baskets),
+    brand_n AS (
+        SELECT p_brand, COUNT(*) AS n FROM baskets GROUP BY p_brand
+    ),
+    pair_n AS (
+        SELECT a.p_brand AS ante, b.p_brand AS cons, COUNT(*) AS n
+        FROM baskets a
+        JOIN baskets b ON b.l_orderkey = a.l_orderkey
+                      AND a.p_brand != b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT ante, cons,
+           CAST(pair_n.n AS BIGINT) AS n_both,
+           ROUND(pair_n.n * 1.0 / nb.nb, 6) AS support,
+           ROUND(pair_n.n * 1.0 / ba.n, 6) AS confidence,
+           ROUND((pair_n.n * 1.0 / ba.n) / (bc.n * 1.0 / nb.nb), 6) AS lift
+    FROM pair_n
+    JOIN brand_n ba ON ba.p_brand = pair_n.ante
+    JOIN brand_n bc ON bc.p_brand = pair_n.cons
+    CROSS JOIN nbaskets nb
+    WHERE pair_n.n >= 20
+    """,
+)
+def part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules brand→brand over order baskets: support,
+    confidence, and lift (Agrawal & Srikant 1994's measures on 1-item
+    antecedents) — the market-basket classic.  Baskets are
+    order-distinct brand sets; the pair melt is a self-equi-join on
+    the order key (fan-out bounded by per-order brand count); the
+    brand margins broadcast.  All measures are integer ratios.  The
+    n≥20 support cut keeps the rule tail out.  (SURVEY.md §2 Ext;
+    complements parts_adamic_adar's degree-corrected weights with the
+    classical support/confidence frame.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    nb = baskets.agg(F.count_distinct("l_orderkey").alias("nb"))
+    brand_n = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.select(F.col("l_orderkey"), F.col("p_brand").alias("ante"))
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("cons")
+    )
+    pair_n = (
+        a.join(b, (a.l_orderkey == F.col("ok2")) & (F.col("ante") != F.col("cons")))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+    ba = brand_n.select(F.col("p_brand").alias("ante"), F.col("n").alias("n_a"))
+    bc = brand_n.select(F.col("p_brand").alias("cons"), F.col("n").alias("n_c"))
+    return (
+        pair_n.join(F.broadcast(ba), "ante")
+        .join(F.broadcast(bc), "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            F.col("n").cast("bigint").alias("n_both"),
+            F.round(F.col("n") * 1.0 / F.col("nb"), 6).alias("support"),
+            F.round(F.col("n") * 1.0 / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n") * 1.0 / F.col("n_a"))
+                / (F.col("n_c") * 1.0 / F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
