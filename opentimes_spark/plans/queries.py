@@ -10905,6 +10905,211 @@ def part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_feature_hashing",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST({_TOKS_SQL}) AS t FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('fh:' || t), 1, 8))::BIGINT % 16 AS slot
+        FROM tok
+    ),
+    counts AS (
+        SELECT doc_id, slot, COUNT(*) AS c FROM hashed GROUP BY doc_id, slot
+    ),
+    grid AS (
+        SELECT d.doc_id, u.slot, COALESCE(c.c, 0) AS c
+        FROM (SELECT DISTINCT doc_id FROM counts) d
+        CROSS JOIN UNNEST(range(0, 16)) AS u(slot)
+        LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.slot = u.slot
+    )
+    SELECT doc_id,
+           ARRAY_TO_STRING(list(CAST(c AS BIGINT) ORDER BY slot), ',')
+               AS features
+    FROM grid GROUP BY doc_id
+    """,
+)
+def docs_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): each document's
+    token counts folded into a FIXED 16-slot feature vector by
+    md5(token) % 16 — the dimensionality-bounded featurization that
+    needs no vocabulary pass, which is the whole point at 100 TB (no
+    corpus-wide dictionary to build, broadcast, or version).  One
+    grouped count on (doc, slot ≤ 16) keys, then a dense-vector
+    assembly; the vector serializes as a comma-joined string (the
+    agg_array_collect rule — array cells are unhashable in the
+    driver's sorted-compare).  (LLM-pipeline: cheap featurization for
+    dedup/classifier stages.)"""
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    slot = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fh:"), F.col("t"))), 1, 8), 16, 10
+        ).cast("long")
+        % 16
+    )
+    counts = tok.select("doc_id", slot.alias("slot")).groupBy(
+        "doc_id", "slot"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # dense 16-vector: map_from_entries then slot lookups (no second
+    # shuffle — the pivot happens inside the per-doc aggregate)
+    vec = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("slot", "c"))
+        ).alias("mc")
+    )
+    features = F.array(
+        *[F.coalesce(F.col("mc")[F.lit(i)], F.lit(0).cast("bigint")) for i in range(16)]
+    )
+    return vec.select(
+        "doc_id", F.array_join(features, ",").alias("features")
+    )
+
+
+@query(
+    "score_heldout_perplexity",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ),
+    train_uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT UNNEST(toks) AS w FROM t WHERE source != 'src19')
+        GROUP BY w
+    ),
+    tot AS (
+        SELECT SUM(n) AS total, COUNT(*) AS vocab FROM train_uni
+    ),
+    held AS (
+        SELECT doc_id, UNNEST(toks) AS w FROM t WHERE source = 'src19'
+    )
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN u.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           ROUND(AVG(-LN((COALESCE(u.n, 0) + 1.0)
+                         / (tot.total + tot.vocab + 1.0))), 4)
+               AS avg_nll
+    FROM held h
+    LEFT JOIN train_uni u ON u.w = h.w
+    CROSS JOIN tot
+    GROUP BY h.doc_id
+    """,
+)
+def score_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out negative log-likelihood: the eval source's documents
+    scored under a unigram LM fitted on the REST of the corpus with
+    add-one smoothing — the train/eval split discipline that
+    score_unigram_logprob (self-scored) deliberately lacks, and the
+    cheap proxy for 'did this curation step help' before any GPU run.
+    Train counts are one vocab-bounded agg; the held-out token stream
+    left-joins them (OOV → count 0 under the smoothing), totals ride a
+    broadcast.  (LLM-pipeline: curation evaluation.)"""
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
+    train_uni = (
+        toks.filter(F.col("source") != "src19")
+        .select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = train_uni.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    held = toks.filter(F.col("source") == "src19").select(
+        "doc_id", F.explode("toks").alias("w")
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("n"), F.lit(0)) + 1.0)
+        / (F.col("total") + F.col("vocab") + 1.0)
+    )
+    return (
+        held.join(train_uni, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+    )
+
+
+@query(
+    "suppliers_neighborhood_jaccard",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    deg AS (SELECT s, COUNT(*) AS d FROM pairs GROUP BY s),
+    inter AS (
+        SELECT a.s AS s_a, b.s AS s_b, COUNT(*) AS n_shared
+        FROM pairs a
+        JOIN pairs b ON b.p = a.p AND a.s < b.s
+        GROUP BY a.s, b.s
+    )
+    SELECT s_a, s_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(n_shared * 1.0 / (da.d + db.d - n_shared), 6) AS jaccard
+    FROM inter
+    JOIN deg da ON da.s = inter.s_a
+    JOIN deg db ON db.s = inter.s_b
+    ORDER BY jaccard DESC, s_a, s_b
+    LIMIT 50
+    """,
+)
+def suppliers_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural equivalence between suppliers: Jaccard similarity of
+    their part neighborhoods in the co-purchase graph — suppliers
+    serving the same catalog slice, the graph-side near-dup detector
+    (same |∩|/|∪| frame as document Jaccard, applied to adjacency
+    sets).  The intersection melt joins the distinct edge list to
+    itself on the PART key — fan-out per part is its supplier degree,
+    the quantity graph_bipartite_degree_dist measures, and a power-law
+    part would arm the same salting/capping the dedup operators use.
+    Integer-ratio Jaccard, deterministic (jaccard, pair) top-50 cut.
+    (SURVEY.md §2 Ext graph analytics.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = pairs.select(F.col("s").alias("s_a"), "p")
+    b = pairs.select(F.col("s").alias("s_b"), F.col("p").alias("p2"))
+    inter = (
+        a.join(b, (F.col("p") == F.col("p2")) & (F.col("s_a") < F.col("s_b")))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    da = deg.select(F.col("s").alias("s_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("s").alias("s_b"), F.col("d").alias("db"))
+    return (
+        inter.join(F.broadcast(da), "s_a")
+        .join(F.broadcast(db), "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared")
+                * 1.0
+                / (F.col("da") + F.col("db") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "s_a", "s_b")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
