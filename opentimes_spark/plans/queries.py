@@ -11110,6 +11110,108 @@ def suppliers_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "events_kaplan_meier",
+    """
+    WITH subj AS (
+        SELECT user_id,
+               MIN(ts) AS first_ts,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS ev_ts,
+               MAX(ts) AS last_ts
+        FROM events GROUP BY user_id
+    ),
+    dur AS (
+        SELECT user_id,
+               DATE_DIFF('day', CAST(first_ts AS DATE),
+                         CAST(COALESCE(ev_ts, last_ts) AS DATE)) AS t,
+               CASE WHEN ev_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM subj
+    ),
+    n AS (SELECT COUNT(*) AS total FROM dur),
+    day AS (
+        SELECT t,
+               CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM dur GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d, c,
+               n.total - COALESCE(SUM(d + c) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_risk
+        FROM day CROSS JOIN n
+    ),
+    factors AS (
+        SELECT t, d, c, n_risk,
+               list(1 - d * 1.0 / n_risk) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS fs
+        FROM risk
+    )
+    SELECT CAST(t AS INT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events, c AS n_censored,
+           ROUND(list_reduce(fs, (a, b) -> a * b), 6) AS survival
+    FROM factors
+    WHERE d > 0
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase: each
+    user enters at their first event, 'dies' at their first purchase,
+    and is right-censored at their last observed event otherwise — the
+    product-limit estimator (Kaplan & Meier 1958) that handles the
+    censored users a naive conversion-time average silently biases.
+    Day-grain risk sets come from an exclusive-frame cumulative count
+    (exact integers); the survival product folds its (1 − d/n) factors
+    in FRAME ORDER on both engines (running collect + sequential fold —
+    a windowed PRODUCT/EXP-SUM-LN would hit the engines' segment-tree
+    reassociation), the same determinism idiom as the entropy/Markov
+    queries.  Per-user reduction is one shuffle; everything after runs
+    on the day-grain table.  (SURVEY.md §2.4/2.5 Ext; survival
+    analytics.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    subj = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "ev_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    dur = subj.select(
+        F.datediff(
+            F.coalesce(F.col("ev_ts"), F.col("last_ts")).cast("date"),
+            F.col("first_ts").cast("date"),
+        ).alias("t"),
+        F.when(F.col("ev_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    n = dur.agg(F.count(F.lit(1)).alias("total"))
+    day = dur.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+    )
+    wprior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wrun = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = day.crossJoin(F.broadcast(n)).withColumn(
+        "n_risk",
+        F.col("total")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprior), F.lit(0)),
+    )
+    factors = risk.withColumn(
+        "fs", F.collect_list(1 - F.col("d") * 1.0 / F.col("n_risk")).over(wrun)
+    )
+    survival = F.aggregate(F.col("fs"), F.lit(1.0), lambda a, x: a * x)
+    return factors.filter(F.col("d") > 0).select(
+        F.col("t").cast("int").alias("duration_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.round(survival, 6).alias("survival"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
