@@ -11212,6 +11212,138 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_source_kl_divergence",
+    f"""
+    WITH tok AS (
+        SELECT source, UNNEST({_TOKS_SQL}) AS w FROM documents
+    ),
+    sc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY source, w
+    ),
+    stot AS (SELECT source, SUM(n) AS ns FROM sc GROUP BY source),
+    corpus AS (SELECT w, SUM(n) AS nc FROM sc GROUP BY w),
+    ctot AS (SELECT SUM(nc) AS total FROM corpus),
+    terms AS (
+        SELECT sc.source,
+               MAX(stot.ns) AS n_tokens,
+               list((sc.n * 1.0 / stot.ns)
+                    * LN((sc.n * 1.0 / stot.ns)
+                         / (corpus.nc * 1.0 / ctot.total))
+                    ORDER BY sc.w) AS ts
+        FROM sc
+        JOIN stot ON stot.source = sc.source
+        JOIN corpus ON corpus.w = sc.w
+        CROSS JOIN ctot
+        GROUP BY sc.source
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(list_reduce(ts, (a, b) -> a + b), 6) AS kl_vs_corpus
+    FROM terms
+    """,
+)
+def docs_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the
+    corpus distribution — the distribution-shift detector behind
+    mixture rebalancing ('which source is the outlier dialect?').
+    Every p·ln(p/q) term is finite by construction (a source's tokens
+    are a subset of the corpus's, so q > 0 wherever p > 0), and the
+    terms fold in SORTED token order on both engines — the entropy
+    query's determinism idiom applied to a cross-distribution sum.
+    Two vocab-bounded aggregations + one join on the token key.
+    (LLM-pipeline: mixture QA / drift detection.)"""
+    from pyspark.sql import Window
+
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    sc = (
+        d.select("source", F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    stot = sc.groupBy("source").agg(F.sum("n").alias("ns"))
+    corpus = sc.groupBy("w").agg(F.sum("n").alias("nc"))
+    ctot = corpus.agg(F.sum("nc").alias("total"))
+    p = F.col("n") * 1.0 / F.col("ns")
+    q = F.col("nc") * 1.0 / F.col("total")
+    terms = (
+        sc.join(stot, "source")
+        .join(corpus, "w")
+        .crossJoin(F.broadcast(ctot))
+        .withColumn("term", p * F.log(p / q))
+        .groupBy("source")
+        .agg(
+            F.max("ns").alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "term"))),
+                lambda s: s["term"],
+            ).alias("ts"),
+        )
+    )
+    kl = F.aggregate(F.col("ts"), F.lit(0.0), lambda a, x: a + x)
+    return terms.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(kl, 6).alias("kl_vs_corpus"),
+    )
+
+
+@query(
+    "corpus_content_checksum",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id || ':' || md5(text)), 1, 8))::BIGINT
+                   AS hv
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(hv) AS BIGINT) AS checksum_sum,
+           CAST(MIN(hv) AS BIGINT) AS checksum_min,
+           CAST(MAX(hv) AS BIGINT) AS checksum_max,
+           CAST(COUNT(DISTINCT hv) AS BIGINT) AS n_distinct_hv
+    FROM h
+    """,
+)
+def corpus_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive dataset content checksum: per-row
+    md5(id + content-hash) folded with COMMUTATIVE integer aggregates
+    (sum/min/max/distinct-count) — two snapshots are byte-equivalent
+    iff the tuple matches, regardless of row order, partitioning, or
+    file layout.  The cheap drift detector a pipeline runs before and
+    after a migration, and the equality check behind content-addressed
+    stage skipping (plans/incremental) stated as a query.  One scan,
+    one 1-row aggregate; integer arithmetic is exact in any engine.
+    (LLM-pipeline: dataset versioning QA.)"""
+    d = _t(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.md5(F.col("text")),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = d.select(hv.alias("hv"))
+    return h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("hv").cast("bigint").alias("checksum_sum"),
+        F.min("hv").cast("bigint").alias("checksum_min"),
+        F.max("hv").cast("bigint").alias("checksum_max"),
+        F.count_distinct("hv").cast("bigint").alias("n_distinct_hv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
