@@ -309,3 +309,47 @@ def test_weighted_farthest_is_deterministic_and_complete(data, k):
     ids = [cands.index(c) for c in s1]
     assert len(set(map(tuple, s1))) <= len(s1)  # drawn from the pool
     assert all(c in cands for c in s1)
+
+
+@given(
+    a=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=4),
+        min_size=1,
+        max_size=150,
+    ),
+    b=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=4),
+        max_size=150,
+    ),
+    depth=st.integers(min_value=1, max_value=5),
+    width=st.integers(min_value=2, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_cms_laws_never_undercount_and_merge_additively(a, b, depth, width):
+    """The Count-Min laws on the exact md5 bucket math the Spark
+    operator (and its DuckDB oracle) use: a point estimate is min over
+    depth counters and NEVER undercounts, and the sketch of a
+    concatenated stream equals the counter-wise sum of the parts'
+    sketches (the merge law the streaming sink relies on)."""
+    import hashlib
+    from collections import Counter
+
+    def bucket(item: str, row: int) -> int:
+        return (
+            int(hashlib.md5(f"{row}:{item}".encode()).hexdigest()[:8], 16)
+            % width
+        )
+
+    def sketch(items):
+        t: Counter = Counter()
+        for x in items:
+            for r in range(depth):
+                t[(r, bucket(x, r))] += 1
+        return t
+
+    sa, sb, sab = sketch(a), sketch(b), sketch(a + b)
+    assert sa + sb == sab  # merge law
+    exact = Counter(a + b)
+    for item, n in exact.items():
+        est = min(sab[(r, bucket(item, r))] for r in range(depth))
+        assert est >= n
