@@ -11344,6 +11344,207 @@ def corpus_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_runs_test",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    signs AS (
+        SELECT d,
+               CASE WHEN rev > LAG(rev) OVER (ORDER BY d) THEN 1
+                    WHEN rev < LAG(rev) OVER (ORDER BY d) THEN -1
+               END AS s
+        FROM daily
+    ),
+    seq AS (
+        SELECT d, s, LAG(s) OVER (ORDER BY d) AS prev
+        FROM signs WHERE s IS NOT NULL
+    ),
+    stats AS (
+        SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+               CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down,
+               CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s != prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        FROM seq
+    )
+    SELECT n_up, n_down, n_runs,
+           ROUND(1.0 + 2.0 * n_up * n_down / (n_up + n_down), 4)
+               AS expected_runs,
+           ROUND((n_runs - (1.0 + 2.0 * n_up * n_down / (n_up + n_down)))
+                 / SQRT(2.0 * n_up * n_down
+                        * (2.0 * n_up * n_down - n_up - n_down)
+                        / ((n_up + n_down) * (n_up + n_down)
+                           * (n_up + n_down - 1.0))), 4) AS z_score
+    FROM stats
+    """,
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-revenue up/down sequence:
+    are revenue movements random, or trending/mean-reverting?  Counts
+    of up days, down days, and sign runs feed the exact expected-runs
+    and variance formulas — every float input is an exact integer
+    (ties, where revenue repeats exactly, drop out of the sequence on
+    both engines because the DECIMAL daily sums are exact).  The day
+    series is date-grain (aggregate first, window second).
+    (SURVEY.md §2.4 Ext; randomness diagnostics.)"""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    wd = Window.orderBy("d")
+    s = (
+        F.when(F.col("rev") > F.lag("rev").over(wd), 1)
+        .when(F.col("rev") < F.lag("rev").over(wd), -1)
+    )
+    signs = daily.withColumn("s", s).filter(F.col("s").isNotNull())
+    seq = signs.withColumn("prev", F.lag("s").over(wd))
+    stats = seq.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("bigint").alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("s") != F.col("prev")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    nu, nd, nr = F.col("n_up"), F.col("n_down"), F.col("n_runs")
+    er = 1.0 + 2.0 * nu * nd / (nu + nd)
+    var = (
+        2.0 * nu * nd * (2.0 * nu * nd - nu - nd)
+        / ((nu + nd) * (nu + nd) * (nu + nd - 1.0))
+    )
+    return stats.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(er, 4).alias("expected_runs"),
+        F.round((nr - er) / F.sqrt(var), 4).alias("z_score"),
+    )
+
+
+@query(
+    "events_entropy_rate",
+    """
+    WITH seq AS (
+        SELECT event_type AS a,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS b
+        FROM events
+    ),
+    pairs AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    row_tot AS (SELECT a, SUM(n) AS na FROM pairs GROUP BY a),
+    tot AS (SELECT SUM(n) AS total FROM pairs),
+    terms AS (
+        SELECT p.a,
+               MAX(rt.na) AS na,
+               MAX(tot.total) AS total,
+               list(-(p.n * 1.0 / rt.na) * LN(p.n * 1.0 / rt.na)
+                    ORDER BY p.b) AS hs
+        FROM pairs p
+        JOIN row_tot rt ON rt.a = p.a
+        CROSS JOIN tot
+        GROUP BY p.a
+    ),
+    rows_h AS (
+        SELECT a,
+               CAST(na AS BIGINT) AS n_transitions,
+               ROUND(list_reduce(hs, (x, y) -> x + y), 6) + 0.0
+                   AS row_entropy,
+               (na * 1.0 / total)
+                   * list_reduce(hs, (x, y) -> x + y) AS wterm
+        FROM terms
+    )
+    SELECT a AS from_type, n_transitions, row_entropy,
+           ROUND((SELECT list_reduce(list(wterm ORDER BY a), (x, y) -> x + y)
+                  FROM rows_h), 6) AS entropy_rate
+    FROM rows_h
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type Markov chain: H(X₂|X₁) = Σ_a
+    π(a)·H(row_a) with π estimated from transition frequencies — how
+    predictable the next action is given the current one (compare with
+    events_entropy_by_user's unconditional entropy: the gap IS the
+    predictive value of context).  Per-row entropies and the weighted
+    rate both fold in sorted order (the determinism idiom); the chain
+    statistics are dimension-sized after the one sequence window.
+    Output: each row's conditional entropy plus the chain-level rate
+    repeated per row (the driver hash covers both).  (SURVEY.md §2
+    Ext; information-theoretic analytics.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(worder).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    pairs = seq.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    row_tot = pairs.groupBy("a").agg(F.sum("n").alias("na"))
+    tot = pairs.agg(F.sum("n").alias("total"))
+    p = F.col("n") * 1.0 / F.col("na")
+    terms = (
+        pairs.join(row_tot, "a")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("h", -p * F.log(p))
+        .groupBy("a")
+        .agg(
+            F.max("na").alias("na"),
+            F.max("total").alias("total"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "h"))),
+                lambda s: s["h"],
+            ).alias("hs"),
+        )
+    )
+    row_h = F.aggregate(F.col("hs"), F.lit(0.0), lambda x, y: x + y)
+    rows_h = terms.select(
+        "a",
+        F.col("na").cast("bigint").alias("n_transitions"),
+        (F.round(row_h, 6) + F.lit(0.0)).alias("row_entropy"),
+        ((F.col("na") * 1.0 / F.col("total")) * row_h).alias("wterm"),
+    )
+    rate = rows_h.agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("a", "wterm"))),
+                    lambda s: s["wterm"],
+                ),
+                F.lit(0.0),
+                lambda x, y: x + y,
+            ),
+            6,
+        ).alias("entropy_rate")
+    )
+    return rows_h.select("a", "n_transitions", "row_entropy").crossJoin(
+        F.broadcast(rate)
+    ).select(
+        F.col("a").alias("from_type"),
+        "n_transitions",
+        "row_entropy",
+        "entropy_rate",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
