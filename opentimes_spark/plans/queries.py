@@ -11254,8 +11254,6 @@ def docs_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's determinism idiom applied to a cross-distribution sum.
     Two vocab-bounded aggregations + one join on the token key.
     (LLM-pipeline: mixture QA / drift detection.)"""
-    from pyspark.sql import Window
-
     from opentimes_spark.functions.text import tokens as _tokens
 
     d = _t(spark, sf_dir, "documents")
