@@ -184,20 +184,27 @@ def enrich_with_dim(
 
 def cms_stream_sink(out_dir: str, col: str, depth: int = 4, width: int = 512):
     """foreachBatch sink maintaining a streaming Count-Min sketch: each
-    micro-batch's PARTIAL sketch (≤ depth·width counter rows) is
-    appended under ``out_dir`` tagged with its batch id; the live
+    micro-batch's PARTIAL sketch (≤ depth·width counter rows) lands in
+    its own ``batch_id=<n>`` Hive partition under ``out_dir``; the live
     sketch is recovered by ``cms_read_merged`` (counter addition — the
-    CMS merge law).  Appending partials instead of rewriting the
-    merged table keeps the sink idempotent-per-batch and contention-
-    free at any ingest rate; one bounded file per batch, compactable
-    with io/compact when batch counts grow."""
+    CMS merge law).
+
+    foreachBatch is at-least-once — after a failure the same batch_id
+    can replay — so the write is a DYNAMIC partition overwrite keyed by
+    batch_id: a replayed batch REPLACES its own partition instead of
+    appending a duplicate partial (which would double-count every item
+    in that batch).  Partials instead of a rewritten merged table keep
+    the sink contention-free at any ingest rate; one bounded partition
+    per batch, compactable with io/compact when batch counts grow."""
     from opentimes_spark.operators.cms import cms_build
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (
             cms_build(batch_df, col, depth=depth, width=width)
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_dir)
         )
 

@@ -616,3 +616,26 @@ def test_streaming_cms_matches_batch_sketch(spark, events_stream, tmp_path):
     # and the stream really was incremental: multiple partial sketches
     n_batches = spark.read.parquet(out).select("batch_id").distinct().count()
     assert n_batches > 1
+
+
+def test_cms_sink_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: invoking the sink TWICE with the
+    same batch_id must leave exactly one partial (dynamic partition
+    overwrite), not a double-counted append."""
+    from opentimes_spark.operators.cms import cms_build
+    from opentimes_spark.streaming.events import cms_read_merged, cms_stream_sink
+
+    out = str(tmp_path / "cms_replay")
+    df = spark.createDataFrame([("x",), ("y",), ("x",)], "event_type string")
+    sink = cms_stream_sink(out, "event_type")
+    sink(df, 7)
+    sink(df, 7)  # replay of the same micro-batch
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_read_merged(spark, out).collect()
+    }
+    direct = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(df, "event_type").collect()
+    }
+    assert merged == direct
