@@ -11543,6 +11543,86 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_langid_confusion",
+    f"""
+    WITH scored AS (
+        SELECT lang,
+               CASE WHEN LENGTH({_TOKS_SQL}) > 0
+                     AND LENGTH(list_filter({_TOKS_SQL},
+                        x -> list_contains(['the','a','of','and','to','in',
+                                            'is','on','for','with'], x)))
+                         / CAST(LENGTH({_TOKS_SQL}) AS DOUBLE) >= 0.03
+                    THEN 'en' ELSE 'unknown' END AS predicted
+        FROM documents
+    )
+    SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY lang, predicted
+    """,
+)
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-ratio language detector
+    against the corpus's stored ``lang`` labels — the classifier-QA
+    table that turns text_langid from a feature into a MEASURED one
+    (precision/recall per label read straight off the counts).  Same
+    heuristic, same threshold, stated in both engines; one zero-shuffle
+    scoring pass + a grouped count on (label, prediction) keys.
+    (LLM-pipeline: classifier QA; joins the estimator-QA family of
+    sim_ivf_recall_at_k / dedup_minhash_estimator_qa.)"""
+    from opentimes_spark.functions.text import langid_en
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", langid_en(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+@query(
+    "lineitem_ship_latency_hist",
+    """
+    SELECT DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                     CAST(l.l_shipdate AS DATE)) AS latency_days,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           ROUND(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS return_rate
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def lineitem_ship_latency_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution in whole days, with the
+    return rate per latency bucket — does slow fulfilment correlate
+    with returns?  One fact-fact equi-join on the order key (the
+    co-bucketed layout of io/bucketed.py makes it exchange-free at
+    scale) and a grouped count on the small day-diff keyspace; all
+    outputs are exact integers or integer ratios.  (SURVEY.md §2.4;
+    fulfilment analytics.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("latency_days")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(ret).cast("bigint").alias("n_returned"),
+            F.round(F.sum(ret) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "return_rate"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
