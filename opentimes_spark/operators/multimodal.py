@@ -83,7 +83,8 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
 
 # --- real (pure-numpy) codecs for UNCOMPRESSED formats ---------------------
 # PPM (P6) and 24-bit BMP need no image library — just header parsing and
-# a reshape. Compressed formats (PNG/JPEG) remain behind the Pillow seam.
+# a reshape; baseline PNG adds stdlib zlib + the five spec filters
+# (round 6). JPEG and exotic PNGs remain behind the Pillow seam.
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -141,14 +142,132 @@ def decode_bmp(b: bytes) -> np.ndarray:
     return rows[..., ::-1].copy()  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 image → non-interlaced 8-bit PNG (filter 0 rows, one
+    zlib-compressed IDAT).  Grayscale (HxW), RGB (HxWx3), or RGBA
+    (HxWx4).  Pure stdlib (struct + zlib) — the round-trip partner of
+    ``decode_png``."""
+    import struct
+
+    if img.dtype != np.uint8:
+        raise ValueError("encode_png needs uint8")
+    if img.ndim == 2:
+        color = 0
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color = 2
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color = 6
+    else:
+        raise ValueError(f"unsupported shape {img.shape}")
+    h, w = img.shape[:2]
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Baseline PNG → uint8 array, PURE stdlib+numpy (zlib inflate +
+    all five scanline filters per the PNG 1.2 spec §6): 8-bit depth,
+    grayscale/RGB/RGBA color types, non-interlaced.  This closes the
+    former 'PNG requires Pillow' seam for the common baseline case;
+    palette/16-bit/interlaced PNGs and JPEG remain behind the Pillow
+    auto-detect.  CRCs are verified per chunk."""
+    import struct
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat = b""
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2, 6) or comp or filt or interlace:
+        raise NotImplementedError(
+            "decode_png handles non-interlaced 8-bit gray/RGB/RGBA; "
+            f"got depth={depth} color={color} interlace={interlace} — "
+            "palette/16-bit/interlaced PNGs need Pillow"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the in-row left neighbor
+            cur = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                bb = prev[i]
+                if ft == 1:  # Sub
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ft == 3:  # Average
+                    cur[i] = (line[i] + ((a + bb) >> 1)) & 0xFF
+                elif ft == 4:  # Paeth
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise ValueError(f"unknown PNG filter {ft}")
+        out[r] = cur.astype(np.uint8)
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
 def _numpy_decode(b: bytes) -> np.ndarray:
     if b.startswith(b"P6"):
         return decode_ppm(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
+    if b[:8] == _PNG_SIG:
+        return decode_png(b)
     raise NotImplementedError(
-        "numpy codec handles uncompressed PPM/BMP; compressed formats "
-        "(PNG/JPEG) require Pillow — not in this container"
+        "numpy codec handles uncompressed PPM/BMP and baseline PNG "
+        "(8-bit gray/RGB/RGBA, non-interlaced); JPEG and exotic PNGs "
+        "require Pillow — not in this container"
     )
 
 
@@ -177,9 +296,9 @@ def _pillow():
 
 def _real_decode(b: bytes) -> np.ndarray:
     """Best-available decode: Pillow when installed (any format it
-    knows), else the numpy codecs for uncompressed PPM/BMP, else a
+    knows), else the native codecs (PPM/BMP + baseline PNG), else a
     NotImplementedError naming the missing dependency — the disclosed
-    seam for compressed formats in a Pillow-less container."""
+    seam is now JPEG and exotic PNGs only in a Pillow-less container."""
     img_mod = _pillow()
     if img_mod is not None:
         import io as _io
@@ -190,8 +309,9 @@ def _real_decode(b: bytes) -> np.ndarray:
         return _numpy_decode(b)
     except NotImplementedError:
         raise NotImplementedError(
-            "compressed-format decoding requires Pillow (not importable in "
-            "this container); uncompressed PPM/BMP decode fine without it"
+            "JPEG / non-baseline-PNG decoding requires Pillow (not "
+            "importable in this container); PPM, BMP, and baseline PNG "
+            "decode natively without it"
         ) from None
 
 

@@ -37,14 +37,15 @@ def test_decode_deterministic(spark, media):
 
 
 def test_real_codec_seam_raises_on_compressed_without_pillow(media):
-    """'real' degrades to the numpy codecs in a Pillow-less container —
-    an opaque (non-PPM/BMP) payload hits the disclosed seam."""
+    """'real' degrades to the native codecs in a Pillow-less container —
+    a JPEG payload (the remaining seam now that baseline PNG decodes
+    natively) hits the disclosed NotImplementedError."""
     import opentimes_spark.operators.multimodal as mm
 
     mm._PIL_IMAGE = "unset"
     if mm._pillow() is None:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            mm._real_decode(b"\x89PNG\r\n\x1a\nfakepngbytes")
+            mm._real_decode(b"\xff\xd8\xff\xe0fakejpegbytes")
 
 
 def test_pillow_seam_dispatch_both_ways(monkeypatch):
@@ -234,8 +235,9 @@ def test_numpy_codec_rejects_compressed():
 
     from opentimes_spark.operators.multimodal import _numpy_decode
 
+    # JPEG is the remaining seam; baseline PNG now decodes natively
     with pt.raises(NotImplementedError, match="Pillow"):
-        _numpy_decode(b"\x89PNG\r\n\x1a\n....")
+        _numpy_decode(b"\xff\xd8\xff\xe0....")
 
 
 def test_wav_roundtrip_mono_and_stereo():
@@ -301,3 +303,129 @@ def test_audio_frame_features_sine_vs_silence(spark):
     assert abs(per[0].mean_zcr - 2 * 440 / 8000) < 0.01
     assert per[1].mean_rms == 0.0 and per[1].mean_zcr == 0.0
     assert per[0].active_frac == 1.0 and per[1].active_frac == 0.0
+
+
+def test_png_round_trip_all_color_types():
+    """encode→decode identity for gray/RGB/RGBA (filter-0 rows)."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for shape in [(5, 9), (6, 4, 3), (3, 7, 4)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        assert out.shape == img.shape and (out == img).all()
+
+
+def test_png_all_five_scanline_filters_reconstruct():
+    """Hand-filter each row with a DIFFERENT spec filter (None, Sub,
+    Up, Average, Paeth), build the PNG manually, and require the
+    decoder to reconstruct the original exactly — the filter math is
+    the part a round-trip through our own filter-0 encoder never
+    exercises."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = b""
+    for r, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[r]
+        prev = flat[r - 1] if r else np.zeros(stride, np.int32)
+        line = np.zeros(stride, np.int32)
+        for i in range(stride):
+            a = cur[i - ch] if i >= ch else 0
+            b_ = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b_
+            elif ft == 3:
+                pred = (a + b_) >> 1
+            else:
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+            line[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(line.astype(np.uint8))
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert (out == img).all()
+
+
+def test_png_rejects_corruption_and_exotic_forms():
+    import struct
+    import zlib as _z
+
+    import numpy as np
+    import pytest
+
+    from opentimes_spark.operators.multimodal import decode_png, encode_png
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = bytearray(encode_png(img))
+    good[40] ^= 0xFF  # flip a byte inside a chunk body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+
+    # 16-bit depth is out of scope and must say so, not mis-decode
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(b"\x00" * 26))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="16-bit|palette"):
+        decode_png(deep)
+
+
+def test_numpy_codec_decodes_png_payload_in_spark(spark):
+    """The mapInPandas 'numpy' codec path reports real PNG dimensions."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i, (h, w) in enumerate([(12, 34), (7, 5)]):
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, "image", bytearray(encode_png(img)), "image/png"))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: (r["width"], r["height"])
+           for r in decode_image(df, codec="numpy").collect()}
+    assert got == {0: (34, 12), 1: (5, 7)}
