@@ -861,6 +861,7 @@ def ivfpq_topk_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    rescore: int | None = None,
 ) -> DataFrame:
     """IVF-PQ probe against a MATERIALIZED index: per-query ADC tables
     come from the stored codebooks (collected — m·pq_k·(dim/m) doubles,
@@ -870,7 +871,16 @@ def ivfpq_topk_probe(
     directory.  Per-candidate cost is m ``element_at`` lookups + an
     add on the stored codes — candidate VECTORS are never read
     (column pruning drops them at the scan).  Bit-identical results to
-    the in-query ``ivfpq_topk`` with the same build parameters."""
+    the in-query ``ivfpq_topk`` with the same build parameters.
+
+    ``rescore=R`` enables the standard two-stage retrieval (Jégou et
+    al. §V): the ADC pass keeps the top R ≥ k candidates per query,
+    then ONLY those R rows re-join the index for their stored vectors
+    and re-rank by exact cosine — output columns become
+    (query_id, cand_id, cos_sim, rnk), comparable with
+    ``brute_force_topk``.  The vector read is |Q|·R rows, not a
+    corpus scan, and quantization-error inversions inside the ADC
+    shortlist are corrected at exact-math cost proportional to R."""
     from opentimes_spark.operators.clustering import _lit_vec, _pq_guarded_vec, _self_dot
     from opentimes_spark.functions.vectors import dot
 
@@ -928,16 +938,39 @@ def ivfpq_topk_probe(
         term = F.element_at(F.col(f"adc{j}"), F.col(f"code{j}"))
         adc = term if adc is None else adc + term
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
-    return (
+    shortlist_k = k if rescore is None else max(int(rescore), k)
+    shortlist = (
         cand.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn("adc", adc)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= shortlist_k)
+    )
+    if rescore is None:
+        return shortlist.select(
+            "query_id",
+            "cand_id",
+            F.round("adc", round_to).alias("adc_dist"),
+            "rnk",
+        )
+    vecs = spark.read.parquet(index_path).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    qv_side = qbase.select("query_id", F.col("q_vec"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("cand_id")
+    )
+    return (
+        shortlist.select("query_id", "cand_id")
+        .join(vecs, "cand_id")
+        .join(F.broadcast(qv_side), "query_id")
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rnk", F.row_number().over(w2).cast("long"))
         .filter(F.col("rnk") <= k)
         .select(
             "query_id",
             "cand_id",
-            F.round("adc", round_to).alias("adc_dist"),
+            F.round("cos", round_to).alias("cos_sim"),
             "rnk",
         )
     )

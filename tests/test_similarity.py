@@ -300,3 +300,55 @@ def test_ivfpq_materialized_probe_matches_inline_and_prunes(spark, tmp_path):
         spark, emb, cache_key=str(tmp_path), base_dir=str(tmp_path),
         coarse_k=8, coarse_iter=2, m=2, pq_k=4, pq_iter=1, dim=64,
     ) == idx
+
+
+def test_ivfpq_rescore_reranks_by_exact_cosine(spark, tmp_path):
+    """Two-stage retrieval: with rescore=R the ADC shortlist re-ranks
+    by EXACT cosine — scores must equal brute_force_topk's cosine for
+    the same (query, candidate) pairs, recall vs exact top-k can only
+    improve or hold vs the pure-ADC cut, and k rows per query remain."""
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.similarity import (
+        brute_force_topk,
+        ensure_ivfpq_index,
+        ivfpq_topk_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    idx = ensure_ivfpq_index(
+        spark, emb, cache_key=str(tmp_path), base_dir=str(tmp_path),
+        coarse_k=8, coarse_iter=2, m=2, pq_k=4, pq_iter=1, dim=64,
+    )
+    adc = ivfpq_topk_probe(spark, q, idx, k=5, n_probe=2)
+    res = ivfpq_topk_probe(spark, q, idx, k=5, n_probe=2, rescore=20)
+    assert res.columns == ["query_id", "cand_id", "cos_sim", "rnk"]
+    res_rows = res.collect()
+    per_q: dict[int, set[int]] = {}
+    for r in res_rows:
+        per_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+    assert all(len(v) == 5 for v in per_q.values())
+
+    exact = brute_force_topk(q, emb, k=5)
+    exact_scores = {
+        (r["query_id"], r["cand_id"]): r["cos_sim"] for r in exact.collect()
+    }
+    # any rescored pair that IS an exact top-5 pair carries the same
+    # rounded cosine (identical fold arithmetic)
+    matched = 0
+    for r in res_rows:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_scores:
+            matched += 1
+            assert r["cos_sim"] == exact_scores[key]
+    assert matched > 0
+
+    def recall(df):
+        hits = 0
+        for r in df.collect():
+            if (r["query_id"], r["cand_id"]) in exact_scores:
+                hits += 1
+        return hits
+
+    assert recall(res) >= recall(adc)
