@@ -11623,6 +11623,118 @@ def lineitem_ship_latency_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ivfpq_rescored_topk",
+    f"""
+    WITH {_KMEANS2_CTES},
+    {_KMEANS2_ASSIGN_FINAL},{_pq_sub_ctes("1", 1, 32)},{_pq_sub_ctes("2", 33, 64)},
+    cand AS (
+        SELECT a.vec_id AS cand_id, a.cid AS cell,
+               f1.cid AS code0, f2.cid AS code1
+        FROM assign_final a
+        JOIN f1 ON f1.vec_id = a.vec_id
+        JOIN f2 ON f2.vec_id = a.vec_id
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS q_vec FROM corpus WHERE vec_id < 20
+    ),
+    probes AS (
+        SELECT query_id, cid AS cell FROM (
+            SELECT q.query_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.q_vec, q.q_vec)
+                                - 2 * list_dot_product(q.q_vec, c.c)
+                                + list_dot_product(c.c, c.c), c.cid
+                   ) AS rnk
+            FROM q CROSS JOIN cents2 c
+        ) WHERE rnk <= 2
+    ),
+    qd1 AS (
+        SELECT q.query_id, ct.cid,
+               list_dot_product(q.q_vec[1:32], q.q_vec[1:32])
+               - 2 * list_dot_product(q.q_vec[1:32], ct.c)
+               + list_dot_product(ct.c, ct.c) AS d
+        FROM q CROSS JOIN c1_1 ct
+    ),
+    qd2 AS (
+        SELECT q.query_id, ct.cid,
+               list_dot_product(q.q_vec[33:64], q.q_vec[33:64])
+               - 2 * list_dot_product(q.q_vec[33:64], ct.c)
+               + list_dot_product(ct.c, ct.c) AS d
+        FROM q CROSS JOIN c2_1 ct
+    ),
+    shortlist AS (
+        SELECT query_id, cand_id FROM (
+            SELECT p.query_id, c.cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY qd1.d + qd2.d, c.cand_id
+                   ) AS rnk
+            FROM probes p
+            JOIN cand c ON c.cell = p.cell AND c.cand_id != p.query_id
+            JOIN qd1 ON qd1.query_id = p.query_id AND qd1.cid = c.code0
+            JOIN qd2 ON qd2.query_id = p.query_id AND qd2.cid = c.code1
+        ) WHERE rnk <= 20
+    )
+    SELECT query_id, cand_id, ROUND(cos, 6) AS cos_sim, rnk
+    FROM (
+        SELECT s.query_id, s.cand_id,
+               list_dot_product(q.q_vec, cv.v)
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(cv.v, cv.v))) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY list_dot_product(q.q_vec, cv.v)
+                            / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                               * sqrt(list_dot_product(cv.v, cv.v)))
+                            DESC, s.cand_id
+               ) AS rnk
+        FROM shortlist s
+        JOIN q ON q.query_id = s.query_id
+        JOIN corpus cv ON cv.vec_id = s.cand_id
+    )
+    WHERE rnk <= 5
+    """,
+)
+def sim_ivfpq_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ retrieval (Jégou et al. §V): the ADC pass keeps
+    a top-20 shortlist per query, then ONLY those rows fetch their
+    stored vectors and re-rank by exact cosine — quantization-error
+    inversions inside the shortlist corrected at |Q|·R vector reads,
+    never a corpus scan.  The oracle replays the whole ladder: coarse
+    fit, subspace fits, cell ranking, ADC shortlist, and the exact
+    rescoring — so the production retrieval pipeline end to end is
+    value-certified.  (LLM-pipeline: similarity search at scale;
+    operators/similarity.py:ivfpq_topk_probe(rescore=R).)"""
+    from opentimes_spark.operators.similarity import (
+        ensure_ivfpq_index,
+        ivfpq_topk_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ensure_ivfpq_index(
+        spark,
+        emb,
+        cache_key=f"ivfpq::{sf_dir}",
+        coarse_k=8,
+        coarse_iter=2,
+        m=2,
+        pq_k=4,
+        pq_iter=1,
+        dim=64,
+    )
+    return ivfpq_topk_probe(
+        spark,
+        emb.filter(F.col("vec_id") < 20),
+        idx,
+        k=5,
+        n_probe=2,
+        dim=64,
+        rescore=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
