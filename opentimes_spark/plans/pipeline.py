@@ -423,6 +423,9 @@ def write_public(
         .withColumn("state", F.lit(state))
         .withColumn("centroid_type", F.lit(centroid_type))
     )
+    # zone maps cover origin_id (the sort key); the bloom filter covers
+    # destination-keyed point lookups, whose values span every row
+    # group's min/max range in an origin-sorted file
     write_sorted_partitioned(
         tagged,
         out_dir,
@@ -430,6 +433,7 @@ def write_public(
         order_by=["origin_id", "destination_id"],
         max_records_per_file=max_records_per_file,
         observation=observation,
+        bloom_filter_cols=["destination_id"],
     )
 
 
