@@ -257,6 +257,167 @@ def decode_png(b: bytes) -> np.ndarray:
     return img[:, :, 0] if ch == 1 else img
 
 
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """HxW palette-index image + Nx3 palette → single-frame GIF89a.
+    The LZW stream uses the textbook no-compression form (a CLEAR code
+    before every pixel keeps the dictionary empty and the code width
+    fixed) — every conformant decoder accepts it, and it keeps this
+    encoder ~20 lines.  The round-trip partner of ``decode_gif``."""
+    import struct
+
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise ValueError("encode_gif needs a 2-D uint8 index image")
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(2, (n - 1).bit_length())
+    size = 1 << bits
+    if indices.max(initial=0) >= n:
+        raise ValueError("index exceeds palette")
+    pal = np.zeros((size, 3), np.uint8)
+    pal[:n] = np.asarray(palette, dtype=np.uint8)
+    out = b"GIF89a" + struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([bits])  # LZW minimum code size
+    clear, end = 1 << bits, (1 << bits) + 1
+    width = bits + 1
+    # LSB-first bit packing of: CLEAR (p CLEAR)* END
+    acc = n_bits = 0
+    packed = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    emit(clear)
+    for px in indices.ravel():
+        emit(int(px))
+        emit(clear)
+    emit(end)
+    if n_bits:
+        packed.append(acc & 0xFF)
+    data = bytes(packed)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00\x3b"
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW: LSB-first codes, CLEAR/END, width grows at
+    2^width up to 12 bits."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [[i] for i in range(1 << min_code)] + [None, None]
+    table = list(base)
+    width = min_code + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = n_bits = pos = 0
+    while len(out) < n_pixels:
+        while n_bits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = list(entry)
+    return out[:n_pixels]
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """Single-frame GIF87a/89a → HxWx3 uint8 via the palette, PURE
+    Python (full LZW with dictionary growth + the 4-pass interlace
+    order).  Extensions (graphics control, comments) are skipped;
+    only the FIRST image is decoded.  With PNG this completes the
+    native coverage of the common lossless web formats; JPEG remains
+    the Pillow seam."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", b[6:10])
+    packed, _bg, _ar = b[10], b[11], b[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _l, _t, w, h, ipacked = struct.unpack("<HHHHB", b[pos : pos + 9])
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while b[pos]:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(
+            _lzw_decode(bytes(data), min_code, w * h), dtype=np.uint8
+        ).reshape(h, w)
+        if ipacked & 0x40:  # 4-pass interlace
+            de = np.zeros_like(idx)
+            rows = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            for src, dst in enumerate(rows):
+                de[dst] = idx[src]
+            idx = de
+        return pal[idx]
+    raise ValueError("GIF contains no image data")
+
+
 def _numpy_decode(b: bytes) -> np.ndarray:
     if b.startswith(b"P6"):
         return decode_ppm(b)
@@ -264,10 +425,12 @@ def _numpy_decode(b: bytes) -> np.ndarray:
         return decode_bmp(b)
     if b[:8] == _PNG_SIG:
         return decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
     raise NotImplementedError(
-        "numpy codec handles uncompressed PPM/BMP and baseline PNG "
-        "(8-bit gray/RGB/RGBA, non-interlaced); JPEG and exotic PNGs "
-        "require Pillow — not in this container"
+        "numpy codec handles uncompressed PPM/BMP, baseline PNG "
+        "(8-bit gray/RGB/RGBA, non-interlaced), and single-frame GIF; "
+        "JPEG and exotic PNGs require Pillow — not in this container"
     )
 
 

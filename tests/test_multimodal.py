@@ -429,3 +429,119 @@ def test_numpy_codec_decodes_png_payload_in_spark(spark):
     got = {r["media_id"]: (r["width"], r["height"])
            for r in decode_image(df, codec="numpy").collect()}
     assert got == {0: (34, 12), 1: (5, 7)}
+
+
+def test_gif_round_trip_and_palette_mapping():
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, size=(7, 3)).astype(np.uint8)
+    idx = rng.randint(0, 7, size=(9, 13)).astype(np.uint8)
+    out = decode_gif(encode_gif(idx, pal))
+    assert out.shape == (9, 13, 3) and (out == pal[idx]).all()
+
+
+def test_gif_real_lzw_dictionary_growth_decodes():
+    """The decoder against an ACTUAL LZW compressor (dictionary growth,
+    width escalation, mid-stream clear) — the no-compression form our
+    encoder emits never exercises those paths."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import _lzw_decode
+
+    def lzw_compress(indices, min_code):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(1 << min_code)}
+        next_code, width, acc, nb = end + 1, min_code + 1, 0, 0
+        out = bytearray()
+
+        def emit(c):
+            nonlocal acc, nb
+            acc |= c << nb
+            nb += width
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+
+        emit(clear)
+        wbuf = b""
+        for px in indices:
+            nxt = wbuf + bytes([px])
+            if nxt in table:
+                wbuf = nxt
+            else:
+                emit(table[wbuf])
+                table[nxt] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
+                wbuf = bytes([px])
+        if wbuf:
+            emit(table[wbuf])
+        emit(end)
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = np.random.RandomState(9)
+    for min_code in (2, 4):
+        seq = list(rng.randint(0, 1 << min_code, size=800))
+        assert _lzw_decode(lzw_compress(seq, min_code), min_code, 800) == seq
+
+
+def test_gif_interlaced_rows_reassemble():
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+    h, w = 11, 5
+    idx = rng.randint(0, 4, size=(h, w)).astype(np.uint8)
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    gif = bytearray(encode_gif(idx[order], pal))
+    dpos = gif.index(0x2C)  # image descriptor
+    gif[dpos + 9] |= 0x40  # set the interlace flag
+    out = decode_gif(bytes(gif))
+    assert (out == pal[idx]).all()
+
+
+def test_gif_rejects_non_gif_and_truncation():
+    import numpy as np
+    import pytest
+
+    from opentimes_spark.operators.multimodal import decode_gif, encode_gif
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF....")
+    pal = np.zeros((2, 3), np.uint8)
+    idx = np.zeros((4, 4), np.uint8)
+    good = encode_gif(idx, pal)
+    with pytest.raises(ValueError):
+        decode_gif(good[:20])
+
+
+def test_numpy_codec_decodes_gif_payload_in_spark(spark):
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+    idx = rng.randint(0, 8, size=(6, 17)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(encode_gif(idx, pal)), "image/gif")],
+        MEDIA_SCHEMA,
+    )
+    r = decode_image(df, codec="numpy").collect()[0]
+    assert (r["width"], r["height"]) == (17, 6)
