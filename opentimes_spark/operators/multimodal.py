@@ -459,9 +459,10 @@ def _pillow():
 
 def _real_decode(b: bytes) -> np.ndarray:
     """Best-available decode: Pillow when installed (any format it
-    knows), else the native codecs (PPM/BMP + baseline PNG), else a
-    NotImplementedError naming the missing dependency — the disclosed
-    seam is now JPEG and exotic PNGs only in a Pillow-less container."""
+    knows), else the native codecs (PPM/BMP, baseline PNG, single-frame
+    GIF), else a NotImplementedError naming the missing dependency —
+    the disclosed seam is now JPEG and exotic PNGs only in a
+    Pillow-less container."""
     img_mod = _pillow()
     if img_mod is not None:
         import io as _io
@@ -473,8 +474,8 @@ def _real_decode(b: bytes) -> np.ndarray:
     except NotImplementedError:
         raise NotImplementedError(
             "JPEG / non-baseline-PNG decoding requires Pillow (not "
-            "importable in this container); PPM, BMP, and baseline PNG "
-            "decode natively without it"
+            "importable in this container); PPM, BMP, baseline PNG, and "
+            "single-frame GIF decode natively without it"
         ) from None
 
 
