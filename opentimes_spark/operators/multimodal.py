@@ -2,14 +2,19 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side plumbing — schema, batch shape, partition sizing, UDF
-signatures — is real and tested; the codec step is stubbed because no
-image/audio library ships in this container:
+signatures — is real and tested, and so are the codecs for every
+format a stdlib+numpy decoder can honestly cover:
 
+- REAL decode: PPM (P6), 24-bit BMP, baseline PNG (zlib inflate + the
+  five spec scanline filters, CRC-checked), single-frame GIF (full LZW
+  with dictionary growth + 4-pass interlace), and RIFF/PCM WAV — each
+  with an encoder partner and byte-level round-trip tests.
 - ``decode_image`` with ``codec="fake"`` runs a deterministic synthetic
-  decoder (dimensions + checksum derived from the bytes) so pipelines
-  are testable end-to-end;
-- ``codec="real"`` raises NotImplementedError at the exact seam where
-  Pillow/libav would plug in.
+  decoder (dimensions + checksum derived from the bytes) for pipeline
+  tests that don't care about pixels;
+- ``codec="real"`` auto-detects Pillow per worker process and falls
+  back to the native codecs; only JPEG and exotic PNGs
+  (palette/16-bit/interlaced) still raise at the disclosed seam.
 
 Scale notes: binary payloads dominate row size, so operators here
 (a) never collect payloads to the driver, (b) project metadata-only
