@@ -574,6 +574,105 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def encode_avi(frames: list[bytes], w: int = 16, h: int = 16) -> bytes:
+    """Minimal RIFF/AVI container around raw frame payloads ('00db'
+    uncompressed-DIB chunks) — the round-trip partner of
+    ``demux_avi_frames``; headers carry just enough (avih frame count
+    and dims) to be structurally honest."""
+    import struct
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<14I", 33333, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = struct.pack("<4s4sI", b"vids", b"RAW ", 0) + b"\x00" * 44
+    strf = struct.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 20
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi_frames(b: bytes) -> list[tuple[int, int, int]]:
+    """[(frame_idx, payload_offset, size)] from an AVI container — the
+    'movi' LIST walked chunk by chunk ('##db'/'##dc'/'##wb' stream
+    data), WITHOUT decoding a single frame.  Offsets address the frame
+    bytes inside the original buffer, so a sampling plan can slice
+    just the chosen frames (`avi_frame_slices`) and ship only those to
+    a decoder — the demux-then-selective-decode pattern that makes
+    video sampling at 100 TB an index walk plus tiny reads, never a
+    full decode."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    pos = 12
+    frames: list[tuple[int, int, int]] = []
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if tag == b"LIST":
+            kind = b[pos + 8 : pos + 12]
+            if kind == b"movi":
+                mpos = pos + 12
+                mend = pos + 8 + size
+                while mpos + 8 <= mend:
+                    ctag = b[mpos : mpos + 4]
+                    (csize,) = struct.unpack("<I", b[mpos + 4 : mpos + 8])
+                    if ctag[2:4] in (b"db", b"dc", b"wb"):
+                        frames.append((len(frames), mpos + 8, csize))
+                    mpos += 8 + csize + (csize % 2)
+                return frames
+            pos += 12  # descend into other LISTs
+            continue
+        pos += 8 + size + (size % 2)
+    raise ValueError("AVI has no movi list")
+
+
+def avi_frame_slices(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL selective frame extraction: demux each video payload's AVI
+    index (Arrow-batched, no decode), keep every ``every_n``-th frame,
+    and slice ONLY those frames' bytes out of the payload —
+    (media_id, frame_idx, frame_bytes, n_bytes).  Downstream decoders
+    receive frame-sized rows; the full payload never leaves this
+    projection.  The metadata-only twin is ``frame_sample_plan``."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame_bytes", BinaryType(), False),
+            StructField("n_bytes", LongType(), False),
+        ]
+    )
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_bytes": [], "n_bytes": []
+            }
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                blob = bytes(p)
+                for idx, off, size in demux_avi_frames(blob):
+                    if idx % every_n:
+                        continue
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(blob[off : off + size])
+                    out["n_bytes"].append(size)
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(demux, schema)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -545,3 +545,45 @@ def test_numpy_codec_decodes_gif_payload_in_spark(spark):
     )
     r = decode_image(df, codec="numpy").collect()[0]
     assert (r["width"], r["height"]) == (17, 6)
+
+
+def test_avi_demux_round_trip_and_selective_slices(spark):
+    """demux_avi_frames recovers every frame's exact bytes by offset,
+    and avi_frame_slices ships ONLY the sampled frames out of the
+    Spark pipeline — frame-sized rows, full payload never emitted."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        avi_frame_slices,
+        demux_avi_frames,
+        encode_avi,
+    )
+
+    rng = np.random.RandomState(4)
+    frames = [rng.bytes(30 + i * 7) for i in range(23)]  # odd sizes → padding
+    avi = encode_avi(frames)
+    got = demux_avi_frames(avi)
+    assert [i for i, _, _ in got] == list(range(23))
+    for i, off, size in got:
+        assert avi[off : off + size] == frames[i]
+
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(avi), "video/avi")], MEDIA_SCHEMA
+    )
+    rows = {r["frame_idx"]: r for r in avi_frame_slices(df, every_n=10).collect()}
+    assert sorted(rows) == [0, 10, 20]
+    for i, r in rows.items():
+        assert bytes(r["frame_bytes"]) == frames[i]
+        assert r["n_bytes"] == len(frames[i])
+
+
+def test_avi_demux_rejects_non_avi():
+    import pytest
+
+    from opentimes_spark.operators.multimodal import demux_avi_frames
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        demux_avi_frames(b"RIFFxxxxWAVE....")
+    with pytest.raises(ValueError, match="movi"):
+        demux_avi_frames(b"RIFF\x04\x00\x00\x00AVI ")
