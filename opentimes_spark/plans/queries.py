@@ -11735,6 +11735,102 @@ def sim_ivfpq_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_curation_report",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    canon AS (SELECT f, MIN(doc_id) AS keep FROM fp GROUP BY f),
+    gopher AS (
+        SELECT doc_id,
+               CASE WHEN LENGTH({_TOKS_SQL}) BETWEEN 50 AND 100000
+                     AND LENGTH(ARRAY_TO_STRING({_TOKS_SQL}, '')) * 1.0
+                         / LENGTH({_TOKS_SQL}) BETWEEN 3 AND 10
+                     AND LENGTH(list_filter({_TOKS_SQL},
+                         x -> regexp_full_match(x, '[a-z]+'))) * 1.0
+                         / LENGTH({_TOKS_SQL}) >= 0.8
+                     AND LENGTH(list_filter({_TOKS_SQL},
+                         x -> list_contains(['the','a','of','and','to','in',
+                                             'is','on','for','with'], x))) >= 2
+                    THEN 1 ELSE 0 END AS ok
+        FROM documents
+    ),
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+                   || ' ' || toks[CAST(i AS INT) + 2] AS gram
+        FROM t, UNNEST(range(1, LENGTH(toks) - 1)) AS u(i)
+        WHERE LENGTH(toks) >= 3
+    ),
+    bp AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 5
+    ),
+    cov AS (
+        SELECT g.doc_id,
+               SUM(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                   / COUNT(*) AS frac
+        FROM g LEFT JOIN bp ON bp.gram = g.gram
+        GROUP BY g.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.keep != d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dups,
+           CAST(SUM(1 - go.ok) AS BIGINT) AS n_gopher_fail,
+           CAST(SUM(CASE WHEN cov.frac > 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate_heavy
+    FROM documents d
+    JOIN fp ON fp.doc_id = d.doc_id
+    JOIN canon c ON c.f = fp.f
+    JOIN gopher go ON go.doc_id = d.doc_id
+    LEFT JOIN cov ON cov.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def docs_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: document count, exact-duplicate
+    count (non-canonical under the normalized-text fingerprint), Gopher
+    rule failures, and boilerplate-heavy docs (>50% template trigram
+    coverage) — the observability rollup a pipeline owner reads BEFORE
+    deciding thresholds, composing three certified filter surfaces
+    (dedup fingerprint, gopher_pass, boilerplate_coverage) into one
+    pass of integer counts per source.  (LLM-pipeline: curation
+    observability; jobs/curate_corpus.py emits the same stages as a
+    manifest.)"""
+    from opentimes_spark.functions.text import fingerprint, gopher_pass
+    from opentimes_spark.operators.boilerplate import boilerplate_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "source", fingerprint(F.col("text")).alias("f"))
+    canon = fp.groupBy("f").agg(F.min("doc_id").alias("keep"))
+    cov = boilerplate_coverage(d, n=3, min_df=5).select(
+        "doc_id", F.col("bp_frac").alias("frac")
+    )
+    base = (
+        d.select("doc_id", "source", gopher_pass(F.col("text")).alias("ok"))
+        .join(fp.select("doc_id", "f"), "doc_id")
+        .join(canon, "f")
+        .join(cov, "doc_id", "left")
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("keep") != F.col("doc_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_gopher_fail"),
+        F.sum(F.when(F.col("frac") > 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boilerplate_heavy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
