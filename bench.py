@@ -84,6 +84,11 @@ HEADLINE = [
     # plan stays within ~1.3x of the uniform corpus)
     "sim_ivf_kmeans_topk",
     "containment_prefix_stopshingle",
+    # round-6 stress twins: the universal-footer corpus against the
+    # broadcast boilerplate-coverage join, and a 50%-mass token against
+    # the Count-Min build (skew-immune by construction — no cap needed)
+    "boilerplate_stress",
+    "cms_skewstress",
     # round-6 operator families: Count-Min sketch heavy hitters, product
     # quantization encode, IVF-PQ probe (index built off the clock),
     # boilerplate trigram coverage, SCD2 dimension build, robust MAD

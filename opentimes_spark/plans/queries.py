@@ -11944,6 +11944,56 @@ def fuzzy_skewstress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@bench_only("boilerplate_stress")
+def boilerplate_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_boilerplate_coverage's plan on the adversarial UNIVERSAL-
+    FOOTER corpus: every document gains the same 8-word footer, so its
+    ~6 trigrams hit doc-frequency = n.  The coverage join is keyed by
+    GRAM with the boilerplate side broadcast — a df=n gram is still ONE
+    broadcast row matched map-side, so wall-clock stays at the uniform
+    corpus's scale (contrast the pairwise containment form, where a
+    df=n shingle costs n² pair rows — the stop-shingle stress's
+    subject).  The boilerplate twin of dedup_lsh_skewstress."""
+    from opentimes_spark.operators.boilerplate import boilerplate_coverage
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.lit("shared boilerplate footer text appears in every single document"),
+        ).alias("text"),
+    )
+    return boilerplate_coverage(d, n=3, min_df=5)
+
+
+@bench_only("cms_skewstress")
+def cms_skewstress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokens_cms_heavyhitters' sketch under a DOMINANT token: the
+    corpus token stream doubled with one token carrying 50% of all
+    mass.  A Count-Min sketch is skew-immune BY CONSTRUCTION — the hot
+    token is one counter per row, and the build still aggregates onto
+    ≤ depth·width keys with map-side combine — so this prices the
+    claim that no hot-key cap is even needed (the property the LSH /
+    fuzzy / containment families must engineer)."""
+    from opentimes_spark.functions.text import tokens as _tokens
+    from opentimes_spark.operators.cms import cms_build, cms_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(_tokens(F.col("text"))).alias("t"))
+    hot = tok.select(F.lit("hottoken").alias("t"))  # equal mass, one key
+    stream = tok.unionByName(hot)
+    sketch = cms_build(stream, "t", depth=4, width=512)
+    top = (
+        stream.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "t")
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top.select("t"), "t", depth=4, width=512)
+    return top.join(est, "t")
+
+
 @bench_only("join_region_revenue_bucketed")
 def join_region_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """join_region_revenue on a CO-BUCKETED orders/lineitem layout
