@@ -463,3 +463,37 @@ def point_lookup(
         )
         .select("origin_id", "destination_id", "duration_sec")
     )
+
+
+def destination_lookup(
+    spark,
+    public_dir: str,
+    destination_id: str,
+    version: str = "0.0.1",
+    mode: str = "car",
+    year: str = "2024",
+    geography: str = "tract",
+    state: str = "17",
+    centroid_type: str = "weighted",
+) -> DataFrame:
+    """The REVERSE consume path: all times INTO a destination.  The
+    file layout is origin-sorted, so destination values span every row
+    group's min/max and zone maps cannot skip — this is exactly what
+    the destination_id parquet BLOOM FILTER (write_public) exists for:
+    the pushed equality reaches the reader, and a definite bloom miss
+    drops a row group without touching its data pages.  (The Z-order
+    layout in functions/zorder.py is the alternative when BOTH axes
+    need zone-map pruning.)"""
+    df = spark.read.parquet(public_dir)
+    return (
+        df.filter(
+            (F.col("version") == version)
+            & (F.col("mode") == mode)
+            & (F.col("year") == year)
+            & (F.col("geography") == geography)
+            & (F.col("state") == state)
+            & (F.col("centroid_type") == centroid_type)
+            & (F.col("destination_id") == destination_id)
+        )
+        .select("origin_id", "destination_id", "duration_sec")
+    )

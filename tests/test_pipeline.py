@@ -277,3 +277,33 @@ def test_write_path_adds_only_the_range_exchange(spark, world):
     assert write_plan.count("hashpartitioning") == base_plan.count(
         "hashpartitioning"
     )
+
+
+def test_destination_lookup_reverse_path(spark, world, tmp_path):
+    """The reverse consume path returns exactly the destination's row
+    set, partition-pruned on the Hive keys with the destination
+    equality pushed to the parquet reader (where the bloom filter
+    written by write_public applies)."""
+    from opentimes_spark.plans.pipeline import destination_lookup
+
+    blocks_df, pop_df = world
+    blockloc = build_blockloc(blocks_df, pop_df, check=False)
+    cenloc = build_cenloc(blockloc, "tract")
+    state_rows = cenloc.filter(F.col("geoid").startswith("17"))
+    dest = build_destpoint(cenloc, (-87.7, 41.2), buffer_m=250_000)
+    times, _m, _md = compute_times(state_rows, dest, HaversineRouter)
+    out = str(tmp_path / "public_rev")
+    write_public(times, out, state="17")
+
+    some_dest = (
+        times.select("destination_id").distinct().orderBy("destination_id")
+        .collect()[0][0]
+    )
+    got = destination_lookup(spark, out, some_dest)
+    expect = times.filter(F.col("destination_id") == some_dest)
+    assert got.count() == expect.count() > 0
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "destination_id" in plan.split("PushedFilters")[1].split("\n")[0]
