@@ -11944,6 +11944,143 @@ def fuzzy_skewstress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_frequent_triples",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS a,
+               LEAD(event_type, 1) OVER w AS b,
+               LEAD(event_type, 2) OVER w AS c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    triples AS (
+        SELECT a, b, c,
+               CAST(COUNT(*) AS BIGINT) AS n_occ,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM seq WHERE c IS NOT NULL
+        GROUP BY a, b, c
+    ),
+    tot AS (SELECT SUM(n_occ) AS t FROM triples)
+    SELECT a || '>' || b || '>' || c AS pattern, n_occ, n_users,
+           ROUND(n_occ * 1.0 / tot.t, 6) AS support
+    FROM triples CROSS JOIN tot
+    ORDER BY n_occ DESC, pattern
+    LIMIT 25
+    """,
+)
+def events_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-event sequential patterns (the contiguous-sequence
+    core of PrefixSpan-style mining): consecutive event-type triples
+    per user timeline with occurrence count, distinct-user reach, and
+    support — the behavioral-motif table behind funnel design.  One
+    user-keyed window produces both lookaheads; the pattern keyspace is
+    |types|³-bounded, so the count is a dimension aggregation at any
+    event volume; deterministic (count, pattern) top-25 cut.
+    (SURVEY.md §2.5 Ext; sequence mining.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    triples = seq.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    tot = triples.agg(F.sum("n_occ").alias("t"))
+    return (
+        triples.crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(">", "a", "b", "c").alias("pattern"),
+            "n_occ",
+            "n_users",
+            F.round(F.col("n_occ") * 1.0 / F.col("t"), 6).alias("support"),
+        )
+        .orderBy(F.col("n_occ").desc(), "pattern")
+        .limit(25)
+    )
+
+
+@query(
+    "orders_theilsen_trend",
+    """
+    WITH weekly AS (
+        SELECT CAST(DATE_TRUNC('week', o_orderdate) AS DATE) AS wk,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    numbered AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY wk) AS i,
+               CAST(rev AS DOUBLE) AS y
+        FROM weekly
+    ),
+    slopes AS (
+        SELECT (b.y - a.y) / (b.i - a.i) AS s
+        FROM numbered a JOIN numbered b ON b.i > a.i
+    ),
+    ranked AS (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn,
+               COUNT(*) OVER () AS n
+        FROM slopes
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           FLOOR(AVG(s) * 100 + 0.5) / 100 AS theilsen_slope
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    """,
+)
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of weekly revenue: the MEDIAN of all
+    pairwise slopes — a single outlier week drags an OLS fit
+    (orders_weekly_trend_slope, the least-squares twin) but moves this
+    estimator's breakdown point to 29%.  Weekly sums accumulate as
+    DECIMAL (exact) before the slope division; the pairwise melt is
+    week-grain (n≈55 weeks → ~1.5k pairs — the aggregate-first rule
+    makes a quadratic-in-pairs estimator constant-cost at any order
+    volume); the median uses explicit order statistics (the
+    orders_mad_outliers rule) and the stable floor round.
+    (SURVEY.md §2.4 Ext robust statistics.)"""
+    from pyspark.sql import Window
+
+    from opentimes_spark.functions.text import stable_round
+
+    o = _t(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("wk")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    wnum = Window.orderBy("wk")
+    numbered = weekly.select(
+        F.row_number().over(wnum).alias("i"),
+        F.col("rev").cast("double").alias("y"),
+    )
+    a = numbered.select(F.col("i").alias("ia"), F.col("y").alias("ya"))
+    b = numbered.select(F.col("i").alias("ib"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, F.col("ib") > F.col("ia"))
+        .select(((F.col("yb") - F.col("ya")) / (F.col("ib") - F.col("ia"))).alias("s"))
+    )
+    wrank = Window.orderBy("s")
+    wall = Window.partitionBy()
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        stable_round(F.avg("s"), 2).alias("theilsen_slope"),
+    )
+
+
 @bench_only("boilerplate_stress")
 def boilerplate_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs_boilerplate_coverage's plan on the adversarial UNIVERSAL-
