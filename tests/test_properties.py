@@ -353,3 +353,43 @@ def test_cms_laws_never_undercount_and_merge_additively(a, b, depth, width):
     for item, n in exact.items():
         est = min(sab[(r, bucket(item, r))] for r in range(depth))
         assert est >= n
+
+
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    mode=st.sampled_from(["gray", "rgb", "rgba"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_round_trip_property(h, w, mode, seed):
+    """encode_png→decode_png is the identity for every shape/color
+    type in scope (hypothesis over dims incl. 1-pixel edges)."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    shape = {"gray": (h, w), "rgb": (h, w, 3), "rgba": (h, w, 4)}[mode]
+    img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@given(
+    h=st.integers(min_value=1, max_value=10),
+    w=st.integers(min_value=1, max_value=10),
+    n_colors=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_round_trip_property(h, w, n_colors, seed):
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+    idx = rng.randint(0, n_colors, size=(h, w)).astype(np.uint8)
+    out = decode_gif(encode_gif(idx, pal))
+    assert (out == pal[idx]).all()

@@ -52,3 +52,28 @@ def test_every_query_is_callable_with_the_driver_signature():
             if p.default is inspect.Parameter.empty
         ]
         assert len(params) == 2, f"{name} must take (spark, sf_dir)"
+
+
+def test_gopher_pass_matches_registered_flags_query(spark):
+    """gopher_pass (the curation-job verdict) and docs_gopher_flags
+    (the certified per-rule query) duplicate the rule logic by design;
+    this pins them together so neither drifts."""
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.functions.text import gopher_pass
+    from opentimes_spark.plans.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    flags = {
+        r["doc_id"]: r["passes_gopher"]
+        for r in QUERIES["docs_gopher_flags"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    verdicts = {
+        r["doc_id"]: int(r["ok"])
+        for r in docs.select(
+            "doc_id", gopher_pass(F.col("text")).alias("ok")
+        ).collect()
+        if r["doc_id"] in flags
+    }
+    assert verdicts == flags and len(flags) > 0
