@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-from opentimes_spark.functions.geometry import haversine_m, points_in_polygon
+from opentimes_spark.functions.geometry import points_in_polygon
 
 
 def spatial_join_contains(
