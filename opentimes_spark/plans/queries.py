@@ -12081,6 +12081,139 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_vocab_overlap_sources",
+    f"""
+    WITH sv AS (
+        SELECT DISTINCT source, t.w
+        FROM (SELECT source, UNNEST({_TOKS_SQL}) AS w FROM documents) t
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sv GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM sv a JOIN sv b ON b.w = a.w AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6)
+               AS vocab_jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = inter.src_a
+    JOIN sizes sb ON sb.source = inter.src_b
+    ORDER BY vocab_jaccard DESC, src_a, src_b
+    LIMIT 40
+    """,
+)
+def docs_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between source pairs — the set-overlap
+    complement of docs_source_kl_divergence's frequency-shift view
+    (two sources can share a vocabulary yet weight it differently, or
+    barely overlap at all — different mitigations).  The distinct
+    (source, token) projection is vocab-bounded; the pair intersection
+    joins on the TOKEN key, fan-out per token = its source count (≤
+    n_sources), the same bounded-melt shape as the supplier
+    neighborhood Jaccard.  Integer-ratio output, deterministic top-40
+    cut.  (LLM-pipeline: mixture QA.)"""
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    sv = d.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("w")
+    ).distinct()
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sv.select(F.col("source").alias("src_a"), "w")
+    b = sv.select(F.col("source").alias("src_b"), F.col("w").alias("w2"))
+    inter = (
+        a.join(b, (F.col("w") == F.col("w2")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared")
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy(F.col("vocab_jaccard").desc(), "src_a", "src_b")
+        .limit(40)
+    )
+
+
+@query(
+    "orders_seasonal_index",
+    """
+    WITH monthly AS (
+        SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    yearly AS (
+        SELECT yr, SUM(rev) AS yrev, COUNT(*) AS n_months
+        FROM monthly GROUP BY yr
+    )
+    SELECT CAST(m.mo AS INT) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_years,
+           FLOOR(SUM(m.rev) * 100 + 0.5) / 100 AS total_rev,
+           ROUND(list_reduce(list(CAST(m.rev AS DOUBLE)
+                                  / (CAST(y.yrev AS DOUBLE) / y.n_months)
+                                  ORDER BY m.yr), (a, b) -> a + b)
+                 / COUNT(*), 6) AS seasonal_index
+    FROM monthly m JOIN yearly y ON y.yr = m.yr
+    GROUP BY m.mo
+    """,
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal index per calendar month: each month's
+    revenue relative to its year's monthly mean, averaged across years
+    (index 1.0 = an average month) — the deseasonalization factor a
+    forecast divides by.  Money sums stay DECIMAL (exact) until the
+    ratio; the per-(month, year) ratios are bit-identical doubles, and
+    their mean folds in SORTED year order on both engines (the
+    determinism idiom — a grouped AVG's partial order is
+    engine-nondeterministic even over 7 terms).  (SURVEY.md §2.4;
+    seasonality analytics.)"""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    yearly = monthly.groupBy("yr").agg(
+        F.sum("rev").alias("yrev"), F.count(F.lit(1)).alias("n_months")
+    )
+    from opentimes_spark.functions.text import stable_round
+
+    ratio = F.col("rev").cast("double") / (
+        F.col("yrev").cast("double") / F.col("n_months")
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("yr"), ratio.alias("r")))),
+            lambda s: s["r"],
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        monthly.join(F.broadcast(yearly), "yr")
+        .groupBy(F.col("mo").cast("int").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_years"),
+            stable_round(F.sum("rev"), 2).alias("total_rev"),
+            F.round(folded / F.count(F.lit(1)), 6).alias("seasonal_index"),
+        )
+    )
+
+
 @bench_only("boilerplate_stress")
 def boilerplate_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs_boilerplate_coverage's plan on the adversarial UNIVERSAL-
