@@ -26,16 +26,11 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # and semantics; only dict order changes.  `tools/check.py` independently
 # replays ALL registered queries regardless of order.
 #
-# After r5: 187 distinct names hash-certified across r1-r5.  _FRONT = the
-# 1 name needing a fresh green row this round: events_weekday_uplift,
-# whose r5 row was hash_match=false on EQUAL values (Spark DecimalType
-# ratio → pandas decimal.Decimal objects vs DuckDB float64; fixed this
-# round by casting both averages to DOUBLE before the ratio on both
-# engines).  Round-6 additions slot right behind it via the `fresh`
-# rule, inside the 50-entry window (budget ≤ 49 new names).
-_FRONT = [
-    "events_weekday_uplift",
-]
+# After r6: all 231 registered names have a hash-green driver row across
+# r1-r6 (CORRECTNESS_r06 was 50/50 green, closing events_weekday_uplift).
+# _FRONT is therefore empty and the full 50-slot window is free for
+# round-7 additions (budget ≤ 50 new names), which enter via `fresh`.
+_FRONT: list[str] = []
 
 
 def _ordered(mapping):
@@ -123,6 +118,24 @@ _CERTIFIED = {
     "orders_gini_by_nation", "cust_revenue_pareto",
     "orders_weekly_trend_slope", "tokens_zipf_slope",
     "embed_centroid_distance", "embed_dim_variance", "bpe_train_3merges",
+    # r6-certified (CORRECTNESS_r06.json, 50/50 hash_match=true):
+    "events_weekday_uplift", "orders_mad_outliers", "supplier_hhi_by_nation",
+    "source_mix_temperature", "events_cusum_drift", "parts_adamic_adar",
+    "docs_gopher_flags", "tokens_cms_heavyhitters", "users_scd2_intervals",
+    "score_bigram_interp", "docs_boilerplate_ngrams",
+    "docs_boilerplate_coverage", "embed_pq_codes", "sim_ivf_recall_at_k",
+    "dedup_minhash_estimator_qa", "events_entropy_by_user",
+    "vocab_coverage_curve", "events_markov_2step", "docs_rake_keywords",
+    "events_user_lifecycle", "sim_ivfpq_topk", "lineitem_abc_classification",
+    "events_burstiness", "orders_cohort_ltv", "graph_bipartite_degree_dist",
+    "lineitem_price_qty_corr", "events_ab_lift_ztest", "part_basket_rules",
+    "docs_feature_hashing", "score_heldout_perplexity",
+    "suppliers_neighborhood_jaccard", "events_kaplan_meier",
+    "docs_source_kl_divergence", "corpus_content_checksum",
+    "orders_runs_test", "events_entropy_rate", "docs_langid_confusion",
+    "lineitem_ship_latency_hist", "sim_ivfpq_rescored_topk",
+    "docs_curation_report", "events_frequent_triples", "orders_theilsen_trend",
+    "docs_vocab_overlap_sources", "orders_seasonal_index",
 }
 
 

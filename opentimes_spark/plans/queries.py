@@ -625,7 +625,15 @@ def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ext ntile — the reference's chunk-splitting shape (W1) expressed as
-    a built-in window (utils/utils.py:55-138 analogue)."""
+    a built-in window (utils/utils.py:55-138 analogue).  Plan note: a
+    global NTILE is a single-partition sort — it moves the whole filtered
+    fact table through one task at 100 TB.  The production path for
+    "which quartile is this row in" is percentile cutpoints
+    (`operators/histogram.py:equidepth_histogram`, mergeable
+    `percentile_approx` sketch, sort-free, benched as
+    `hist_equidepth_approx`) or range-partitioned ranks via the
+    `chunk_bounds` idiom (`operators/chunking.py:23`); the exact NTILE
+    form here is what the DuckDB oracle can replay bit-for-bit."""
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")

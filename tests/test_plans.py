@@ -431,3 +431,58 @@ def test_pareto_windows_share_nation_partitioning(spark):
     # revenue groupBy + window repartition + final nation agg — the two
     # Window specs must NOT add a fourth exchange
     assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_global_window_lint_flags_raw_fact_sort(spark):
+    """Meta-test for tools/lint_oracles.py --windows (VERDICT r6 item 3):
+    an unpartitioned Window over a raw fact-table scan is flagged; the
+    same window over an aggregate-first frame, over a dimension table,
+    or partitioned by a key is not."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from pyspark.sql import Window
+
+    from lint_oracles import unpartitioned_fact_windows
+
+    def facts(df):
+        return unpartitioned_fact_windows(
+            df._jdf.queryExecution().optimizedPlan()
+        )
+
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+
+    # violation: global NTILE over the raw orders fact scan
+    bad = o.select(
+        F.ntile(4).over(Window.orderBy("o_totalprice")).alias("q")
+    )
+    assert facts(bad) == ["orders"]
+
+    # aggregate-first: rank over a grouped frame — the sorted-fold idiom
+    ok_agg = (
+        o.groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .select(F.rank().over(Window.orderBy("s")).alias("r"))
+    )
+    assert facts(ok_agg) == []
+
+    # dimension table: chunking's documented domain
+    ok_dim = c.select(
+        F.row_number().over(Window.orderBy("c_custkey")).alias("rn")
+    )
+    assert facts(ok_dim) == []
+
+    # partitioned window over the fact table: fine
+    ok_part = o.select(
+        F.rank()
+        .over(Window.partitionBy("o_orderstatus").orderBy("o_totalprice"))
+        .alias("r")
+    )
+    assert facts(ok_part) == []
+
+    # limit-bounded: TakeOrdered-style frames don't sort the fact table
+    ok_lim = o.orderBy("o_totalprice").limit(10).select(
+        F.row_number().over(Window.orderBy("o_totalprice")).alias("rn")
+    )
+    assert facts(ok_lim) == []

@@ -22,9 +22,21 @@ Checks, each a defect class found live during round 5:
    ``events_weekday_uplift``).  Needs a SparkSession for schema
    analysis, so it is opt-in.
 
-Usage: python tools/lint_oracles.py [--schemas [sf_dir]]
+5. (``--windows`` mode) Any registered query whose optimized plan has a
+   Window with EMPTY partitioning consuming a non-aggregated FACT-table
+   scan — a single-partition global sort over the whole fact table at
+   100 TB (the ``window_ntile`` weak from VERDICT r6).  Unpartitioned
+   windows over aggregate-first frames (week/part/vocab grain) are the
+   deliberate sorted-fold determinism idiom and pass; the two disclosed
+   oracle twins (``window_ntile``, ``hist_equidepth_price``, which
+   document their percentile-cutpoint production paths) are allowlisted.
+   Needs a SparkSession, so it is opt-in; exits 1 on any non-allowlisted
+   violation.
+
+Usage: python tools/lint_oracles.py [--schemas [sf_dir]] [--windows [sf_dir]]
        (static checks exit 0 always — informational;
-        --schemas exits 1 on any DecimalType output column)
+        --schemas exits 1 on any DecimalType output column;
+        --windows exits 1 on any undisclosed global-sort Window)
 """
 
 from __future__ import annotations
@@ -63,10 +75,96 @@ def lint_schemas(sf_dir: str) -> int:
     return 1 if n_dec else 0
 
 
+# Big tables at production scale — a global sort over any of these is a
+# single-task bottleneck.  region/nation/customer/supplier/part are
+# dimension-sized (the chunking operator's documented domain).
+FACT_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
+
+# Logical nodes that bound cardinality / change grain between the fact
+# scan and the window: anything above them sorts an aggregate or a
+# bounded row set, not the fact table.  Distinct and limits both appear
+# as these in the optimized plan.
+_GRAIN_BOUNDING = {"Aggregate", "GlobalLimit"}
+
+# Disclosed oracle twins: each documents in its docstring that the exact
+# global-NTILE form exists for DuckDB replay and names its sort-free
+# production path (operators/histogram.py equidepth cutpoints or
+# operators/chunking.py range-partitioned ranks).
+WINDOW_ALLOWLIST = {"window_ntile", "hist_equidepth_price"}
+
+
+def unpartitioned_fact_windows(jplan) -> list[str]:
+    """Walk an optimized logical plan (py4j); return the fact-table names
+    reached by a Window with empty partitionSpec with no grain-bounding
+    node (Aggregate/GlobalLimit) in between."""
+    hits: list[str] = []
+
+    def facts_below(node):
+        cls = node.getClass().getSimpleName()
+        if cls in _GRAIN_BOUNDING:
+            return
+        if cls == "LogicalRelation":
+            try:
+                path = node.relation().location().rootPaths().apply(0).toString()
+            except Exception:
+                return
+            name = path.rstrip("/").rsplit("/", 1)[-1].split(".")[0]
+            if name in FACT_TABLES:
+                hits.append(name)
+            return
+        for i in range(node.children().size()):
+            facts_below(node.children().apply(i))
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "Window" and node.partitionSpec().size() == 0:
+            for i in range(node.children().size()):
+                facts_below(node.children().apply(i))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(jplan)
+    return hits
+
+
+def lint_windows(sf_dir: str) -> int:
+    """Build every registered query and flag undisclosed global-sort
+    Windows over non-aggregated fact scans (VERDICT r6 'kill the class'
+    item for the 174-warning blind spot)."""
+    import __spark_entry__ as entrymod
+    from opentimes_spark.session import get_spark
+
+    spark = get_spark("lint-windows")
+    n_bad = n_allow = 0
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            jplan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+            facts = unpartitioned_fact_windows(jplan)
+        except Exception as e:  # surface, don't mask, a broken query
+            print(f"[plan-err]     {name}: {e}")
+            n_bad += 1
+            continue
+        if facts:
+            if name in WINDOW_ALLOWLIST:
+                n_allow += 1
+                print(f"[global-sort:allowed] {name}: {sorted(set(facts))} "
+                      "(disclosed oracle twin)")
+            else:
+                n_bad += 1
+                print(f"[global-sort] {name}: unpartitioned Window over raw "
+                      f"fact scan {sorted(set(facts))} — disclose + add a "
+                      "production twin, or partition/aggregate first")
+    print(f"\n{n_bad} undisclosed global-sort windows, {n_allow} allowlisted")
+    return 1 if n_bad else 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--schemas":
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
         return lint_schemas(sf_dir)
+    if len(sys.argv) > 1 and sys.argv[1] == "--windows":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+        return lint_windows(sf_dir)
     from opentimes_spark.plans.queries import ORACLE_SQL
 
     n1 = n2 = n3 = 0
