@@ -38,14 +38,17 @@ def test_decode_deterministic(spark, media):
 
 def test_real_codec_seam_raises_on_compressed_without_pillow(media):
     """'real' degrades to the native codecs in a Pillow-less container —
-    a JPEG payload (the remaining seam now that baseline PNG decodes
-    natively) hits the disclosed NotImplementedError."""
+    a PROGRESSIVE JPEG payload (the remaining seam now that baseline
+    JPEG decodes natively) hits the disclosed NotImplementedError."""
+    import struct
+
     import opentimes_spark.operators.multimodal as mm
 
+    progressive = b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
     mm._PIL_IMAGE = "unset"
     if mm._pillow() is None:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            mm._real_decode(b"\xff\xd8\xff\xe0fakejpegbytes")
+            mm._real_decode(progressive)
 
 
 def test_pillow_seam_dispatch_both_ways(monkeypatch):
@@ -231,13 +234,22 @@ def test_decode_and_resize_numpy_codec(spark):
 
 
 def test_numpy_codec_rejects_compressed():
+    import struct
+
     import pytest as pt
 
     from opentimes_spark.operators.multimodal import _numpy_decode
 
-    # JPEG is the remaining seam; baseline PNG now decodes natively
+    # progressive JPEG (SOF2) is the remaining seam; baseline JPEG now
+    # decodes natively
+    progressive = (
+        b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
+    )
     with pt.raises(NotImplementedError, match="Pillow"):
-        _numpy_decode(b"\xff\xd8\xff\xe0....")
+        _numpy_decode(progressive)
+    # an unknown magic stays a hard seam too
+    with pt.raises(NotImplementedError, match="Pillow"):
+        _numpy_decode(b"II*\x00notatiffreally")
 
 
 def test_wav_roundtrip_mono_and_stereo():
@@ -587,3 +599,111 @@ def test_avi_demux_rejects_non_avi():
         demux_avi_frames(b"RIFFxxxxWAVE....")
     with pytest.raises(ValueError, match="movi"):
         demux_avi_frames(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+# --- native baseline JPEG (round 7) ----------------------------------------
+
+
+def test_jpeg_round_trip_solid_and_gradient():
+    """Lossy round-trip: solid colors reconstruct (near-)exactly; a
+    smooth gradient at quality 90 stays within a tight mean-abs-error
+    bound in both 4:4:4 and 4:2:0 (chroma subsampling costs a little
+    color accuracy, never luma structure)."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    solid = np.full((16, 16, 3), [120, 64, 200], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(solid, quality=95))
+    assert out.shape == solid.shape
+    assert np.abs(out.astype(int) - solid.astype(int)).mean() < 1.0
+
+    x = np.linspace(0, 255, 37)
+    y = np.linspace(0, 255, 29)
+    g = np.stack(np.meshgrid(x, y), -1)
+    grad = np.concatenate([g, (g[..., :1] + g[..., 1:2]) / 2], -1).astype(
+        np.uint8
+    )
+    for subsample, bound in [(False, 2.0), (True, 4.0)]:
+        out = decode_jpeg(encode_jpeg(grad, quality=90, subsample=subsample))
+        assert out.shape == grad.shape  # odd dims crop back exactly
+        assert np.abs(out.astype(int) - grad.astype(int)).mean() < bound
+
+
+def test_jpeg_grayscale_q100_near_lossless():
+    """Single-component scan; at quality 100 every quant divisor is 1 so
+    the only loss is DCT rounding (< 0.5 MAE even on noise)."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 31), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 0.5
+
+
+def test_jpeg_restart_markers_decode_identically():
+    """DRI/RSTn: a stream with restart markers every 2 MCUs decodes to
+    the same pixels as the unrestarted stream (predictors reset, byte
+    realignment, marker sequence numbers all exercised)."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (33, 41, 3), dtype=np.uint8)
+    with_rst = decode_jpeg(
+        encode_jpeg(img, quality=85, subsample=True, restart_interval=2)
+    )
+    without = decode_jpeg(encode_jpeg(img, quality=85, subsample=True))
+    assert np.array_equal(with_rst, without)
+
+
+def test_jpeg_rejects_progressive_truncated_and_non_jpeg():
+    import struct
+
+    import numpy as np
+    import pytest as pt
+
+    from opentimes_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    with pt.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"P6\n1 1\n255\nxxx")
+    progressive = (
+        b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
+    )
+    with pt.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(progressive)
+    good = encode_jpeg(np.full((8, 8), 77, dtype=np.uint8), quality=90)
+    with pt.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated entropy stream
+
+
+def test_numpy_codec_decodes_jpeg_payload_in_spark(spark):
+    """End-to-end: baseline JPEG payloads flow through decode_image's
+    Arrow-batched mapInPandas with codec='numpy' — dimensions come from
+    the real SOF0 header, not the payload digest."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = []
+    dims = [(20, 13), (8, 8), (31, 17)]
+    for i, (w, h) in enumerate(dims):
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        rows.append(
+            (i, "image", bytearray(encode_jpeg(img, quality=90)), "image/jpeg")
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in decode_image(df, codec="numpy").collect()
+    }
+    assert got == {i: d for i, d in enumerate(dims)}

@@ -27,16 +27,16 @@ def test_uncertified_queries_lead_the_gate_window():
     prior hash-green CORRECTNESS row must sit inside that window.
     Rows-only records (err=no_oracle) and hash_match=false rows do NOT
     count as certified — those names must re-enter the window."""
+    import glob
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     certified = set()
-    for rnd in (1, 2, 3, 4, 5):
-        p = os.path.join(root, f"CORRECTNESS_r{rnd:02d}.json")
-        if os.path.isfile(p):
-            with open(p, encoding="utf-8") as fh:
-                rows = json.load(fh)
-            certified |= {
-                n for n, v in rows.items() if v.get("hash_match") is True
-            }
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(p, encoding="utf-8") as fh:
+            rows = json.load(fh)
+        certified |= {
+            n for n, v in rows.items() if v.get("hash_match") is True
+        }
     names = list(entry.queries())
     stragglers = [n for n in names[50:] if n not in certified]
     assert stragglers == [], f"uncertified beyond the gate window: {stragglers}"
