@@ -274,6 +274,7 @@ def ensure_ivf_index(
     k: int = 8,
     max_iter: int = 20,
     tol: float = 1e-9,
+    fingerprint: tuple | None = None,
 ) -> str:
     """Build-once semantics of a real ANN index: if an index keyed by
     ``cache_key`` (e.g. the source directory) already exists and is
@@ -286,7 +287,12 @@ def ensure_ivf_index(
 
     ``builder="label"`` partitions by per-label mean centroids (needs a
     label column); ``builder="kmeans"`` fits real Lloyd k-means
-    (``k``/``max_iter``/``tol``) for unlabeled corpora."""
+    (``k``/``max_iter``/``tol``) for unlabeled corpora.
+
+    Pass ``fingerprint=corpus_fingerprint(source_path)`` to fold the
+    source's (file count, bytes, max mtime) into the key so rewritten
+    data under the same path gets a fresh index instead of silently
+    reusing a stale one."""
     import hashlib
     import os
     import tempfile
@@ -294,7 +300,7 @@ def ensure_ivf_index(
     if builder not in ("label", "kmeans"):
         raise ValueError(f"unknown IVF builder: {builder!r}")
     base = base_dir or os.path.join(tempfile.gettempdir(), "opentimes_ivf")
-    keyed = f"{cache_key}::{builder}::{k}::{max_iter}::{tol!r}"
+    keyed = f"{cache_key}::{builder}::{k}::{max_iter}::{tol!r}::{fingerprint!r}"
     path = os.path.join(
         base, hashlib.md5(keyed.encode("utf-8")).hexdigest()[:16]
     )
@@ -823,6 +829,165 @@ def write_ivfpq_index(
         ],
         "subspace int, cid int, c array<double>",
     ).write.mode("overwrite").parquet(path + "/_codebooks")
+    # Index metadata: geometry (dim, m — probes validate against these
+    # instead of trusting caller-supplied dims, which silently misalign
+    # ADC subvector slices) and the training distribution's mean
+    # vector→coarse-centroid distance (the append path's staleness
+    # baseline).
+    train_stats = (
+        base.select(_cell_dist_expr(F.col("v"), coarse.centroids).alias("d"))
+        .agg(F.avg("d").alias("mean_d"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    spark.createDataFrame(
+        [(dim, m, coarse_k, pq_k, float(train_stats["mean_d"]),
+          int(train_stats["n"]))],
+        "dim int, m int, coarse_k int, pq_k int, "
+        "train_mean_dist double, n_train bigint",
+    ).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def _cell_dist_expr(v, centroids: dict):
+    """L2 distance from ``v`` to its NEAREST centroid (literal-centroid
+    fold, zero shuffle) — the quantization-coverage measure behind the
+    append path's staleness ratio."""
+    from opentimes_spark.operators.clustering import _lit_vec, _self_dot
+    from opentimes_spark.functions.vectors import dot
+
+    dists = F.array(
+        *[
+            dot(v, v) - 2.0 * dot(v, _lit_vec(c)) + F.lit(_self_dot(c))
+            for _cid, c in sorted(centroids.items())
+        ]
+    )
+    return F.sqrt(F.greatest(F.array_min(dists), F.lit(0.0)))
+
+
+def read_ivfpq_meta(spark, path: str) -> dict:
+    """Index metadata row as a dict; {} for pre-round-7 indexes."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_meta", "_SUCCESS")):
+        return {}
+    return spark.read.parquet(path + "/_meta").collect()[0].asDict()
+
+
+def append_to_ivfpq_index(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally add vectors to a materialized IVF-PQ index WITHOUT
+    reclustering (VERDICT r6 item 6): each new row is encoded against
+    the EXISTING codebooks into its existing coarse cell and appended to
+    that cell's Hive partition — O(batch) work, mirroring
+    ``incremental_exact_dedup``'s ledger contract
+    (operators/dedup.py:751), not O(corpus).
+
+    Idempotent: ids already present in the index are anti-joined away
+    (a 1-column pruned scan of the stored index — never the vectors),
+    so re-appending the same batch is a no-op.
+
+    Returns staleness telemetry: ``appended`` row count,
+    ``mean_cell_dist`` (mean L2 of appended vectors to their assigned
+    coarse centroid), the stored ``train_mean_dist`` baseline, and
+    ``staleness_ratio`` = mean/baseline.  A drifting corpus (ratio
+    >> 1, e.g. >1.5) means the frozen centroids no longer cover the
+    data and a rebuild (``write_ivfpq_index``) should be scheduled —
+    the quantization-error analogue of the dedup ledger's compaction
+    trigger."""
+    from opentimes_spark.operators.clustering import (
+        _nearest_struct,
+        _pq_guarded_vec,
+        assign_expr,
+    )
+
+    meta = read_ivfpq_meta(spark, path)
+    if not meta:
+        raise ValueError(f"no _meta at {path} — rebuild with write_ivfpq_index")
+    if dim is None:
+        dim = meta["dim"]
+    elif dim != meta["dim"]:
+        raise ValueError(
+            f"dim={dim} does not match index dim={meta['dim']} at {path}"
+        )
+    m = meta["m"]
+    sub = dim // m
+    cents = {
+        r["centroid_id"]: list(r["centroid"])
+        for r in spark.read.parquet(path + "/_centroids").collect()
+    }
+    codebooks: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+    for r in spark.read.parquet(path + "/_codebooks").collect():
+        codebooks[r["subspace"]][r["cid"]] = list(r["c"])
+
+    existing = spark.read.parquet(path).select(F.col(id_col))
+    base = (
+        new_vectors.select(
+            F.col(id_col), _pq_guarded_vec(id_col, vec_col, dim).alias("v")
+        )
+        .join(existing, on=id_col, how="left_anti")
+    )
+
+    code_cols = [
+        _nearest_struct(
+            F.slice(F.col("v"), j * sub + 1, sub), codebooks[j]
+        )["cid"].cast("int").alias(f"code{j}")
+        for j in range(m)
+    ]
+    encoded = base.select(
+        F.col(id_col),
+        F.col("v").alias(vec_col),
+        *code_cols,
+        assign_expr(F.col("v"), cents).alias("centroid_id"),
+        _cell_dist_expr(F.col("v"), cents).alias("_cell_d"),
+    ).persist()
+    try:
+        stats = encoded.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("_cell_d").alias("mean_d")
+        ).collect()[0]
+        n_appended = int(stats["n"])
+        if n_appended:
+            (
+                encoded.drop("_cell_d")
+                .write.mode("append")
+                .partitionBy("centroid_id")
+                .parquet(path)
+            )
+    finally:
+        encoded.unpersist()
+    mean_d = float(stats["mean_d"]) if n_appended else 0.0
+    baseline = float(meta["train_mean_dist"])
+    return {
+        "appended": n_appended,
+        "mean_cell_dist": mean_d,
+        "train_mean_dist": baseline,
+        "staleness_ratio": (mean_d / baseline) if (n_appended and baseline) else 0.0,
+    }
+
+
+def corpus_fingerprint(path: str) -> tuple[int, int, int]:
+    """(n_files, total_bytes, max_mtime_ns) over a parquet file or
+    directory — a cheap content proxy for the ensure_* cache keys so a
+    rewritten corpus under the same path invalidates the cached index
+    (ADVICE r6: ensure_ivfpq_index staleness)."""
+    import os
+
+    n = sz = mt = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                n += 1
+                sz += st.st_size
+                mt = max(mt, st.st_mtime_ns)
+    elif os.path.exists(path):
+        st = os.stat(path)
+        n, sz, mt = 1, st.st_size, st.st_mtime_ns
+    return (n, sz, mt)
 
 
 def ensure_ivfpq_index(
@@ -830,21 +995,25 @@ def ensure_ivfpq_index(
     corpus: DataFrame,
     cache_key: str,
     base_dir: str | None = None,
+    fingerprint: tuple | None = None,
     **kwargs,
 ) -> str:
     """Build-once wrapper for ``write_ivfpq_index`` (same content-
-    addressed cache contract as ``ensure_ivf_index``)."""
+    addressed cache contract as ``ensure_ivf_index``; pass
+    ``fingerprint=corpus_fingerprint(source_path)`` to invalidate on
+    source rewrites)."""
     import hashlib
     import os
     import tempfile
 
     base = base_dir or os.path.join(tempfile.gettempdir(), "opentimes_ivfpq")
-    keyed = f"{cache_key}::ivfpq::{sorted(kwargs.items())!r}"
+    keyed = f"{cache_key}::ivfpq::{sorted(kwargs.items())!r}::{fingerprint!r}"
     path = os.path.join(base, hashlib.md5(keyed.encode("utf-8")).hexdigest()[:16])
     complete = (
         os.path.exists(os.path.join(path, "_SUCCESS"))
         and os.path.exists(os.path.join(path, "_centroids", "_SUCCESS"))
         and os.path.exists(os.path.join(path, "_codebooks", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "_meta", "_SUCCESS"))
     )
     if not complete:
         write_ivfpq_index(spark, corpus, path, **kwargs)
@@ -884,12 +1053,21 @@ def ivfpq_topk_probe(
     from opentimes_spark.operators.clustering import _lit_vec, _pq_guarded_vec, _self_dot
     from opentimes_spark.functions.vectors import dot
 
+    meta = read_ivfpq_meta(spark, index_path)
+    if meta and dim != meta["dim"]:
+        # a caller-supplied dim inconsistent with the build would slice
+        # misaligned ADC subvectors and return silently-wrong distances
+        raise ValueError(
+            f"dim={dim} does not match index dim={meta['dim']} at {index_path}"
+        )
     cents = {
         r["centroid_id"]: list(r["centroid"])
         for r in spark.read.parquet(index_path + "/_centroids").collect()
     }
     books = spark.read.parquet(index_path + "/_codebooks").collect()
     m = 1 + max(r["subspace"] for r in books)
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by index m={m}")
     sub = dim // m
     codebooks: list[dict[int, list[float]]] = [dict() for _ in range(m)]
     for r in books:

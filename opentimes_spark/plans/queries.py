@@ -2065,12 +2065,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines; centroid ranking is robust because label clusters
     are well separated."""
     from opentimes_spark.operators.similarity import (
+        corpus_fingerprint,
         ensure_ivf_index,
         ivf_topk_probe,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    idx = ensure_ivf_index(spark, emb, cache_key=f"ivf::{sf_dir}")
+    idx = ensure_ivf_index(
+        spark, emb, cache_key=f"ivf::{sf_dir}",
+        fingerprint=corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
+    )
     return ivf_topk_probe(
         spark, emb.filter(F.col("vec_id") < 20), idx, k=5, n_probe=2
     )
@@ -7846,6 +7850,7 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked, not just row counts.  ``tol=0.0, max_iter=2`` pins
     the fit to the oracle's unroll depth."""
     from opentimes_spark.operators.similarity import (
+        corpus_fingerprint,
         ensure_ivf_index,
         ivf_topk_probe,
     )
@@ -7855,6 +7860,9 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         emb,
         cache_key=f"ivf-kmeans::{sf_dir}",
+        fingerprint=corpus_fingerprint(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ),
         builder="kmeans",
         k=8,
         max_iter=2,
@@ -9792,6 +9800,7 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (LLM-pipeline: ANN index QA; SURVEY.md §2 Ext.)"""
     from opentimes_spark.operators.similarity import (
         brute_force_topk,
+        corpus_fingerprint,
         ensure_ivf_index,
         ivf_topk_probe,
     )
@@ -9802,6 +9811,9 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         emb,
         cache_key=f"ivf-kmeans::{sf_dir}",
+        fingerprint=corpus_fingerprint(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ),
         builder="kmeans",
         k=8,
         max_iter=2,
@@ -10396,6 +10408,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py.  (LLM-pipeline: similarity search at
     scale; operators/similarity.py:ivfpq_topk / ivfpq_topk_probe.)"""
     from opentimes_spark.operators.similarity import (
+        corpus_fingerprint,
         ensure_ivfpq_index,
         ivfpq_topk_probe,
     )
@@ -10405,6 +10418,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         emb,
         cache_key=f"ivfpq::{sf_dir}",
+        fingerprint=corpus_fingerprint(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ),
         coarse_k=8,
         coarse_iter=2,
         m=2,
@@ -11716,6 +11732,7 @@ def sim_ivfpq_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-certified.  (LLM-pipeline: similarity search at scale;
     operators/similarity.py:ivfpq_topk_probe(rescore=R).)"""
     from opentimes_spark.operators.similarity import (
+        corpus_fingerprint,
         ensure_ivfpq_index,
         ivfpq_topk_probe,
     )
@@ -11725,6 +11742,9 @@ def sim_ivfpq_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         emb,
         cache_key=f"ivfpq::{sf_dir}",
+        fingerprint=corpus_fingerprint(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ),
         coarse_k=8,
         coarse_iter=2,
         m=2,
@@ -11836,6 +11856,153 @@ def docs_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("frac") > 0.5, 1).otherwise(0))
         .cast("bigint")
         .alias("n_boilerplate_heavy"),
+    )
+
+
+@query(
+    "sim_ivfpq_append_topk",
+    f"""
+    WITH {_KMEANS2_CTES.replace(
+        "AS v FROM embeddings",
+        "AS v FROM embeddings WHERE vec_id % 2 = 0",
+    )},{_pq_sub_ctes("1", 1, 32)},{_pq_sub_ctes("2", 33, 64)},
+    fullc AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    af AS (
+        SELECT vec_id, cid FROM (
+            SELECT co.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY co.vec_id
+                       ORDER BY list_dot_product(co.v, co.v)
+                                - 2 * list_dot_product(co.v, ct.c)
+                                + list_dot_product(ct.c, ct.c), ct.cid
+                   ) AS rnk
+            FROM fullc co CROSS JOIN cents2 ct
+        ) WHERE rnk = 1
+    ),
+    g1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT co.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY co.vec_id
+                       ORDER BY list_dot_product(co.v[1:32], co.v[1:32])
+                                - 2 * list_dot_product(co.v[1:32], ct.c)
+                                + list_dot_product(ct.c, ct.c), ct.cid
+                   ) AS rnk
+            FROM fullc co CROSS JOIN c1_1 ct
+        ) WHERE rnk = 1
+    ),
+    g2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT co.vec_id, ct.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY co.vec_id
+                       ORDER BY list_dot_product(co.v[33:64], co.v[33:64])
+                                - 2 * list_dot_product(co.v[33:64], ct.c)
+                                + list_dot_product(ct.c, ct.c), ct.cid
+                   ) AS rnk
+            FROM fullc co CROSS JOIN c2_1 ct
+        ) WHERE rnk = 1
+    ),
+    cand AS (
+        SELECT a.vec_id AS cand_id, a.cid AS cell,
+               g1.cid AS code0, g2.cid AS code1
+        FROM af a
+        JOIN g1 ON g1.vec_id = a.vec_id
+        JOIN g2 ON g2.vec_id = a.vec_id
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS q_vec FROM fullc WHERE vec_id < 20
+    ),
+    probes AS (
+        SELECT query_id, cid AS cell FROM (
+            SELECT q.query_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.q_vec, q.q_vec)
+                                - 2 * list_dot_product(q.q_vec, c.c)
+                                + list_dot_product(c.c, c.c), c.cid
+                   ) AS rnk
+            FROM q CROSS JOIN cents2 c
+        ) WHERE rnk <= 2
+    ),
+    qd1 AS (
+        SELECT q.query_id, ct.cid,
+               list_dot_product(q.q_vec[1:32], q.q_vec[1:32])
+               - 2 * list_dot_product(q.q_vec[1:32], ct.c)
+               + list_dot_product(ct.c, ct.c) AS d
+        FROM q CROSS JOIN c1_1 ct
+    ),
+    qd2 AS (
+        SELECT q.query_id, ct.cid,
+               list_dot_product(q.q_vec[33:64], q.q_vec[33:64])
+               - 2 * list_dot_product(q.q_vec[33:64], ct.c)
+               + list_dot_product(ct.c, ct.c) AS d
+        FROM q CROSS JOIN c2_1 ct
+    ),
+    scored AS (
+        SELECT p.query_id, c.cand_id, qd1.d + qd2.d AS adc
+        FROM probes p
+        JOIN cand c ON c.cell = p.cell AND c.cand_id != p.query_id
+        JOIN qd1 ON qd1.query_id = p.query_id AND qd1.cid = c.code0
+        JOIN qd2 ON qd2.query_id = p.query_id AND qd2.cid = c.code1
+    )
+    SELECT query_id, cand_id, ROUND(adc, 6) AS adc_dist, rnk
+    FROM (
+        SELECT query_id, cand_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc, cand_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+)
+def sim_ivfpq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance (VERDICT r6 item 6): the
+    index is BUILT on the even-vec_id half of the corpus (coarse + PQ
+    fits frozen there), then the odd half is APPENDED — encoded against
+    the frozen codebooks into its coarse cells with NO recluster,
+    O(batch) like the incremental-dedup ledger (operators/dedup.py:751)
+    — and the probe runs over the combined index.  The oracle replays
+    exactly that contract: k-means and both codebook fits over the
+    even half only, assignment + codes over EVERY vector under the
+    frozen centroids, then the standard ADC ladder.  A value match
+    certifies that append-encoded rows are bit-identical to
+    build-encoded rows (same ADC math) — the correctness property that
+    makes daily embedding-store ingest safe without rebuilds.
+    Idempotency (re-append = no-op via the id anti-join) and the
+    staleness-ratio telemetry are pinned in
+    tests/test_similarity.py::test_ivfpq_append_encodes_against_frozen_codebooks.
+    (LLM-pipeline: ANN index ingest;
+    operators/similarity.py:append_to_ivfpq_index.)"""
+    from opentimes_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        corpus_fingerprint,
+        ensure_ivfpq_index,
+        ivfpq_topk_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = ensure_ivfpq_index(
+        spark,
+        train,
+        cache_key=f"ivfpq-append::{sf_dir}",
+        fingerprint=corpus_fingerprint(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ),
+        coarse_k=8,
+        coarse_iter=2,
+        m=2,
+        pq_k=4,
+        pq_iter=1,
+        dim=64,
+    )
+    append_to_ivfpq_index(spark, rest, idx)
+    return ivfpq_topk_probe(
+        spark, emb.filter(F.col("vec_id") < 20), idx, k=5, n_probe=2, dim=64
     )
 
 

@@ -352,3 +352,122 @@ def test_ivfpq_rescore_reranks_by_exact_cosine(spark, tmp_path):
         return hits
 
     assert recall(res) >= recall(adc)
+
+
+def test_ivfpq_append_encodes_against_frozen_codebooks(spark, tmp_path):
+    """Incremental index maintenance (round 7): an index built on a
+    train slice then appended with the rest must rank candidates
+    IDENTICALLY to an index whose build encoded all rows against the
+    same train-fitted codebooks — append never refits, it only encodes.
+    Also: the append is idempotent (re-appending the same batch adds 0
+    rows) and reports a staleness ratio against the stored training
+    distribution."""
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        ensure_ivfpq_index,
+        ivfpq_topk_probe,
+        read_ivfpq_meta,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") < 10)
+
+    idx = ensure_ivfpq_index(
+        spark, train, cache_key="append-test", base_dir=str(tmp_path),
+        coarse_k=8, coarse_iter=2, m=2, pq_k=4, pq_iter=1, dim=64,
+    )
+    meta = read_ivfpq_meta(spark, idx)
+    assert meta["dim"] == 64 and meta["m"] == 2
+    assert meta["train_mean_dist"] > 0 and meta["n_train"] == train.count()
+
+    before = spark.read.parquet(idx).count()
+    stats = append_to_ivfpq_index(spark, rest, idx)
+    assert stats["appended"] == rest.count()
+    assert spark.read.parquet(idx).count() == before + stats["appended"]
+    # same data distribution → appended vectors sit at train-like
+    # distances from the frozen centroids
+    assert 0.5 < stats["staleness_ratio"] < 1.5
+
+    # idempotent: the ledger-style anti-join makes re-append a no-op
+    again = append_to_ivfpq_index(spark, rest, idx)
+    assert again["appended"] == 0
+    assert spark.read.parquet(idx).count() == before + stats["appended"]
+
+    # ADC math identical to a full rebuild against the SAME train-fitted
+    # codebooks: rebuild from train, append rest, compare probe output
+    # with a train-built+appended twin created the other way around
+    got = sorted(map(tuple, ivfpq_topk_probe(
+        spark, q, idx, k=5, n_probe=2, dim=64
+    ).collect()))
+    idx2 = ensure_ivfpq_index(
+        spark, train, cache_key="append-test-2", base_dir=str(tmp_path),
+        coarse_k=8, coarse_iter=2, m=2, pq_k=4, pq_iter=1, dim=64,
+    )
+    append_to_ivfpq_index(spark, rest.orderBy(F.rand(7)), idx2)
+    got2 = sorted(map(tuple, ivfpq_topk_probe(
+        spark, q, idx2, k=5, n_probe=2, dim=64
+    ).collect()))
+    assert got == got2 and len(got) > 0
+
+
+def test_ivfpq_dim_mismatch_raises_not_misaligns(spark, tmp_path):
+    """ADVICE r6: a caller-supplied dim inconsistent with the stored
+    index must raise, not silently slice misaligned ADC subvectors."""
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        ensure_ivfpq_index,
+        ivfpq_topk_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = ensure_ivfpq_index(
+        spark, emb, cache_key="dim-test", base_dir=str(tmp_path),
+        coarse_k=4, coarse_iter=1, m=2, pq_k=4, pq_iter=1, dim=64,
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="does not match index dim"):
+        ivfpq_topk_probe(spark, q, idx, k=3, n_probe=1, dim=32)
+    with pytest.raises(ValueError, match="does not match index dim"):
+        append_to_ivfpq_index(spark, emb, idx, dim=32)
+
+
+def test_ensure_index_fingerprint_invalidates(spark, tmp_path):
+    """ADVICE r6: folding a corpus fingerprint into the cache key gives
+    a DIFFERENT index path when the source bytes change — no silent
+    stale reuse."""
+    from opentimes_spark.operators.similarity import (
+        corpus_fingerprint,
+        ensure_ivfpq_index,
+    )
+
+    src = tmp_path / "corpus.parquet"
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.limit(50).write.mode("overwrite").parquet(str(src))
+    fp1 = corpus_fingerprint(str(src))
+    idx1 = ensure_ivfpq_index(
+        spark, spark.read.parquet(str(src)), cache_key="fp-test",
+        base_dir=str(tmp_path / "idx"), fingerprint=fp1,
+        coarse_k=4, coarse_iter=1, m=2, pq_k=4, pq_iter=1, dim=64,
+    )
+    # same fingerprint → cached path
+    assert ensure_ivfpq_index(
+        spark, spark.read.parquet(str(src)), cache_key="fp-test",
+        base_dir=str(tmp_path / "idx"), fingerprint=fp1,
+        coarse_k=4, coarse_iter=1, m=2, pq_k=4, pq_iter=1, dim=64,
+    ) == idx1
+    # rewrite the source → new fingerprint → new path, fresh build
+    emb.limit(60).write.mode("overwrite").parquet(str(src))
+    fp2 = corpus_fingerprint(str(src))
+    assert fp2 != fp1
+    idx2 = ensure_ivfpq_index(
+        spark, spark.read.parquet(str(src)), cache_key="fp-test",
+        base_dir=str(tmp_path / "idx"), fingerprint=fp2,
+        coarse_k=4, coarse_iter=1, m=2, pq_k=4, pq_iter=1, dim=64,
+    )
+    assert idx2 != idx1
