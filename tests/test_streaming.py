@@ -6,6 +6,7 @@ modes once all data is processed)."""
 from __future__ import annotations
 
 import shutil
+from datetime import timedelta
 
 import pytest
 from pyspark.sql import functions as F
@@ -639,3 +640,120 @@ def test_cms_sink_replayed_batch_is_idempotent(spark, tmp_path):
         for r in cms_build(df, "event_type").collect()
     }
     assert merged == direct
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join with state eviction (round 7):
+    purchases WITH a qualifying click emit matched; purchases WITHOUT
+    one are held in state and emitted with NULL click columns only
+    after the global watermark passes their join interval.  Pinned
+    against the batch left join.
+
+    Two availableNow runs against one checkpoint: run 1 processes the
+    real events (watermark still below every purchase's expiry, so no
+    null rows yet); a far-future flush event then lands on BOTH streams
+    and run 2 advances the watermark past every real interval, forcing
+    the evicted-unmatched rows out with nulls."""
+    from opentimes_spark.streaming.events import stream_stream_left_outer_join
+
+    batch = read_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks_b = batch.filter(F.col("event_type") == "click")
+    purch_b = batch.filter(F.col("event_type") == "purchase")
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks_b.coalesce(1).write.parquet(cdir)
+    purch_b.coalesce(1).write.parquet(pdir)
+
+    def open_streams():
+        cs = spark.readStream.schema(batch.schema).parquet(cdir)
+        ps = spark.readStream.schema(batch.schema).parquet(pdir)
+        return stream_stream_left_outer_join(
+            cs, ps, within="1 hour", watermark="0 seconds"
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(name):
+        q = (
+            open_streams()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out).collect()
+
+    rows1 = run("louter1")
+    # run 1: the watermark ends at max(ts) - delay, so unmatched
+    # purchases whose interval is already past CAN evict with nulls,
+    # but any purchase still inside its join horizon
+    # (purchase_ts + within >= watermark) MUST still be held in state —
+    # eviction is watermark-gated, not emit-on-sight
+    far0 = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    held = {
+        r["purchase_id"]
+        for r in rows1
+        if r["click_id"] is None
+        and r["purchase_ts"] + timedelta(hours=1) >= far0
+    }
+    assert held == set(), f"evicted before watermark passed: {held}"
+
+    # flush event 30 days past the corpus on both streams → watermark
+    # jumps past every purchase's (ts + within) horizon in run 2
+    flush = (
+        batch.limit(1)
+        .withColumn("event_id", F.lit(-1).cast("bigint"))
+        .withColumn("user_id", F.lit(-1).cast("bigint"))
+        .withColumn("event_type", F.lit("click"))
+        .withColumn("ts", F.lit(far0).cast("timestamp") + F.expr("INTERVAL 30 days"))
+    )
+    flush.coalesce(1).write.mode("append").parquet(cdir)
+    flush.withColumn("event_type", F.lit("purchase")).coalesce(1).write.mode(
+        "append"
+    ).parquet(pdir)
+
+    rows2 = run("louter2")  # cumulative: the file sink holds both runs
+    got_matched = {
+        (r["purchase_id"], r["click_id"])
+        for r in rows2
+        if r["click_id"] is not None and r["purchase_id"] != -1
+    }
+    got_null = {
+        r["purchase_id"]
+        for r in rows2
+        if r["click_id"] is None and r["purchase_id"] != -1
+    }
+
+    c = clicks_b.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purch_b.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        "left_outer",
+    )
+    expect_matched = {
+        (r["purchase_id"], r["click_id"])
+        for r in joined.filter(F.col("click_id").isNotNull()).collect()
+    }
+    expect_null = {
+        r["purchase_id"]
+        for r in joined.filter(F.col("click_id").isNull()).collect()
+    }
+    assert got_matched == expect_matched and len(got_matched) > 0
+    assert got_null == expect_null and len(got_null) > 0
