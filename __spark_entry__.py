@@ -28,9 +28,13 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 #
 # After r6: all 231 registered names have a hash-green driver row across
 # r1-r6 (CORRECTNESS_r06 was 50/50 green, closing events_weekday_uplift).
-# _FRONT is therefore empty and the full 50-slot window is free for
-# round-7 additions (budget ≤ 50 new names), which enter via `fresh`.
-_FRONT: list[str] = []
+# _FRONT holds names whose SEMANTICS changed this round and need a
+# fresh driver hash: the Gopher alphabetic-word rule now matches Rae et
+# al. A1.1 verbatim (token CONTAINS an alphabetic char, not fully
+# alphabetic — ADVICE r6), changing docs_gopher_flags and
+# docs_curation_report values in BOTH engines.  The rest of the window
+# is free for round-7 additions (budget ≤ 48 new names via `fresh`).
+_FRONT: list[str] = ["docs_gopher_flags", "docs_curation_report"]
 
 
 def _ordered(mapping):
@@ -121,7 +125,7 @@ _CERTIFIED = {
     # r6-certified (CORRECTNESS_r06.json, 50/50 hash_match=true):
     "events_weekday_uplift", "orders_mad_outliers", "supplier_hhi_by_nation",
     "source_mix_temperature", "events_cusum_drift", "parts_adamic_adar",
-    "docs_gopher_flags", "tokens_cms_heavyhitters", "users_scd2_intervals",
+    "tokens_cms_heavyhitters", "users_scd2_intervals",
     "score_bigram_interp", "docs_boilerplate_ngrams",
     "docs_boilerplate_coverage", "embed_pq_codes", "sim_ivf_recall_at_k",
     "dedup_minhash_estimator_qa", "events_entropy_by_user",
@@ -134,7 +138,7 @@ _CERTIFIED = {
     "docs_source_kl_divergence", "corpus_content_checksum",
     "orders_runs_test", "events_entropy_rate", "docs_langid_confusion",
     "lineitem_ship_latency_hist", "sim_ivfpq_rescored_topk",
-    "docs_curation_report", "events_frequent_triples", "orders_theilsen_trend",
+    "events_frequent_triples", "orders_theilsen_trend",
     "docs_vocab_overlap_sources", "orders_seasonal_index",
 }
 

@@ -201,13 +201,17 @@ def prefix_fingerprint(text: Column, n_tokens: int = 3) -> Column:
 def gopher_pass(text: Column) -> Column:
     """Boolean: the document passes the Gopher rule-based quality
     filter (Rae et al. 2021 §A1.1) — word count in [50, 100k], mean
-    word length in [3, 10], ≥80% alphabetic words, ≥2 stopwords.
+    word length in [3, 10], ≥80% of words CONTAIN an alphabetic
+    character (the paper's rule verbatim — r7 fix per ADVICE: the
+    previous fully-alphabetic test counted ordinary prose tokens like
+    "dog." or "it's" against the ratio and over-dropped clean docs),
+    ≥2 stopwords.
     Zero-shuffle array folds; empty docs fail.  The per-rule breakdown
     lives in the ``docs_gopher_flags`` oracle query; this is the
     composed verdict the curation job's ``--gopher`` stage applies."""
     toks = tokens(text)
     n_words = F.size(toks)
-    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$")))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
     mwl = F.length(F.array_join(toks, "")) * 1.0 / n_words
     return F.when(

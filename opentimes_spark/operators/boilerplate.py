@@ -67,11 +67,22 @@ def boilerplate_coverage(
     min_df: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_templates: bool | None = None,
 ) -> DataFrame:
     """(id, n_grams, n_boilerplate, bp_frac) per document: the fraction
     of its n-gram positions matched by the corpus template set.  Docs
     with fewer than ``n`` tokens emit no row (no gram positions to
-    judge) — callers treating absence as 'pass' must say so."""
+    judge) — callers treating absence as 'pass' must say so.
+
+    Join strategy (ADVICE r6): the df≥min_df template set grows with
+    corpus VOCABULARY, not corpus size, but at web scale a C4-style
+    template set can still exceed broadcast budgets and OOM the driver.
+    Default (``broadcast_templates=None``) therefore lets AQE pick —
+    it broadcasts when the built side is under
+    ``spark.sql.autoBroadcastJoinThreshold`` and falls back to a
+    shuffle join above it.  Pass ``True`` to force the broadcast (the
+    bench twins do, where the set is provably tiny) or ``False`` to
+    force the shuffle plan."""
     g = gram_stream(docs, n, id_col, text_col)
     bp = (
         g.groupBy("gram")
@@ -79,9 +90,14 @@ def boilerplate_coverage(
         .filter(F.col("df") >= min_df)
         .select("gram")
     )
+    marked = bp.withColumn("df_mark", F.lit(1))
+    if broadcast_templates is True:
+        marked = F.broadcast(marked)
+    elif broadcast_templates is False:
+        marked = marked.hint("shuffle_hash")
     hit = F.when(F.col("df_mark").isNotNull(), 1).otherwise(0)
     return (
-        g.join(F.broadcast(bp.withColumn("df_mark", F.lit(1))), "gram", "left")
+        g.join(marked, "gram", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),

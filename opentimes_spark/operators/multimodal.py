@@ -243,14 +243,22 @@ def decode_png(b: bytes) -> np.ndarray:
             cur = line
         elif ft == 2:  # Up
             cur = (line + prev) & 0xFF
-        else:  # Sub / Average / Paeth need the in-row left neighbor
+        elif ft == 1:  # Sub: per-channel prefix sum mod 256 (vectorized —
+            # addition is associative under mod, so cumsum ≡ the spec's
+            # left-to-right recurrence; ADVICE r6 perf item)
+            cur = (
+                np.cumsum(line.reshape(-1, ch), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(stride)
+        else:  # Average / Paeth carry a true left-dependency (the
+            # predictor branches on the RECONSTRUCTED left byte), so the
+            # recurrence is inherently sequential — interpreted loop,
+            # O(stride) per row; Pillow's C path is the fast seam for
+            # megapixel images
             cur = np.zeros(stride, np.int32)
             for i in range(stride):
                 a = cur[i - ch] if i >= ch else 0
                 bb = prev[i]
-                if ft == 1:  # Sub
-                    cur[i] = (line[i] + a) & 0xFF
-                elif ft == 3:  # Average
+                if ft == 3:  # Average
                     cur[i] = (line[i] + ((a + bb) >> 1)) & 0xFF
                 elif ft == 4:  # Paeth
                     c = prev[i - ch] if i >= ch else 0

@@ -9231,7 +9231,7 @@ def parts_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
         SELECT doc_id,
                LENGTH(toks) AS n_words,
-               LENGTH(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+               LENGTH(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
                    AS n_alpha,
                LENGTH(list_filter(toks, x -> list_contains(
                    ['the','a','of','and','to','in','is','on','for','with'], x)))
@@ -9272,7 +9272,7 @@ def docs_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d.select(
         "doc_id",
         F.size(toks).alias("n_words"),
-        F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$"))).alias("n_alpha"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).alias("n_alpha"),
         F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))).alias("n_stop"),
         F.length(F.array_join(toks, "")).alias("sum_len"),
     ).filter(F.col("n_words") > 0)
@@ -11778,7 +11778,7 @@ def sim_ivfpq_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND LENGTH(ARRAY_TO_STRING({_TOKS_SQL}, '')) * 1.0
                          / LENGTH({_TOKS_SQL}) BETWEEN 3 AND 10
                      AND LENGTH(list_filter({_TOKS_SQL},
-                         x -> regexp_full_match(x, '[a-z]+'))) * 1.0
+                         x -> regexp_matches(x, '[a-z]'))) * 1.0
                          / LENGTH({_TOKS_SQL}) >= 0.8
                      AND LENGTH(list_filter({_TOKS_SQL},
                          x -> list_contains(['the','a','of','and','to','in',

@@ -292,3 +292,40 @@ def test_lang_bigram_pairs_survives_short_docs(spark):
     )
     rows = _lang_bigram_pairs(d, 0.5).collect()
     assert {(r["id_a"], r["id_b"]) for r in rows} == {(3, 4)}
+
+
+def test_boilerplate_coverage_join_strategy_control(spark):
+    """ADVICE r6: the template set must not be force-broadcast
+    unconditionally — default lets AQE choose, True forces broadcast,
+    False forces a shuffle join; all three produce identical rows."""
+    import contextlib
+    import io
+
+    from opentimes_spark.operators.boilerplate import boilerplate_coverage
+
+    docs = spark.createDataFrame(
+        [(i, "common header text unique tail %d" % i) for i in range(40)],
+        "doc_id long, text string",
+    )
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    rows = {}
+    for mode in (None, True, False):
+        out = boilerplate_coverage(docs, n=3, min_df=5,
+                                   broadcast_templates=mode)
+        rows[mode] = sorted(map(tuple, out.collect()))
+    assert rows[None] == rows[True] == rows[False] and len(rows[None]) == 40
+
+    forced = plan_of(
+        boilerplate_coverage(docs, n=3, min_df=5, broadcast_templates=True)
+    )
+    assert "BroadcastHashJoin" in forced
+    shuffled = plan_of(
+        boilerplate_coverage(docs, n=3, min_df=5, broadcast_templates=False)
+    )
+    assert "ShuffledHashJoin" in shuffled or "SortMergeJoin" in shuffled
