@@ -12674,6 +12674,363 @@ def docs_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_kcore_2peel",
+    """
+    WITH edges AS (
+        SELECT DISTINCT 'p:' || l_partkey AS u, 's:' || l_suppkey AS v
+        FROM lineitem
+    ),
+    sym AS (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    deg0 AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+    alive1 AS (SELECT u FROM deg0 WHERE d >= 3),
+    sym1 AS (
+        SELECT s.u, s.v FROM sym s
+        JOIN alive1 a ON a.u = s.u
+        JOIN alive1 b ON b.u = s.v
+    ),
+    deg1 AS (SELECT u, COUNT(*) AS d FROM sym1 GROUP BY u),
+    alive2 AS (SELECT u FROM deg1 WHERE d >= 3),
+    sym2 AS (
+        SELECT s.u, s.v FROM sym1 s
+        JOIN alive2 a ON a.u = s.u
+        JOIN alive2 b ON b.u = s.v
+    ),
+    deg2 AS (SELECT u, COUNT(*) AS d FROM sym2 GROUP BY u)
+    SELECT CASE WHEN u LIKE 'p:%' THEN 'part' ELSE 'supplier' END AS side,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_deg,
+           CAST(MAX(d) AS BIGINT) AS max_deg,
+           ROUND(AVG(d), 4) AS mean_deg
+    FROM deg2
+    GROUP BY 1
+    """,
+)
+def graph_kcore_2peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3), two unrolled iterations, on the bipartite
+    part↔supplier co-purchase graph: drop nodes of degree < k,
+    recompute degrees on the induced subgraph, drop again — the
+    standard densest-region extraction whose fixpoint is the k-core.
+    Each peel is a degree aggregate plus two semi-join-shaped filters
+    on the edge list (node-keyed shuffles, uniform keys); the unroll
+    depth is pinned at 2 so the oracle replays the exact same partial
+    peeling.  Output = per-side survivor census with degree stats.
+    (SURVEY.md §2 Ext; graph analytics alongside triangle_count /
+    pagerank / components.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("u"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("v"),
+    ).distinct()
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    cur = sym
+    for _ in range(2):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        alive = deg.filter(F.col("d") >= 3).select("u")
+        cur = (
+            cur.join(alive, "u", "left_semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+        )
+    deg2 = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    side = F.when(F.col("u").startswith("p:"), "part").otherwise("supplier")
+    return deg2.groupBy(side.alias("side")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("d").cast("bigint").alias("min_deg"),
+        F.max("d").cast("bigint").alias("max_deg"),
+        F.round(F.avg("d"), 4).alias("mean_deg"),
+    )
+
+
+@query(
+    "events_dau_wau_mau",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d),
+    wau AS (
+        SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+        FROM days JOIN du
+          ON du.d <= days.d AND du.d >= days.d - INTERVAL 6 DAY
+        GROUP BY days.d
+    ),
+    mau AS (
+        SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS mau
+        FROM days JOIN du
+          ON du.d <= days.d AND du.d >= days.d - INTERVAL 29 DAY
+        GROUP BY days.d
+    )
+    SELECT STRFTIME(dau.d, '%Y-%m-%d') AS day,
+           dau.dau, wau.wau, mau.mau,
+           ROUND(dau.dau * 1.0 / mau.mau, 4) AS dau_mau_ratio
+    FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / trailing-7-day WAU / trailing-30-day MAU per day
+    plus the DAU/MAU stickiness ratio — the canonical engagement
+    report.  The fact table collapses FIRST to distinct (day, user)
+    pairs (one shuffle on the fact); the trailing windows are then
+    range joins of that day-grain frame against the day list —
+    day-dimension work, never a second fact pass.  At 100 TB the exact
+    trailing distinct would graduate to merged HLL sketches per day
+    (`approx_distinct_users` is the registered sketch twin); the exact
+    form is what the oracle can replay.  Dates formatted to strings on
+    both engines (DATE materialization differs)."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+
+    def trailing(n_days: int, name: str) -> DataFrame:
+        return (
+            days.alias("days")
+            .join(
+                du.select(F.col("d").alias("ud"), "user_id"),
+                (F.col("ud") <= F.col("days.d"))
+                & (F.col("ud") >= F.date_sub(F.col("days.d"), n_days - 1)),
+            )
+            .groupBy("days.d")
+            .agg(F.count_distinct("user_id").cast("bigint").alias(name))
+        )
+
+    wau = trailing(7, "wau")
+    mau = trailing(30, "mau")
+    return (
+        dau.join(wau, "d")
+        .join(mau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") * 1.0 / F.col("mau"), 4).alias(
+                "dau_mau_ratio"
+            ),
+        )
+    )
+
+
+@query(
+    "events_attribution_models",
+    """
+    WITH purchases AS (
+        SELECT event_id AS pid, user_id, ts AS pts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT p.pid, e.event_type AS channel, e.ts, e.event_id
+        FROM purchases p JOIN events e
+          ON e.user_id = p.user_id
+         AND e.event_type != 'purchase'
+         AND e.ts <= p.pts AND e.ts >= p.pts - INTERVAL 24 HOUR
+    ),
+    ranked AS (
+        SELECT pid, channel,
+               ROW_NUMBER() OVER (PARTITION BY pid
+                                  ORDER BY ts, event_id) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY pid
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last,
+               COUNT(*) OVER (PARTITION BY pid) AS n_touch
+        FROM touches
+    )
+    SELECT channel,
+           CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch,
+           CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch,
+           ROUND(SUM(1.0 / n_touch), 4) AS linear_credit
+    FROM ranked
+    GROUP BY channel
+    """,
+)
+def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three marketing-attribution models side by side per channel
+    (non-purchase event type): FIRST-touch and LAST-touch credit from
+    per-purchase rank windows, LINEAR credit as 1/n_touch fractional
+    shares — over each purchase's 24-hour lookback of the same user's
+    touches.  The lookback is the interval self-join the streaming
+    `stream_stream_join` runs continuously; windows partition by
+    purchase id (never global).  Credit ties break on (ts, event_id) —
+    engine-stable.  1/n_touch sums are short decimal series; 4-dp
+    rounding is safely inside their exactness.  (SURVEY.md §2.5/§2.3
+    Ext; complements `events_attribution_join`.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    touches = p.join(
+        e.select("user_id", F.col("event_type").alias("channel"), "ts", "event_id"),
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("channel") != "purchase")
+        & (F.col("ts") <= F.col("pts"))
+        & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    ).select("pid", "channel", "ts", "event_id")
+    wf = Window.partitionBy("pid").orderBy("ts", "event_id")
+    wl = Window.partitionBy("pid").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("pid")
+    ranked = touches.select(
+        "pid",
+        "channel",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count(F.lit(1)).over(wc).alias("n_touch"),
+    )
+    return ranked.groupBy("channel").agg(
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("first_touch"),
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("last_touch"),
+        F.round(F.sum(1.0 / F.col("n_touch")), 4).alias("linear_credit"),
+    )
+
+
+@query(
+    "events_session_timeout_sweep",
+    """
+    WITH gaps AS (
+        SELECT user_id,
+               EPOCH(ts) - EPOCH(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+        FROM events
+    ),
+    users AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events),
+    sweep AS (
+        SELECT CAST(t.timeout_min AS INT) AS timeout_min,
+               (SELECT n_users FROM users)
+               + CAST(SUM(CASE WHEN g.gap_s > t.timeout_min * 60
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM gaps g CROSS JOIN (
+            SELECT UNNEST([15, 30, 60]) AS timeout_min) t
+        WHERE g.gap_s IS NOT NULL
+        GROUP BY t.timeout_min
+    )
+    SELECT s.timeout_min, s.n_sessions,
+           ROUND((SELECT n_events FROM users) * 1.0 / s.n_sessions, 4)
+               AS events_per_session
+    FROM sweep s
+    """,
+)
+def events_session_timeout_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-count sensitivity to the inactivity timeout (15/30/60
+    minutes) in ONE pass: per-user interarrival gaps come from a single
+    user-partitioned lag window, and each candidate timeout is then
+    just a filtered count over the same gap frame — sessions(t) =
+    n_users + #{gaps > t}, so sweeping K timeouts costs one window
+    pass + one small aggregate, not K sessionizations.  The tuning
+    table behind `sessionize_events`' fixed 30-minute choice.
+    (SURVEY.md §2.5 Ext; parameter-sweep idiom.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # driver parquet carries ts as TIMESTAMP_NTZ — cast to LTZ first,
+    # then to epoch seconds (NTZ has no direct long cast)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gaps = e.select(
+        (secs - F.lag(secs).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    users = e.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    sweep = (
+        gaps.crossJoin(
+            F.broadcast(
+                _spark_values(
+                    e.sparkSession, [(15,), (30,), (60,)], "timeout_min int"
+                )
+            )
+        )
+        .groupBy("timeout_min")
+        .agg(
+            F.sum(
+                F.when(F.col("gap_s") > F.col("timeout_min") * 60, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_gaps")
+        )
+    )
+    return sweep.crossJoin(F.broadcast(users)).select(
+        "timeout_min",
+        (F.col("n_users") + F.col("n_gaps")).cast("bigint").alias("n_sessions"),
+        F.round(
+            F.col("n_events") * 1.0 / (F.col("n_users") + F.col("n_gaps")), 4
+        ).alias("events_per_session"),
+    )
+
+
+def _spark_values(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Tiny literal frame (the VALUES clause idiom for sweeps/dims)."""
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "events_srm_check",
+    """
+    WITH assign AS (
+        SELECT DISTINCT user_id, CAST(user_id % 2 AS INT) AS arm FROM events
+    ),
+    counts AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users FROM assign
+        GROUP BY arm
+    ),
+    tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n FROM counts)
+    SELECT c.arm, c.n_users,
+           ROUND(c.n_users * 1.0 / t.n, 6) AS observed_frac,
+           ROUND(POWER(c.n_users - t.n / 2.0, 2) / (t.n / 2.0)
+                 + POWER((t.n - c.n_users) - t.n / 2.0, 2) / (t.n / 2.0), 4)
+               AS chi2_srm
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for a 50/50 experiment split
+    (assignment = user_id parity, the deterministic stand-in for a
+    hash-bucketed variant id): per-arm user counts, observed fraction,
+    and the 1-df chi-square against the expected half-half split — the
+    first gate any A/B readout must pass before `events_ab_lift_ztest`
+    is even meaningful.  Distinct-user collapse first, then arithmetic
+    on the 2-row arm frame; chi2 inputs are exact integers.
+    (SURVEY.md §2.4 Ext; experimentation QA.)"""
+    e = _t(spark, sf_dir, "events")
+    assign = e.select(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("arm")
+    ).distinct()
+    counts = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    tot = counts.agg(F.sum("n_users").cast("bigint").alias("n"))
+    half = F.col("n") / 2.0
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n_users",
+        F.round(F.col("n_users") * 1.0 / F.col("n"), 6).alias("observed_frac"),
+        F.round(
+            F.pow(F.col("n_users") - half, 2) / half
+            + F.pow((F.col("n") - F.col("n_users")) - half, 2) / half,
+            4,
+        ).alias("chi2_srm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
