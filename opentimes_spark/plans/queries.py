@@ -13031,6 +13031,334 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embed_gram_pca_power",
+    """
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    elems AS (
+        SELECT vec_id, CAST(i AS INT) AS i,
+               CAST(ROUND(v[CAST(i AS INT)], 6) AS DECIMAL(12,6)) AS x
+        FROM corpus, UNNEST(range(1, 65)) AS u(i)
+    ),
+    cells AS (
+        SELECT a.i, b.i AS j, SUM(a.x * b.x) AS g
+        FROM elems a JOIN elems b ON b.vec_id = a.vec_id
+        GROUP BY a.i, b.i
+    ),
+    u1 AS (
+        SELECT i, CAST(g AS DOUBLE) AS val FROM cells WHERE j = 1
+    ),
+    u2 AS (
+        SELECT c.i,
+               list_aggregate(list(CAST(c.g AS DOUBLE) * u1.val ORDER BY c.j),
+                              'sum') AS val
+        FROM cells c JOIN u1 ON u1.i = c.j
+        GROUP BY c.i
+    ),
+    norms AS (
+        SELECT SQRT(list_aggregate(
+                   (SELECT list(val * val ORDER BY i) FROM u1), 'sum'))
+                   AS n1,
+               SQRT(list_aggregate(
+                   (SELECT list(val * val ORDER BY i) FROM u2), 'sum'))
+                   AS n2
+    )
+    SELECT u2.i AS dim,
+           ROUND(u2.val / n.n2, 6) AS loading,
+           ROUND(n.n2 / n.n1, 4) AS lambda_est
+    FROM u2 CROSS JOIN norms n
+    """,
+)
+def embed_gram_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by TWO power
+    iterations on the (uncentered) Gram matrix G = Σ v·vᵀ — u₂ = G²e₁,
+    loading = u₂/‖u₂‖, eigenvalue estimate λ ≈ ‖u₂‖/‖u₁‖.  The scale
+    recipe: G is a 64×64 = 4096-cell aggregate built in ONE fact pass
+    (the pair explode is dim²-bounded per row, and map-side partial
+    aggregation shrinks the shuffle to ≤4096 rows per task — the
+    shuffle NEVER carries the corpus), after which every iteration is
+    arithmetic on the tiny cell frame.  Determinism: elements are
+    quantized to 6 decimals and accumulated in EXACT DECIMAL, so G is
+    bit-identical on both engines; the dim-length reductions (matvec,
+    norms) use the repo's sorted-fold idiom (sequential in index
+    order) so their doubles match exactly.  (LLM-pipeline: embedding
+    diagnostics — the PCA companion to embed_dim_variance /
+    embed_centroid_distance.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "el")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).cast("int").alias("i"),
+        F.round(F.col("el").cast("double"), 6).cast("decimal(12,6)").alias("x"),
+    )
+    b = elems.select(
+        F.col("vec_id").alias("vid2"),
+        F.col("i").alias("j"),
+        F.col("x").alias("y"),
+    )
+    cells = (
+        elems.join(b, F.col("vec_id") == F.col("vid2"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("x") * F.col("y")).alias("g"))
+    )
+    u1 = cells.filter(F.col("j") == 1).select(
+        "i", F.col("g").cast("double").alias("val")
+    )
+
+    def sorted_fold(df, key, order, term, out):
+        return df.groupBy(key).agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(order, term))),
+                F.lit(0.0),
+                lambda acc, s: acc + s[term],
+            ).alias(out)
+        )
+
+    prod = cells.join(
+        u1.select(F.col("i").alias("j"), F.col("val").alias("u1j")), "j"
+    ).select("i", "j", (F.col("g").cast("double") * F.col("u1j")).alias("term"))
+    u2 = sorted_fold(prod, "i", "j", "term", "val")
+    n1 = u1.agg(
+        F.sqrt(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("i", (F.col("val") * F.col("val")).alias("sq")))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["sq"],
+            )
+        ).alias("n1")
+    )
+    n2 = u2.agg(
+        F.sqrt(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("i", (F.col("val") * F.col("val")).alias("sq")))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["sq"],
+            )
+        ).alias("n2")
+    )
+    norms = n1.crossJoin(n2)
+    return u2.crossJoin(F.broadcast(norms)).select(
+        F.col("i").alias("dim"),
+        F.round(F.col("val") / F.col("n2"), 6).alias("loading"),
+        F.round(F.col("n2") / F.col("n1"), 4).alias("lambda_est"),
+    )
+
+
+@query(
+    "embed_ivf_cell_balance",
+    f"""
+    WITH {_KMEANS2_CTES},
+    {_KMEANS2_ASSIGN_FINAL},
+    counts AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM assign_final GROUP BY cid
+    ),
+    tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(MAX(n_vectors) AS BIGINT) AS mx
+            FROM counts)
+    SELECT c.cid AS centroid_id, c.n_vectors,
+           ROUND(c.n_vectors * 1.0 / t.n, 6) AS frac,
+           ROUND(c.n_vectors * CAST(t.k AS DOUBLE) / t.n, 4)
+               AS load_factor,
+           ROUND(t.mx * CAST(t.k AS DOUBLE) / t.n, 4) AS worst_load_factor
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def embed_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy balance of the materialized kmeans IVF index: per
+    coarse cell, its vector count, corpus fraction, and load factor
+    (occupancy × k / n — 1.0 is perfectly balanced), plus the max load
+    factor as the skew headline.  A probe's cost is proportional to
+    the probed cells' occupancy, so this table IS the ANN latency-skew
+    audit: a worst_load_factor of 3 means worst-case probes read 3×
+    the balanced estimate — the trigger for recluster or cell-split.
+    Reads the same index `sim_ivf_kmeans_topk` probes (build amortized
+    via ensure_ivf_index + corpus fingerprint); the oracle replays the
+    two Lloyd iterations and final assignment.  (LLM-pipeline: ANN
+    index QA alongside sim_ivf_recall_at_k.)"""
+    from opentimes_spark.operators.similarity import (
+        corpus_fingerprint,
+        ensure_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ensure_ivf_index(
+        spark,
+        emb,
+        cache_key=f"ivf-kmeans::{sf_dir}",
+        fingerprint=corpus_fingerprint(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ),
+        builder="kmeans",
+        k=8,
+        max_iter=2,
+        tol=0.0,
+    )
+    counts = (
+        spark.read.parquet(idx)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    )
+    tot = counts.agg(
+        F.sum("n_vectors").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("n_vectors").cast("bigint").alias("mx"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        "n_vectors",
+        F.round(F.col("n_vectors") * 1.0 / F.col("n"), 6).alias("frac"),
+        F.round(
+            F.col("n_vectors") * F.col("k").cast("double") / F.col("n"), 4
+        ).alias("load_factor"),
+        F.round(F.col("mx") * F.col("k").cast("double") / F.col("n"), 4).alias(
+            "worst_load_factor"
+        ),
+    )
+
+
+@query(
+    "docs_lsh_precision_recall",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, g.tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+              FROM documents),
+             UNNEST(list_transform(range(1, GREATEST(LENGTH(t) - 1, 1)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g(tok)
+    ),
+    sigs AS (
+        SELECT doc_id,
+               MIN(md5(concat('0|', tok))) AS h0,
+               MIN(md5(concat('1|', tok))) AS h1,
+               MIN(md5(concat('2|', tok))) AS h2,
+               MIN(md5(concat('3|', tok))) AS h3,
+               MIN(md5(concat('4|', tok))) AS h4,
+               MIN(md5(concat('5|', tok))) AS h5,
+               MIN(md5(concat('6|', tok))) AS h6,
+               MIN(md5(concat('7|', tok))) AS h7
+        FROM toks GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, b.band_idx, b.band_hash
+        FROM sigs, (VALUES (0, md5(concat_ws('|', h0, h1))),
+            (1, md5(concat_ws('|', h2, h3))),
+            (2, md5(concat_ws('|', h4, h5))),
+            (3, md5(concat_ws('|', h6, h7)))) AS v(bi, bh),
+             LATERAL (SELECT v.bi AS band_idx, v.bh AS band_hash) b
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+    truth AS (
+        SELECT id_a, id_b FROM (
+            SELECT ta.doc_id AS id_a, tb.doc_id AS id_b,
+                   COUNT(*) AS n_inter
+            FROM toks ta JOIN toks tb
+              ON tb.tok = ta.tok AND tb.doc_id > ta.doc_id
+            GROUP BY 1, 2
+        ) i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE i.n_inter * 1.0 / (za.n_tok + zb.n_tok - i.n_inter) >= 0.5
+    ),
+    hits AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM cands c JOIN truth t
+          ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+           h.n_hits,
+           ROUND(h.n_hits * 1.0
+                 / (SELECT COUNT(*) FROM cands), 6) AS precision_at_05,
+           ROUND(h.n_hits * 1.0
+                 / (SELECT COUNT(*) FROM truth), 6) AS recall_at_05
+    FROM hits h
+    """,
+)
+def docs_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval quality of the banded MinHash-LSH dedup
+    path: precision and recall of the candidate set against ground
+    truth (exact shingle Jaccard ≥ 0.5 over pairs sharing ≥1 shingle —
+    the inverted-index join, never an all-pairs product).  The
+    S-curve's two failure modes priced as one row each way: precision
+    < 1 is wasted verify work, recall < 1 is silently-kept duplicates
+    — THE go/no-go table before committing a (bands, rows) setting
+    corpus-wide.  Composes the same certified signature/band/verify
+    operators as dedup_minhash_estimator_qa but closes the loop with
+    the truth join.  (LLM-pipeline: dedup QA.)"""
+    from opentimes_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=8, shingle_size=3, hash_fn="md5")
+    cands = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2, hash_fn="md5")
+    sh = shingle_sets(d, "doc_id", "text", shingle_size=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    inter = (
+        sh.alias("ta")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_b"), F.col("tok").alias("s2")
+            ),
+            (F.col("s2") == F.col("tok"))
+            & (F.col("id_b") > F.col("doc_id")),
+        )
+        .groupBy(F.col("doc_id").alias("id_a"), "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_tok").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_tok").alias("nb")),
+            "id_b",
+        )
+        .filter(
+            F.col("n_inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    n_cand = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    n_hits = (
+        cands.join(truth, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        n_hits.crossJoin(n_cand)
+        .crossJoin(n_truth)
+        .select(
+            "n_candidates",
+            "n_true_pairs",
+            "n_hits",
+            F.round(F.col("n_hits") * 1.0 / F.col("n_candidates"), 6).alias(
+                "precision_at_05"
+            ),
+            F.round(F.col("n_hits") * 1.0 / F.col("n_true_pairs"), 6).alias(
+                "recall_at_05"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
