@@ -13359,6 +13359,855 @@ def docs_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_price_index",
+    """
+    WITH py AS (
+        SELECT l_partkey,
+               CAST(YEAR(l_shipdate) AS INT) AS yr,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS ext,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem GROUP BY l_partkey, YEAR(l_shipdate)
+    ),
+    base AS (
+        SELECT l_partkey, ext AS ext0, qty AS qty0 FROM py
+        WHERE yr = (SELECT MIN(yr) FROM py)
+    ),
+    terms AS (
+        SELECT t.yr, t.l_partkey,
+               CAST(t.ext AS DOUBLE) / t.qty * CAST(b.qty0 AS DOUBLE)
+                   AS pt_q0,
+               CAST(b.ext0 AS DOUBLE) / b.qty0 * CAST(b.qty0 AS DOUBLE)
+                   AS p0_q0,
+               CAST(t.ext AS DOUBLE) / t.qty * CAST(t.qty AS DOUBLE)
+                   AS pt_qt,
+               CAST(b.ext0 AS DOUBLE) / b.qty0 * CAST(t.qty AS DOUBLE)
+                   AS p0_qt
+        FROM py t JOIN base b ON b.l_partkey = t.l_partkey
+    ),
+    folded AS (
+        SELECT yr,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               list_aggregate(list(pt_q0 ORDER BY l_partkey), 'sum') AS s_pt_q0,
+               list_aggregate(list(p0_q0 ORDER BY l_partkey), 'sum') AS s_p0_q0,
+               list_aggregate(list(pt_qt ORDER BY l_partkey), 'sum') AS s_pt_qt,
+               list_aggregate(list(p0_qt ORDER BY l_partkey), 'sum') AS s_p0_qt
+        FROM terms GROUP BY yr
+    )
+    SELECT yr, n_parts,
+           ROUND(s_pt_q0 / s_p0_q0, 6) AS laspeyres,
+           ROUND(s_pt_qt / s_p0_qt, 6) AS paasche,
+           ROUND(SQRT((s_pt_q0 / s_p0_q0) * (s_pt_qt / s_p0_qt)), 6)
+               AS fisher
+    FROM folded
+    """,
+)
+def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indices per ship year
+    against the first year as base: per-part unit prices (revenue /
+    quantity from exact DECIMAL part-year sums) weighted by base-year
+    vs current-year quantities — the standard inflation-decomposition
+    battery over a transactional fact.  One fact aggregate to
+    part-year grain, a broadcast-size base-year join, then the
+    part-dimension reductions run as sorted folds (sequential in
+    partkey order) so the double sums are engine-identical — the same
+    determinism idiom as embed_gram_pca_power.  (SURVEY.md §2.4 Ext;
+    econometric reporting.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        "l_partkey", F.year("l_shipdate").cast("int").alias("yr")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("ext"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+    )
+    min_yr = py.agg(F.min("yr").alias("m"))
+    base = (
+        py.crossJoin(F.broadcast(min_yr))
+        .filter(F.col("yr") == F.col("m"))
+        .select(
+            F.col("l_partkey").alias("bk"),
+            F.col("ext").alias("ext0"),
+            F.col("qty").alias("qty0"),
+        )
+    )
+    t = py.join(F.broadcast(base), F.col("l_partkey") == F.col("bk"))
+    pt = F.col("ext").cast("double") / F.col("qty")
+    p0 = F.col("ext0").cast("double") / F.col("qty0")
+    terms = t.select(
+        "yr",
+        "l_partkey",
+        (pt * F.col("qty0").cast("double")).alias("pt_q0"),
+        (p0 * F.col("qty0").cast("double")).alias("p0_q0"),
+        (pt * F.col("qty").cast("double")).alias("pt_qt"),
+        (p0 * F.col("qty").cast("double")).alias("p0_qt"),
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("l_partkey", col))),
+            F.lit(0.0),
+            lambda acc, s: acc + s[col],
+        )
+
+    folded = terms.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        fold("pt_q0").alias("s_pt_q0"),
+        fold("p0_q0").alias("s_p0_q0"),
+        fold("pt_qt").alias("s_pt_qt"),
+        fold("p0_qt").alias("s_p0_qt"),
+    )
+    lasp = F.col("s_pt_q0") / F.col("s_p0_q0")
+    paas = F.col("s_pt_qt") / F.col("s_p0_qt")
+    return folded.select(
+        "yr",
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+@query(
+    "orders_gmv_decomposition",
+    """
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(YEAR(o.o_orderdate) AS INT) AS yr,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS gmv
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment, YEAR(o.o_orderdate)
+    ),
+    lagged AS (
+        SELECT segment, yr, n_orders, gmv,
+               LAG(n_orders) OVER (PARTITION BY segment ORDER BY yr) AS n_p,
+               LAG(gmv) OVER (PARTITION BY segment ORDER BY yr) AS gmv_p
+        FROM seg
+    )
+    SELECT segment, yr,
+           ROUND(CAST(gmv AS DOUBLE), 2) AS gmv,
+           ROUND(CAST(gmv AS DOUBLE) - CAST(gmv_p AS DOUBLE), 2) AS delta_gmv,
+           ROUND((CAST(gmv AS DOUBLE) / n_orders
+                  - CAST(gmv_p AS DOUBLE) / n_p) * n_p, 2) AS price_effect,
+           ROUND((n_orders - n_p)
+                 * (CAST(gmv AS DOUBLE) / n_orders), 2) AS volume_effect
+    FROM lagged
+    WHERE n_p IS NOT NULL
+    """,
+)
+def orders_gmv_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year GMV growth split into a PRICE effect (average
+    order value change at prior-year volume) and a VOLUME effect
+    (order-count change at current-year AOV) per market segment — the
+    standard exactly-additive two-factor decomposition
+    (ΔGMV = Δaov·n_prev + Δn·aov_cur), the growth-accounting sibling
+    of `orders_yoy_growth`.  Fact aggregates to segment-year grain
+    before the lag window (aggregate-first idiom); AOVs are doubles
+    derived from exact DECIMAL sums and integer counts.
+    (SURVEY.md §2.4/§2.5 Ext.)"""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("gmv"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("yr")
+    lagged = seg.select(
+        "segment",
+        "yr",
+        "n_orders",
+        "gmv",
+        F.lag("n_orders").over(w).alias("n_p"),
+        F.lag("gmv").over(w).alias("gmv_p"),
+    ).filter(F.col("n_p").isNotNull())
+    gmv_d = F.col("gmv").cast("double")
+    gmv_pd = F.col("gmv_p").cast("double")
+    return lagged.select(
+        "segment",
+        "yr",
+        F.round(gmv_d, 2).alias("gmv"),
+        F.round(gmv_d - gmv_pd, 2).alias("delta_gmv"),
+        F.round(
+            (gmv_d / F.col("n_orders") - gmv_pd / F.col("n_p")) * F.col("n_p"),
+            2,
+        ).alias("price_effect"),
+        F.round(
+            (F.col("n_orders") - F.col("n_p")) * (gmv_d / F.col("n_orders")), 2
+        ).alias("volume_effect"),
+    )
+
+
+@query(
+    "events_changepoint_mean",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    cum AS (
+        SELECT d, c,
+               CAST(SUM(c) OVER (ORDER BY d) AS BIGINT) AS cum_c,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS k
+        FROM daily
+    ),
+    scored AS (
+        -- |S_k|·n kept in exact integers: n·cum_c − k·total
+        SELECT cum.d, cum.k, cum.cum_c,
+               ABS(t.n * cum.cum_c - cum.k * t.total) AS score
+        FROM cum CROSS JOIN tot t
+        WHERE cum.k < t.n
+    ),
+    best AS (
+        SELECT d, k, cum_c FROM scored
+        ORDER BY score DESC, d ASC LIMIT 1
+    )
+    SELECT STRFTIME(b.d, '%Y-%m-%d') AS split_after_day,
+           ROUND(b.cum_c * 1.0 / b.k, 4) AS mean_before,
+           ROUND((t.total - b.cum_c) * 1.0 / (t.n - b.k), 4) AS mean_after,
+           ROUND((t.total - b.cum_c) * 1.0 / (t.n - b.k)
+                 - b.cum_c * 1.0 / b.k, 4) AS mean_shift
+    FROM best b CROSS JOIN tot t
+    """,
+)
+def events_changepoint_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection on the daily event-rate series —
+    the first step of binary segmentation: the split maximizing the
+    centered CUSUM |S_k| = |Σ_{d≤k}(c_d − mean)|, with before/after
+    means and the detected shift.  The argmax metric is kept in EXACT
+    integers (n·cum − k·total avoids the fractional mean entirely), so
+    the winner and its tiebreak (earliest day) are engine-identical;
+    the day series is day-grain (aggregate first, window second).
+    Companion to `events_cusum_drift` (which monitors; this localizes).
+    (SURVEY.md §2.5 Ext; time-series diagnostics.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = daily.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("d")
+    cum = daily.select(
+        "d",
+        F.sum("c").over(w).cast("bigint").alias("cum_c"),
+        F.row_number().over(w).cast("bigint").alias("k"),
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < F.col("n"))
+        .select(
+            "d",
+            "k",
+            "cum_c",
+            "total",
+            "n",
+            F.abs(
+                F.col("n") * F.col("cum_c") - F.col("k") * F.col("total")
+            ).alias("score"),
+        )
+    )
+    best = scored.orderBy(F.col("score").desc(), F.col("d").asc()).limit(1)
+    return best.select(
+        F.date_format("d", "yyyy-MM-dd").alias("split_after_day"),
+        F.round(F.col("cum_c") * 1.0 / F.col("k"), 4).alias("mean_before"),
+        F.round(
+            (F.col("total") - F.col("cum_c")) * 1.0 / (F.col("n") - F.col("k")),
+            4,
+        ).alias("mean_after"),
+        F.round(
+            (F.col("total") - F.col("cum_c")) * 1.0 / (F.col("n") - F.col("k"))
+            - F.col("cum_c") * 1.0 / F.col("k"),
+            4,
+        ).alias("mean_shift"),
+    )
+
+
+@query(
+    "lineitem_dq_audit",
+    """
+    WITH j AS (
+        SELECT l.*, o.o_orderdate FROM lineitem l
+        LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    checks AS (
+        SELECT 'discount_out_of_range' AS check_name,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               CAST(COUNT(*) AS BIGINT) AS n_checked
+        FROM j
+        UNION ALL
+        SELECT 'tax_out_of_range',
+               CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM j
+        UNION ALL
+        SELECT 'nonpositive_quantity',
+               CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM j
+        UNION ALL
+        SELECT 'price_quantity_disagree',
+               CAST(SUM(CASE WHEN l_extendedprice <= 0
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM j
+        UNION ALL
+        SELECT 'ship_before_order',
+               CAST(SUM(CASE WHEN l_shipdate < o_orderdate
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM j
+        UNION ALL
+        SELECT 'orphan_lineitem',
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM j
+    )
+    SELECT check_name, n_violations, n_checked,
+           ROUND(n_violations * 1.0 / n_checked, 6) AS violation_rate
+    FROM checks
+    """,
+)
+def lineitem_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality assertion battery over the lineitem
+    fact (the dbt-test / Deequ-check shape): range checks, sign
+    checks, the cross-table ship-before-order temporal invariant, and
+    orphan-row referential integrity — six named checks, one row each
+    with violation counts and rates.  ALL checks share ONE fact pass:
+    the conditional sums run in a single aggregate over the same
+    left-join frame, so adding a seventh check costs an expression,
+    not a scan.  Zero violations is the expected (and still
+    hash-checked) steady state — the table exists to catch the day
+    that changes.  (SURVEY.md §2.4 Ext / P7 invariants at scale.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left")
+
+    def chk(name, cond):
+        return (
+            F.lit(name).alias("check_name"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint"),
+            F.count(F.lit(1)).cast("bigint"),
+        )
+
+    checks = [
+        ("discount_out_of_range",
+         (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+        ("tax_out_of_range", (F.col("l_tax") < 0) | (F.col("l_tax") > 0.08)),
+        ("nonpositive_quantity", F.col("l_quantity") <= 0),
+        ("price_quantity_disagree", F.col("l_extendedprice") <= 0),
+        ("ship_before_order", F.col("l_shipdate") < F.col("o_orderdate")),
+        ("orphan_lineitem", F.col("o_orderdate").isNull()),
+    ]
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"v{i}")
+            for i, (_, cond) in enumerate(checks)
+        ],
+    )
+    rows = None
+    for i, (name, _) in enumerate(checks):
+        row = agg.select(
+            F.lit(name).alias("check_name"),
+            F.col(f"v{i}").alias("n_violations"),
+            "n_checked",
+            F.round(F.col(f"v{i}") * 1.0 / F.col("n_checked"), 6).alias(
+                "violation_rate"
+            ),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+@query(
+    "cust_acctbal_winsorized",
+    """
+    WITH cuts AS (
+        SELECT c_mktsegment AS segment,
+               quantile_cont(c_acctbal, 0.05) AS lo,
+               quantile_cont(c_acctbal, 0.95) AS hi
+        FROM customer GROUP BY c_mktsegment
+    ),
+    clamped AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(GREATEST(LEAST(c.c_acctbal, k.hi), k.lo)
+                    AS DECIMAL(18,4)) AS w
+        FROM customer c JOIN cuts k ON k.segment = c.c_mktsegment
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 4) AS winsor_mean,
+           ROUND(SQRT((CAST(SUM(w * w) AS DOUBLE)
+                       - CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE)
+                         / COUNT(*))
+                      / (COUNT(*) - 1)), 4) AS winsor_std
+    FROM clamped
+    GROUP BY segment
+    """,
+)
+def cust_acctbal_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/std of customer balances per market segment:
+    clamp to the segment's exact [p05, p95] percentiles, then moments
+    — the robust-location estimator that, unlike trimming, keeps n
+    constant (completing the robust battery: MAD outliers, IQR
+    fences, trimmed docs_outlier_trim).  Cutpoints come from one
+    per-segment percentile aggregate joined back broadcast-size;
+    clamped values (2-dp money against ≤3-dp interpolated cuts) are
+    exact in DECIMAL(18,4), so the moment sums are engine-identical.
+    (SURVEY.md §2.4 Ext; robust statistics.)"""
+    c = _t(spark, sf_dir, "customer")
+    cuts = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.percentile("c_acctbal", 0.05).alias("lo"),
+        F.percentile("c_acctbal", 0.95).alias("hi"),
+    )
+    clamped = c.join(
+        F.broadcast(cuts), F.col("c_mktsegment") == F.col("segment")
+    ).select(
+        "segment",
+        F.greatest(F.least(F.col("c_acctbal"), F.col("hi")), F.col("lo"))
+        .cast("decimal(18,4)")
+        .alias("w"),
+    )
+    n = F.count(F.lit(1))
+    sw = F.sum("w").cast("double")
+    sww = F.sum(F.col("w") * F.col("w")).cast("double")
+    return clamped.groupBy("segment").agg(
+        n.cast("bigint").alias("n_customers"),
+        F.round(sw / n, 4).alias("winsor_mean"),
+        F.round(F.sqrt((sww - sw * sw / n) / (n - 1)), 4).alias("winsor_std"),
+    )
+
+
+@query(
+    "events_attribution_left_outer",
+    """
+    WITH purchases AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(ts AS DATE) AS d
+        FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT DISTINCT p.pid FROM purchases p
+        JOIN events e
+          ON e.user_id = p.user_id AND e.event_type = 'click'
+         AND e.ts <= p.pts AND e.ts >= p.pts - INTERVAL 1 HOUR
+    )
+    SELECT STRFTIME(p.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN m.pid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN m.pid IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched,
+           ROUND(SUM(CASE WHEN m.pid IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS match_rate
+    FROM purchases p LEFT JOIN matched m ON m.pid = p.pid
+    GROUP BY p.d
+    """,
+)
+def events_attribution_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH twin of the streaming left-outer attribution join
+    (streaming/events.py:stream_stream_left_outer_join, round 7):
+    every purchase counted per day as click-matched (a same-user click
+    within the preceding hour) or unmatched — exactly the rows the
+    streaming operator emits matched vs evicted-with-nulls.  A
+    certified daily match-rate here pins the values the streaming
+    eviction test compares against.  The interval join is the bounded
+    lookback self-join; match collapse via semi-join-shaped DISTINCT
+    before the day rollup.  (SURVEY.md §2.10 batch-equivalence.)"""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("ts").cast("date").alias("d"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    matched = (
+        p.join(
+            clicks,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ts") <= F.col("pts"))
+            & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("pid")
+        .distinct()
+        .withColumn("m", F.lit(1))
+    )
+    hit = F.when(F.col("m").isNotNull(), 1).otherwise(0)
+    return (
+        p.join(matched, "pid", "left")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(hit).cast("bigint").alias("n_matched"),
+            F.sum(1 - hit).cast("bigint").alias("n_unmatched"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "match_rate"
+            ),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_purchases",
+            "n_matched",
+            "n_unmatched",
+            "match_rate",
+        )
+    )
+
+
+@query(
+    "supplier_concentration_cr4",
+    """
+    WITH rev AS (
+        SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS r
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    ranked AS (
+        SELECT nationkey, r,
+               ROW_NUMBER() OVER (PARTITION BY nationkey
+                                  ORDER BY r DESC, l_suppkey) AS rnk
+        FROM rev
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(CASE WHEN rnk <= 4 THEN r ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(r) AS DOUBLE), 6) AS cr4,
+           ROUND(CAST(SUM(CASE WHEN rnk <= 8 THEN r ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(r) AS DOUBLE), 6) AS cr8
+    FROM ranked
+    JOIN nation n ON n.n_nationkey = ranked.nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_concentration_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CR4/CR8 market-concentration ratios per nation — the top-4 and
+    top-8 suppliers' revenue share, the antitrust-style headline that
+    complements `supplier_hhi_by_nation` (HHI weights ALL squared
+    shares; CRk isolates the head).  Fact aggregates to
+    (nation, supplier) grain first; the rank window partitions by
+    nation over that supplier-grain frame (never the fact), with a
+    suppkey tiebreak for engine-stable ranks on equal revenue.
+    DECIMAL revenue; shares divided as doubles from exact sums.
+    (SURVEY.md §2.5 Ext.)"""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,6)"))
+            ).alias("r")
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy(
+        F.col("r").desc(), F.col("l_suppkey")
+    )
+    ranked = rev.withColumn("rnk", F.row_number().over(w))
+    top = lambda k: F.sum(  # noqa: E731
+        F.when(F.col("rnk") <= k, F.col("r")).otherwise(F.lit(0))
+    ).cast("double")
+    return (
+        ranked.join(
+            F.broadcast(n), F.col("nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.round(top(4) / F.sum("r").cast("double"), 6).alias("cr4"),
+            F.round(top(8) / F.sum("r").cast("double"), 6).alias("cr8"),
+        )
+    )
+
+
+@query(
+    "part_size_price_ols",
+    """
+    WITH sums AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(p_size) AS BIGINT) AS sx,
+               SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS sy,
+               CAST(SUM(p_size * p_size) AS BIGINT) AS sxx,
+               SUM(p_size * CAST(p_retailprice AS DECIMAL(18,2))) AS sxy,
+               SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                   * CAST(p_retailprice AS DECIMAL(18,2))) AS syy
+        FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+               AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * sx) / n, 4) AS intercept,
+           ROUND(POWER(n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE), 2)
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy)), 6) AS r_squared
+    FROM sums
+    """,
+)
+def part_size_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS of retail price on part size — slope, intercept,
+    R² from the five closed-form moment sums in ONE group-aggregate
+    (the normal equations need no iteration and no window).  Sizes are
+    integers and prices DECIMAL, so every float enters at the final
+    division — the parametric-fit sibling of `orders_theilsen_trend`
+    (robust) and `orders_weekly_trend_slope` (time-series).
+    (SURVEY.md §2.4 Ext.)"""
+    p = _t(spark, sf_dir, "part")
+    price = F.col("p_retailprice").cast("decimal(18,2)")
+    sums = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p_size").cast("bigint").alias("sx"),
+        F.sum(price).alias("sy"),
+        F.sum(F.col("p_size") * F.col("p_size")).cast("bigint").alias("sxx"),
+        F.sum(F.col("p_size") * price).alias("sxy"),
+        F.sum(price * price).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r_squared"),
+    )
+
+
+@query(
+    "docs_quality_calibration",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CASE WHEN LENGTH(toks) BETWEEN 50 AND 100000
+                     AND LENGTH(ARRAY_TO_STRING(toks, '')) * 1.0
+                         / LENGTH(toks) BETWEEN 3 AND 10
+                     AND LENGTH(list_filter(toks,
+                         x -> regexp_matches(x, '[a-z]'))) * 1.0
+                         / LENGTH(toks) >= 0.8
+                     AND LENGTH(list_filter(toks,
+                         x -> list_contains(['the','a','of','and','to','in',
+                                             'is','on','for','with'], x))) >= 2
+                    THEN 1 ELSE 0 END AS gopher_ok,
+               LENGTH(list_distinct(toks)) * 1.0
+                   / GREATEST(LENGTH(toks), 1) AS diversity
+        FROM t WHERE LENGTH(toks) > 0
+    ),
+    cuts AS (
+        SELECT quantile_cont(diversity,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                   AS q
+        FROM scored
+    ),
+    bucketed AS (
+        SELECT s.gopher_ok,
+               CAST(1 + LENGTH(list_filter(c.q, x -> s.diversity > x))
+                    AS INT) AS diversity_decile
+        FROM scored s CROSS JOIN cuts c
+    )
+    SELECT diversity_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(gopher_ok) AS BIGINT) AS n_gopher_pass,
+           ROUND(SUM(gopher_ok) * 1.0 / COUNT(*), 6) AS gopher_pass_rate
+    FROM bucketed
+    GROUP BY diversity_decile
+    """,
+)
+def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve between two INDEPENDENT quality signals: docs
+    bucketed into deciles of lexical diversity (distinct/total token
+    ratio, doc_id tiebreak) against the Gopher rule-based pass rate per
+    decile — monotone agreement validates using the cheap continuous
+    score as a pre-filter before the rule battery.  Deciles are
+    assigned by PERCENTILE CUTPOINTS (the orders_quartiles_scalable
+    recipe: one percentile aggregate broadcast back, bucket = count of
+    cuts strictly below) — sort-free by construction, so the query
+    passes the global-window lint instead of needing an allowlist
+    entry; cutpoint ties land in the lower decile on both engines.
+    (LLM-pipeline: curation QA.)"""
+    from opentimes_spark.functions.text import EN_STOPWORDS
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_alpha = F.size(F.filter(F.col("toks"), lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(F.filter(F.col("toks"), lambda x: x.isin(*EN_STOPWORDS)))
+    mwl = F.length(F.array_join("toks", "")) * 1.0 / F.size("toks")
+    gopher_ok = F.when(
+        F.size("toks").between(50, 100_000)
+        & mwl.between(3, 10)
+        & ((n_alpha * 1.0 / F.size("toks")) >= 0.8)
+        & (n_stop >= 2),
+        1,
+    ).otherwise(0)
+    diversity = F.size(F.array_distinct("toks")) * 1.0 / F.greatest(
+        F.size("toks"), F.lit(1)
+    )
+    scored = base.select(
+        gopher_ok.alias("gopher_ok"), diversity.alias("diversity")
+    )
+    cuts = scored.agg(
+        *[
+            F.percentile("diversity", i / 10.0).alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + F.when(
+            F.col("diversity") > F.col(f"c{i}"), 1
+        ).otherwise(0)
+    bucketed = scored.crossJoin(F.broadcast(cuts)).select(
+        "gopher_ok", decile.cast("int").alias("diversity_decile")
+    )
+    return bucketed.groupBy("diversity_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("gopher_ok").cast("bigint").alias("n_gopher_pass"),
+        F.round(F.sum("gopher_ok") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "gopher_pass_rate"
+        ),
+    )
+
+
+@query(
+    "orders_rfm_migration",
+    """
+    WITH bounds AS (
+        SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+    ),
+    tagged AS (
+        SELECT o.o_custkey,
+               CASE WHEN o.o_orderdate < b.lo
+                         + (b.hi - b.lo) / 2 THEN 1 ELSE 2 END AS half,
+               o.o_totalprice
+        FROM orders o CROSS JOIN bounds b
+    ),
+    per AS (
+        SELECT o_custkey, half,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM tagged GROUP BY o_custkey, half
+    ),
+    seg AS (
+        SELECT o_custkey, half,
+               CASE WHEN freq >= 3 AND CAST(monetary AS DOUBLE) >= 20000
+                    THEN 'champion'
+                    WHEN freq >= 3 THEN 'frequent'
+                    WHEN CAST(monetary AS DOUBLE) >= 20000 THEN 'big_spender'
+                    ELSE 'casual' END AS segment
+        FROM per
+    )
+    SELECT COALESCE(a.segment, 'absent') AS segment_h1,
+           COALESCE(b.segment, 'absent') AS segment_h2,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (SELECT o_custkey, segment FROM seg WHERE half = 1) a
+    FULL OUTER JOIN (SELECT o_custkey, segment FROM seg WHERE half = 2) b
+      ON b.o_custkey = a.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment MIGRATION matrix between the first and second
+    halves of the order history: each customer is RFM-bucketed
+    (frequency ≥3, monetary ≥20k thresholds) independently per half,
+    and the full-outer join counts every (from, to) flow INCLUDING
+    churn ('absent' in half 2) and acquisition ('absent' in half 1) —
+    the segment-dynamics view that static `events_rfm_segments` can't
+    show.  Fact → (customer, half) grain in one aggregate; the matrix
+    is customer-dimension work; thresholds compare exact
+    DECIMAL-derived values.  (SURVEY.md §2.3 Ext full-outer /
+    cohort dynamics.)"""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    half = F.when(
+        F.col("o_orderdate")
+        < F.col("lo") + (F.col("hi") - F.col("lo")) / 2,
+        1,
+    ).otherwise(2)
+    tagged = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey", half.alias("half"), "o_totalprice"
+    )
+    per = tagged.groupBy("o_custkey", "half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    seg = per.select(
+        "o_custkey",
+        "half",
+        F.when(
+            (F.col("freq") >= 3)
+            & (F.col("monetary").cast("double") >= 20000),
+            "champion",
+        )
+        .when(F.col("freq") >= 3, "frequent")
+        .when(F.col("monetary").cast("double") >= 20000, "big_spender")
+        .otherwise("casual")
+        .alias("segment"),
+    )
+    a = seg.filter(F.col("half") == 1).select(
+        F.col("o_custkey").alias("ka"), F.col("segment").alias("sa")
+    )
+    b = seg.filter(F.col("half") == 2).select(
+        F.col("o_custkey").alias("kb"), F.col("segment").alias("sb")
+    )
+    return (
+        a.join(b, a["ka"] == b["kb"], "full_outer")
+        .groupBy(
+            F.coalesce(F.col("sa"), F.lit("absent")).alias("segment_h1"),
+            F.coalesce(F.col("sb"), F.lit("absent")).alias("segment_h2"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
