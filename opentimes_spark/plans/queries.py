@@ -14208,6 +14208,315 @@ def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_dedup_cluster_purity",
+    """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, lang, g.gram
+        FROM toks,
+             UNNEST(list_transform(range(1, LENGTH(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS g(gram)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM grams a
+        JOIN grams b ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_inter / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.4
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node),
+    tagged AS (
+        SELECT c.component_id, d.source
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    shares AS (
+        SELECT component_id, source, CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY component_id
+                                  ORDER BY COUNT(*) DESC, source) AS rnk
+        FROM tagged GROUP BY component_id, source
+    )
+    SELECT s.component_id,
+           CAST(SUM(s.cnt) AS BIGINT) AS n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           MAX(CASE WHEN s.rnk = 1 THEN s.source END) AS top_source,
+           ROUND(MAX(CASE WHEN s.rnk = 1 THEN s.cnt END) * 1.0
+                 / SUM(s.cnt), 6) AS purity
+    FROM shares s
+    GROUP BY s.component_id
+    """,
+)
+def docs_dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source purity of every near-duplicate CLUSTER: connected
+    components over the bigram-Jaccard ≥ 0.4 graph (the certified
+    `dedup_components` pipeline) joined back to each member's source,
+    reporting members, distinct sources, the dominant source
+    (count-desc, source-asc tiebreak) and its share.  Purity ≈ 1 means
+    duplication is intra-source (mirror/crawl echoes — safe to dedup
+    blindly); low purity flags cross-source template contamination
+    that per-source dedup would MISS — the audit that decides dedup
+    scope.  The purity rollup is component-grain work on top of the
+    certified component assignment.  (LLM-pipeline: dedup QA.)"""
+    from pyspark.sql import Window
+
+    from opentimes_spark.operators.components import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = _lang_bigram_pairs(d, 0.4).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    tagged = comp.join(
+        d.select(F.col("doc_id").alias("node"), "source"), "node"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("cnt").desc(), F.col("source")
+    )
+    shares = (
+        tagged.groupBy("component_id", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    return shares.groupBy("component_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_members"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.max(F.when(F.col("rnk") == 1, F.col("source"))).alias("top_source"),
+        F.round(
+            F.max(F.when(F.col("rnk") == 1, F.col("cnt"))) * 1.0
+            / F.sum("cnt"),
+            6,
+        ).alias("purity"),
+    )
+
+
+@query(
+    "lineitem_quantity_mode",
+    """
+    WITH counts AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ),
+    ranked AS (
+        SELECT l_returnflag, qty, cnt,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, qty ASC) AS rnk,
+               CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                   AS total
+        FROM counts
+    )
+    SELECT l_returnflag,
+           qty AS mode_quantity,
+           cnt AS mode_count,
+           ROUND(cnt * 1.0 / total, 6) AS mode_share,
+           CAST(total AS BIGINT) AS n_rows
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def lineitem_quantity_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE of order quantity per return flag (most
+    frequent value, count-desc / value-asc tiebreak) with its share —
+    the top-1-per-group aggregate shape that mean/median summaries
+    miss (a dominant mode at a round number flags templated or
+    defaulted data).  Value-count aggregate first (fact shuffles once
+    onto (flag, qty) — a few hundred keys), then the rank window runs
+    on that tiny grain.  (SURVEY.md §2.4/2.5 Ext.)"""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("qty").asc()
+    )
+    wt = Window.partitionBy("l_returnflag")
+    ranked = counts.select(
+        "l_returnflag",
+        "qty",
+        "cnt",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt").over(wt).cast("bigint").alias("total"),
+    )
+    return ranked.filter(F.col("rnk") == 1).select(
+        "l_returnflag",
+        F.col("qty").alias("mode_quantity"),
+        F.col("cnt").alias("mode_count"),
+        F.round(F.col("cnt") * 1.0 / F.col("total"), 6).alias("mode_share"),
+        F.col("total").cast("bigint").alias("n_rows"),
+    )
+
+
+@query(
+    "events_daily_autocorrelation",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    lagged AS (
+        SELECT d, c,
+               LAG(c, 1) OVER (ORDER BY d) AS c1,
+               LAG(c, 7) OVER (ORDER BY d) AS c7
+        FROM daily
+    ),
+    corr1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS sx, CAST(SUM(c1) AS BIGINT) AS sy,
+               CAST(SUM(c * c1) AS BIGINT) AS sxy,
+               CAST(SUM(c * c) AS BIGINT) AS sxx,
+               CAST(SUM(c1 * c1) AS BIGINT) AS syy
+        FROM lagged WHERE c1 IS NOT NULL
+    ),
+    corr7 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS sx, CAST(SUM(c7) AS BIGINT) AS sy,
+               CAST(SUM(c * c7) AS BIGINT) AS sxy,
+               CAST(SUM(c * c) AS BIGINT) AS sxx,
+               CAST(SUM(c7 * c7) AS BIGINT) AS syy
+        FROM lagged WHERE c7 IS NOT NULL
+    )
+    SELECT 1 AS lag_days, c1.n AS n_pairs,
+           ROUND((c1.n * CAST(c1.sxy AS DOUBLE) - CAST(c1.sx AS DOUBLE) * c1.sy)
+                 / SQRT((c1.n * CAST(c1.sxx AS DOUBLE)
+                         - CAST(c1.sx AS DOUBLE) * c1.sx)
+                        * (c1.n * CAST(c1.syy AS DOUBLE)
+                           - CAST(c1.sy AS DOUBLE) * c1.sy)), 6) AS autocorr
+    FROM corr1 c1
+    UNION ALL
+    SELECT 7, c7.n,
+           ROUND((c7.n * CAST(c7.sxy AS DOUBLE) - CAST(c7.sx AS DOUBLE) * c7.sy)
+                 / SQRT((c7.n * CAST(c7.sxx AS DOUBLE)
+                         - CAST(c7.sx AS DOUBLE) * c7.sx)
+                        * (c7.n * CAST(c7.syy AS DOUBLE)
+                           - CAST(c7.sy AS DOUBLE) * c7.sy)), 6)
+    FROM corr7 c7
+    """,
+)
+def events_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily event-count series
+    — the two ACF points that answer "is today like yesterday?" and
+    "is there a weekly cycle?" before any forecasting model is fit
+    (complements events_hour_seasonality's within-day view).  Day
+    grain first; the lag windows and the moment sums all run on the
+    ~30-row day frame with EXACT integer accumulators, so the Pearson
+    ratio is engine-deterministic.  (SURVEY.md §2.5 Ext;
+    time-series diagnostics.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 7).over(w).alias("c7"),
+    )
+
+    def corr_row(lag_col: str, lag_days: int) -> DataFrame:
+        f = lagged.filter(F.col(lag_col).isNotNull())
+        sums = f.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("sx"),
+            F.sum(lag_col).cast("bigint").alias("sy"),
+            F.sum(F.col("c") * F.col(lag_col)).cast("bigint").alias("sxy"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+            F.sum(F.col(lag_col) * F.col(lag_col)).cast("bigint").alias("syy"),
+        )
+        n = F.col("n")
+        corr = (
+            n * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy")
+        ) / F.sqrt(
+            (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+            * (n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
+        )
+        return sums.select(
+            F.lit(lag_days).alias("lag_days"),
+            F.col("n").alias("n_pairs"),
+            F.round(corr, 6).alias("autocorr"),
+        )
+
+    return corr_row("c1", 1).unionByName(corr_row("c7", 7))
+
+
+@query(
+    "orders_priority_sla",
+    """
+    WITH first_ship AS (
+        SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderpriority,
+               DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                         CAST(f.first_ship AS DATE)) AS days_to_ship
+        FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN days_to_ship <= 14 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_14d,
+           ROUND(SUM(CASE WHEN days_to_ship <= 14 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS sla_14d_rate,
+           ROUND(AVG(days_to_ship), 4) AS mean_days_to_ship
+    FROM j
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA attainment per order priority: the fraction of orders whose
+    FIRST line shipped within 14 days of ordering, plus the mean
+    days-to-first-ship — the ops metric that tests whether priority
+    labels actually buy faster fulfilment.  lineitem pre-aggregates to
+    first-ship per order (shrinking to order grain BEFORE the join, so
+    the orders⋈lineitem shuffle carries one row per order, not one per
+    line); day differences are exact integers.  (SURVEY.md §2.3/2.4
+    Ext; complements q4_priority_late_ship.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    j = o.join(
+        first_ship, o["o_orderkey"] == first_ship["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_ship"),
+    )
+    within = F.when(F.col("days_to_ship") <= 14, 1).otherwise(0)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(within).cast("bigint").alias("n_within_14d"),
+        F.round(F.sum(within) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "sla_14d_rate"
+        ),
+        F.round(F.avg("days_to_ship"), 4).alias("mean_days_to_ship"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
