@@ -112,6 +112,11 @@ HEADLINE = [
     "components_uniform",
     "components_skewstress",
     "components_starstress",
+    # round-7 operator families: MOSS winnowing fingerprints (window-min
+    # over gram grain) and the Gram-matrix PCA power iteration (dim^2
+    # explode collapsed by map-side combine to a 4096-row shuffle)
+    "docs_winnowing_fingerprints",
+    "embed_gram_pca_power",
 ]
 
 
