@@ -14517,6 +14517,586 @@ def orders_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_winnowing_matches",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               ('0x' || substr(md5(
+                   toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+                   || ' ' || toks[CAST(i AS INT) + 2]), 1, 8))::BIGINT AS h,
+               LENGTH(toks) - 2 AS n_grams
+        FROM t, UNNEST(range(1, LENGTH(toks) - 1)) AS u(i)
+        WHERE LENGTH(toks) >= 3
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
+        FROM g
+        QUALIFY pos <= n_grams - 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+    FROM fp a JOIN fp b ON b.f = a.f AND b.doc_id > a.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def docs_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATCH step of winnowing (Schleimer et al. §4): documents are
+    candidate plagiarism/mirror pairs when their fingerprint SETS
+    collide on ≥ 2 selected minima — an inverted-index equi-join on
+    the fingerprint value, never a pairwise scan, with candidate count
+    bounded by fingerprint-bucket sizes exactly like LSH bands.  The
+    winnowing guarantee makes this complete for shared runs of length
+    ≥ w+k−1 tokens; the ≥2 threshold suppresses single-hash noise.
+    Builds on the certified per-doc selection
+    (`docs_winnowing_fingerprints`).  (LLM-pipeline: near-dup
+    candidate generation.)"""
+    from pyspark.sql import Window
+
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    grams = t.select(
+        "doc_id",
+        (F.size("toks") - 2).alias("n_grams"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(toks)-3), "
+                "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fp = (
+        grams.withColumn("f", F.min("h").over(w))
+        .filter(F.col("pos") <= F.col("n_grams") - 4)
+        .select("doc_id", "f")
+        .distinct()
+    )
+    other = fp.select(F.col("doc_id").alias("id_b"), F.col("f").alias("f2"))
+    return (
+        fp.join(
+            other,
+            (F.col("f2") == F.col("f")) & (F.col("id_b") > F.col("doc_id")),
+        )
+        .groupBy(F.col("doc_id").alias("id_a"), "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= 2)
+    )
+
+
+@query(
+    "events_hill_tail_index",
+    """
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rnk
+        FROM per_user
+    ),
+    topk AS (SELECT c, rnk FROM ranked WHERE rnk <= 51),
+    xk1 AS (SELECT c AS x_k1 FROM topk WHERE rnk = 51),
+    hill AS (
+        SELECT list_aggregate(
+                   (SELECT list(LN(CAST(t.c AS DOUBLE) / x.x_k1)
+                                ORDER BY t.rnk)
+                    FROM topk t CROSS JOIN xk1 x WHERE t.rnk <= 50),
+                   'sum') / 50.0 AS h
+    )
+    SELECT 50 AS k,
+           (SELECT CAST(x_k1 AS BIGINT) FROM xk1) AS x_k_plus_1,
+           ROUND(h.h, 6) AS hill_mean_log_excess,
+           ROUND(1.0 / h.h, 4) AS tail_alpha
+    FROM hill h
+    """,
+)
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index over per-user
+    activity counts (k = 50 upper order statistics): mean log-excess
+    over the (k+1)-th largest count, α = its reciprocal — the
+    heavy-tail diagnostic that says whether a handful of power users
+    dominate (α ≤ 2: infinite variance; partition-skew warning for
+    any user-keyed shuffle).  Fact collapses to user grain first; the
+    rank window runs on that frame and everything after is a 50-value
+    sorted fold (sequential in rank order, engine-identical doubles).
+    Count ties don't perturb the estimate — the top-k MULTISET is
+    rank-invariant.  (SURVEY.md §2.4/2.5 Ext; complements
+    tokens_zipf_slope.)"""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("user_id"))
+    ranked = per_user.select("c", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= 51
+    )
+    xk1 = ranked.filter(F.col("rnk") == 51).select(
+        F.col("c").alias("x_k1")
+    )
+    topk = ranked.filter(F.col("rnk") <= 50).crossJoin(F.broadcast(xk1))
+    hill = topk.agg(
+        (
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "rnk",
+                            F.log(
+                                F.col("c").cast("double") / F.col("x_k1")
+                            ).alias("lx"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["lx"],
+            )
+            / 50.0
+        ).alias("h")
+    )
+    return hill.crossJoin(F.broadcast(xk1)).select(
+        F.lit(50).alias("k"),
+        F.col("x_k1").cast("bigint").alias("x_k_plus_1"),
+        F.round("h", 6).alias("hill_mean_log_excess"),
+        F.round(1.0 / F.col("h"), 4).alias("tail_alpha"),
+    )
+
+
+@query(
+    "tokens_diversity_indices",
+    f"""
+    WITH tok AS (
+        SELECT source, UNNEST({_TOKS_SQL}) AS t
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, t
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS ss
+        FROM counts GROUP BY source
+    ),
+    ent AS (
+        SELECT source,
+               list_aggregate(list(c * LN(CAST(c AS DOUBLE)) ORDER BY t),
+                              'sum') AS sclogc
+        FROM counts GROUP BY source
+    )
+    SELECT t.source, t.n AS n_tokens, t.v AS vocab,
+           ROUND(LN(CAST(t.n AS DOUBLE)) - e.sclogc / t.n, 6)
+               AS shannon_entropy,
+           ROUND(1.0 - CAST(t.ss AS DOUBLE) / (t.n * (t.n - 1.0)), 6)
+               AS simpson_index,
+           ROUND((LN(CAST(t.n AS DOUBLE)) - e.sclogc / t.n)
+                 / LN(CAST(t.v AS DOUBLE)), 6) AS pielou_evenness
+    FROM tot t JOIN ent e ON e.source = t.source
+    """,
+)
+def tokens_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ecology-style diversity battery per source over the token
+    frequency distribution: Shannon entropy (via the exact-integer
+    identity H = ln N − (Σ c·ln c)/N), the Simpson index
+    1 − Σc(c−1)/(N(N−1)) (collision probability complement — EXACT
+    integer arithmetic until the final division), and Pielou evenness
+    H/ln V.  The one float reduction (Σ c·ln c) runs as a
+    vocabulary-bounded sorted fold in token order, the repo's
+    cross-engine determinism idiom.  Low evenness flags templated or
+    machine-generated sources before they flood a training mix.
+    (LLM-pipeline: corpus profiling; complements
+    docs_fertility_by_source.)"""
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(_tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("ss"),
+    )
+    ent = counts.groupBy("source").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "t",
+                        (F.col("c") * F.log(F.col("c").cast("double"))).alias(
+                            "clc"
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["clc"],
+        ).alias("sclogc")
+    )
+    h = F.log(F.col("n").cast("double")) - F.col("sclogc") / F.col("n")
+    return tot.join(ent, "source").select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        F.round(h, 6).alias("shannon_entropy"),
+        F.round(
+            1.0 - F.col("ss").cast("double") / (F.col("n") * (F.col("n") - 1.0)),
+            6,
+        ).alias("simpson_index"),
+        F.round(h / F.log(F.col("v").cast("double")), 6).alias(
+            "pielou_evenness"
+        ),
+    )
+
+
+@query(
+    "events_day_overlap_retention",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    sizes AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY d),
+    inter AS (
+        SELECT a.d,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM du a JOIN du b
+          ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+        GROUP BY a.d
+    )
+    SELECT STRFTIME(sa.d, '%Y-%m-%d') AS day,
+           sa.n AS n_users,
+           sb.n AS n_users_next,
+           COALESCE(i.n_both, 0) AS n_retained,
+           ROUND(COALESCE(i.n_both, 0) * 1.0
+                 / (sa.n + sb.n - COALESCE(i.n_both, 0)), 6)
+               AS day_jaccard,
+           ROUND(COALESCE(i.n_both, 0) * 1.0 / sa.n, 6)
+               AS next_day_retention
+    FROM sizes sa
+    JOIN sizes sb ON sb.d = sa.d + INTERVAL 1 DAY
+    LEFT JOIN inter i ON i.d = sa.d
+    """,
+)
+def events_day_overlap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience overlap: for each consecutive day pair,
+    the retained-user count, the Jaccard similarity of the two
+    audiences, and classic next-day retention — the short-horizon
+    stickiness curve underneath `events_retention_cohorts`' long-horizon
+    view.  Fact collapses once to distinct (day, user); the
+    consecutive-day intersection is a self-equi-join on (user, d+1)
+    (shuffle keyed on user — uniform), and everything else is
+    day-dimension arithmetic with exact integer ratios.
+    (SURVEY.md §2.3/2.4 Ext; engagement diagnostics.)"""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    sizes = du.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nxt = du.select(
+        F.date_sub(F.col("d"), 1).alias("d"), F.col("user_id").alias("u2")
+    )
+    inter = (
+        du.join(nxt, (nxt["d"] == du["d"]) & (F.col("u2") == F.col("user_id")))
+        .groupBy(du["d"].alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sb = sizes.select(
+        F.date_sub(F.col("d"), 1).alias("d"), F.col("n").alias("n_next")
+    )
+    j = (
+        sizes.join(sb, "d")
+        .join(inter, "d", "left")
+        .select(
+            "d",
+            "n",
+            "n_next",
+            F.coalesce(F.col("n_both"), F.lit(0)).cast("bigint").alias("nb"),
+        )
+    )
+    return j.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").alias("n_users"),
+        F.col("n_next").alias("n_users_next"),
+        F.col("nb").alias("n_retained"),
+        F.round(
+            F.col("nb") * 1.0 / (F.col("n") + F.col("n_next") - F.col("nb")), 6
+        ).alias("day_jaccard"),
+        F.round(F.col("nb") * 1.0 / F.col("n"), 6).alias("next_day_retention"),
+    )
+
+
+@query(
+    "embed_cosine_pair_hist",
+    """
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corpus),
+    pairs AS (
+        SELECT a.vec_id AS id_a,
+               ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))::BIGINT
+                   % (SELECT n FROM n) AS id_b
+        FROM corpus a
+    ),
+    scored AS (
+        SELECT p.id_a,
+               list_dot_product(a.v, b.v)
+               / SQRT(list_dot_product(a.v, a.v)
+                      * list_dot_product(b.v, b.v)) AS cos
+        FROM pairs p
+        JOIN corpus a ON a.vec_id = p.id_a
+        JOIN corpus b ON b.vec_id = p.id_b
+        WHERE p.id_b != p.id_a
+    )
+    SELECT CAST(FLOOR(GREATEST(LEAST(cos, 0.999999), -1.0) * 10) AS INT)
+               AS cos_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(MIN(cos), 6) AS lo,
+           ROUND(MAX(cos), 6) AS hi
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def embed_cosine_pair_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Background cosine-similarity distribution over a DETERMINISTIC
+    pseudo-random pair sample (each vector paired with the md5-derived
+    partner id — one pair per vector, no rand(), no n² product):
+    0.1-wide histogram buckets with per-bucket extremes.  This is the
+    null distribution an ANN threshold must clear — a near-dup cutoff
+    inside the background bulk retrieves noise (the calibration
+    companion to sim_embedding_neardup and the IVF recall queries).
+    The sampling join is two id-keyed lookups; cosines use the same
+    engine-parity dot/list_dot_product contract as the certified
+    kmeans family.  (LLM-pipeline: similarity calibration.)"""
+    from opentimes_spark.functions.vectors import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = corpus.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pairs = corpus.crossJoin(F.broadcast(n)).select(
+        F.col("vec_id").alias("id_a"),
+        (
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % F.col("n")
+        ).alias("id_b"),
+    ).filter(F.col("id_b") != F.col("id_a"))
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / F.sqrt(
+        dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))
+    )
+    scored = pairs.join(a, "id_a").join(b, "id_b").select(cos.alias("cos"))
+    bucket = F.floor(
+        F.greatest(F.least(F.col("cos"), F.lit(0.999999)), F.lit(-1.0)) * 10
+    ).cast("int")
+    return scored.groupBy(bucket.alias("cos_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.min("cos"), 6).alias("lo"),
+        F.round(F.max("cos"), 6).alias("hi"),
+    )
+
+
+@query(
+    "graph_degree_assortativity",
+    """
+    WITH edges AS (
+        SELECT DISTINCT 'p:' || l_partkey AS u, 's:' || l_suppkey AS v
+        FROM lineitem
+    ),
+    sym AS (
+        SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    ed AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM sym s JOIN deg da ON da.u = s.u JOIN deg db ON db.u = s.v
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(dx) AS BIGINT) AS sx,
+               CAST(SUM(dy) AS BIGINT) AS sy,
+               CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+               CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+               CAST(SUM(dy * dy) AS BIGINT) AS syy
+        FROM ed
+    )
+    SELECT m AS n_directed_edges,
+           ROUND((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / SQRT((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (m * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)), 6)
+               AS assortativity
+    FROM sums
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the part↔supplier
+    co-purchase graph: the Pearson correlation of endpoint degrees
+    over all directed edge copies — negative means hubs attach to
+    leaves (the hub-and-spoke shape that predicts join-key skew),
+    positive means rich-club clustering.  Degrees from one edge-list
+    aggregate, endpoint degrees via two id-keyed joins, and the
+    correlation from EXACT integer moment sums — only the final ratio
+    is floating point.  Completes the graph battery (triangles,
+    pagerank, components, k-core, Adamic-Adar).  (SURVEY.md §2 Ext.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("u"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("v"),
+    ).distinct()
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ed = (
+        sym.join(deg.select(F.col("u"), F.col("d").alias("dx")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dy")), "v"
+        )
+        .select("dx", "dy")
+    )
+    sums = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    m = F.col("m")
+    corr = (
+        m * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    ) / F.sqrt(
+        (m * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+        * (m * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return sums.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(corr, 6).alias("assortativity"),
+    )
+
+
+@query(
+    "docs_lsh_band_config_sweep",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, g.tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+              FROM documents),
+             UNNEST(list_transform(range(1, GREATEST(LENGTH(t) - 1, 1)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g(tok)
+    ),
+    sigs AS (
+        SELECT doc_id,
+               MIN(md5(concat('0|', tok))) AS h0,
+               MIN(md5(concat('1|', tok))) AS h1,
+               MIN(md5(concat('2|', tok))) AS h2,
+               MIN(md5(concat('3|', tok))) AS h3,
+               MIN(md5(concat('4|', tok))) AS h4,
+               MIN(md5(concat('5|', tok))) AS h5,
+               MIN(md5(concat('6|', tok))) AS h6,
+               MIN(md5(concat('7|', tok))) AS h7
+        FROM toks GROUP BY doc_id
+    ),
+    b4r2 AS (
+        SELECT doc_id, b.band_idx, b.band_hash
+        FROM sigs, (VALUES (0, md5(concat_ws('|', h0, h1))),
+            (1, md5(concat_ws('|', h2, h3))),
+            (2, md5(concat_ws('|', h4, h5))),
+            (3, md5(concat_ws('|', h6, h7)))) AS v(bi, bh),
+             LATERAL (SELECT v.bi AS band_idx, v.bh AS band_hash) b
+    ),
+    b2r4 AS (
+        SELECT doc_id, b.band_idx, b.band_hash
+        FROM sigs, (VALUES (0, md5(concat_ws('|', h0, h1, h2, h3))),
+            (1, md5(concat_ws('|', h4, h5, h6, h7)))) AS v(bi, bh),
+             LATERAL (SELECT v.bi AS band_idx, v.bh AS band_hash) b
+    ),
+    c1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT DISTINCT a.doc_id, b.doc_id
+            FROM b4r2 a JOIN b4r2 b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id)
+    ),
+    c2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT DISTINCT a.doc_id, b.doc_id
+            FROM b2r4 a JOIN b2r4 b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id)
+    )
+    SELECT 'b4_r2' AS config, (SELECT n FROM c1) AS n_candidates,
+           ROUND(POWER(1.0 / 4, 1.0 / 2), 6) AS approx_threshold
+    UNION ALL
+    SELECT 'b2_r4', (SELECT n FROM c2),
+           ROUND(POWER(1.0 / 2, 1.0 / 4), 6)
+    """,
+)
+def docs_lsh_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter sweep from ONE signature pass: the same 8
+    minhashes banded as (b=4, r=2) and (b=2, r=4), reporting candidate
+    volume next to each config's S-curve threshold (1/b)^(1/r) — the
+    cost half of the tuning decision whose quality half is
+    `docs_lsh_precision_recall`.  More rows per band ⇒ higher implied
+    threshold ⇒ fewer candidates; pricing both on the SAME corpus and
+    signatures makes the trade-off directly comparable.  Signatures
+    are computed once; each config is just a different band-hash
+    projection + self-join.  (LLM-pipeline: dedup tuning.)"""
+    from opentimes_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=8, shingle_size=3, hash_fn="md5")
+
+    def count_cands(band_size: int) -> DataFrame:
+        return lsh_candidate_pairs(
+            sigs, num_hashes=8, band_size=band_size, hash_fn="md5"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+
+    row1 = count_cands(2).select(
+        F.lit("b4_r2").alias("config"),
+        "n_candidates",
+        F.round(F.pow(F.lit(1.0 / 4), F.lit(1.0 / 2)), 6).alias(
+            "approx_threshold"
+        ),
+    )
+    row2 = count_cands(4).select(
+        F.lit("b2_r4").alias("config"),
+        "n_candidates",
+        F.round(F.pow(F.lit(1.0 / 2), F.lit(1.0 / 4)), 6).alias(
+            "approx_threshold"
+        ),
+    )
+    return row1.unionByName(row2)
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
