@@ -105,24 +105,39 @@ def connected_components(
     )
     e = _canonical(raw).localCheckpoint(eager=True)
     prev = _checksum(e)
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _checksum(e)
-        if cur == prev:
-            # fixpoint: e is a star forest rooted at component minima
-            labelled = e.groupBy("u").agg(F.min("v").alias("component_id"))
-            return (
-                nodes.join(
-                    labelled, nodes["node"] == labelled["u"], "left"
+    # Size the ITERATION's shuffle parallelism to the edge count: each
+    # round is ~6 tiny shuffles, and localCheckpoint defeats AQE's
+    # cross-round partition coalescing, so at small edge counts the
+    # session default (e.g. 32) pays 6x32 task launches per round for
+    # microscopic partitions (~35% of round wall-clock measured on the
+    # 1e5-edge path graph).  ~50k edges per partition keeps partitions
+    # comfortably in memory at any scale; the session value is restored
+    # before the (one-shot, AQE-covered) final labelling join.
+    spark = edges.sparkSession
+    session_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(8, min(int(session_parts), int(prev[0]) // 50_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for _ in range(max_iter):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            cur = _checksum(e)
+            if cur == prev:
+                # fixpoint: e is a star forest rooted at component minima
+                labelled = e.groupBy("u").agg(F.min("v").alias("component_id"))
+                return (
+                    nodes.join(
+                        labelled, nodes["node"] == labelled["u"], "left"
+                    )
+                    .select(
+                        "node",
+                        F.coalesce(F.col("component_id"), F.col("node")).alias(
+                            "component_id"
+                        ),
+                    )
                 )
-                .select(
-                    "node",
-                    F.coalesce(F.col("component_id"), F.col("node")).alias(
-                        "component_id"
-                    ),
-                )
-            )
-        prev = cur
+            prev = cur
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", session_parts)
     raise RuntimeError(f"did not converge in {max_iter} rounds")
 
 
