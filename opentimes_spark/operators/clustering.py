@@ -493,3 +493,205 @@ def pq_fit(
             kmeans_fit(subdf, k=k, max_iter=max_iter, tol=0.0, id_col=id_col)
         )
     return models
+
+
+# --- Optimized Product Quantization (round 7) -------------------------------
+# Ge, He, Ke & Sun, "Optimized Product Quantization" (CVPR 2013, §4 the
+# non-parametric alternating solution): learn an orthogonal rotation R
+# so the PQ subspace split cuts along low-correlation directions,
+# shrinking quantization error at identical code budget.  SQL cannot
+# express the SVD step, so this family is pytest-verified (no oracle) —
+# the disclosed rows-only category SURVEY.md allows for genuinely
+# non-SQL-expressible iterative algorithms.
+
+
+def apply_rotation(
+    corpus: DataFrame,
+    rotation,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding) with every vector replaced by R·x — an
+    Arrow-batched ``mapInPandas`` numpy matmul (one BLAS call per
+    batch, never a per-row Python loop).  R rides the closure as a
+    dim×dim float64 array — bytes, the same driver-side-model contract
+    as the k-means centroids."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    r = np.ascontiguousarray(np.asarray(rotation, dtype=np.float64))
+    if r.shape != (dim, dim):
+        raise ValueError(f"rotation must be {dim}x{dim}, got {r.shape}")
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField(vec_col, ArrayType(DoubleType()), False),
+        ]
+    )
+    base = corpus.select(
+        F.col(id_col), _pq_guarded_vec(id_col, vec_col, dim).alias(vec_col)
+    )
+
+    def rot(batches):
+        for b in batches:
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            y = x @ r.T
+            yield pd.DataFrame({id_col: b[id_col], vec_col: list(y)})
+
+    return base.mapInPandas(rot, schema)
+
+
+def _pq_reconstruction_col(pqs, vcol, dim: int):
+    """Expression: the PQ reconstruction of ``vcol`` — per subspace,
+    the NEAREST codeword's literal vector, concatenated back to dim.
+    Pure JVM projection (codebooks are literals), zero shuffle."""
+    m = len(pqs)
+    sub = dim // m
+    parts = []
+    for j, model in enumerate(pqs):
+        cents = model.centroids
+        svec = F.slice(vcol, j * sub + 1, sub)
+        code = _nearest_struct(svec, cents)["cid"]
+        book = F.array(*[_lit_vec(c) for _cid, c in sorted(cents.items())])
+        # cids are 1..k (first-k init ids) — element_at is 1-based
+        parts.append(F.element_at(book, code.cast("int")))
+    return F.concat(*parts)
+
+
+def _sum_outer(df: DataFrame, xcol: str, ycol: str, dim: int):
+    """Σ y·xᵀ over all rows as a dim×dim numpy array: per-partition
+    numpy partials (one BLAS syrk-shaped matmul per Arrow batch), then
+    a DRIVER-side sum over the ≤ n_partitions flattened partials in
+    partition-id order.  The collect is n_partitions × dim² doubles —
+    bounded by cluster size, never by corpus size.  Float note: the
+    partial sums fix an accumulation order per partitionING, so R is
+    bit-stable for a given layout (disclosed — the SVD consumer is
+    pytest-verified, not oracle-replayed)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("pid", IntegerType(), False),
+            StructField("flat", ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def partial(batches):
+        from pyspark import TaskContext
+
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        seen = False
+        for b in batches:
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in b[xcol]])
+            y = np.stack([np.asarray(v, dtype=np.float64) for v in b[ycol]])
+            acc += y.T @ x
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "pid": [TaskContext.get().partitionId()],
+                    "flat": [acc.ravel()],
+                }
+            )
+
+    rows = df.select(xcol, ycol).mapInPandas(partial, schema).collect()
+    total = np.zeros((dim, dim), dtype=np.float64)
+    for r in sorted(rows, key=lambda r: r["pid"]):
+        total += np.asarray(r["flat"], dtype=np.float64).reshape(dim, dim)
+    return total
+
+
+def opq_fit(
+    corpus: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+    pq_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Alternating OPQ: repeat (rotate corpus → fit PQ codebooks →
+    reconstruct → orthogonal-Procrustes update R = U·Vᵀ from
+    SVD(Σ y xᵀ)) ``n_iter`` times.  Returns (R, codebooks) where the
+    codebooks are fitted in the FINAL rotated space — encode new
+    vectors with ``apply_rotation(df, R)`` then ``pq_codes``-style
+    literal argmins against these codebooks.
+
+    Scale shape: every distributed step reuses an existing bounded
+    primitive — rotation is a map-only BLAS pass, the PQ fit is the
+    driver-side-centroid kmeans, the reconstruction is a literal
+    projection, and the Procrustes cross-matrix collapses to
+    n_partitions × dim² driver bytes.  The SVD itself is a 64×64
+    numpy call — microseconds.  Each iteration's corpus passes:
+    1 rotation + kmeans iters + 1 cross-matrix."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    rotation = np.eye(dim, dtype=np.float64)
+    pqs = None
+    base = corpus.select(
+        F.col(id_col), _pq_guarded_vec(id_col, vec_col, dim).alias(vec_col)
+    )
+    for _ in range(n_iter):
+        rotated = apply_rotation(base, rotation, dim, id_col, vec_col)
+        rotated = rotated.persist()
+        try:
+            pqs = pq_fit(
+                rotated, m=m, k=k, max_iter=pq_iter, dim=dim,
+                id_col=id_col, vec_col=vec_col,
+            )
+            pair = rotated.select(
+                F.col(vec_col).alias("x_rot"),
+                _pq_reconstruction_col(pqs, F.col(vec_col), dim).alias("y"),
+            )
+            # min_R Σ||R x − y||² over orthogonal R, with x in the
+            # ORIGINAL frame: x = Rᵀ x_rot, so Σ y xᵀ = (Σ y x_rotᵀ)·R
+            c = _sum_outer(pair, "x_rot", "y", dim) @ rotation
+            u, _s, vt = np.linalg.svd(c)
+            rotation = u @ vt
+        finally:
+            rotated.unpersist()
+    return rotation, pqs
+
+
+def opq_quantization_error(
+    corpus: DataFrame,
+    rotation,
+    pqs,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error of (rotation, codebooks) over
+    the corpus — the objective OPQ minimizes; compare against the
+    R=I / plain-PQ value to verify the rotation earned its keep."""
+    m = len(pqs)
+    sub = dim // m
+    rotated = apply_rotation(corpus, rotation, dim, id_col, vec_col)
+    err = None
+    for j, model in enumerate(pqs):
+        svec = F.slice(F.col(vec_col), j * sub + 1, sub)
+        term = min_dist2_expr(svec, model.centroids)
+        err = term if err is None else err + term
+    row = rotated.select(err.alias("e")).agg(
+        F.avg("e").alias("mse"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    return float(row["mse"])

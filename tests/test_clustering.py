@@ -338,3 +338,79 @@ def test_pq_rejects_wrong_length_vectors_per_row(spark):
     with pytest.raises(Exception) as exc:
         pq_codes(df, m=2, k=2, max_iter=1, dim=8).collect()
     assert "vector length != dim" in str(exc.value)
+
+
+def test_opq_rotation_orthogonal_and_reduces_error(spark):
+    """OPQ (Ge et al. 2013, non-parametric alternating solution): the
+    learned R must be orthogonal to float tolerance, and the
+    quantization MSE under (R, refit codebooks) must not exceed plain
+    PQ (R = I) on the same corpus — the rotation's whole point.  Also
+    pins end-to-end determinism: two fits over the same layout give
+    identical R."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.clustering import (
+        opq_fit,
+        opq_quantization_error,
+        pq_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r, pqs = opq_fit(emb, m=4, k=4, n_iter=2, dim=64, pq_iter=1)
+    assert np.allclose(r @ r.T, np.eye(64), atol=1e-10)
+
+    opq_mse = opq_quantization_error(emb, r, pqs, dim=64)
+    plain_pqs = pq_fit(emb, m=4, k=4, max_iter=1, dim=64)
+    plain_mse = opq_quantization_error(emb, np.eye(64), plain_pqs, dim=64)
+    assert opq_mse <= plain_mse * 1.0001, (opq_mse, plain_mse)
+
+    r2, _ = opq_fit(emb, m=4, k=4, n_iter=2, dim=64, pq_iter=1)
+    assert np.array_equal(r, r2)
+
+
+def test_opq_rotation_improves_on_planted_rotation_structure(spark):
+    """Synthetic probe: axis-aligned 2-block pattern data mixed by a
+    45° rotation.  The covariance here is ~isotropic (equal-variance
+    independent coordinates), so no second-moment init can recover the
+    mix and the alternating solution descends from R = I into a local
+    minimum — the documented OPQ caveat (Ge et al. §4).  The honest
+    guarantees, asserted: the objective strictly improves on plain PQ
+    (alternating minimization is monotone) and by a meaningful margin
+    (>10%) on this structure."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.clustering import (
+        opq_fit,
+        opq_quantization_error,
+        pq_fit,
+    )
+
+    dim = 4
+    rng = np.random.RandomState(0)
+    # codebook-friendly base: each half takes one of 4 exact patterns
+    patterns = np.array([[0.0, 0.0], [0.0, 4.0], [4.0, 0.0], [4.0, 4.0]])
+    halves = rng.randint(0, 4, size=(400, 2))
+    base = np.hstack(
+        [patterns[halves[:, 0]], patterns[halves[:, 1]]]
+    )
+    # plant a rotation that mixes the two halves
+    theta = math.pi / 4
+    mix = np.eye(dim)
+    mix[0, 0] = mix[2, 2] = math.cos(theta)
+    mix[0, 2] = math.sin(theta)
+    mix[2, 0] = -math.sin(theta)
+    data = base @ mix.T
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<double>",
+    )
+    plain = opq_quantization_error(
+        df, np.eye(dim), pq_fit(df, m=2, k=4, max_iter=3, dim=dim), dim=dim
+    )
+    r, pqs = opq_fit(df, m=2, k=4, n_iter=4, dim=dim, pq_iter=3)
+    opq = opq_quantization_error(df, r, pqs, dim=dim)
+    assert opq < plain * 0.9, (opq, plain)
