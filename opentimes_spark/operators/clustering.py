@@ -640,7 +640,14 @@ def opq_fit(
     projection, and the Procrustes cross-matrix collapses to
     n_partitions × dim² driver bytes.  The SVD itself is a 64×64
     numpy call — microseconds.  Each iteration's corpus passes:
-    1 rotation + kmeans iters + 1 cross-matrix."""
+    1 rotation + kmeans iters + 1 cross-matrix.
+
+    Caveat (Ge et al. §4): alternating minimization from R = I is
+    monotone in the objective but can land in local minima when the
+    covariance carries no subspace signal (isotropic data); the
+    parametric eigenvalue-allocation init of Ge §3.2 is the documented
+    upgrade when corpora show strong principal structure
+    (embed_gram_pca_power is the diagnostic)."""
     import numpy as np
 
     if dim % m:
