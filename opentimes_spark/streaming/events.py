@@ -201,6 +201,48 @@ def stream_stream_left_outer_join(
     )
 
 
+def stream_stream_full_outer_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL outer variant of the attribution join (round 7): BOTH
+    unmatched purchases (NULL click columns) and unmatched clicks
+    (NULL purchase columns) emit at watermark eviction — the complete
+    audit stream where every event on either side is accounted for
+    exactly once.  Exercises right-side state eviction, which the
+    left-outer variant never touches.  Same condition and columns as
+    ``stream_stream_left_outer_join``; ``user_id`` coalesces from
+    whichever side is present."""
+    clicks, purchases = _with_event_time(clicks), _with_event_time(purchases)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "value",
+    )
+
+
 def enrich_with_dim(
     stream: DataFrame,
     dim: DataFrame,

@@ -757,3 +757,96 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
     }
     assert got_matched == expect_matched and len(got_matched) > 0
     assert got_null == expect_null and len(got_null) > 0
+
+
+def test_stream_stream_full_outer_accounts_for_both_sides(spark, tmp_path):
+    """Full-outer stream-stream join: every purchase AND every click
+    appears exactly once across matched + null-padded rows once the
+    watermark passes — right-side eviction included.  Same two-run
+    flush harness as the left-outer test; pinned against the batch
+    full join."""
+    from opentimes_spark.streaming.events import stream_stream_full_outer_join
+
+    batch = read_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks_b = batch.filter(F.col("event_type") == "click")
+    purch_b = batch.filter(F.col("event_type") == "purchase")
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks_b.coalesce(1).write.parquet(cdir)
+    purch_b.coalesce(1).write.parquet(pdir)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run():
+        cs = spark.readStream.schema(batch.schema).parquet(cdir)
+        ps = spark.readStream.schema(batch.schema).parquet(pdir)
+        q = (
+            stream_stream_full_outer_join(
+                cs, ps, within="1 hour", watermark="0 seconds"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out).collect()
+
+    run()
+    far0 = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    flush = (
+        batch.limit(1)
+        .withColumn("event_id", F.lit(-1).cast("bigint"))
+        .withColumn("user_id", F.lit(-1).cast("bigint"))
+        .withColumn("event_type", F.lit("click"))
+        .withColumn("ts", F.lit(far0).cast("timestamp") + F.expr("INTERVAL 30 days"))
+    )
+    flush.coalesce(1).write.mode("append").parquet(cdir)
+    flush.withColumn("event_type", F.lit("purchase")).coalesce(1).write.mode(
+        "append"
+    ).parquet(pdir)
+    rows = [r for r in run() if r["purchase_id"] != -1 and r["click_id"] != -1]
+
+    got_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in rows
+        if r["purchase_id"] is not None and r["click_id"] is not None
+    }
+    got_null_p = {r["purchase_id"] for r in rows if r["click_id"] is None}
+    got_null_c = {r["click_id"] for r in rows if r["purchase_id"] is None}
+
+    c = clicks_b.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purch_b.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        "full_outer",
+    ).collect()
+    exp_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in joined
+        if r["purchase_id"] is not None and r["click_id"] is not None
+    }
+    exp_null_p = {
+        r["purchase_id"] for r in joined if r["click_id"] is None
+        and r["purchase_id"] is not None
+    }
+    exp_null_c = {
+        r["click_id"] for r in joined if r["purchase_id"] is None
+        and r["click_id"] is not None
+    }
+    assert got_pairs == exp_pairs and len(got_pairs) > 0
+    assert got_null_p == exp_null_p and len(got_null_p) > 0
+    assert got_null_c == exp_null_c and len(got_null_c) > 0
