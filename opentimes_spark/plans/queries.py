@@ -15097,6 +15097,236 @@ def docs_lsh_band_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row1.unionByName(row2)
 
 
+@query(
+    "lineitem_return_rate_wilson",
+    """
+    WITH j AS (
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT p_brand, n, x,
+           ROUND(x * 1.0 / n, 6) AS return_rate,
+           ROUND((x * 1.0 / n + 1.9208 / n
+                  - 1.96 * SQRT((x * 1.0 / n) * (1 - x * 1.0 / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lo,
+           ROUND((x * 1.0 / n + 1.9208 / n
+                  + 1.96 * SQRT((x * 1.0 / n) * (1 - x * 1.0 / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_hi
+    FROM j
+    """,
+)
+def lineitem_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per brand with the 95% WILSON score interval — the
+    binomial CI that stays inside [0,1] and behaves at small n, unlike
+    the naive Wald interval (the reason every ranking-by-rate product
+    surface uses it).  One fact aggregate to brand grain behind a
+    broadcast part join; the interval is closed-form arithmetic on
+    exact integer (x, n) with z = 1.96 folded into literal constants
+    (1.9208 = z²/2, 3.8416 = z², 0.9604 = z²/4), so both engines
+    evaluate identical expressions.  (SURVEY.md §2.4 Ext; rate
+    estimation under uncertainty.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    n = F.col("n")
+    rate = F.col("x") * 1.0 / n
+    half = 1.96 * F.sqrt(rate * (1 - rate) / n + 0.9604 / (n * n))
+    center = rate + 1.9208 / n
+    denom = 1 + 3.8416 / n
+    return j.select(
+        "p_brand",
+        "n",
+        "x",
+        F.round(rate, 6).alias("return_rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@query(
+    "embed_label_separation",
+    """
+    WITH elems AS (
+        SELECT label, CAST(i AS INT) AS dim,
+               CAST(ROUND(embedding[CAST(i AS INT)], 6) AS DECIMAL(12,6))
+                   AS x
+        FROM (SELECT label, embedding::DOUBLE[] AS embedding
+              FROM embeddings),
+             UNNEST(range(1, 65)) AS u(i)
+    ),
+    per_class AS (
+        SELECT dim, label, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS s, SUM(x * x) AS ss
+        FROM elems GROUP BY dim, label
+    ),
+    tot AS (
+        SELECT dim,
+               CAST(SUM(n) AS BIGINT) AS n_all,
+               CAST(SUM(s) AS DOUBLE) AS s_all,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM per_class GROUP BY dim
+    ),
+    per_dim AS (
+        SELECT p.dim, t.n_all, t.k,
+               SUM(CAST(p.n AS DOUBLE)
+                   * POWER(CAST(p.s AS DOUBLE) / p.n
+                           - t.s_all / t.n_all, 2)) AS ssb,
+               SUM(CAST(p.ss AS DOUBLE)
+                   - CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE) / p.n) AS ssw
+        FROM per_class p JOIN tot t ON t.dim = p.dim
+        GROUP BY p.dim, t.n_all, t.k
+    )
+    SELECT dim, k AS n_classes,
+           ROUND(ssb / (k - 1), 6) AS ms_between,
+           ROUND(ssw / (n_all - k), 6) AS ms_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n_all - k)), 4) AS fisher_ratio
+    FROM per_dim
+    """,
+)
+def embed_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio of the embedding space
+    against its class labels — between-class over within-class mean
+    square per coordinate, the feature-quality screen that says which
+    dimensions actually carry label signal (a near-zero ratio across
+    the board predicts ANN-by-label will fail; a few dominant
+    dimensions invite Matryoshka-style truncation, cf.
+    embed_norm_matryoshka).  Elements are 6-dp-quantized into EXACT
+    DECIMAL sums at (dim, label) grain — the embed_gram_pca_power
+    determinism recipe — and the variance decomposition is arithmetic
+    on that 64×k frame.  (LLM-pipeline: embedding QA.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "el")
+    ).select(
+        "label",
+        (F.col("i0") + 1).cast("int").alias("dim"),
+        F.round(F.col("el").cast("double"), 6).cast("decimal(12,6)").alias("x"),
+    )
+    per_class = elems.groupBy("dim", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    tot = per_class.groupBy("dim").agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s").cast("double").alias("s_all"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    jj = per_class.join(tot, "dim")
+    mean_all = F.col("s_all") / F.col("n_all")
+    mean_c = F.col("s").cast("double") / F.col("n")
+    ssb_term = F.col("n").cast("double") * F.pow(mean_c - mean_all, F.lit(2))
+    ssw_term = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    )
+    per_dim = jj.groupBy("dim", "n_all", "k").agg(
+        F.sum(ssb_term).alias("ssb"), F.sum(ssw_term).alias("ssw")
+    )
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("n_all") - F.col("k"))
+    return per_dim.select(
+        "dim",
+        F.col("k").alias("n_classes"),
+        F.round(msb, 6).alias("ms_between"),
+        F.round(msw, 6).alias("ms_within"),
+        F.round(msb / msw, 4).alias("fisher_ratio"),
+    )
+
+
+@query(
+    "graph_clustering_coefficient",
+    """
+    WITH co AS (  -- part co-purchase graph, the triangle_count edge set
+        SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey)    AS u,
+                        GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey <= 1500 AND b.l_orderkey <= 1500
+    ),
+    sym AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    wedges AS (
+        SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+    ),
+    tris AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM co e1
+        JOIN co e2 ON e2.u = e1.v
+        JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT t.n_triangles, w.n_wedges,
+           ROUND(3.0 * t.n_triangles / w.n_wedges, 6)
+               AS global_clustering_coeff
+    FROM tris t CROSS JOIN wedges w
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity): 3 × triangles /
+    wedges over the SAME part co-purchase edge set the certified
+    `graph_triangle_count` uses (parts sharing an order, oriented
+    u<v, orderkey-capped subgraph) — the one-number answer to "is this
+    graph clumpy or tree-like" that contextualizes the raw triangle
+    count.  Triangles reuse the oriented (a<b<c) three-way join so
+    each counts once; wedges come from the degree aggregate in EXACT
+    integers (Σ d(d−1)/2).  At web scale the oriented join IS the
+    scalable triangle recipe (Suri & Vassilvitskii's degree-ordered
+    variant is the documented skew upgrade); a denser projection (e.g.
+    parts sharing a SUPPLIER) quadratically inflates the co-edge set
+    and is deliberately avoided.  (SURVEY.md §2 Ext; graph battery.)"""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1500)
+    b_side = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")
+    )
+    co = (
+        li.join(
+            b_side,
+            (F.col("ok2") == F.col("l_orderkey"))
+            & (F.col("l_partkey") < F.col("pk2")),
+        )
+        .select(
+            F.least(F.col("l_partkey"), F.col("pk2")).alias("u"),
+            F.greatest(F.col("l_partkey"), F.col("pk2")).alias("v"),
+        )
+        .distinct()
+    )
+    sym = co.unionByName(co.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    ab = co
+    bc = co.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    ac = co.select(F.col("u").alias("u2"), F.col("v").alias("w2"))
+    tris = (
+        ab.join(bc, "v")
+        .join(ac, (F.col("u2") == F.col("u")) & (F.col("w2") == F.col("w")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return tris.crossJoin(F.broadcast(wedges)).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "global_clustering_coeff"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
