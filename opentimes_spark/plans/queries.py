@@ -15327,6 +15327,153 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cust_nation_segment_cramers_v",
+    """
+    WITH cells AS (
+        SELECT c_nationkey AS nk, c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    rowt AS (SELECT nk, CAST(SUM(o) AS BIGINT) AS rn FROM cells GROUP BY nk),
+    colt AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS cn FROM cells GROUP BY seg),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT nk) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT seg) AS BIGINT) AS c
+            FROM cells),
+    chi AS (
+        SELECT SUM(POWER(ce.o - CAST(rt.rn AS DOUBLE) * ct.cn / t.n, 2)
+                   / (CAST(rt.rn AS DOUBLE) * ct.cn / t.n)) AS chi2
+        FROM cells ce
+        JOIN rowt rt ON rt.nk = ce.nk
+        JOIN colt ct ON ct.seg = ce.seg
+        CROSS JOIN tot t
+    )
+    SELECT t.n AS n_customers, t.r AS n_nations, t.c AS n_segments,
+           ROUND(ch.chi2, 4) AS chi2,
+           ROUND(SQRT(ch.chi2 / (t.n * (LEAST(t.r, t.c) - 1))), 6)
+               AS cramers_v
+    FROM chi ch CROSS JOIN tot t
+    """,
+)
+def cust_nation_segment_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the normalized [0,1] strength of association
+    between customer nation and market segment, from the full
+    contingency chi-square: the one-number answer "does geography
+    predict segment at all?" that a raw chi² (scale-dependent) can't
+    give.  Contingency cells, margins, and the grand total are all
+    exact integer aggregates on the customer dimension; expected
+    counts and the ratio are closed-form doubles.  Note: ties to
+    `part_chi2_brand_size` / `cust_segment_priority_lift` as the
+    effect-size completion of the association family.
+    (SURVEY.md §2.4 Ext.)"""
+    c = _t(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    rowt = cells.groupBy("nk").agg(F.sum("o").cast("bigint").alias("rn"))
+    colt = cells.groupBy("seg").agg(F.sum("o").cast("bigint").alias("cn"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count_distinct("nk").cast("bigint").alias("r"),
+        F.count_distinct("seg").cast("bigint").alias("c"),
+    )
+    exp = F.col("rn").cast("double") * F.col("cn") / F.col("n")
+    chi = (
+        cells.join(F.broadcast(rowt), "nk")
+        .join(F.broadcast(colt), "seg")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.pow(F.col("o") - exp, 2) / exp).alias("chi2"))
+    )
+    return chi.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_customers"),
+        F.col("r").alias("n_nations"),
+        F.col("c").alias("n_segments"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "events_type_share_drift",
+    """
+    WITH wk AS (
+        SELECT DATE_TRUNC('week', ts) AS w, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY DATE_TRUNC('week', ts), event_type
+    ),
+    wtot AS (SELECT w, CAST(SUM(c) AS BIGINT) AS n FROM wk GROUP BY w),
+    overall AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS oc FROM wk
+        GROUP BY event_type
+    ),
+    otot AS (SELECT CAST(SUM(oc) AS BIGINT) AS n FROM overall),
+    terms AS (
+        SELECT wk.w, wk.event_type,
+               (wk.c * 1.0 / wt.n)
+                   * LN((wk.c * 1.0 / wt.n)
+                        / (o.oc * 1.0 / (SELECT n FROM otot))) AS kl_term
+        FROM wk
+        JOIN wtot wt ON wt.w = wk.w
+        JOIN overall o ON o.event_type = wk.event_type
+    )
+    SELECT STRFTIME(CAST(w AS DATE), '%Y-%m-%d') AS week_start,
+           ROUND(list_aggregate(list(kl_term ORDER BY event_type), 'sum'),
+                 6) AS kl_vs_overall
+    FROM terms
+    GROUP BY w
+    """,
+)
+def events_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly event-type mix drift: KL(week distribution ‖ overall
+    distribution) per week — the time-axis twin of
+    `docs_source_kl_divergence` and the alert metric a pipeline
+    monitors for upstream instrumentation changes (a new client
+    version shifting click/view mix shows up as a KL step).  Weeks
+    observed with a type absent contribute no term (KL over the
+    week's support — documented; the overall side is never zero for
+    an observed type).  Two shrinking-grain aggregates; the per-week
+    float reduction is a ≤|types|-element sorted fold.
+    (SURVEY.md §2.4/2.5 Ext; drift monitoring.)"""
+    e = _t(spark, sf_dir, "events")
+    wk = e.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wtot = wk.groupBy("w").agg(F.sum("c").cast("bigint").alias("n"))
+    overall = wk.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("oc")
+    )
+    otot = overall.agg(F.sum("oc").cast("bigint").alias("on"))
+    p = F.col("c") * 1.0 / F.col("n")
+    q = F.col("oc") * 1.0 / F.col("on")
+    terms = (
+        wk.join(wtot, "w")
+        .join(F.broadcast(overall), "event_type")
+        .crossJoin(F.broadcast(otot))
+        .select("w", "event_type", (p * F.log(p / q)).alias("kl_term"))
+    )
+    return terms.groupBy("w").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("event_type", "kl_term"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["kl_term"],
+            ),
+            6,
+        ).alias("kl_vs_overall")
+    ).select(
+        F.date_format(F.col("w").cast("date"), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        "kl_vs_overall",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock
