@@ -34,7 +34,12 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # alphabetic — ADVICE r6), changing docs_gopher_flags and
 # docs_curation_report values in BOTH engines.  The rest of the window
 # is free for round-7 additions (budget ≤ 48 new names via `fresh`).
-_FRONT: list[str] = ["docs_gopher_flags", "docs_curation_report"]
+_FRONT: list[str] = [
+    "docs_gopher_flags", "docs_curation_report",
+    # r7 precision fix: interval axis moved from whole-second
+    # unix_timestamp to exact microseconds (sub-second boundary class)
+    "join_interval_overlap",
+]
 
 
 def _ordered(mapping):
@@ -78,7 +83,7 @@ _CERTIFIED = {
     "sample_systematic", "events_attribution_join",
     "dedup_components", "udtf_python_split_geoid", "destpoint_polygon",
     "text_repetition", "sample_stratified", "join_asof_events",
-    "sketch_kmv_distinct", "events_rollup_multires", "join_interval_overlap",
+    "sketch_kmv_distinct", "events_rollup_multires",
     "text_scrub_pii", "dedup_keep_corpus",
     "orders_cdc_merge", "text_tfidf_topk", "hist_price_buckets",
     "corpus_filter_pipeline", "embed_quantize_int8", "join_null_safe",

@@ -3095,19 +3095,25 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") + ((F.col("event_id") % 120) * 60).cast("interval second")).alias("te"),
         )
     )
-    # numeric axis for bucketing: unix seconds
+    # numeric axis for bucketing: EXACT integer microseconds (as
+    # doubles — exact below 2^53 µs).  unix_timestamp would floor to
+    # whole seconds while the oracle's theta join compares raw
+    # timestamps, so a sub-second event start straddling a window edge
+    # would flip membership between engines (the boundary class the
+    # sf0.1 sweep caught in events_session_timeout_sweep, round 7).
     e_n = e.select(
         "event_id", "ts",
-        F.unix_timestamp("ts").cast("double").alias("es"),
-        F.unix_timestamp("te").cast("double").alias("ee"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("es"),
+        F.unix_micros(F.col("te").cast("timestamp")).cast("double").alias("ee"),
     )
     w_n = n.select(
         "window_id",
-        F.unix_timestamp("ws").cast("double").alias("wstart"),
-        F.unix_timestamp("we").cast("double").alias("wend"),
+        F.unix_micros(F.col("ws").cast("timestamp")).cast("double").alias("wstart"),
+        F.unix_micros(F.col("we").cast("timestamp")).cast("double").alias("wend"),
     )
     res = interval_overlap_join(
-        e_n, w_n, "es", "ee", "wstart", "wend", bucket_width=6 * 3600.0
+        e_n, w_n, "es", "ee", "wstart", "wend",
+        bucket_width=6 * 3600.0 * 1_000_000,
     )
     return res.select(
         "event_id",
@@ -12904,9 +12910,11 @@ def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_timeout_sweep",
     """
     WITH gaps AS (
+        -- exact integer microseconds: EPOCH() is a fractional DOUBLE
+        -- and any whole-seconds truncation can flip a boundary gap
         SELECT user_id,
-               EPOCH(ts) - EPOCH(LAG(ts) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
         FROM events
     ),
     users AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -12915,11 +12923,12 @@ def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep AS (
         SELECT CAST(t.timeout_min AS INT) AS timeout_min,
                (SELECT n_users FROM users)
-               + CAST(SUM(CASE WHEN g.gap_s > t.timeout_min * 60
+               + CAST(SUM(CASE WHEN g.gap_us
+                                    > t.timeout_min * CAST(60000000 AS BIGINT)
                                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM gaps g CROSS JOIN (
             SELECT UNNEST([15, 30, 60]) AS timeout_min) t
-        WHERE g.gap_s IS NOT NULL
+        WHERE g.gap_us IS NOT NULL
         GROUP BY t.timeout_min
     )
     SELECT s.timeout_min, s.n_sessions,
@@ -12942,11 +12951,12 @@ def events_session_timeout_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # driver parquet carries ts as TIMESTAMP_NTZ — cast to LTZ first,
-    # then to epoch seconds (NTZ has no direct long cast)
-    secs = F.col("ts").cast("timestamp").cast("long")
+    # then to EXACT integer microseconds (a whole-seconds cast truncates
+    # sub-second components and flipped a boundary gap at sf0.1)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     gaps = e.select(
-        (secs - F.lag(secs).over(w)).alias("gap_s")
-    ).filter(F.col("gap_s").isNotNull())
+        (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
     users = e.agg(
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -12962,7 +12972,11 @@ def events_session_timeout_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("timeout_min")
         .agg(
             F.sum(
-                F.when(F.col("gap_s") > F.col("timeout_min") * 60, 1).otherwise(0)
+                F.when(
+                    F.col("gap_us")
+                    > F.col("timeout_min") * F.lit(60_000_000).cast("bigint"),
+                    1,
+                ).otherwise(0)
             )
             .cast("bigint")
             .alias("n_gaps")
