@@ -1400,3 +1400,97 @@ def audio_summary(frames: DataFrame, silence_rms: float = 0.01) -> DataFrame:
             F.avg((F.col("rms") > silence_rms).cast("double")), 6
         ).alias("active_frac"),
     )
+
+
+AUDIO_SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("spectral_centroid_hz", FloatType(), True),
+        StructField("spectral_bandwidth_hz", FloatType(), True),
+        StructField("spectral_rolloff_hz", FloatType(), True),
+        StructField("spectral_flatness", FloatType(), True),
+    ]
+)
+
+
+def audio_spectral_features(
+    df: DataFrame, frame_ms: int = 32, rolloff: float = 0.85
+) -> DataFrame:
+    """WAV payload → per-frame SPECTRAL features via numpy rFFT
+    (round 7): centroid (power-weighted mean frequency — "where the
+    energy lives"), bandwidth (power-weighted std around the
+    centroid), rolloff (frequency below which ``rolloff`` of the
+    power sits), and flatness (geometric/arithmetic mean ratio — 1
+    for white noise, →0 for tones) — the classic music/speech/noise
+    discriminators that sit one level above ``audio_frame_features``'
+    time-domain RMS/ZCR pair in any audio-corpus curation stack.
+
+    All-silent frames emit NULL features (no spectrum to summarize) —
+    callers treating NULL as 'silence' must say so.  Hann-windowed
+    non-overlapping frames; the whole frame batch FFTs as ONE 2-D
+    ``numpy.fft.rfft`` call (no per-frame Python), and the per-file
+    expansion is a large byte shrink exactly like the RMS path —
+    decode once, then corpus filters are JVM-side predicates on this
+    frame table."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "spectral_centroid_hz": [],
+                "spectral_bandwidth_hz": [], "spectral_rolloff_hz": [],
+                "spectral_flatness": [],
+            }
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                samples, sr = decode_wav(bytes(p))
+                mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+                flen = max(2, sr * frame_ms // 1000)
+                n_frames = len(mono) // flen
+                if not n_frames:
+                    continue
+                fr = mono[: n_frames * flen].reshape(n_frames, flen)
+                fr = fr * np.hanning(flen)[None, :]
+                spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2  # power
+                freqs = np.fft.rfftfreq(flen, d=1.0 / sr)
+                total = spec.sum(axis=1)
+                live = total > 0
+                centroid = np.full(n_frames, np.nan)
+                bw = np.full(n_frames, np.nan)
+                roll = np.full(n_frames, np.nan)
+                flat = np.full(n_frames, np.nan)
+                if live.any():
+                    s = spec[live]
+                    t = total[live]
+                    c = (s * freqs[None, :]).sum(axis=1) / t
+                    centroid[live] = c
+                    bw[live] = np.sqrt(
+                        (s * (freqs[None, :] - c[:, None]) ** 2).sum(axis=1) / t
+                    )
+                    cum = np.cumsum(s, axis=1)
+                    idx = (cum >= rolloff * t[:, None]).argmax(axis=1)
+                    roll[live] = freqs[idx]
+                    # flatness over strictly-positive bins (log of 0 is
+                    # the whole point of the epsilon-free masked mean)
+                    logmean = np.where(
+                        s > 0, np.log(np.maximum(s, 1e-300)), 0.0
+                    ).sum(axis=1) / s.shape[1]
+                    flat[live] = np.exp(logmean) / (t / s.shape[1])
+                out["media_id"].extend([mid] * n_frames)
+                out["frame_idx"].extend(range(n_frames))
+                out["spectral_centroid_hz"].extend(
+                    np.where(np.isnan(centroid), None, centroid.round(3))
+                )
+                out["spectral_bandwidth_hz"].extend(
+                    np.where(np.isnan(bw), None, bw.round(3))
+                )
+                out["spectral_rolloff_hz"].extend(
+                    np.where(np.isnan(roll), None, roll.round(3))
+                )
+                out["spectral_flatness"].extend(
+                    np.where(np.isnan(flat), None, flat.round(6))
+                )
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        feats, AUDIO_SPECTRAL_SCHEMA
+    )

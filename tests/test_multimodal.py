@@ -707,3 +707,55 @@ def test_numpy_codec_decodes_jpeg_payload_in_spark(spark):
         for r in decode_image(df, codec="numpy").collect()
     }
     assert got == {i: d for i, d in enumerate(dims)}
+
+
+def test_audio_spectral_features_analytic_signals(spark):
+    """Spectral features against signals with KNOWN spectra: a 1 kHz
+    sine's centroid/rolloff sit at ~1 kHz with near-zero bandwidth and
+    near-zero flatness; deterministic pseudo-white noise has flatness
+    near 1 and a centroid far above the tone's; silence emits NULL
+    features (no spectrum)."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        audio_spectral_features,
+        encode_wav,
+    )
+
+    sr = 8000
+    t = np.arange(sr)
+    sine = (16384 * np.sin(2 * np.pi * 1000 * t / sr)).astype(np.int16)
+    rng = np.random.RandomState(7)
+    noise = rng.randint(-16384, 16384, sr).astype(np.int16)
+    silence = np.zeros(sr, dtype=np.int16)
+    df = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(encode_wav(sine, sr)), "audio/wav"),
+            (1, "audio", bytearray(encode_wav(noise, sr)), "audio/wav"),
+            (2, "audio", bytearray(encode_wav(silence, sr)), "audio/wav"),
+        ],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    rows = audio_spectral_features(df, frame_ms=32).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+
+    sine_c = np.mean([r["spectral_centroid_hz"] for r in by_id[0]])
+    sine_bw = np.mean([r["spectral_bandwidth_hz"] for r in by_id[0]])
+    sine_roll = np.mean([r["spectral_rolloff_hz"] for r in by_id[0]])
+    sine_flat = np.mean([r["spectral_flatness"] for r in by_id[0]])
+    assert abs(sine_c - 1000) < 60, sine_c          # tone at 1 kHz
+    assert sine_bw < 200, sine_bw                   # narrow line
+    assert abs(sine_roll - 1000) < 100, sine_roll
+    assert sine_flat < 0.01, sine_flat              # tonal
+
+    noise_flat = np.mean([r["spectral_flatness"] for r in by_id[1]])
+    noise_c = np.mean([r["spectral_centroid_hz"] for r in by_id[1]])
+    assert noise_flat > 0.3, noise_flat             # broadband
+    assert noise_c > 1500, noise_c                  # energy spread high
+
+    assert all(r["spectral_centroid_hz"] is None for r in by_id[2])
+    # determinism: identical payloads → identical frames
+    again = audio_spectral_features(df, frame_ms=32).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
