@@ -1221,8 +1221,43 @@ RESIZED_SCHEMA = StructType(
 )
 
 
+
+def bilinear_resize(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """Vectorized bilinear resize (align_corners=False pixel-center
+    convention, the OpenCV/PIL default) — four gathered corner planes
+    blended with broadcast weights, no per-pixel Python.  Gray (HxW)
+    or channeled (HxWxC) uint8."""
+    gray = img.ndim == 2
+    im = (img[..., None] if gray else img).astype(np.float64)
+    h, w = im.shape[:2]
+    ys = (np.arange(target_h) + 0.5) * h / target_h - 0.5
+    xs = (np.arange(target_w) + 0.5) * w / target_w - 0.5
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    y0c, y1c = y0.clip(0, h - 1), (y0 + 1).clip(0, h - 1)
+    x0c, x1c = x0.clip(0, w - 1), (x0 + 1).clip(0, w - 1)
+    a = im[np.ix_(y0c, x0c)]
+    b = im[np.ix_(y0c, x1c)]
+    c = im[np.ix_(y1c, x0c)]
+    d = im[np.ix_(y1c, x1c)]
+    out = (
+        a * (1 - wx) * (1 - wy)
+        + b * wx * (1 - wy)
+        + c * (1 - wx) * wy
+        + d * wx * wy
+    )
+    out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out[..., 0] if gray else out
+
+
 def resize_images(
-    df: DataFrame, target_w: int = 64, target_h: int = 64, codec: str = "fake"
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    codec: str = "fake",
+    interpolation: str = "nearest",
 ) -> DataFrame:
     """payload → resized payload at (target_w, target_h). The 'fake'
     codec produces a deterministic downsampled byte stream (stride
@@ -1240,10 +1275,17 @@ def resize_images(
     uncompressed PPM/BMP payloads (pure index sampling) and re-encodes
     the result as PPM; ``"fake"`` stride-samples raw bytes (any
     payload); ``"real"`` decodes best-available (Pillow when importable
-    in the worker, numpy otherwise) then nearest-neighbor resizes and
-    re-encodes as PPM — one uniform output codec regardless of input."""
+    in the worker, numpy otherwise) then resizes and re-encodes as PPM
+    — one uniform output codec regardless of input.
+
+    ``interpolation``: "nearest" (index sampling — fastest, aliases on
+    downscale) or "bilinear" (round 7: four-corner blend, the
+    anti-aliased default every vision preprocessing stack uses;
+    vectorized, align_corners=False convention)."""
     if codec not in ("fake", "numpy", "real"):
         raise ValueError(f"unknown codec: {codec}")
+    if interpolation not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown interpolation: {interpolation}")
     n_out = target_w * target_h
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1253,10 +1295,17 @@ def resize_images(
                 b = bytes(p)
                 if codec in ("numpy", "real"):
                     img = _numpy_decode(b) if codec == "numpy" else _real_decode(b)
-                    h, w, _ = img.shape
-                    yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
-                    xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
-                    out = encode_ppm(np.ascontiguousarray(img[yi][:, xi]))
+                    if interpolation == "bilinear":
+                        out = encode_ppm(
+                            np.ascontiguousarray(
+                                bilinear_resize(img, target_h, target_w)
+                            )
+                        )
+                    else:
+                        h, w, _ = img.shape
+                        yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                        xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                        out = encode_ppm(np.ascontiguousarray(img[yi][:, xi]))
                 elif len(b) >= n_out:
                     stride = len(b) // n_out
                     out = b[::stride][:n_out]

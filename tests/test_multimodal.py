@@ -759,3 +759,49 @@ def test_audio_spectral_features_analytic_signals(spark):
     # determinism: identical payloads → identical frames
     again = audio_spectral_features(df, frame_ms=32).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_resize_bilinear_antialiases_vs_nearest(spark):
+    """Bilinear resize through the full Spark path: downscaling a
+    checkerboard PPM averages toward mid-gray (anti-aliasing) where
+    nearest keeps only the extremes; constant images survive exactly
+    under both; unknown interpolation raises."""
+    import numpy as np
+    import pytest as pt
+
+    from opentimes_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        encode_ppm,
+        resize_images,
+    )
+
+    cb = (np.indices((16, 16)).sum(0) % 2 * 255).astype(np.uint8)
+    cb3 = np.stack([cb] * 3, axis=-1)
+    flat = np.full((10, 12, 3), 77, np.uint8)
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(encode_ppm(cb3)), "image/x-ppm"),
+            (1, "image", bytearray(encode_ppm(flat)), "image/x-ppm"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    bil = {
+        r["media_id"]: decode_ppm(bytes(r["payload"]))
+        for r in resize_images(
+            media, 8, 8, codec="numpy", interpolation="bilinear"
+        ).collect()
+    }
+    near = {
+        r["media_id"]: decode_ppm(bytes(r["payload"]))
+        for r in resize_images(
+            media, 8, 8, codec="numpy", interpolation="nearest"
+        ).collect()
+    }
+    # nearest keeps only 0/255 on the checkerboard; bilinear blends
+    assert set(np.unique(near[0])) <= {0, 255}
+    assert 80 < bil[0].mean() < 180 and len(np.unique(bil[0])) > 2
+    # constant image exact under both
+    assert (bil[1] == 77).all() and (near[1] == 77).all()
+    with pt.raises(ValueError, match="interpolation"):
+        resize_images(media, 8, 8, codec="numpy", interpolation="bicubic")
