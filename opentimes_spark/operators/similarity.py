@@ -938,27 +938,29 @@ def append_to_ivfpq_index(
         )["cid"].cast("int").alias(f"code{j}")
         for j in range(m)
     ]
+    # localCheckpoint (not persist): the write below APPENDS to the
+    # same directory this plan's anti-join reads — truncating the
+    # lineage guarantees the write job can never re-list the path it
+    # is mutating (the classic read-your-own-write hazard a cache
+    # eviction would otherwise reintroduce)
     encoded = base.select(
         F.col(id_col),
         F.col("v").alias(vec_col),
         *code_cols,
         assign_expr(F.col("v"), cents).alias("centroid_id"),
         _cell_dist_expr(F.col("v"), cents).alias("_cell_d"),
-    ).persist()
-    try:
-        stats = encoded.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("_cell_d").alias("mean_d")
-        ).collect()[0]
-        n_appended = int(stats["n"])
-        if n_appended:
-            (
-                encoded.drop("_cell_d")
-                .write.mode("append")
-                .partitionBy("centroid_id")
-                .parquet(path)
-            )
-    finally:
-        encoded.unpersist()
+    ).localCheckpoint(eager=True)
+    stats = encoded.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("_cell_d").alias("mean_d")
+    ).collect()[0]
+    n_appended = int(stats["n"])
+    if n_appended:
+        (
+            encoded.drop("_cell_d")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(path)
+        )
     mean_d = float(stats["mean_d"]) if n_appended else 0.0
     baseline = float(meta["train_mean_dist"])
     return {
