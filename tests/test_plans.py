@@ -486,3 +486,26 @@ def test_global_window_lint_flags_raw_fact_sort(spark):
         F.row_number().over(Window.orderBy("o_totalprice")).alias("rn")
     )
     assert facts(ok_lim) == []
+
+
+def test_plan_fingerprint_extracts_operator_counts(spark):
+    """Meta-test for tools/plan_fingerprints.py: the fingerprint sees
+    the operators that matter (scan, exchange, broadcast join) and two
+    structurally different plans fingerprint differently."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_fingerprints import fingerprint
+
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    n = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+
+    agg = o.groupBy("o_orderstatus").count()
+    fp_agg = fingerprint(agg)
+    assert fp_agg.get("Scan parquet", 0) == 1
+    assert any("Exchange" in k for k in fp_agg)
+
+    bj = o.join(F.broadcast(n), o["o_custkey"] % 25 == n["n_nationkey"])
+    fp_bj = fingerprint(bj)
+    assert fp_bj.get("BroadcastHashJoin", 0) == 1
+    assert fp_agg != fp_bj
