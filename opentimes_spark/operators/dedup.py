@@ -787,3 +787,120 @@ def incremental_exact_dedup(
         else ledger.select("fp", "canonical_id").unionByName(new_entries)
     )
     return fresh, updated
+
+
+# --- materialized incremental LSH index (round 7) ---------------------------
+# The near-dup mirror of `incremental_exact_dedup`'s ledger and
+# `append_to_ivfpq_index`'s frozen-parameter append: band rows live in a
+# Hive layout partitioned by band_idx, new documents are signed with the
+# SAME (num_hashes, band_size, shingle_size, hash_fn) parameters from
+# the index's `_params` sidecar and appended O(batch), and a probe joins
+# ONLY the new docs' band rows against the stored index — daily near-dup
+# ingest never re-signs the corpus.
+
+
+def write_lsh_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_size: int = 3,
+    hash_fn: str = "md5",
+) -> None:
+    """Materialize the banded MinHash index: (id, band_hash) rows
+    Hive-partitioned by band_idx, plus a `_params` sidecar pinning the
+    signature geometry (appends and probes MUST reuse it — signatures
+    under different parameters are incomparable, the LSH analogue of
+    the IVF-PQ dim/m contract)."""
+    spark = docs.sparkSession
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_size, hash_fn
+    )
+    banded = _banded(sigs, id_col, num_hashes, band_size, hash_fn)
+    (
+        banded.select(F.col(id_col), "band_hash", "band_idx")
+        .write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(num_hashes, band_size, shingle_size, hash_fn)],
+        "num_hashes int, band_size int, shingle_size int, hash_fn string",
+    ).write.mode("overwrite").parquet(path + "/_params")
+
+
+def read_lsh_params(spark, path: str) -> dict:
+    """The index's pinned signature geometry; raises if absent."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_params", "_SUCCESS")):
+        raise ValueError(f"no _params at {path} — rebuild with write_lsh_index")
+    return spark.read.parquet(path + "/_params").collect()[0].asDict()
+
+
+def append_to_lsh_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incrementally add documents to a materialized LSH index: sign
+    the batch under the index's pinned parameters and append its band
+    rows — O(batch) like the exact-dedup ledger, never a corpus
+    re-sign.  Idempotent: ids already indexed are anti-joined away via
+    a 1-column pruned scan.  Returns {'appended': n_docs}."""
+    spark = new_docs.sparkSession
+    p = read_lsh_params(spark, path)
+    existing = spark.read.parquet(path).select(F.col(id_col)).distinct()
+    fresh = new_docs.join(existing, id_col, "left_anti")
+    sigs = minhash_signatures(
+        fresh, id_col, text_col, p["num_hashes"], p["shingle_size"],
+        p["hash_fn"],
+    )
+    banded = _banded(
+        sigs, id_col, p["num_hashes"], p["band_size"], p["hash_fn"]
+    ).select(F.col(id_col), "band_hash", "band_idx").localCheckpoint(
+        eager=True  # truncate lineage: the write appends to the path
+    )  # this plan's anti-join read
+    n = banded.select(id_col).distinct().count()
+    if n:
+        banded.write.mode("append").partitionBy("band_idx").parquet(path)
+    return {"appended": int(n)}
+
+
+def lsh_index_candidates(
+    query_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs (query_id, index_id) between a batch of
+    documents and the MATERIALIZED index: the batch is signed under the
+    pinned parameters and its band rows join the stored index on
+    (band_idx, band_hash) — cost scales with the batch's band
+    collisions, never with index size, and the Hive band_idx key keeps
+    each probe partition-local.  Self-matches excluded; distinct pairs.
+    The ingest-time gate: run before `append_to_lsh_index`, send
+    collisions to jaccard-verify, append only the accepted docs."""
+    spark = query_docs.sparkSession
+    p = read_lsh_params(spark, path)
+    sigs = minhash_signatures(
+        query_docs, id_col, text_col, p["num_hashes"], p["shingle_size"],
+        p["hash_fn"],
+    )
+    qb = _banded(
+        sigs, id_col, p["num_hashes"], p["band_size"], p["hash_fn"]
+    ).select(
+        F.col(id_col).alias("query_id"), "band_idx", "band_hash"
+    )
+    idx = spark.read.parquet(path).select(
+        F.col(id_col).alias("index_id"), "band_idx", "band_hash"
+    )
+    return (
+        qb.join(idx, ["band_idx", "band_hash"])
+        .filter(F.col("query_id") != F.col("index_id"))
+        .select("query_id", "index_id")
+        .distinct()
+    )

@@ -15488,6 +15488,81 @@ def events_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_lsh_incremental_ingest",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, g.tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+              FROM documents),
+             UNNEST(list_transform(range(1, GREATEST(LENGTH(t) - 1, 1)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g(tok)
+    ),
+    sigs AS (
+        SELECT doc_id,
+               MIN(md5(concat('0|', tok))) AS h0,
+               MIN(md5(concat('1|', tok))) AS h1,
+               MIN(md5(concat('2|', tok))) AS h2,
+               MIN(md5(concat('3|', tok))) AS h3,
+               MIN(md5(concat('4|', tok))) AS h4,
+               MIN(md5(concat('5|', tok))) AS h5,
+               MIN(md5(concat('6|', tok))) AS h6,
+               MIN(md5(concat('7|', tok))) AS h7
+        FROM toks GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, b.band_idx, b.band_hash
+        FROM sigs, (VALUES (0, md5(concat_ws('|', h0, h1))),
+            (1, md5(concat_ws('|', h2, h3))),
+            (2, md5(concat_ws('|', h4, h5))),
+            (3, md5(concat_ws('|', h6, h7)))) AS v(bi, bh),
+             LATERAL (SELECT v.bi AS band_idx, v.bh AS band_hash) b
+    )
+    SELECT DISTINCT q.doc_id AS query_id, i.doc_id AS index_id
+    FROM banded q JOIN banded i
+      ON i.band_idx = q.band_idx AND i.band_hash = q.band_hash
+     AND i.doc_id != q.doc_id
+    WHERE q.doc_id < 40
+    """,
+)
+def dedup_lsh_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates from the MATERIALIZED incremental LSH index
+    (round 7): the index is BUILT on the even-doc_id half, the odd
+    half is APPENDED (signed under the index's pinned `_params`
+    geometry — never re-signing the corpus, O(batch) like the
+    exact-dedup ledger and the IVF-PQ append), and a 40-doc probe
+    batch joins the stored band rows Hive-pruned by band_idx.  The
+    oracle replays the whole thing as one banding of the FULL corpus
+    — a value match certifies that append-signed band rows are
+    bit-identical to build-signed ones, the property that makes daily
+    near-dup ingest safe.  Idempotency + partition pruning pinned in
+    tests/test_incremental.py.  (LLM-pipeline: incremental dedup;
+    operators/dedup.py:write_lsh_index/append_to_lsh_index/
+    lsh_index_candidates.)"""
+    import hashlib
+    import tempfile
+
+    from opentimes_spark.operators.dedup import (
+        append_to_lsh_index,
+        lsh_index_candidates,
+        write_lsh_index,
+    )
+    from opentimes_spark.operators.similarity import corpus_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(f"lshidx::{sf_dir}::{fp!r}".encode()).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), "opentimes_lsh", key)
+    if not os.path.exists(os.path.join(path, "_params", "_SUCCESS")):
+        write_lsh_index(
+            d.filter(F.col("doc_id") % 2 == 0), path,
+            num_hashes=8, band_size=2, shingle_size=3, hash_fn="md5",
+        )
+    append_to_lsh_index(d.filter(F.col("doc_id") % 2 == 1), path)
+    return lsh_index_candidates(d.filter(F.col("doc_id") < 40), path)
+
+
 # ---------------------------------------------------------------------------
 # Bench-only variants: no DuckDB oracle BY DESIGN (each has a hash-green
 # registry twin that pins correctness); these exist to put a wall-clock

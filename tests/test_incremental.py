@@ -126,3 +126,83 @@ def test_content_mode_sees_through_stat(tmp_path):
     os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
     assert file_fingerprint(p) == fp_stat
     assert file_fingerprint(p, content=True) != fp_content
+
+
+def test_lsh_index_append_and_probe_match_batch(spark, tmp_path):
+    """Incremental LSH index (round 7): build on half the corpus,
+    append the rest, and the index's candidate pairs for a probe batch
+    must equal the batch LSH run over the full corpus restricted to
+    (probe × corpus) pairs.  Append is idempotent; parameter sidecar
+    enforced."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.dedup import (
+        append_to_lsh_index,
+        lsh_candidate_pairs,
+        lsh_index_candidates,
+        minhash_signatures,
+        read_lsh_params,
+        write_lsh_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "lshidx")
+
+    write_lsh_index(first, path, num_hashes=8, band_size=2)
+    p = read_lsh_params(spark, path)
+    assert p["num_hashes"] == 8 and p["hash_fn"] == "md5"
+
+    got = append_to_lsh_index(rest, path)
+    assert got["appended"] == rest.count()
+    # idempotent: re-appending the same docs is a no-op
+    assert append_to_lsh_index(rest, path)["appended"] == 0
+
+    probe = docs.filter(F.col("doc_id") < 40)
+    from_index = {
+        (r["query_id"], r["index_id"])
+        for r in lsh_index_candidates(probe, path).collect()
+    }
+
+    sigs = minhash_signatures(docs, "doc_id", "text", 8, 3, "md5")
+    batch_pairs = lsh_candidate_pairs(sigs, "doc_id", 8, 2, "md5")
+    probe_ids = {r["doc_id"] for r in probe.select("doc_id").collect()}
+    expect = set()
+    for r in batch_pairs.collect():
+        if r["id_a"] in probe_ids:
+            expect.add((r["id_a"], r["id_b"]))
+        if r["id_b"] in probe_ids:
+            expect.add((r["id_b"], r["id_a"]))
+    assert from_index == expect and len(expect) > 0
+
+    # missing sidecar fails fast
+    with pt.raises(ValueError, match="_params"):
+        read_lsh_params(spark, str(tmp_path / "nowhere"))
+
+
+def test_lsh_index_probe_prunes_band_partitions(spark, tmp_path):
+    """The probe's index scan must carry PartitionFilters on band_idx —
+    the Hive key is the point of the layout (each band's join is
+    directory-local)."""
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.dedup import (
+        lsh_index_candidates,
+        write_lsh_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "lshidx2")
+    write_lsh_index(docs, path)
+    probe = docs.filter(F.col("doc_id") < 10)
+    cand = lsh_index_candidates(probe, path)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cand.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(band_idx" in plan, plan[:600]
