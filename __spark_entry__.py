@@ -26,20 +26,13 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # and semantics; only dict order changes.  `tools/check.py` independently
 # replays ALL registered queries regardless of order.
 #
-# After r6: all 231 registered names have a hash-green driver row across
-# r1-r6 (CORRECTNESS_r06 was 50/50 green, closing events_weekday_uplift).
-# _FRONT holds names whose SEMANTICS changed this round and need a
-# fresh driver hash: the Gopher alphabetic-word rule now matches Rae et
-# al. A1.1 verbatim (token CONTAINS an alphabetic char, not fully
-# alphabetic — ADVICE r6), changing docs_gopher_flags and
-# docs_curation_report values in BOTH engines.  The rest of the window
-# is free for round-7 additions (budget ≤ 48 new names via `fresh`).
-_FRONT: list[str] = [
-    "docs_gopher_flags", "docs_curation_report",
-    # r7 precision fix: interval axis moved from whole-second
-    # unix_timestamp to exact microseconds (sub-second boundary class)
-    "join_interval_overlap",
-]
+# After r7: all 276 registered names have a hash-green driver row across
+# r1-r7 (CORRECTNESS_r07 was 50/50 green; the 48 r7 additions are folded
+# into _CERTIFIED below per the standing pattern).  _FRONT holds names
+# whose SEMANTICS changed this round and therefore need a fresh driver
+# hash; it is empty for r8, so the whole 50-name window is free for
+# round-8 additions (budget ≤ 50 new names via `fresh`).
+_FRONT: list[str] = []
 
 
 def _ordered(mapping):
@@ -145,6 +138,29 @@ _CERTIFIED = {
     "lineitem_ship_latency_hist", "sim_ivfpq_rescored_topk",
     "events_frequent_triples", "orders_theilsen_trend",
     "docs_vocab_overlap_sources", "orders_seasonal_index",
+    # r7-certified (CORRECTNESS_r07.json, 50/50 hash_match=true):
+    "docs_gopher_flags", "docs_curation_report", "join_interval_overlap",
+    "sim_ivfpq_append_topk", "orders_quartiles_scalable",
+    "orders_priority_anova", "events_poisson_dispersion",
+    "lineitem_simpsons_check", "nation_balance_of_trade",
+    "docs_winnowing_fingerprints", "docs_sentence_stats", "tokens_heaps_law",
+    "docs_fertility_by_source", "graph_kcore_2peel", "events_dau_wau_mau",
+    "events_attribution_models", "events_session_timeout_sweep",
+    "events_srm_check", "embed_gram_pca_power", "embed_ivf_cell_balance",
+    "docs_lsh_precision_recall", "lineitem_price_index",
+    "orders_gmv_decomposition", "events_changepoint_mean",
+    "lineitem_dq_audit", "cust_acctbal_winsorized",
+    "events_attribution_left_outer", "supplier_concentration_cr4",
+    "part_size_price_ols", "docs_quality_calibration", "orders_rfm_migration",
+    "docs_dedup_cluster_purity", "lineitem_quantity_mode",
+    "events_daily_autocorrelation", "orders_priority_sla",
+    "docs_winnowing_matches", "events_hill_tail_index",
+    "tokens_diversity_indices", "events_day_overlap_retention",
+    "embed_cosine_pair_hist", "graph_degree_assortativity",
+    "docs_lsh_band_config_sweep", "lineitem_return_rate_wilson",
+    "embed_label_separation", "graph_clustering_coefficient",
+    "cust_nation_segment_cramers_v", "events_type_share_drift",
+    "dedup_lsh_incremental_ingest",
 }
 
 
