@@ -117,6 +117,12 @@ HEADLINE = [
     # explode collapsed by map-side combine to a 4096-row shuffle)
     "docs_winnowing_fingerprints",
     "embed_gram_pca_power",
+    # round-8: the BLAS production twin of the Gram-PCA build (same
+    # oracle, no per-row dim^2 fan-out — mapInPandas int64 V^T@V
+    # partition accumulator); priced NEXT TO the explode oracle twin so
+    # the production-vs-oracle-form gap is on the clock (VERDICT r7
+    # weak #1)
+    "embed_gram_pca_blas",
 ]
 
 
