@@ -38,17 +38,18 @@ def test_decode_deterministic(spark, media):
 
 def test_real_codec_seam_raises_on_compressed_without_pillow(media):
     """'real' degrades to the native codecs in a Pillow-less container —
-    a PROGRESSIVE JPEG payload (the remaining seam now that baseline
-    JPEG decodes natively) hits the disclosed NotImplementedError."""
+    an ARITHMETIC-CODED JPEG payload (the remaining seam now that both
+    baseline and progressive Huffman JPEG decode natively) hits the
+    disclosed NotImplementedError."""
     import struct
 
     import opentimes_spark.operators.multimodal as mm
 
-    progressive = b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
+    arithmetic = b"\xff\xd8\xff\xca" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
     mm._PIL_IMAGE = "unset"
     if mm._pillow() is None:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            mm._real_decode(progressive)
+            mm._real_decode(arithmetic)
 
 
 def test_pillow_seam_dispatch_both_ways(monkeypatch):
@@ -240,13 +241,13 @@ def test_numpy_codec_rejects_compressed():
 
     from opentimes_spark.operators.multimodal import _numpy_decode
 
-    # progressive JPEG (SOF2) is the remaining seam; baseline JPEG now
-    # decodes natively
-    progressive = (
-        b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
+    # arithmetic-coded JPEG (SOF10) is the remaining seam; baseline AND
+    # progressive Huffman JPEG now decode natively
+    arithmetic = (
+        b"\xff\xd8\xff\xca" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
     )
     with pt.raises(NotImplementedError, match="Pillow"):
-        _numpy_decode(progressive)
+        _numpy_decode(arithmetic)
     # an unknown magic stays a hard seam too
     with pt.raises(NotImplementedError, match="Pillow"):
         _numpy_decode(b"II*\x00notatiffreally")
@@ -661,6 +662,120 @@ def test_jpeg_restart_markers_decode_identically():
     assert np.array_equal(with_rst, without)
 
 
+def test_progressive_jpeg_matches_baseline_exactly():
+    """The progressive encoder quantizes to the SAME coefficients as the
+    baseline encoder, so a correct SOF2 decode (multi-scan spectral
+    selection + successive approximation) must reproduce the baseline
+    decode bit-for-bit — across gray/RGB, 4:4:4/4:2:0, and qualities."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(8)
+    for q in (10, 75, 95):
+        for shape, color, sub in [
+            ((16, 16), False, False),
+            ((9, 13), False, False),
+            ((24, 17, 3), True, False),
+            ((33, 26, 3), True, True),
+        ]:
+            img = rng.randint(0, 256, shape).astype(np.uint8)
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=q, subsample=sub)
+            )
+            assert np.array_equal(base, prog), (q, shape, sub)
+
+
+def test_progressive_jpeg_restart_markers():
+    """RSTn inside progressive scans: DC predictors, EOB runs, and bit
+    alignment all reset per interval; decode equals the unrestarted
+    stream."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (33, 41, 3), dtype=np.uint8)
+    with_rst = decode_jpeg(
+        encode_jpeg_progressive(img, quality=85, restart_interval=2)
+    )
+    without = decode_jpeg(encode_jpeg_progressive(img, quality=85))
+    assert np.array_equal(with_rst, without)
+
+
+def test_progressive_jpeg_custom_scan_script_and_truncation():
+    """A nonstandard scan script (3-level DC successive approximation,
+    odd AC band splits) still reconstructs exactly; a truncated
+    progressive stream raises instead of looping or wrapping."""
+    import numpy as np
+    import pytest as pt
+
+    from opentimes_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(10)
+    img = rng.randint(0, 256, (21, 35, 3), dtype=np.uint8)
+    script = [
+        ([0, 1, 2], 0, 0, 0, 3),
+        ([0, 1, 2], 0, 0, 3, 2),
+        ([0], 1, 2, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+        ([0], 3, 63, 0, 0),
+        ([0, 1, 2], 0, 0, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+    ]
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsample=True))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=85, subsample=True, scans=script)
+    )
+    assert np.array_equal(base, prog)
+    full = encode_jpeg_progressive(img, quality=85)
+    with pt.raises(ValueError):
+        decode_jpeg(full[: len(full) * 2 // 3])
+
+
+def test_progressive_jpeg_through_spark_decode(spark):
+    """SOF2 payloads decode through the numpy codec in the
+    mapInPandas pipeline (same plumbing as the baseline test)."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(4):
+        img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+        rows.append(
+            (
+                i,
+                "image",
+                bytearray(encode_jpeg_progressive(img, quality=90)),
+                "image/jpeg",
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    out = {r["media_id"]: (r["width"], r["height"]) for r in
+           decode_image(df, codec="numpy").collect()}
+    assert out == {i: (16, 16) for i in range(4)}
+
+
 def test_jpeg_rejects_progressive_truncated_and_non_jpeg():
     import struct
 
@@ -671,11 +786,13 @@ def test_jpeg_rejects_progressive_truncated_and_non_jpeg():
 
     with pt.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"P6\n1 1\n255\nxxx")
-    progressive = (
-        b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
+    # progressive (SOF2) decodes natively as of round 8; lossless
+    # (SOF3) remains behind the Pillow seam
+    lossless = (
+        b"\xff\xd8\xff\xc3" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
     )
-    with pt.raises(NotImplementedError, match="SOF2"):
-        decode_jpeg(progressive)
+    with pt.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(lossless)
     good = encode_jpeg(np.full((8, 8), 77, dtype=np.uint8), quality=90)
     with pt.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])  # truncated entropy stream
