@@ -1,0 +1,189 @@
+"""Index lifecycle job (jobs/maintain_indexes.py): each incremental
+path's telemetry actually drives an append-vs-rebuild decision, and
+rebuilds publish as v=N+1 behind the atomic pointer so probes can never
+reuse a stale index (VERDICT r7 item 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opentimes_spark.io import snapshots
+from opentimes_spark.jobs.maintain_indexes import (
+    maintain_dedup_ledger,
+    maintain_ivfpq_index,
+    maintain_lsh_index,
+)
+from opentimes_spark.operators.dedup import lsh_index_candidates, read_lsh_params
+from opentimes_spark.operators.similarity import ivfpq_topk_probe, read_ivfpq_meta
+
+
+def _docs(spark, items):
+    return spark.createDataFrame(items, "doc_id long, text string")
+
+
+def test_ledger_bootstrap_append_compact(spark, tmp_path):
+    root = str(tmp_path / "ledger")
+    r0 = maintain_dedup_ledger(
+        spark, _docs(spark, [(1, "alpha beta"), (2, "gamma")]), root
+    )
+    assert r0["action"] == "bootstrap" and r0["accepted"] == 2
+
+    # duplicate text is rejected against the ledger; fresh text appends
+    r1 = maintain_dedup_ledger(
+        spark, _docs(spark, [(3, "alpha beta"), (4, "delta")]), root
+    )
+    assert r1["action"] == "append"
+    assert r1["accepted"] == 1 and r1["rejected"] == 1
+    assert r1["version"] == r0["version"]  # append mutates no pointer
+
+    # fragmentation past the cap triggers a compaction publish as v+1
+    r_last = r1
+    for i in range(5, 40):
+        r_last = maintain_dedup_ledger(
+            spark, _docs(spark, [(i, f"unique text {i}")]), root, max_files=8
+        )
+        if r_last["action"] == "compact":
+            break
+    assert r_last["action"] == "compact"
+    assert r_last["version"] > r0["version"]
+    assert r_last["ledger_files"] <= 8
+    # the compacted ledger still holds every accepted fingerprint
+    live = spark.read.parquet(snapshots.current_dir(root))
+    assert live.count() == live.select("fp").distinct().count()
+    # and still rejects a known duplicate
+    r_dup = maintain_dedup_ledger(
+        spark, _docs(spark, [(99, "alpha beta")]), root, max_files=8
+    )
+    assert r_dup["accepted"] == 0 and r_dup["rejected"] == 1
+
+
+def test_lsh_hot_band_triggers_wider_band_rebuild(spark, tmp_path):
+    root = str(tmp_path / "lsh")
+    # a degenerate corpus: many docs sharing one shingle stream → one
+    # band bucket collects them all
+    hot = [(i, "the same degenerate shingle text") for i in range(30)]
+    varied = [(100 + i, f"document number {i} talks about topic {i % 7}")
+              for i in range(10)]
+    corpus = _docs(spark, hot + varied)
+
+    r0 = maintain_lsh_index(
+        spark, corpus, corpus.limit(0), root, num_hashes=8, band_size=2
+    )
+    assert r0["action"] == "bootstrap"
+    p0 = read_lsh_params(spark, snapshots.current_dir(root))
+    assert p0["band_size"] == 2
+
+    # ingest below the cap: plain append, same version
+    batch = _docs(spark, [(200, "a brand new document entirely")])
+    r1 = maintain_lsh_index(
+        spark, corpus.unionByName(batch), batch, root, hot_band_cap=64
+    )
+    assert r1["action"] == "append" and r1["appended"] == 1
+    assert r1["version"] == r0["version"]
+
+    # drop the cap below the hot bucket: rebuild publishes v+1 with
+    # band_size escalated
+    full = corpus.unionByName(batch)
+    r2 = maintain_lsh_index(spark, full, batch.limit(0), root, hot_band_cap=8)
+    assert r2["action"] == "rebuild"
+    assert r2["version"] > r1["version"]
+    p2 = read_lsh_params(spark, snapshots.current_dir(root))
+    assert p2["band_size"] == 3
+
+    # probes resolve the pointer → the NEW geometry serves candidates
+    q = _docs(spark, [(999, "the same degenerate shingle text")])
+    cands = lsh_index_candidates(q, snapshots.current_dir(root))
+    got = {r["index_id"] for r in cands.collect()}
+    assert {i for i in range(30)} <= got
+    # time travel: the superseded v0 is still readable
+    assert read_lsh_params(spark, str(tmp_path / "lsh" / "v=0"))["band_size"] == 2
+
+
+def test_ivfpq_staleness_triggers_recluster_publish(spark, tmp_path):
+    root = str(tmp_path / "ivfpq")
+    rng = np.random.RandomState(5)
+    centers = np.array([[4.0] * 8, [-4.0] * 8])
+
+    def vecs(ids, shift):
+        return [
+            (int(i), [float(x) for x in centers[i % 2] + 0.1 * rng.randn(8) + shift])
+            for i in ids
+        ]
+
+    corpus = spark.createDataFrame(
+        vecs(range(40), 0.0), "vec_id long, embedding array<double>"
+    )
+    r0 = maintain_ivfpq_index(
+        spark, corpus, corpus.limit(0), root,
+        dim=8, coarse_k=2, m=2, pq_k=4,
+    )
+    assert r0["action"] == "bootstrap"
+    v0_dir = snapshots.current_dir(root)
+    assert read_ivfpq_meta(spark, v0_dir)["dim"] == 8
+
+    # in-distribution batch: appended, ratio ~1, no rebuild
+    batch_in = spark.createDataFrame(
+        vecs(range(100, 110), 0.0), "vec_id long, embedding array<double>"
+    )
+    r1 = maintain_ivfpq_index(
+        spark, corpus.unionByName(batch_in), batch_in, root, dim=8,
+        coarse_k=2, m=2, pq_k=4,
+    )
+    assert r1["action"] == "append" and r1["appended"] == 10
+    assert r1["staleness_ratio"] < 1.5
+    assert snapshots.current_dir(root) == v0_dir
+
+    # drifted batch: staleness trips → recluster over the full corpus,
+    # published as v+1 behind the pointer
+    batch_drift = spark.createDataFrame(
+        vecs(range(200, 220), 25.0), "vec_id long, embedding array<double>"
+    )
+    full = corpus.unionByName(batch_in).unionByName(batch_drift)
+    r2 = maintain_ivfpq_index(
+        spark, full, batch_drift, root, dim=8, coarse_k=2, m=2, pq_k=4,
+    )
+    assert r2["action"] == "rebuild"
+    assert r2["staleness_ratio"] > 1.5
+    v2_dir = snapshots.current_dir(root)
+    assert v2_dir != v0_dir
+
+    # the new index holds the ENTIRE corpus (including the drifted
+    # batch) and probes through the unchanged contract
+    assert spark.read.parquet(v2_dir).count() == full.count()
+    probe = ivfpq_topk_probe(
+        spark, full.filter(F.col("vec_id") == 200), v2_dir, k=3, n_probe=2,
+        dim=8,
+    )
+    assert probe.count() == 3
+
+    # idempotence: re-running the same drifted batch against the new
+    # index appends nothing and keeps the pointer still
+    r3 = maintain_ivfpq_index(
+        spark, full, batch_drift, root, dim=8, coarse_k=2, m=2, pq_k=4,
+    )
+    assert r3["action"] == "append" and r3["appended"] == 0
+    assert snapshots.current_dir(root) == v2_dir
+
+
+def test_publish_dir_snapshot_atomicity(spark, tmp_path):
+    """A build_fn that crashes leaves the pointer untouched; the next
+    publish skips the orphan directory."""
+    root = str(tmp_path / "atomic")
+
+    def good(d):
+        spark.range(3).write.parquet(d + "/part")
+
+    v0 = snapshots.publish_dir_snapshot(root, good)
+    assert v0 == 0
+
+    with pytest.raises(RuntimeError, match="boom"):
+        snapshots.publish_dir_snapshot(
+            root, lambda d: (_ for _ in ()).throw(RuntimeError("boom"))
+        )
+    assert snapshots.latest_version(root) == 0  # pointer never moved
+
+    v1 = snapshots.publish_dir_snapshot(root, good)
+    assert v1 > 0
+    assert snapshots.current_dir(root).endswith(f"v={v1}")
