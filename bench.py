@@ -123,6 +123,11 @@ HEADLINE = [
     # the production-vs-oracle-form gap is on the clock (VERDICT r7
     # weak #1)
     "embed_gram_pca_blas",
+    # round-8: quality-classifier TRAINING (NB one-pass fit + 3
+    # preconditioned GD refinement iterations, certified end-to-end) —
+    # priced because each iteration is a full corpus pass (broadcast
+    # join + int64 gradient aggregate)
+    "docs_classifier_train_weights",
 ]
 
 

@@ -16242,3 +16242,202 @@ def produce_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_public(times, out)
     return point_lookup(spark, out, "17001000001")
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier TRAINING (round 8, VERDICT r7 item 5): multinomial
+# Naive Bayes fit in one counting pass + K=3 diagonally-preconditioned
+# quasi-logistic GD refinement steps — the fastText/CCNet-style weak
+# classifier, trained distributed and CERTIFIED end-to-end: the oracle
+# replays the NB fit and all three gradient iterations value-exactly
+# (integer-quantized residuals, sorted-fold activations, grid-rounded
+# weights).  See operators/inference.py for the determinism contract.
+# Weak label: "in-domain" docs mention 'customer' at least twice
+# (51.2% of the sf0.01 corpus; trained accuracy 0.846 vs that 0.512
+# majority baseline).
+# ---------------------------------------------------------------------------
+
+_CLS_TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"
+
+
+def _cls_sql(final_select: str, iters: int = 3) -> str:
+    """Shared training CTE chain (NB init + unrolled GD iterations) +
+    a query-specific final SELECT over the trained weights ``w{K}``."""
+    parts = [f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN len(list_filter(string_split_regex(lower(text),
+                        '[^a-z0-9]+'), t -> t = 'customer')) >= 2
+                    THEN 1 ELSE 0 END AS y,
+               unnest({_CLS_TOK}) AS t
+        FROM documents
+    ),
+    tokfeats AS (
+        SELECT doc_id, y,
+               ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS bucket,
+               COUNT(*)::BIGINT AS cnt
+        FROM toks GROUP BY 1, 2, 3
+    ),
+    feats AS (
+        SELECT * FROM tokfeats
+        UNION ALL
+        SELECT DISTINCT doc_id, y, CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+        FROM tokfeats
+    ),
+    cls AS (
+        SELECT CAST(SUM(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS BIGINT) AS t1,
+               CAST(SUM(CASE WHEN y = 0 THEN cnt ELSE 0 END) AS BIGINT) AS t0,
+               COUNT(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS n1,
+               COUNT(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS n0
+        FROM tokfeats
+    ),
+    prec AS (
+        SELECT bucket, CAST(SUM(cnt * cnt) AS BIGINT) AS s
+        FROM feats GROUP BY bucket
+    ),
+    w0 AS (
+        SELECT b.bucket,
+               FLOOR((ln((b.c1 + 1.0) / (cls.t1 + 64.0))
+                      - ln((b.c0 + 1.0) / (cls.t0 + 64.0)))
+                     * 1000000000.0 + 0.5) / 1000000000.0 AS w
+        FROM (SELECT bucket,
+                     CAST(SUM(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS BIGINT) AS c1,
+                     CAST(SUM(CASE WHEN y = 0 THEN cnt ELSE 0 END) AS BIGINT) AS c0
+              FROM tokfeats GROUP BY bucket) b CROSS JOIN cls
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT),
+               FLOOR(ln((cls.n1 * 1.0) / cls.n0) * 1000000000.0 + 0.5)
+               / 1000000000.0
+        FROM cls
+    )"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+    z{k} AS (
+        SELECT f.doc_id, f.y,
+               list_aggregate(list(w.w * f.cnt ORDER BY f.bucket), 'sum') AS z
+        FROM feats f JOIN w{p} w USING (bucket)
+        GROUP BY f.doc_id, f.y
+    ),
+    r{k} AS (
+        SELECT doc_id,
+               CAST(FLOOR((0.5 * (1.0 + z / (1.0 + abs(z))) - y)
+                          * 1000000.0 + 0.5) AS BIGINT) AS rq
+        FROM z{k}
+    ),
+    g{k} AS (
+        SELECT f.bucket, CAST(SUM(r.rq * f.cnt) AS BIGINT) AS g
+        FROM feats f JOIN r{k} r USING (doc_id) GROUP BY f.bucket
+    ),
+    w{k} AS (
+        SELECT w.bucket,
+               FLOOR((w.w - 0.5 * ((COALESCE(g.g, 0) / 1000000.0) / s.s))
+                     * 1000000000.0 + 0.5) / 1000000000.0 AS w
+        FROM w{p} w LEFT JOIN g{k} g USING (bucket)
+             JOIN prec s USING (bucket)
+    )""")
+    # the scored corpus under the final weights (used by two queries)
+    parts.append(f""",
+    scored AS (
+        SELECT f.doc_id, f.y,
+               list_aggregate(list(w.w * f.cnt ORDER BY f.bucket), 'sum') AS z
+        FROM feats f JOIN w{iters} w USING (bucket)
+        GROUP BY f.doc_id, f.y
+    )
+    {final_select}""")
+    return "".join(parts)
+
+
+_CLS_MEMO: dict = {}
+
+
+def _cls_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentimes_spark.operators.inference import hashed_token_features
+
+    docs = _t(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t == F.lit("customer"),
+            )
+        )
+        >= 2
+    ).cast("int")
+    return hashed_token_features(docs, label, d=64)
+
+
+def _cls_trained_weights(spark: SparkSession, sf_dir: str):
+    """(feats, weights) for the classifier queries.  The weight DICT is
+    memoized per corpus content (plain floats — safe across Spark
+    session restarts, unlike a cached DataFrame) so the three
+    registered queries train once, not thrice; feats is a cheap
+    single-pass plan rebuilt per call against the LIVE session."""
+    import hashlib
+
+    from opentimes_spark.operators.inference import train_quality_classifier
+    from opentimes_spark.operators.similarity import corpus_fingerprint
+
+    fp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    # keyed by APPLICATION as well as corpus content: a fresh session
+    # (e.g. the determinism soak's second shuffle-partition setting)
+    # must RETRAIN, so the gate covers the gradient sums' partition-
+    # layout invariance, not just the scoring pass
+    app = spark.sparkContext.applicationId
+    key = hashlib.md5(f"cls::{app}::{sf_dir}::{fp!r}".encode()).hexdigest()[:16]
+    feats = _cls_feats(spark, sf_dir)
+    if key not in _CLS_MEMO:
+        _CLS_MEMO[key] = train_quality_classifier(feats, d=64, iters=3, lr=0.5)
+    return feats, _CLS_MEMO[key]
+
+
+@query(
+    "docs_classifier_train_weights",
+    _cls_sql("SELECT bucket, w AS weight FROM w3"),
+)
+def docs_classifier_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED weight vector itself, certified: NB log-odds init
+    (one counting aggregate) + 3 preconditioned quasi-logistic GD
+    steps, every arithmetic step replayed by the oracle's unrolled CTE
+    chain.  Gradients are exact int64 sums of 1e-6-grid residuals
+    (partition-layout invariant — Catalyst's map-side combine IS the
+    per-partition gradient partial); weights live on a 1e-9 grid."""
+    _feats, w = _cls_trained_weights(spark, sf_dir)
+    return spark.createDataFrame(
+        sorted(w.items()), "bucket bigint, weight double"
+    )
+
+
+@query(
+    "docs_classifier_confusion",
+    _cls_sql("""
+    SELECT y AS label, CASE WHEN z >= 0 THEN 1 ELSE 0 END AS predicted,
+           COUNT(*)::BIGINT AS n
+    FROM scored GROUP BY 1, 2"""),
+)
+def docs_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the trained classifier over its training
+    corpus — the convergence evidence (sf0.01: accuracy 0.846 vs the
+    0.512 majority baseline).  Uses the same memoized weights as
+    docs_classifier_train_weights."""
+    from opentimes_spark.operators.inference import classifier_confusion
+
+    feats, w = _cls_trained_weights(spark, sf_dir)
+    return classifier_confusion(feats, w)
+
+
+@query(
+    "docs_classifier_scores",
+    _cls_sql("""
+    SELECT doc_id, y AS label, ROUND(z, 6) AS score,
+           CASE WHEN z >= 0 THEN 1 ELSE 0 END AS predicted
+    FROM scored"""),
+)
+def docs_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document activations under the trained weights — the value-
+    level certification that the distributed scorer and the oracle
+    agree on every document, not just on aggregate counts."""
+    from opentimes_spark.operators.inference import classifier_scores
+
+    feats, w = _cls_trained_weights(spark, sf_dir)
+    return classifier_scores(feats, w)
