@@ -1,0 +1,169 @@
+"""State-store telemetry (streaming/telemetry.py): progress rows
+surface per-operator state counts, the listener tails them to JSONL,
+and the plateau invariant holds — steady-state ingest with watermark
+eviction keeps stream-stream join state bounded by rate x horizon
+instead of growing with total ingest (VERDICT r7 item 8)."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentimes_spark.streaming.events import stream_stream_left_outer_join
+from opentimes_spark.streaming.telemetry import (
+    assert_state_plateau,
+    attach_state_listener,
+    detach_state_listener,
+    read_state_telemetry,
+    state_operator_metrics,
+    telemetry_df,
+)
+
+SCHEMA = "user_id long, ts timestamp, event_id long, event_type string, value double"
+
+
+def _batch_rows(epoch_start: datetime, n_users: int, base_id: int):
+    """One ingest slice: every user clicks then purchases inside the
+    join horizon, plus one unmatched purchase per 4 users."""
+    rows = []
+    for u in range(n_users):
+        t0 = epoch_start + timedelta(minutes=u)
+        rows.append((u, t0, base_id + 2 * u, "click", 0.0))
+        rows.append(
+            (u, t0 + timedelta(minutes=5), base_id + 2 * u + 1, "purchase", 9.9)
+        )
+        if u % 4 == 0:
+            rows.append(
+                (
+                    1000 + u,
+                    t0 + timedelta(minutes=7),
+                    base_id + 10_000 + u,
+                    "purchase",
+                    1.0,
+                )
+            )
+    return rows
+
+
+def test_state_plateaus_under_steady_ingest_with_eviction(spark, tmp_path):
+    """Five availableNow slices, each 6 hours later than the last
+    (join horizon 1h, watermark delay 0s): every slice's state must
+    fully evict before the next, so state_rows stays bounded by ONE
+    slice's volume while total ingest grows 5x.  Also checks eviction
+    telemetry: rows_removed accumulates across batches."""
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    os.makedirs(cdir), os.makedirs(pdir)
+    jsonl = str(tmp_path / "state_telemetry.jsonl")
+
+    listener = attach_state_listener(spark, jsonl)
+    try:
+        all_rows = []
+        per_slice = 25  # users per slice
+        for k in range(5):
+            rows = _batch_rows(
+                datetime(2026, 1, 1, 0, 0) + timedelta(hours=6 * k),
+                per_slice,
+                base_id=100_000 * k,
+            )
+            df = spark.createDataFrame(rows, SCHEMA)
+            df.filter(F.col("event_type") == "click").coalesce(1).write.mode(
+                "append"
+            ).parquet(cdir)
+            df.filter(F.col("event_type") == "purchase").coalesce(1).write.mode(
+                "append"
+            ).parquet(pdir)
+
+            cs = spark.readStream.schema(SCHEMA).parquet(cdir)
+            ps = spark.readStream.schema(SCHEMA).parquet(pdir)
+            joined = stream_stream_left_outer_join(
+                cs, ps, within="1 hour", watermark="0 seconds"
+            )
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            all_rows.extend(state_operator_metrics(q))
+
+        state_rows = [r for r in all_rows if r["state_rows"] is not None]
+        assert state_rows, "no state-operator telemetry captured"
+        # rate x horizon budget: one slice holds at most 2 rows/user +
+        # the unmatched purchases + both-side buffering; 4x slice volume
+        # is a generous per-slice ceiling that 5x total ingest would
+        # blow through if eviction leaked
+        budget = 4 * (2 * per_slice + per_slice // 4 + 1)
+        summary = assert_state_plateau(state_rows, per_batch_bound=budget)
+        assert summary["total_removed"] > 0  # eviction actually ran
+        # growth-without-eviction would show as a tail above one slice
+        total_ingested = 5 * (2 * per_slice + per_slice // 4 + 1)
+        assert summary["max_state_rows"] < total_ingested
+
+        # the push path saw the same batches the pull path did
+        assert listener.rows, "listener captured nothing"
+        pulled = {(r["batch_id"], r["operator"]) for r in state_rows}
+        pushed = {(r["batch_id"], r["operator"]) for r in listener.rows}
+        assert pushed & pulled
+
+        # catalog-layer read-back (listener events are async — the last
+        # progress row may land shortly after awaitTermination returns)
+        import time
+
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            tele = read_state_telemetry(spark, jsonl)
+            if tele.count() == len(listener.rows):
+                break
+            time.sleep(0.5)
+        assert tele.count() == len(listener.rows)
+        assert tele.filter(F.col("state_rows").isNull()).count() == 0
+    finally:
+        detach_state_listener(spark, listener)
+
+
+def test_assert_state_plateau_flags_leak(spark):
+    """Meta-test: a monotonically growing state series above the budget
+    raises with the offending series; a flat one passes."""
+    grow = [
+        {"batch_id": i, "operator": "join", "state_rows": 100 * (i + 1),
+         "rows_updated": 100, "rows_removed": 0}
+        for i in range(4)
+    ]
+    with pytest.raises(AssertionError, match="budget"):
+        assert_state_plateau(grow, per_batch_bound=250)
+    flat = [
+        {"batch_id": i, "operator": "join", "state_rows": 120,
+         "rows_updated": 100, "rows_removed": 100}
+        for i in range(4)
+    ]
+    out = assert_state_plateau(flat, per_batch_bound=250)
+    assert out["max_state_rows"] == 120 and out["total_removed"] == 400
+
+
+def test_telemetry_df_schema(spark):
+    df = telemetry_df(
+        spark,
+        [
+            {
+                "query_id": "q",
+                "run_id": "r",
+                "batch_id": 1,
+                "operator": "symmetricHashJoin",
+                "state_rows": 10,
+                "rows_updated": 5,
+                "rows_removed": 2,
+                "memory_used_bytes": 4096,
+                "watermark": "2026-01-01T00:00:00.000Z",
+                "timestamp": "2026-01-01T00:00:01.000Z",
+            }
+        ],
+    )
+    assert df.count() == 1
+    assert set(df.columns) >= {"state_rows", "rows_removed", "watermark"}
