@@ -1154,3 +1154,181 @@ def ivfpq_topk_probe(
             "rnk",
         )
     )
+
+
+# --- MMR diversity re-rank (round 8) ----------------------------------------
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_candidates: int = 8,
+    k_select: int = 3,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998):
+    from each query's exact top-``k_candidates`` cosine shortlist,
+    iteratively select ``k_select`` results maximizing
+    ``lam*relevance - (1-lam)*max_similarity_to_already_selected`` —
+    the diversity pass every retrieval-augmented pipeline runs between
+    ANN shortlist and prompt assembly.
+
+    Deterministic by construction: relevance and candidate-candidate
+    similarities are cosine values ROUNDED to 1e-6 before selection
+    (the registry's certified cosine idiom), every argmax tie-breaks on
+    candidate id, and the selection loop is k_select DataFrame rounds
+    (argmax per query via one row_number window each) — so the DuckDB
+    oracle replays the full selection exactly.
+
+    Scale story: the shortlist is k_candidates rows/query and the pair
+    matrix k² rows/query, both independent of corpus size — MMR cost
+    rides on the ANN probe, never the corpus.  Returns
+    (query_id, cand_id, sel_rank, mmr_score)."""
+    cands = brute_force_topk(
+        queries, corpus, k=k_candidates, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "cand_id", F.col("cos_sim").alias("rel"))
+    vecs = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v")
+    )
+    a = cands.select("query_id", F.col("cand_id").alias("a_id"))
+    b = cands.select("query_id", F.col("cand_id").alias("b_id"))
+    pair = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .join(vecs.select(F.col("cand_id").alias("a_id"),
+                          F.col("v").alias("a_v")), "a_id")
+        .join(vecs.select(F.col("cand_id").alias("b_id"),
+                          F.col("v").alias("b_v")), "b_id")
+        .select(
+            "query_id", "a_id", "b_id",
+            F.round(cosine(F.col("a_v"), F.col("b_v")), 6).alias("sim"),
+        )
+    )
+
+    selected: DataFrame | None = None
+    out = []
+    for r in range(1, k_select + 1):
+        if selected is None:
+            scored = cands.select(
+                "query_id", "cand_id", F.col("rel").alias("mmr_score")
+            )
+        else:
+            remaining = cands.join(
+                selected.select("query_id", "cand_id"),
+                ["query_id", "cand_id"],
+                "left_anti",
+            )
+            maxsim = (
+                pair.join(
+                    selected.select(
+                        "query_id", F.col("cand_id").alias("b_id")
+                    ),
+                    ["query_id", "b_id"],
+                )
+                .groupBy("query_id", F.col("a_id").alias("cand_id"))
+                .agg(F.max("sim").alias("max_sim"))
+            )
+            scored = remaining.join(maxsim, ["query_id", "cand_id"]).select(
+                "query_id",
+                "cand_id",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("max_sim")
+                ).alias("mmr_score"),
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr_score"), F.asc("cand_id")
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                F.lit(r).cast("long").alias("sel_rank"),
+                "mmr_score",
+            )
+        )
+        out.append(pick)
+        selected = pick if selected is None else selected.unionByName(pick)
+        # cut the growing self-referential plan per round: each round's
+        # pick is tiny (1 row/query) and later rounds re-read it twice
+        selected = selected.localCheckpoint(eager=True)
+
+    result = out[0]
+    for p in out[1:]:
+        result = result.unionByName(p)
+    return result.select(
+        "query_id", "cand_id", "sel_rank", F.round("mmr_score", 6).alias("mmr_score")
+    )
+
+
+# --- Two-NN intrinsic dimension (round 8) ------------------------------------
+
+
+def twonn_intrinsic_dim(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017): for each
+    sampled point take the ratio mu = d2/d1 of its two nearest-neighbor
+    distances; the manifold dimension MLE is n / sum(ln mu).  The
+    embedding-health probe that catches collapsed or inflated embedding
+    spaces before they poison ANN recall.
+
+    Distances use the certified dot-product idiom only
+    (d^2 = |a|^2 + |b|^2 - 2ab, clamped at 0 for float cancellation),
+    ranking ties break on candidate id, degenerate d1=0 pairs (exact
+    duplicate vectors) are excluded, and the final sum folds ln(mu) in
+    query-id order — all replayable by the oracle.  Cost is
+    O(|sample| * corpus): run on a query SAMPLE, never corpus-wide.
+    Returns one row: (n_queries, sum_ln_mu, dim_est)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    from opentimes_spark.functions.vectors import dot
+
+    d2 = (
+        dot(F.col("q_vec"), F.col("q_vec"))
+        + dot(F.col("c_vec"), F.col("c_vec"))
+        - F.lit(2.0) * dot(F.col("q_vec"), F.col("c_vec"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("dsq", F.greatest(d2, F.lit(0.0)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dsq"), F.asc("cand_id"))
+    two = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("dsq"))).alias("d1sq"),
+            F.min(F.when(F.col("rn") == 2, F.col("dsq"))).alias("d2sq"),
+        )
+        .filter(F.col("d1sq") > 0)
+        .select(
+            "query_id",
+            F.log(F.sqrt(F.col("d2sq") / F.col("d1sq"))).alias("ln_mu"),
+        )
+    )
+    folded = two.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("query_id", "ln_mu"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["ln_mu"],
+        ).alias("s"),
+    )
+    return folded.select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.round(F.col("s"), 6).alias("sum_ln_mu"),
+        F.round(F.col("n_queries") / F.col("s"), 4).alias("dim_est"),
+    )

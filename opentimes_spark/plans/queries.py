@@ -16441,3 +16441,565 @@ def docs_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats, w = _cls_trained_weights(spark, sf_dir)
     return classifier_scores(feats, w)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 battery I: retrieval post-processing + embedding health +
+# experimentation + CDC retraction algebra.
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+    "sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "sim_mmr_rerank",
+    f"""
+    WITH cands AS (
+        SELECT query_id, cand_id, rel FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROUND({_COS.format(a="q.embedding::DOUBLE[]", b="c.embedding::DOUBLE[]")}, 6) AS rel,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_COS.format(a="q.embedding::DOUBLE[]", b="c.embedding::DOUBLE[]")} DESC,
+                                c.vec_id
+                   ) AS rnk
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+        ) WHERE rnk <= 8
+    ),
+    pair AS (
+        SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+               ROUND({_COS.format(a="va.embedding::DOUBLE[]", b="vb.embedding::DOUBLE[]")}, 6) AS sim
+        FROM cands a
+        JOIN cands b ON b.query_id = a.query_id AND b.cand_id != a.cand_id
+        JOIN embeddings va ON va.vec_id = a.cand_id
+        JOIN embeddings vb ON vb.vec_id = b.cand_id
+    ),
+    sel1 AS (
+        SELECT query_id, cand_id, 1 AS sel_rank, rel AS mmr_score FROM (
+            SELECT query_id, cand_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, cand_id) AS rn
+            FROM cands
+        ) WHERE rn = 1
+    ),
+    sel2 AS (
+        SELECT query_id, cand_id, 2 AS sel_rank, mmr_score FROM (
+            SELECT s.query_id, s.cand_id, s.mmr_score,
+                   ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.mmr_score DESC, s.cand_id) AS rn
+            FROM (
+                SELECT c.query_id, c.cand_id,
+                       0.5 * c.rel - 0.5 * MAX(p.sim) AS mmr_score
+                FROM cands c
+                JOIN sel1 s1 ON s1.query_id = c.query_id
+                            AND c.cand_id != s1.cand_id
+                JOIN pair p ON p.query_id = c.query_id
+                           AND p.a_id = c.cand_id AND p.b_id = s1.cand_id
+                GROUP BY c.query_id, c.cand_id, c.rel
+            ) s
+        ) WHERE rn = 1
+    ),
+    sel12 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2),
+    sel3 AS (
+        SELECT query_id, cand_id, 3 AS sel_rank, mmr_score FROM (
+            SELECT s.query_id, s.cand_id, s.mmr_score,
+                   ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.mmr_score DESC, s.cand_id) AS rn
+            FROM (
+                SELECT c.query_id, c.cand_id,
+                       0.5 * c.rel - 0.5 * MAX(p.sim) AS mmr_score
+                FROM cands c
+                JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.cand_id
+                JOIN sel12 s ON s.query_id = p.query_id AND s.cand_id = p.b_id
+                WHERE NOT EXISTS (SELECT 1 FROM sel12 x
+                                  WHERE x.query_id = c.query_id
+                                    AND x.cand_id = c.cand_id)
+                GROUP BY c.query_id, c.cand_id, c.rel
+            ) s
+        ) WHERE rn = 1
+    )
+    SELECT query_id, cand_id, CAST(sel_rank AS BIGINT) AS sel_rank,
+           ROUND(mmr_score, 6) AS mmr_score
+    FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+          UNION ALL SELECT * FROM sel3)
+    """,
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank over each query's exact top-8 shortlist
+    (lambda=0.5, 3 selections): the post-ANN diversity pass of a RAG
+    retrieval stack, certified — relevance and candidate-pair cosines
+    round to 1e-6 BEFORE selection, ties break on candidate id, and the
+    oracle unrolls all three selection rounds.  Cost is k and k^2 rows
+    per query — independent of corpus size (operators/similarity.py:
+    mmr_rerank; lambda=0.5 keeps both MMR coefficients exactly
+    representable so the engines' score arithmetic is bit-equal)."""
+    from opentimes_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") < 10), emb,
+        k_candidates=8, k_select=3, lam=0.5,
+    )
+
+
+@query(
+    "embed_twonn_intrinsic_dim",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id % 31 = 0
+    ),
+    d AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               GREATEST(list_dot_product(q.q_vec, q.q_vec)
+                        + list_dot_product(c.embedding::DOUBLE[],
+                                           c.embedding::DOUBLE[])
+                        - 2.0 * list_dot_product(q.q_vec,
+                                                 c.embedding::DOUBLE[]),
+                        0.0) AS dsq
+        FROM q CROSS JOIN embeddings c
+        WHERE c.vec_id != q.query_id
+    ),
+    two AS (
+        SELECT query_id,
+               MIN(CASE WHEN rn = 1 THEN dsq END) AS d1sq,
+               MIN(CASE WHEN rn = 2 THEN dsq END) AS d2sq
+        FROM (SELECT query_id, dsq,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY dsq, cand_id) AS rn
+              FROM d)
+        WHERE rn <= 2
+        GROUP BY query_id
+    ),
+    lnmu AS (
+        SELECT query_id, ln(sqrt(d2sq / d1sq)) AS ln_mu
+        FROM two WHERE d1sq > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(list_aggregate(list(ln_mu ORDER BY query_id), 'sum'), 6)
+               AS sum_ln_mu,
+           ROUND(COUNT(*) / list_aggregate(list(ln_mu ORDER BY query_id),
+                                           'sum'), 4) AS dim_est
+    FROM lnmu
+    """,
+)
+def embed_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017) over a
+    deterministic 1/31 sample: mu = d2/d1 nearest-neighbor distance
+    ratios, dim = n / sum(ln mu) — the embedding-health probe that
+    catches collapsed (dim ~ 1) or isotropic-noise (dim ~ ambient)
+    embedding spaces before they poison ANN recall.  Distances via the
+    certified dot-product idiom (|a|^2+|b|^2-2ab clamped at 0), ln-sum
+    folded in query-id order (operators/similarity.py:
+    twonn_intrinsic_dim)."""
+    from opentimes_spark.operators.similarity import twonn_intrinsic_dim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return twonn_intrinsic_dim(emb.filter(F.col("vec_id") % 31 == 0), emb)
+
+
+@query(
+    "events_cuped_adjusted_lift",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    ),
+    bounds AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+    per_user AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN 2 * us < lo + hi THEN v END), 0)
+                    AS DECIMAL(18,2)) AS x,
+               CAST(COALESCE(SUM(CASE WHEN 2 * us >= lo + hi THEN v END), 0)
+                    AS DECIMAL(18,2)) AS y,
+               CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        FROM ev CROSS JOIN bounds
+        GROUP BY user_id
+    ),
+    overall AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM per_user
+    ),
+    theta AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS th,
+               sx / n AS mean_x_all
+        FROM overall
+    ),
+    by_variant AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS DOUBLE) AS sx_v,
+               CAST(SUM(y) AS DOUBLE) AS sy_v
+        FROM per_user GROUP BY variant
+    )
+    SELECT v.variant, v.n_users,
+           ROUND(v.sx_v / v.n_users, 6) AS mean_pre,
+           ROUND(v.sy_v / v.n_users, 6) AS mean_post,
+           ROUND(t.th, 6) AS theta,
+           ROUND(v.sy_v / v.n_users
+                 - t.th * (v.sx_v / v.n_users - t.mean_x_all), 6)
+               AS adj_mean_post
+    FROM by_variant v CROSS JOIN theta t
+    """,
+)
+def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): per-user pre-period
+    value X (first half of the time range by exact integer-microsecond
+    midpoint — 2*t < lo+hi, no division) covariate-adjusts the
+    post-period metric Y; theta = cov(X,Y)/var(X) from EXACT
+    DECIMAL moment sums cast to double only at the ratio, variants
+    assigned by the registry's md5 coin.  The experimentation twin of
+    events_ab_lift_ztest — same comparison, ~(1-corr^2) of the
+    variance.  Every moment is a one-pass exact aggregate: at 100 TB
+    this is two shuffles (user rollup, variant rollup), no sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.lit(2) * F.col("us") < F.col("lo") + F.col("hi"),
+                             F.col("v"))),
+                F.lit(0),
+            ).cast("decimal(18,2)").alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.lit(2) * F.col("us") >= F.col("lo") + F.col("hi"),
+                             F.col("v"))),
+                F.lit(0),
+            ).cast("decimal(18,2)").alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16, 10,
+                ).cast("bigint") % 2 == 0,
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    overall = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    ).select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("th"),
+        (F.col("sx") / F.col("n")).alias("mean_x_all"),
+    )
+    by_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("double").alias("sx_v"),
+        F.sum("y").cast("double").alias("sy_v"),
+    )
+    return by_variant.crossJoin(F.broadcast(overall)).select(
+        "variant",
+        "n_users",
+        F.round(F.col("sx_v") / F.col("n_users"), 6).alias("mean_pre"),
+        F.round(F.col("sy_v") / F.col("n_users"), 6).alias("mean_post"),
+        F.round(F.col("th"), 6).alias("theta"),
+        F.round(
+            F.col("sy_v") / F.col("n_users")
+            - F.col("th") * (F.col("sx_v") / F.col("n_users") - F.col("mean_x_all")),
+            6,
+        ).alias("adj_mean_post"),
+    )
+
+
+@query(
+    "orders_cdc_retraction_agg",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+    ),
+    changes AS (
+        SELECT pri, 1 AS op, CAST(price AS DECIMAL(20,4)) AS val FROM base
+        UNION ALL   -- update = retract old + insert new (exact *1.05)
+        SELECT pri, -1, CAST(price AS DECIMAL(20,4))
+        FROM base WHERE k % 7 = 0
+        UNION ALL
+        SELECT pri, 1, CAST(price * CAST(1.05 AS DECIMAL(3,2)) AS DECIMAL(20,4))
+        FROM base WHERE k % 7 = 0
+        UNION ALL   -- delete retracts the CURRENT (possibly updated) value
+        SELECT pri, -1,
+               CAST(CASE WHEN k % 7 = 0
+                         THEN price * CAST(1.05 AS DECIMAL(3,2))
+                         ELSE price END AS DECIMAL(20,4))
+        FROM base WHERE k % 11 = 0
+    ),
+    maintained AS (
+        SELECT pri,
+               CAST(SUM(op) AS BIGINT) AS m_count,
+               CAST(SUM(op * val) AS DOUBLE) AS m_sum
+        FROM changes GROUP BY pri
+    ),
+    recomputed AS (
+        SELECT pri,
+               CAST(COUNT(*) AS BIGINT) AS r_count,
+               CAST(SUM(CAST(CASE WHEN k % 7 = 0
+                                  THEN price * CAST(1.05 AS DECIMAL(3,2))
+                                  ELSE price END AS DECIMAL(20,4)))
+                    AS DOUBLE) AS r_sum
+        FROM base WHERE k % 11 != 0 GROUP BY pri
+    )
+    SELECT m.pri AS priority, m.m_count, ROUND(m.m_sum, 2) AS m_sum,
+           r.r_count, ROUND(r.r_sum, 2) AS r_sum,
+           (m.m_count = r.r_count AND m.m_sum = r.r_sum) AS consistent
+    FROM maintained m JOIN recomputed r ON r.pri = m.pri
+    """,
+)
+def orders_cdc_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC aggregation with RETRACTIONS — the algebra orders_cdc_merge
+    (upsert-only) doesn't exercise: a deterministic change stream
+    (insert all, update every 7th key to price*1.05 as retract+insert,
+    delete every 11th key retracting its CURRENT value) maintains
+    per-priority COUNT/SUM purely from signed deltas, then proves the
+    maintained state equals a from-scratch recompute (`consistent`).
+    Exact DECIMAL arithmetic throughout (1.05 scaling stays exact at
+    scale 4), doubles only at output.  At 100 TB the maintained path
+    aggregates the DAY'S changes — never rescans history; this query
+    certifies the algebra that makes that safe."""
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    new_price = (
+        F.col("price") * F.lit("1.05").cast("decimal(3,2)")
+    ).cast("decimal(20,4)")
+    cur_price = F.when(F.col("k") % 7 == 0, new_price).otherwise(
+        F.col("price").cast("decimal(20,4)")
+    )
+    changes = (
+        base.select("pri", F.lit(1).alias("op"),
+                    F.col("price").cast("decimal(20,4)").alias("val"))
+        .unionAll(
+            base.filter(F.col("k") % 7 == 0).select(
+                "pri", F.lit(-1).alias("op"),
+                F.col("price").cast("decimal(20,4)").alias("val"),
+            )
+        )
+        .unionAll(
+            base.filter(F.col("k") % 7 == 0).select(
+                "pri", F.lit(1).alias("op"), new_price.alias("val")
+            )
+        )
+        .unionAll(
+            base.filter(F.col("k") % 11 == 0).select(
+                "pri", F.lit(-1).alias("op"), cur_price.alias("val")
+            )
+        )
+    )
+    maintained = changes.groupBy("pri").agg(
+        F.sum("op").cast("bigint").alias("m_count"),
+        F.sum(F.col("op") * F.col("val")).cast("double").alias("m_sum"),
+    )
+    recomputed = (
+        base.filter(F.col("k") % 11 != 0)
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("r_count"),
+            F.sum(cur_price).cast("double").alias("r_sum"),
+        )
+    )
+    return maintained.join(recomputed, "pri").select(
+        F.col("pri").alias("priority"),
+        "m_count",
+        F.round("m_sum", 2).alias("m_sum"),
+        "r_count",
+        F.round("r_sum", 2).alias("r_sum"),
+        (
+            (F.col("m_count") == F.col("r_count"))
+            & (F.col("m_sum") == F.col("r_sum"))
+        ).alias("consistent"),
+    )
+
+
+@query(
+    "sim_eval_mrr_ndcg",
+    f"""
+    WITH {_KMEANS2_CTES},
+    {_KMEANS2_ASSIGN_FINAL},
+    q AS (
+        SELECT vec_id AS query_id, v AS q_vec FROM corpus WHERE vec_id < 20
+    ),
+    probes AS (
+        SELECT query_id, q_vec, cid
+        FROM (
+            SELECT q.query_id, q.q_vec, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.q_vec, c.c)
+                                / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                                   * sqrt(list_dot_product(c.c, c.c)))
+                                DESC, c.cid
+                   ) AS cent_rnk
+            FROM q CROSS JOIN cents2 c
+        )
+        WHERE cent_rnk <= 2
+    ),
+    ivf AS (
+        SELECT query_id, cand_id, rnk FROM (
+            SELECT p.query_id, a.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_dot_product(p.q_vec, a.v)
+                                / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                                   * sqrt(list_dot_product(a.v, a.v)))
+                                DESC, a.vec_id
+                   ) AS rnk
+            FROM probes p JOIN assign_final a ON a.cid = p.cid
+            WHERE p.query_id != a.vec_id
+        ) WHERE rnk <= 10
+    ),
+    exact AS (
+        SELECT query_id, cand_id, rnk FROM (
+            SELECT q.query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.q_vec, c.v)
+                                / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                                   * sqrt(list_dot_product(c.v, c.v)))
+                                DESC, c.vec_id
+                   ) AS rnk
+            FROM q JOIN corpus c ON c.vec_id != q.query_id
+        ) WHERE rnk <= 10
+    ),
+    gains AS (
+        SELECT i.query_id, i.rnk AS sys_rnk,
+               COALESCE(11 - e.rnk, 0) / log2(i.rnk + 1.0) AS g
+        FROM ivf i
+        LEFT JOIN exact e ON e.query_id = i.query_id
+                         AND e.cand_id = i.cand_id
+    ),
+    dcg AS (
+        SELECT query_id,
+               list_aggregate(list(g ORDER BY sys_rnk), 'sum') AS dcg
+        FROM gains GROUP BY query_id
+    ),
+    idcg AS (
+        SELECT query_id,
+               list_aggregate(list((11 - rnk) / log2(rnk + 1.0)
+                                   ORDER BY rnk), 'sum') AS idcg
+        FROM exact GROUP BY query_id
+    ),
+    rr AS (
+        SELECT e.query_id, COALESCE(1.0 / i.rnk, 0.0) AS rr
+        FROM exact e
+        LEFT JOIN ivf i ON i.query_id = e.query_id AND i.cand_id = e.cand_id
+        WHERE e.rnk = 1
+    )
+    SELECT d.query_id, ROUND(r.rr, 6) AS rr, ROUND(d.dcg, 6) AS dcg,
+           ROUND(c.idcg, 6) AS idcg, ROUND(d.dcg / c.idcg, 6) AS ndcg
+    FROM dcg d JOIN idcg c ON c.query_id = d.query_id
+    JOIN rr r ON r.query_id = d.query_id
+    """,
+)
+def sim_eval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the IVF index beyond recall:
+    per-query MRR (reciprocal rank of the TRUE nearest neighbor in the
+    system list) and nDCG@10 with graded relevance 11-true_rank — the
+    metrics a production ANN rollout actually gates on, since recall
+    treats rank 1 and rank 10 alike.  Composes the certified paths
+    (ivf_topk_probe over the materialized k-means index, brute-force
+    ground truth on the 20-query sample); gain sums fold in rank order
+    so the doubles associate identically in both engines."""
+    from opentimes_spark.operators.similarity import (
+        brute_force_topk,
+        corpus_fingerprint,
+        ensure_ivf_index,
+        ivf_topk_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    idx = ensure_ivf_index(
+        spark,
+        emb,
+        cache_key=f"ivf-kmeans::{sf_dir}",
+        fingerprint=corpus_fingerprint(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ),
+        builder="kmeans",
+        k=8,
+        max_iter=2,
+        tol=0.0,
+    )
+    truth = brute_force_topk(q, emb, k=10).select(
+        "query_id", "cand_id", F.col("rnk").alias("true_rnk")
+    )
+    sys_ = ivf_topk_probe(spark, q, idx, k=10, n_probe=2).select(
+        "query_id", "cand_id", F.col("rnk").alias("sys_rnk")
+    )
+    gains = sys_.join(truth, ["query_id", "cand_id"], "left").select(
+        "query_id",
+        "sys_rnk",
+        (
+            F.coalesce(F.lit(11) - F.col("true_rnk"), F.lit(0))
+            / F.log2(F.col("sys_rnk") + F.lit(1.0))
+        ).alias("g"),
+    )
+    dcg = gains.groupBy("query_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("sys_rnk", "g"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["g"],
+        ).alias("dcg")
+    )
+    idcg = truth.groupBy("query_id").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "true_rnk",
+                        (
+                            (F.lit(11) - F.col("true_rnk"))
+                            / F.log2(F.col("true_rnk") + F.lit(1.0))
+                        ).alias("g"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["g"],
+        ).alias("idcg")
+    )
+    rr = (
+        truth.filter(F.col("true_rnk") == 1)
+        .join(sys_, ["query_id", "cand_id"], "left")
+        .select(
+            "query_id",
+            F.coalesce(F.lit(1.0) / F.col("sys_rnk"), F.lit(0.0)).alias("rr"),
+        )
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .join(rr, "query_id")
+        .select(
+            "query_id",
+            F.round("rr", 6).alias("rr"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )
