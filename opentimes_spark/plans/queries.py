@@ -17003,3 +17003,206 @@ def sim_eval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+@query(
+    "orders_holt_linear_forecast",
+    """
+    WITH RECURSIVE wkr AS (
+        SELECT DATE_DIFF('day', DATE '1995-01-01',
+                         CAST(DATE_TRUNC('week', o_orderdate) AS DATE)) AS wday,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ),
+    wk AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY wday) AS i, y FROM wkr
+    ),
+    holt AS (
+        SELECT CAST(1 AS BIGINT) AS i, y AS l, CAST(0.0 AS DOUBLE) AS b,
+               CAST(0.0 AS DOUBLE) AS sae
+        FROM wk WHERE i = 1
+        UNION ALL
+        SELECT w.i,
+               0.5 * w.y + 0.5 * (h.l + h.b),
+               0.5 * ((0.5 * w.y + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b,
+               h.sae + abs(w.y - (h.l + h.b))
+        FROM holt h JOIN wk w ON w.i = h.i + 1
+    )
+    SELECT CAST(i AS BIGINT) AS n_weeks,
+           ROUND(l, 4) AS level, ROUND(b, 4) AS trend,
+           ROUND(l + b, 4) AS forecast_next,
+           ROUND(sae / (i - 1), 4) AS mae
+    FROM holt WHERE i = (SELECT MAX(i) FROM wk)
+    """,
+)
+def orders_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (alpha=beta=0.5, l1=y1, b1=0)
+    over the weekly-revenue series, with one-step-ahead MAE accumulated
+    on the same pass — certified ITERATIVE state: Spark runs the
+    recurrence as a single sorted `F.aggregate` struct fold (one row
+    per week after the rollup — driver-light, shuffle-free past the
+    week aggregation), the oracle as a step-indexed RECURSIVE CTE with
+    identical per-step float expressions.  DuckDB's `list_reduce` was
+    REJECTED for the oracle: chained struct-state steps mis-evaluate in
+    1.0 (single application correct, 3-step chain drifts — measured),
+    the recursive CTE is the trustworthy replay.  Smoothing constants
+    0.5 are exactly representable, so per-step arithmetic is bit-equal
+    across engines."""
+    wk = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.date_trunc("week", F.col("o_orderdate")).cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            ).alias("wday")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("sae"),
+        F.lit(0).cast("bigint").alias("n"),
+    )
+
+    def step(acc, s):
+        y = s["y"]
+        init = F.struct(
+            y.alias("l"),
+            F.lit(0.0).alias("b"),
+            F.lit(0.0).alias("sae"),
+            F.lit(1).cast("bigint").alias("n"),
+        )
+        upd = F.struct(
+            (F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"])).alias("l"),
+            (
+                F.lit(0.5)
+                * ((F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"])) - acc["l"])
+                + F.lit(0.5) * acc["b"]
+            ).alias("b"),
+            (acc["sae"] + F.abs(y - (acc["l"] + acc["b"]))).alias("sae"),
+            (acc["n"] + F.lit(1)).cast("bigint").alias("n"),
+        )
+        return F.when(acc["n"] == 0, init).otherwise(upd)
+
+    folded = wk.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("wday", "y"))),
+            zero,
+            step,
+        ).alias("h")
+    )
+    return folded.select(
+        F.col("h.n").alias("n_weeks"),
+        F.round(F.col("h.l"), 4).alias("level"),
+        F.round(F.col("h.b"), 4).alias("trend"),
+        F.round(F.col("h.l") + F.col("h.b"), 4).alias("forecast_next"),
+        F.round(F.col("h.sae") / (F.col("h.n") - F.lit(1)), 4).alias("mae"),
+    )
+
+
+@query(
+    "orders_open_backlog_by_month",
+    """
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               year(o_orderdate) * 12 + month(o_orderdate) AS m_open
+        FROM orders
+    ),
+    closes_per_order AS (
+        SELECT l_orderkey AS k,
+               MAX(year(l_shipdate) * 12 + month(l_shipdate)) AS m_close
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    spans AS (
+        SELECT o.k, o.m_open, c.m_close   -- NULL m_close = never ships
+        FROM o LEFT JOIN closes_per_order c ON c.k = o.k
+    ),
+    opens AS (SELECT m_open AS m, COUNT(*) AS n_open FROM spans GROUP BY 1),
+    closes AS (
+        SELECT m_close AS m, COUNT(*) AS n_close
+        FROM spans WHERE m_close IS NOT NULL GROUP BY 1
+    ),
+    grid AS (
+        SELECT m FROM opens UNION SELECT m FROM closes
+    ),
+    cum AS (
+        SELECT g.m,
+               COALESCE(o.n_open, 0) AS n_open,
+               COALESCE(c.n_close, 0) AS n_close,
+               SUM(COALESCE(o.n_open, 0)) OVER w AS opened_cum,
+               SUM(COALESCE(c.n_close, 0)) OVER w AS closed_cum
+        FROM grid g
+        LEFT JOIN opens o ON o.m = g.m
+        LEFT JOIN closes c ON c.m = g.m
+        WINDOW w AS (ORDER BY g.m ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT m AS month_key,
+           CAST(n_open AS BIGINT) AS opened,
+           CAST(n_close AS BIGINT) AS closed,
+           CAST(opened_cum - closed_cum AS BIGINT) AS backlog
+    FROM cum
+    """,
+)
+def orders_open_backlog_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog at each month end by INTERVAL ACCOUNTING: an
+    order opens at o_orderdate and closes at its last lineitem
+    shipment; backlog(M) = cumulative opens - cumulative closes over
+    the union month grid.  The scale-right form of 'how many open as
+    of each month' — the naive month x order interval join is
+    O(months * orders), this is one order rollup + two month-grain
+    aggregates + a prefix sum over the (tiny) month dimension, exactly
+    the +1/-1 sweep idiom.  Never-shipped orders stay in the backlog
+    forever (NULL close).  Integer counts throughout.  The
+    unpartitioned window is over the month DIMENSION (~100 rows), the
+    registry's aggregate-first window idiom."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m_open"),
+    )
+    cpo = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(
+            F.max(F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias(
+                "m_close"
+            )
+        )
+    )
+    spans = o.join(cpo, "k", "left")
+    opens = spans.groupBy(F.col("m_open").alias("m")).agg(
+        F.count(F.lit(1)).alias("n_open")
+    )
+    closes = (
+        spans.filter(F.col("m_close").isNotNull())
+        .groupBy(F.col("m_close").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_close"))
+    )
+    grid = opens.select("m").union(closes.select("m")).distinct()
+    w = (
+        Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(opens, "m", "left")
+        .join(closes, "m", "left")
+        .select(
+            "m",
+            F.coalesce("n_open", F.lit(0)).alias("n_open"),
+            F.coalesce("n_close", F.lit(0)).alias("n_close"),
+        )
+        .withColumn("opened_cum", F.sum("n_open").over(w))
+        .withColumn("closed_cum", F.sum("n_close").over(w))
+    )
+    return cum.select(
+        F.col("m").alias("month_key"),
+        F.col("n_open").cast("bigint").alias("opened"),
+        F.col("n_close").cast("bigint").alias("closed"),
+        (F.col("opened_cum") - F.col("closed_cum")).cast("bigint").alias("backlog"),
+    )
