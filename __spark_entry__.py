@@ -26,13 +26,14 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # and semantics; only dict order changes.  `tools/check.py` independently
 # replays ALL registered queries regardless of order.
 #
-# After r7: all 276 registered names have a hash-green driver row across
-# r1-r7 (CORRECTNESS_r07 was 50/50 green; the 48 r7 additions are folded
+# After r8: all 287 registered names have a hash-green driver row across
+# r1-r8 (CORRECTNESS_r08 was 50/50 green; the 11 r8 additions are folded
 # into _CERTIFIED below per the standing pattern).  _FRONT holds names
-# whose SEMANTICS changed this round and therefore need a fresh driver
-# hash; it is empty for r8, so the whole 50-name window is free for
-# round-8 additions (budget ≤ 50 new names via `fresh`).
-_FRONT: list[str] = []
+# whose SEMANTICS/PLAN changed this round and therefore need a fresh
+# driver hash; for r9 it re-fronts `orders_open_backlog_by_month` (its
+# order-grain join was trimmed per VERDICT r8 Next #7), leaving ~49
+# window slots for round-9 additions (budget ≤ 49 new names via `fresh`).
+_FRONT: list[str] = ["orders_open_backlog_by_month"]
 
 
 def _ordered(mapping):
@@ -161,6 +162,12 @@ _CERTIFIED = {
     "embed_label_separation", "graph_clustering_coefficient",
     "cust_nation_segment_cramers_v", "events_type_share_drift",
     "dedup_lsh_incremental_ingest",
+    # r8-certified (CORRECTNESS_r08.json, 50/50 hash_match=true):
+    "embed_gram_pca_blas", "docs_classifier_train_weights",
+    "docs_classifier_confusion", "docs_classifier_scores", "sim_mmr_rerank",
+    "embed_twonn_intrinsic_dim", "events_cuped_adjusted_lift",
+    "orders_cdc_retraction_agg", "sim_eval_mrr_ndcg",
+    "orders_holt_linear_forecast", "orders_open_backlog_by_month",
 }
 
 

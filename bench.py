@@ -128,6 +128,15 @@ HEADLINE = [
     # priced because each iteration is a full corpus pass (broadcast
     # join + int64 gradient aggregate)
     "docs_classifier_train_weights",
+    # round-9: the mergeable quantile sketch priced both ways — the
+    # daily-ingest ladder (4 per-day sketch builds + persisted-merge
+    # p50/p95/p99, history never rescanned) and the bounds certificate
+    # (sketch build + exact-CDF rank-error verify in one pass); plus
+    # the ANN-fed MMR composition (IVF-PQ probe -> rescore -> MMR),
+    # closing VERDICT r8's one perf weak on the clock
+    "sketch_quantiles_daily",
+    "lineitem_price_sketch_cert",
+    "sim_mmr_rerank_ivfpq",
 ]
 
 

@@ -8,8 +8,12 @@ dated paths.  Re-expressed for a Spark data lake, that contract is the
 classic snapshot-directory + pointer-swap pattern (the simplified core
 of Iceberg/Delta table versioning):
 
-- each publish writes a brand-new immutable ``v=N`` directory — never
-  in-place over files a reader may be scanning;
+- each publish writes a brand-new ``v=N`` directory — never in-place
+  over files a reader may be scanning.  Plain table snapshots are
+  immutable; index artifacts may be APPEND-GROW (new complete files
+  accrete between publishes via ``append_into_snapshot``, which holds
+  the publish lock and refreshes the manifest — existing files are
+  still never rewritten);
 - a tiny ``_LATEST`` pointer file is swapped atomically (write-temp +
   ``os.replace``) AFTER the data and its manifest are fully committed,
   so readers see either the old version or the new one, never a
@@ -190,6 +194,72 @@ def publish_dir_snapshot(root: str, build_fn, meta: dict | None = None) -> int:
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(root, _POINTER))
         return version
+    finally:
+        os.unlink(lock_path)
+
+
+def append_into_snapshot(root: str, append_fn):
+    """Append new files into the LIVE version directory under the
+    publish lock, then refresh that version's manifest — the sanctioned
+    path for O(batch) index ingests (dedup ledger, LSH band rows,
+    IVF-PQ cells).
+
+    Version directories under an APPEND-GROW root are append-only, not
+    frozen: existing files are never rewritten (readers mid-scan are
+    safe — parquet files are immutable once closed), but the version
+    accretes new complete files between publishes.  Time travel to such
+    a version therefore means "the artifact as of now, at that
+    version's parameters", and its manifest tracks the growth: this
+    helper re-walks the directory and atomically rewrites ``_MANIFEST``
+    (n_files / bytes / an ``appends`` counter) after ``append_fn(vdir)``
+    returns, so the manifest is never stale past the lock release.
+    Taking ``_PUBLISH.lock`` serializes appends against compactions and
+    rebuilds — two concurrent maintainers fail fast
+    (``ConcurrentPublishError``) instead of racing the directory.
+
+    Returns ``append_fn``'s result."""
+    lock_path = os.path.join(root, _LOCK)
+    try:
+        fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentPublishError(
+            f"another publisher holds {lock_path}; if its process is "
+            "confirmed dead, remove the stale lock file and re-run"
+        ) from None
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as lf:
+            json.dump({"pid": os.getpid(), "taken_unix": int(time.time())}, lf)
+        vdir = current_dir(root)
+        result = append_fn(vdir)
+
+        mf_path = os.path.join(vdir, _MANIFEST)
+        with open(mf_path, encoding="utf-8") as f:
+            manifest = json.load(f)
+        # n_files counts .parquet DATA files (any depth — index sidecar
+        # dirs included); bytes totals every non-manifest byte.  The
+        # point is freshness: the manifest must reflect post-append
+        # reality, not the publish-time directory.
+        n_files = tot = 0
+        for droot, _dirs, files in os.walk(vdir):
+            for fn in files:
+                if fn == _MANIFEST:
+                    continue
+                if fn.endswith(".parquet"):
+                    n_files += 1
+                tot += os.path.getsize(os.path.join(droot, fn))
+        manifest.update(
+            n_files=n_files,
+            bytes=tot,
+            appends=int(manifest.get("appends", 0)) + 1,
+            appended_unix=int(time.time()),
+        )
+        tmp = mf_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mf_path)
+        return result
     finally:
         os.unlink(lock_path)
 

@@ -62,6 +62,46 @@ LSH_HOT_BAND_CAP = 64          # rows in one (band_idx, band_hash) bucket
 LSH_BAND_SIZE_MAX = 8          # escalation ceiling
 IVFPQ_STALENESS_MAX = 1.5      # mean/train cell distance ratio
 
+# --- decision log ------------------------------------------------------------
+#
+# "When did the LSH index last rebuild, and why?" must be a TABLE, not a
+# grep over job stdout (VERDICT r8 item 5).  Every maintain_* decision
+# appends one row to a parquet log: fixed columns for the filterable
+# dimensions (index, action, version, wall-clock), and the per-index
+# telemetry (hot_band_rows, staleness_ratio, accepted/rejected, ...) as
+# a JSON detail string — schema-stable across the three index kinds, and
+# still queryable field-by-field via get_json_object.  Same read-back
+# contract as streaming/telemetry.py: the log is ordinary data the
+# catalog layer can register as a view.
+
+DECISION_LOG_SCHEMA = (
+    "decided_ns long, index string, action string, version long, detail string"
+)
+
+
+def record_decision(spark: SparkSession, log_root: str, rec: dict) -> None:
+    """Append one decision record to the parquet decision log."""
+    import time
+
+    detail = {
+        k: v for k, v in rec.items() if k not in ("index", "action", "version")
+    }
+    row = (
+        time.time_ns(),
+        rec.get("index"),
+        rec.get("action"),
+        int(rec.get("version", -1)),
+        json.dumps(detail, sort_keys=True),
+    )
+    spark.createDataFrame([row], DECISION_LOG_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(log_root)
+
+
+def read_decision_log(spark: SparkSession, log_root: str) -> DataFrame:
+    """The decision log as a DataFrame, oldest decision first."""
+    return spark.read.parquet(log_root).orderBy("decided_ns")
+
 
 def _parquet_file_count(path: str) -> int:
     n = 0
@@ -82,6 +122,7 @@ def maintain_dedup_ledger(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files: int = LEDGER_MAX_FILES,
+    decision_log: str | None = None,
 ) -> dict:
     """Ingest ``batch`` against the versioned fingerprint ledger at
     ``root``; compact when fragmented.
@@ -115,8 +156,14 @@ def maintain_dedup_ledger(
                 spark.read.parquet(vdir).select("fp"), "fp", "left_anti"
             )
         )
-        # lineage reads vdir; localCheckpoint before appending into it
-        new_entries.localCheckpoint(eager=True).write.mode("append").parquet(vdir)
+        # lineage reads vdir; localCheckpoint before appending into it.
+        # The append goes through append_into_snapshot: publish lock
+        # held (no race with a concurrent compaction), manifest
+        # refreshed (ledger versions are append-grow, not frozen).
+        staged = new_entries.localCheckpoint(eager=True)
+        snapshots.append_into_snapshot(
+            root, lambda d: staged.write.mode("append").parquet(d)
+        )
         version = snapshots.latest_version(root)
         action = "append"
         live = vdir
@@ -128,7 +175,7 @@ def maintain_dedup_ledger(
         version = snapshots.write_snapshot(compacted, root, sort_by="fp")
         action = "compact"
         n_files = _parquet_file_count(snapshots.current_dir(root))
-    return {
+    rec = {
         "index": "dedup_ledger",
         "action": action,
         "version": int(version),
@@ -136,6 +183,9 @@ def maintain_dedup_ledger(
         "rejected": int(n_batch - n_accepted),
         "ledger_files": int(n_files),
     }
+    if decision_log:
+        record_decision(spark, decision_log, rec)
+    return rec
 
 
 # --- LSH band-row index ------------------------------------------------------
@@ -164,6 +214,7 @@ def maintain_lsh_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     hot_band_cap: int = LSH_HOT_BAND_CAP,
+    decision_log: str | None = None,
     **build_params,
 ) -> dict:
     """Ingest ``batch`` into the versioned LSH index at ``root``;
@@ -188,35 +239,52 @@ def maintain_lsh_index(
         )
         vdir = snapshots.current_dir(root)
         stats = lsh_hot_band_stats(spark, vdir)
-        return {
+        rec = {
             "index": "lsh", "action": "bootstrap", "version": int(version),
             "appended": 0, **stats,
         }
+        if decision_log:
+            record_decision(spark, decision_log, rec)
+        return rec
 
-    appended = D.append_to_lsh_index(batch, vdir, id_col, text_col)["appended"]
+    appended = snapshots.append_into_snapshot(
+        root, lambda d: D.append_to_lsh_index(batch, d, id_col, text_col)
+    )["appended"]
     stats = lsh_hot_band_stats(spark, vdir)
     action = "append"
+    saturated = False
     version = snapshots.latest_version(root)
     if stats["hot_band_rows"] > hot_band_cap:
         p = D.read_lsh_params(spark, vdir)
         new_band = min(
             p["band_size"] + 1, LSH_BAND_SIZE_MAX, p["num_hashes"]
         )
-        version = snapshots.publish_dir_snapshot(
-            root,
-            lambda d: D.write_lsh_index(
-                corpus, d, id_col, text_col,
-                num_hashes=p["num_hashes"], band_size=new_band,
-                shingle_size=p["shingle_size"], hash_fn=p["hash_fn"],
-            ),
-            meta={"built_from": "hot_band_rebuild", "band_size": new_band},
-        )
-        action = "rebuild"
-        stats = lsh_hot_band_stats(spark, snapshots.current_dir(root))
-    return {
+        if new_band == p["band_size"]:
+            # Escalation exhausted: a rebuild at identical parameters
+            # would be a full O(corpus) pass repeated on EVERY future
+            # ingest with no effect on the hot bucket.  Keep appending
+            # and surface the saturation so an operator can raise
+            # num_hashes / re-shingle instead of burning rebuilds.
+            saturated = True
+        else:
+            version = snapshots.publish_dir_snapshot(
+                root,
+                lambda d: D.write_lsh_index(
+                    corpus, d, id_col, text_col,
+                    num_hashes=p["num_hashes"], band_size=new_band,
+                    shingle_size=p["shingle_size"], hash_fn=p["hash_fn"],
+                ),
+                meta={"built_from": "hot_band_rebuild", "band_size": new_band},
+            )
+            action = "rebuild"
+            stats = lsh_hot_band_stats(spark, snapshots.current_dir(root))
+    rec = {
         "index": "lsh", "action": action, "version": int(version),
-        "appended": int(appended), **stats,
+        "appended": int(appended), "saturated": saturated, **stats,
     }
+    if decision_log:
+        record_decision(spark, decision_log, rec)
+    return rec
 
 
 # --- IVF-PQ vector index -----------------------------------------------------
@@ -231,6 +299,7 @@ def maintain_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     staleness_max: float = IVFPQ_STALENESS_MAX,
+    decision_log: str | None = None,
     **build_params,
 ) -> dict:
     """Ingest ``batch`` into the versioned IVF-PQ index at ``root``;
@@ -250,13 +319,19 @@ def maintain_ivfpq_index(
             ),
             meta={"built_from": "bootstrap", "dim": dim, **build_params},
         )
-        return {
+        rec = {
             "index": "ivfpq", "action": "bootstrap", "version": int(version),
             "appended": 0, "staleness_ratio": 0.0,
         }
+        if decision_log:
+            record_decision(spark, decision_log, rec)
+        return rec
 
-    tel = S.append_to_ivfpq_index(
-        spark, batch, vdir, dim=dim, id_col=id_col, vec_col=vec_col
+    tel = snapshots.append_into_snapshot(
+        root,
+        lambda d: S.append_to_ivfpq_index(
+            spark, batch, d, dim=dim, id_col=id_col, vec_col=vec_col
+        ),
     )
     action = "append"
     version = snapshots.latest_version(root)
@@ -273,9 +348,12 @@ def maintain_ivfpq_index(
             },
         )
         action = "rebuild"
-    return {
+    rec = {
         "index": "ivfpq", "action": action, "version": int(version), **tel,
     }
+    if decision_log:
+        record_decision(spark, decision_log, rec)
+    return rec
 
 
 # --- CLI ---------------------------------------------------------------------
@@ -309,15 +387,19 @@ def main(argv: list[str] | None = None) -> None:
     )
     batch_emb = emb.filter(coin_e < args.batch_frac)
 
+    dlog = os.path.join(args.work, "_decisions")
     out = [
         maintain_dedup_ledger(
-            spark, batch_docs, os.path.join(args.work, "dedup_ledger")
+            spark, batch_docs, os.path.join(args.work, "dedup_ledger"),
+            decision_log=dlog,
         ),
         maintain_lsh_index(
-            spark, docs, batch_docs, os.path.join(args.work, "lsh")
+            spark, docs, batch_docs, os.path.join(args.work, "lsh"),
+            decision_log=dlog,
         ),
         maintain_ivfpq_index(
-            spark, emb, batch_emb, os.path.join(args.work, "ivfpq")
+            spark, emb, batch_emb, os.path.join(args.work, "ivfpq"),
+            decision_log=dlog,
         ),
     ]
     for rec in out:

@@ -1049,6 +1049,15 @@ def encode_jpeg_progressive(
     )
     ncomp = 1 if gray else 3
     script = scans if scans is not None else _default_prog_scans(ncomp)
+    for comp_idx, ss, _se, _ah, _al in script:
+        # T.81 G.1.1.1.1: AC scans (Ss > 0) are single-component only —
+        # an interleaved AC scan would otherwise fall into the DC
+        # branch of _prog_scan_pass and emit a silently corrupt stream.
+        if len(comp_idx) > 1 and ss != 0:
+            raise ValueError(
+                f"illegal progressive scan {comp_idx} Ss={ss}: AC scans "
+                "must be single-component (T.81 G.1.1.1.1)"
+            )
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload

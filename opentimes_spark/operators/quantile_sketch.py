@@ -106,6 +106,9 @@ def build_sketch(df: DataFrame, col: str, k: int = 128) -> DataFrame:
     """One pass over ``col`` → sketch rows (level, value); each row
     represents 2^level original values.  Per-partition compaction via
     mapInPandas; output is <= k*log2(n/k) rows per partition."""
+    from opentimes_spark.session import ship_package
+
+    ship_package(df.sparkSession)  # closure references _Compactors
 
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = _Compactors(k)

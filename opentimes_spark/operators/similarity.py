@@ -1160,20 +1160,33 @@ def ivfpq_topk_probe(
 
 
 def mmr_rerank(
-    queries: DataFrame,
-    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    corpus: DataFrame | None = None,
     k_candidates: int = 8,
     k_select: int = 3,
     lam: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    round_to: int = 6,
 ) -> DataFrame:
     """Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998):
-    from each query's exact top-``k_candidates`` cosine shortlist,
-    iteratively select ``k_select`` results maximizing
+    from each query's shortlist, iteratively select ``k_select``
+    results maximizing
     ``lam*relevance - (1-lam)*max_similarity_to_already_selected`` —
     the diversity pass every retrieval-augmented pipeline runs between
     ANN shortlist and prompt assembly.
+
+    The shortlist source is pluggable: pass ``candidates`` as a
+    ``(query_id, cand_id, rel)`` DataFrame (e.g. the output of
+    ``ivfpq_topk_probe(..., rescore=R)`` with ``cos_sim`` aliased to
+    ``rel``) and MMR composes directly onto any ANN probe; when
+    ``candidates`` is None, ``queries`` is required and the shortlist
+    defaults to the exact top-``k_candidates`` cosine scan (the
+    oracle-replayable demo path).  ``corpus`` always supplies the
+    candidate vectors for the pairwise-diversity matrix — only
+    shortlist ids are joined against it (a k·|Q|-key lookup join,
+    never a corpus scan).
 
     Deterministic by construction: relevance and candidate-candidate
     similarities are cosine values ROUNDED to 1e-6 before selection
@@ -1182,13 +1195,18 @@ def mmr_rerank(
     (argmax per query via one row_number window each) — so the DuckDB
     oracle replays the full selection exactly.
 
-    Scale story: the shortlist is k_candidates rows/query and the pair
-    matrix k² rows/query, both independent of corpus size — MMR cost
-    rides on the ANN probe, never the corpus.  Returns
+    Scale story: the shortlist is k rows/query and the pair matrix
+    k² rows/query, both independent of corpus size — MMR cost rides
+    on the ANN probe, never the corpus.  Returns
     (query_id, cand_id, sel_rank, mmr_score)."""
-    cands = brute_force_topk(
-        queries, corpus, k=k_candidates, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "cand_id", F.col("cos_sim").alias("rel"))
+    if candidates is not None:
+        cands = candidates.select("query_id", "cand_id", "rel")
+    else:
+        if queries is None:
+            raise ValueError("mmr_rerank needs `queries` or `candidates`")
+        cands = brute_force_topk(
+            queries, corpus, k=k_candidates, id_col=id_col, vec_col=vec_col
+        ).select("query_id", "cand_id", F.col("cos_sim").alias("rel"))
     vecs = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v")
     )
@@ -1260,8 +1278,14 @@ def mmr_rerank(
     result = out[0]
     for p in out[1:]:
         result = result.unionByName(p)
+    # round_to=6 can TIE on lam=0.5 scores (0.5*rel - 0.5*sim lands on
+    # the 5e-7 half-grid); callers needing cross-engine hash equality on
+    # such grids pass round_to=7, where every grid point is exact.
     return result.select(
-        "query_id", "cand_id", "sel_rank", F.round("mmr_score", 6).alias("mmr_score")
+        "query_id",
+        "cand_id",
+        "sel_rank",
+        F.round("mmr_score", round_to).alias("mmr_score"),
     )
 
 

@@ -197,19 +197,29 @@ def assert_state_plateau(
     min_batches: int = 2,
 ) -> dict:
     """The leak check: over the LAST ``min_batches`` state-bearing
-    batches, ``state_rows`` must stay within ``per_batch_bound`` (the
-    rate x horizon budget) and must not grow monotonically batch over
-    batch.  Returns {'max_state_rows', 'total_removed', 'batches'};
-    raises AssertionError with the offending series otherwise."""
+    BATCHES (distinct ``batch_id``s — with several stateful operators a
+    batch contributes one row each, and they all count as one batch),
+    every operator's ``state_rows`` must stay within ``per_batch_bound``
+    (the rate x horizon budget), and no operator's state may grow
+    strictly monotonically across the whole tail (checked when the tail
+    holds >= 3 observations of that operator — two points can't
+    distinguish ramp-up from a leak).  Returns {'max_state_rows',
+    'total_removed', 'batches'} where ``batches`` counts the distinct
+    batch_ids checked; raises AssertionError with the offending series
+    otherwise.  ``total_removed`` sums the WHOLE observed series (the
+    eviction evidence), not just the tail."""
     series = sorted(
         (r for r in rows if r["state_rows"] is not None),
         key=lambda r: (r["batch_id"], r["operator"] or ""),
     )
-    if len(series) < min_batches:
+    batch_ids = sorted({r["batch_id"] for r in series})
+    if len(batch_ids) < min_batches:
         raise AssertionError(
-            f"need >= {min_batches} state-bearing batches, got {len(series)}"
+            f"need >= {min_batches} state-bearing batches, got "
+            f"{len(batch_ids)}"
         )
-    tail = series[-min_batches:]
+    tail_ids = set(batch_ids[-min_batches:])
+    tail = [r for r in series if r["batch_id"] in tail_ids]
     worst = max(r["state_rows"] for r in tail)
     if worst > per_batch_bound:
         raise AssertionError(
@@ -217,8 +227,18 @@ def assert_state_plateau(
             f"{per_batch_bound}; series="
             f"{[(r['batch_id'], r['state_rows']) for r in series]}"
         )
+    per_op: dict[str, list[int]] = {}
+    for r in tail:
+        per_op.setdefault(r["operator"] or "", []).append(r["state_rows"])
+    for op, vals in per_op.items():
+        if len(vals) >= 3 and all(b > a for a, b in zip(vals, vals[1:])):
+            raise AssertionError(
+                f"operator {op!r} state grew strictly monotonically over "
+                f"the last {len(vals)} batches: {vals} — eviction is not "
+                "keeping pace (leak signature)"
+            )
     return {
         "max_state_rows": worst,
         "total_removed": sum(r["rows_removed"] or 0 for r in series),
-        "batches": len(series),
+        "batches": len(tail_ids),
     }

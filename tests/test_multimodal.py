@@ -744,6 +744,11 @@ def test_progressive_jpeg_custom_scan_script_and_truncation():
     full = encode_jpeg_progressive(img, quality=85)
     with pt.raises(ValueError):
         decode_jpeg(full[: len(full) * 2 // 3])
+    # T.81 G.1.1.1.1: an interleaved AC scan is illegal — the encoder
+    # must refuse the script, not emit a silently corrupt stream
+    bad = [([0, 1, 2], 0, 0, 0, 0), ([0, 1], 1, 63, 0, 0)]
+    with pt.raises(ValueError, match="single-component"):
+        encode_jpeg_progressive(img, quality=85, scans=bad)
 
 
 def test_progressive_jpeg_through_spark_decode(spark):

@@ -147,6 +147,41 @@ def test_assert_state_plateau_flags_leak(spark):
     assert out["max_state_rows"] == 120 and out["total_removed"] == 400
 
 
+def test_assert_state_plateau_monotonic_and_batch_grouping(spark):
+    """Strictly monotonic growth UNDER the budget still raises (the
+    slow-leak signature); min_batches counts distinct batch_ids, not
+    rows, when several stateful operators report per batch."""
+    slow_leak = [
+        {"batch_id": i, "operator": "join", "state_rows": 100 + i,
+         "rows_updated": 10, "rows_removed": 0}
+        for i in range(5)
+    ]
+    with pytest.raises(AssertionError, match="monotonically"):
+        assert_state_plateau(slow_leak, per_batch_bound=10_000, min_batches=5)
+
+    # two operators per batch: 2 batches = 4 rows; min_batches=3 must
+    # see only 2 distinct batches and refuse
+    two_ops = [
+        {"batch_id": b, "operator": op, "state_rows": 50,
+         "rows_updated": 10, "rows_removed": 10}
+        for b in range(2)
+        for op in ("join", "dedup")
+    ]
+    with pytest.raises(AssertionError, match="state-bearing batches"):
+        assert_state_plateau(two_ops, per_batch_bound=100, min_batches=3)
+
+    # one operator leaks, the other is flat — the leaker is named
+    mixed = [
+        {"batch_id": i, "operator": op,
+         "state_rows": 100 + i if op == "join" else 40,
+         "rows_updated": 10, "rows_removed": 0 if op == "join" else 10}
+        for i in range(4)
+        for op in ("join", "dedup")
+    ]
+    with pytest.raises(AssertionError, match="'join'"):
+        assert_state_plateau(mixed, per_batch_bound=10_000, min_batches=4)
+
+
 def test_telemetry_df_schema(spark):
     df = telemetry_df(
         spark,
