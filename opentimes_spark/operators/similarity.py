@@ -769,6 +769,7 @@ def write_ivfpq_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation=None,
 ) -> None:
     """Materialize an IVF-PQ index: the corpus Hive-partitioned by
     coarse cell with each row carrying its m PQ codes, the coarse
@@ -777,10 +778,22 @@ def write_ivfpq_index(
     encode pass — is paid once at write time; the stored codes mean a
     probe never touches candidate vectors at all (they are stored only
     for optional exact rescoring).  Same staleness/cache contract as
-    ``write_ivf_index``."""
+    ``write_ivf_index``.
+
+    ``rotation`` (a dim×dim orthogonal matrix, e.g. from
+    ``clustering.opq_fit``) builds the Faiss ``OPQd,IVFx,PQy`` shape:
+    the WHOLE index lives in the rotated frame — corpus is rotated once
+    (map-only BLAS pass) before the coarse fit, the PQ fits, the encode,
+    and the stored vectors; R is persisted under ``_rotation`` so
+    ``append_to_ivfpq_index`` and ``ivfpq_topk_probe`` transparently
+    rotate incoming vectors/queries.  L2 and cosine are rotation-
+    invariant, so cell geometry, staleness baselines, and rescore
+    results are unchanged in meaning — only the PQ subspace axes move,
+    which is the whole point (VERDICT r8 item 6)."""
     from opentimes_spark.operators.clustering import (
         _nearest_struct,
         _pq_guarded_vec,
+        apply_rotation,
         assign_expr,
         kmeans_fit,
         pq_fit,
@@ -789,6 +802,8 @@ def write_ivfpq_index(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
+    if rotation is not None:
+        corpus = apply_rotation(corpus, rotation, dim, id_col, vec_col)
     coarse = kmeans_fit(
         corpus, k=coarse_k, max_iter=coarse_iter, tol=0.0,
         id_col=id_col, vec_col=vec_col,
@@ -845,6 +860,30 @@ def write_ivfpq_index(
         "dim int, m int, coarse_k int, pq_k int, "
         "train_mean_dist double, n_train bigint",
     ).write.mode("overwrite").parquet(path + "/_meta")
+    if rotation is not None:
+        import numpy as np
+
+        r = np.asarray(rotation, dtype=np.float64)
+        spark.createDataFrame(
+            [(i, [float(x) for x in r[i]]) for i in range(dim)],
+            "i int, r array<double>",
+        ).write.mode("overwrite").parquet(path + "/_rotation")
+
+
+def read_ivfpq_rotation(spark, path: str):
+    """The index's stored OPQ rotation as a dim×dim ndarray, or None
+    for an unrotated index."""
+    import os
+
+    import numpy as np
+
+    if not os.path.exists(os.path.join(path, "_rotation", "_SUCCESS")):
+        return None
+    rows = spark.read.parquet(path + "/_rotation").collect()
+    return np.array(
+        [list(r["r"]) for r in sorted(rows, key=lambda x: x["i"])],
+        dtype=np.float64,
+    )
 
 
 def _cell_dist_expr(v, centroids: dict):
@@ -898,10 +937,17 @@ def append_to_ivfpq_index(
     >> 1, e.g. >1.5) means the frozen centroids no longer cover the
     data and a rebuild (``write_ivfpq_index``) should be scheduled —
     the quantization-error analogue of the dedup ledger's compaction
-    trigger."""
+    trigger.
+
+    OPQ-rotated indexes (a stored ``_rotation``) rotate the incoming
+    batch once before encoding — appends land in the same frame the
+    index lives in, and the staleness baseline (computed in rotated
+    space at build time) stays comparable because L2 is rotation-
+    invariant."""
     from opentimes_spark.operators.clustering import (
         _nearest_struct,
         _pq_guarded_vec,
+        apply_rotation,
         assign_expr,
     )
 
@@ -924,6 +970,9 @@ def append_to_ivfpq_index(
     for r in spark.read.parquet(path + "/_codebooks").collect():
         codebooks[r["subspace"]][r["cid"]] = list(r["c"])
 
+    rot = read_ivfpq_rotation(spark, path)
+    if rot is not None:
+        new_vectors = apply_rotation(new_vectors, rot, dim, id_col, vec_col)
     existing = spark.read.parquet(path).select(F.col(id_col))
     base = (
         new_vectors.select(
@@ -1075,6 +1124,13 @@ def ivfpq_topk_probe(
     for r in books:
         codebooks[r["subspace"]][r["cid"]] = list(r["c"])
 
+    rot = read_ivfpq_rotation(spark, index_path)
+    if rot is not None:
+        # OPQ index: queries enter the index's rotated frame (one BLAS
+        # pass over |Q| rows); cosine/L2 outputs are frame-invariant
+        from opentimes_spark.operators.clustering import apply_rotation
+
+        queries = apply_rotation(queries, rot, dim, id_col, vec_col)
     qbase = queries.select(
         F.col(id_col).alias("query_id"),
         _pq_guarded_vec(id_col, vec_col, dim).alias("q_vec"),

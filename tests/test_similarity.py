@@ -471,3 +471,100 @@ def test_ensure_index_fingerprint_invalidates(spark, tmp_path):
         coarse_k=4, coarse_iter=1, m=2, pq_k=4, pq_iter=1, dim=64,
     )
     assert idx2 != idx1
+
+
+def test_opq_rotated_ivfpq_index_improves_recall(spark, tmp_path):
+    """The Faiss ``OPQd,IVFx,PQy`` composition (VERDICT r8 item 6): an
+    OPQ rotation wired through write_ivfpq_index lands in ``_rotation``,
+    appends and probes transparently enter the rotated frame, and on a
+    planted cross-subspace structure the rotated index's ADC recall@k
+    against exact cosine beats the unrotated index's.
+
+    The rotation here is the planted mix's exact inverse: alternating
+    opq_fit from R=I stalls near identity on this NOISY mix (its
+    documented local-minimum caveat; quality envelope pinned in
+    test_clustering) — what THIS test certifies is the index seam:
+    any orthogonal R flows through write/append/probe identically, and
+    a good one measurably buys recall."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        brute_force_topk,
+        ivfpq_topk_probe,
+        read_ivfpq_rotation,
+        write_ivfpq_index,
+    )
+
+    dim = 4
+    rng = np.random.RandomState(0)
+    patterns = np.array([[0.0, 0.0], [0.0, 4.0], [4.0, 0.0], [4.0, 4.0]])
+    halves = rng.randint(0, 4, size=(400, 2))
+    base = np.hstack([patterns[halves[:, 0]], patterns[halves[:, 1]]])
+    base += 0.05 * rng.randn(*base.shape)  # break exact ties
+    theta = math.pi / 4
+    mix = np.eye(dim)
+    mix[0, 0] = mix[2, 2] = math.cos(theta)
+    mix[0, 2] = math.sin(theta)
+    mix[2, 0] = -math.sin(theta)
+    data = base @ mix.T
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<double>",
+    )
+    r = mix.T  # the unmixing rotation (orthogonal: mix⁻¹ = mixᵀ)
+
+    plain_idx = str(tmp_path / "plain")
+    opq_idx = str(tmp_path / "opq")
+    common = dict(coarse_k=2, coarse_iter=2, m=2, pq_k=4, pq_iter=3, dim=dim)
+    write_ivfpq_index(spark, df, plain_idx, **common)
+    write_ivfpq_index(spark, df, opq_idx, rotation=r, **common)
+    assert read_ivfpq_rotation(spark, plain_idx) is None
+    stored_r = read_ivfpq_rotation(spark, opq_idx)
+    assert np.allclose(stored_r, np.asarray(r))
+
+    queries = df.filter(F.col("vec_id") < 30)
+    exact = brute_force_topk(queries, df, k=5)
+    truth = {
+        (row["query_id"], row["cand_id"]) for row in exact.collect()
+    }
+
+    def recall(idx):
+        # two-stage: ADC shortlist of 24 (where code quality decides),
+        # exact rescore to top-5 — with 4^2 code signatures over 400
+        # vectors the raw ADC top-5 is tie-dominated either way; the
+        # SHORTLIST is what the rotation improves
+        got = ivfpq_topk_probe(
+            spark, queries, idx, k=5, n_probe=2, dim=dim, rescore=24
+        ).collect()
+        hits = sum((row["query_id"], row["cand_id"]) in truth for row in got)
+        return hits / len(truth)
+
+    rec_plain, rec_opq = recall(plain_idx), recall(opq_idx)
+    # the planted mix smears the per-half pattern geometry across both
+    # PQ subspaces; the rotation restores it (measured: 0.75 vs 0.95)
+    assert rec_opq > rec_plain + 0.1, (rec_plain, rec_opq)
+
+    # append path: new vectors enter the rotated frame; re-append is a
+    # no-op (idempotent), and an appended vector is findable
+    extra_raw = base[:5] + 0.02
+    extra = spark.createDataFrame(
+        [
+            (1000 + i, [float(x) for x in (row @ mix.T)])
+            for i, row in enumerate(extra_raw)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    stats = append_to_ivfpq_index(spark, extra, opq_idx, dim=dim)
+    assert stats["appended"] == 5
+    assert stats["staleness_ratio"] < 1.5  # in-distribution, same frame
+    again = append_to_ivfpq_index(spark, extra, opq_idx, dim=dim)
+    assert again["appended"] == 0
+    probe = ivfpq_topk_probe(
+        spark, extra.filter(F.col("vec_id") == 1000), opq_idx, k=3,
+        n_probe=2, dim=dim,
+    )
+    assert probe.count() == 3
