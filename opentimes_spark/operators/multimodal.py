@@ -5,8 +5,10 @@ The Spark-side plumbing — schema, batch shape, partition sizing, UDF
 signatures — is real and tested, and so are the codecs for every
 format a stdlib+numpy decoder can honestly cover:
 
-- REAL decode: PPM (P6), 24-bit BMP, baseline PNG (zlib inflate + the
-  five spec scanline filters, CRC-checked), single-frame GIF (full LZW
+- REAL decode: PPM (P6), 24-bit BMP, PNG (zlib inflate + the five
+  spec scanline filters, CRC-checked — full core matrix as of round 9:
+  1/2/4/8/16-bit, gray/RGB/palette/gray-alpha/RGBA, Adam7 interlace,
+  PLTE + tRNS), single-frame GIF (full LZW
   with dictionary growth + 4-pass interlace), baseline JPEG (SOF0:
   Annex-K Huffman, orthonormal IDCT, 4:2:0/4:2:2/4:4:4 sampling, DRI
   restart markers — round 7), and RIFF/PCM WAV — each with an encoder
@@ -15,8 +17,9 @@ format a stdlib+numpy decoder can honestly cover:
   decoder (dimensions + checksum derived from the bytes) for pipeline
   tests that don't care about pixels;
 - ``codec="real"`` auto-detects Pillow per worker process and falls
-  back to the native codecs; only progressive/12-bit JPEG and exotic
-  PNGs (palette/16-bit/interlaced) still raise at the disclosed seam.
+  back to the native codecs; only arithmetic/12-bit/lossless JPEG
+  still raises at the disclosed seam (progressive JPEG landed in
+  round 8, exotic PNGs in round 9).
 
 Scale notes: binary payloads dominate row size, so operators here
 (a) never collect payloads to the driver, (b) project metadata-only
@@ -91,10 +94,10 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
 # --- real (pure-numpy) codecs for UNCOMPRESSED formats ---------------------
 # PPM (P6) and 24-bit BMP need no image library — just header parsing and
 # a reshape; baseline PNG adds stdlib zlib + the five spec filters
-# (round 6); baseline JPEG adds Annex-K Huffman + IDCT (round 7);
-# progressive JPEG adds multi-scan spectral-selection / successive-
-# approximation decode (round 8).  Arithmetic/12-bit/lossless JPEG and
-# exotic PNGs remain behind the Pillow seam.
+# (round 6, full format matrix round 9); baseline JPEG adds Annex-K
+# Huffman + IDCT (round 7); progressive JPEG adds multi-scan spectral-
+# selection / successive-approximation decode (round 8).  Only
+# arithmetic/12-bit/lossless JPEG remains behind the Pillow seam.
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -192,13 +195,99 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+# Adam7 interlace pass geometry (PNG 1.2 §8.2): (x0, y0, dx, dy).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_defilter(raw: bytes, off: int, h_sub: int, stride: int, bpp: int):
+    """Reverse the five PNG scanline filters (spec §6) over one
+    (sub-)image of ``h_sub`` rows × ``stride`` bytes starting at byte
+    ``off`` in the inflated stream; ``bpp`` is the filter's byte
+    distance to the pixel to the left.  Returns (rows, next_offset)."""
+    out = np.zeros((h_sub, stride), dtype=np.uint8)
+    for r in range(h_sub):
+        ft = raw[off + r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + r * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 1:  # Sub: per-unit prefix sum mod 256 (vectorized —
+            # addition is associative under mod, so cumsum ≡ the spec's
+            # left-to-right recurrence; ADVICE r6 perf item).  Pad to a
+            # bpp multiple so short tail bytes (sub-byte depths) fold.
+            pad = (-stride) % bpp
+            padded = np.concatenate([line, np.zeros(pad, np.int32)])
+            cur = (
+                np.cumsum(padded.reshape(-1, bpp), axis=0, dtype=np.int64)
+                & 0xFF
+            ).reshape(-1)[:stride]
+        else:  # Average / Paeth carry a true left-dependency (the
+            # predictor branches on the RECONSTRUCTED left byte), so the
+            # recurrence is inherently sequential — interpreted loop,
+            # O(stride) per row; Pillow's C path is the fast seam for
+            # megapixel images
+            cur = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                bb = prev[i]
+                if ft == 3:  # Average
+                    cur[i] = (line[i] + ((a + bb) >> 1)) & 0xFF
+                elif ft == 4:  # Paeth
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise ValueError(f"unknown PNG filter {ft}")
+        out[r] = cur.astype(np.uint8)
+    return out, off + h_sub * (stride + 1)
+
+
+def _png_unpack(rows: np.ndarray, w_sub: int, ch: int, depth: int) -> np.ndarray:
+    """Defiltered scanline bytes → (h_sub, w_sub, ch) sample array at
+    the stored bit depth (uint16 for 16-bit, else uint8)."""
+    h_sub = rows.shape[0]
+    if depth == 16:
+        flat = np.frombuffer(rows.tobytes(), dtype=">u2")
+        return flat.reshape(h_sub, -1)[:, : w_sub * ch].reshape(
+            h_sub, w_sub, ch
+        ).astype(np.uint16)
+    if depth == 8:
+        return rows[:, : w_sub * ch].reshape(h_sub, w_sub, ch)
+    # sub-byte depths (1/2/4, gray or palette — ch == 1): unpack bits
+    # row-wise, regroup into depth-bit samples MSB-first (spec §7.2)
+    bits = np.unpackbits(rows, axis=1)
+    per = depth
+    n_samples = bits.shape[1] // per
+    weights = (1 << np.arange(per - 1, -1, -1)).astype(np.uint8)
+    vals = (
+        bits[:, : n_samples * per].reshape(h_sub, n_samples, per) * weights
+    ).sum(axis=2)
+    return vals[:, :w_sub].reshape(h_sub, w_sub, 1).astype(np.uint8)
+
+
 def decode_png(b: bytes) -> np.ndarray:
-    """Baseline PNG → uint8 array, PURE stdlib+numpy (zlib inflate +
-    all five scanline filters per the PNG 1.2 spec §6): 8-bit depth,
-    grayscale/RGB/RGBA color types, non-interlaced.  This closes the
-    former 'PNG requires Pillow' seam for the common baseline case;
-    palette/16-bit/interlaced PNGs and JPEG remain behind the Pillow
-    auto-detect.  CRCs are verified per chunk."""
+    """PNG → numpy array, PURE stdlib+numpy (zlib inflate + all five
+    scanline filters per the PNG 1.2 spec §6), covering the full core
+    format matrix: bit depths 1/2/4/8/16, color types gray / RGB /
+    palette / gray+alpha / RGBA, Adam7 interlace, PLTE + tRNS.
+
+    Output contract: 16-bit images return uint16 (full 0–65535 range);
+    sub-byte grayscale scales to 0–255 by sample replication
+    (v·255/(2^d−1), the spec's §12.5 recommendation); palette images
+    return the looked-up RGB (or RGBA when a tRNS chunk assigns
+    per-index alpha); gray/RGB images carrying a tRNS transparent
+    color gain an alpha channel (0 where the sample matches).  CRCs
+    are verified per chunk.  This closes the r8 'exotic PNG' seam —
+    the Pillow fallback now covers only JPEG exotica."""
     import struct
 
     if b[:8] != _PNG_SIG:
@@ -206,6 +295,8 @@ def decode_png(b: bytes) -> np.ndarray:
     pos = 8
     ihdr = None
     idat = b""
+    plte = None
+    trns = None
     while pos + 8 <= len(b):
         (length,) = struct.unpack(">I", b[pos : pos + 4])
         tag = b[pos + 4 : pos + 8]
@@ -215,6 +306,12 @@ def decode_png(b: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -223,56 +320,76 @@ def decode_png(b: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in (0, 2, 6) or comp or filt or interlace:
-        raise NotImplementedError(
-            "decode_png handles non-interlaced 8-bit gray/RGB/RGBA; "
-            f"got depth={depth} color={color} interlace={interlace} — "
-            "palette/16-bit/interlaced PNGs need Pillow"
+    _CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    valid_depths = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }
+    if (
+        color not in _CH
+        or depth not in valid_depths[color]
+        or comp
+        or filt
+        or interlace not in (0, 1)
+    ):
+        raise ValueError(
+            f"invalid PNG header: depth={depth} color={color} "
+            f"comp={comp} filt={filt} interlace={interlace}"
         )
-    ch = {0: 1, 2: 3, 6: 4}[color]
-    stride = w * ch
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    ch = _CH[color]
+    bits_pp = ch * depth
+    bpp = max(1, bits_pp // 8)
     raw = zlib.decompress(idat)
-    if len(raw) != h * (stride + 1):
+
+    samples = np.zeros(
+        (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
+    )
+    passes = [(0, 0, 1, 1)] if interlace == 0 else _ADAM7
+    off = 0
+    for x0, y0, dx, dy in passes:
+        w_sub = (w - x0 + dx - 1) // dx
+        h_sub = (h - y0 + dy - 1) // dy
+        if w_sub <= 0 or h_sub <= 0:
+            continue
+        stride = (w_sub * bits_pp + 7) // 8
+        rows, off = _png_defilter(raw, off, h_sub, stride, bpp)
+        samples[y0::dy, x0::dx] = _png_unpack(rows, w_sub, ch, depth)
+    if off != len(raw):
         raise ValueError("PNG data length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for r in range(h):
-        ft = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
-        ).astype(np.int32)
-        prev = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
-        if ft == 0:  # None
-            cur = line
-        elif ft == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif ft == 1:  # Sub: per-channel prefix sum mod 256 (vectorized —
-            # addition is associative under mod, so cumsum ≡ the spec's
-            # left-to-right recurrence; ADVICE r6 perf item)
-            cur = (
-                np.cumsum(line.reshape(-1, ch), axis=0, dtype=np.int64) & 0xFF
-            ).reshape(stride)
-        else:  # Average / Paeth carry a true left-dependency (the
-            # predictor branches on the RECONSTRUCTED left byte), so the
-            # recurrence is inherently sequential — interpreted loop,
-            # O(stride) per row; Pillow's C path is the fast seam for
-            # megapixel images
-            cur = np.zeros(stride, np.int32)
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                bb = prev[i]
-                if ft == 3:  # Average
-                    cur[i] = (line[i] + ((a + bb) >> 1)) & 0xFF
-                elif ft == 4:  # Paeth
-                    c = prev[i - ch] if i >= ch else 0
-                    p = a + bb - c
-                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
-                    cur[i] = (line[i] + pred) & 0xFF
-                else:
-                    raise ValueError(f"unknown PNG filter {ft}")
-        out[r] = cur.astype(np.uint8)
-    img = out.reshape(h, w, ch)
-    return img[:, :, 0] if ch == 1 else img
+
+    if color == 3:  # palette lookup (indices are never scaled)
+        idx = samples[:, :, 0]
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if trns is not None and color in (0, 2):
+        # single transparent color: 2 big-endian bytes per sample at
+        # the STORED depth — match before any scaling
+        tvals = struct.unpack(f">{ch}H", trns)
+        mask = np.all(
+            samples == np.array(tvals, dtype=samples.dtype), axis=2
+        )
+        alpha_max = 65535 if depth == 16 else 255
+        alpha = np.where(mask, 0, alpha_max).astype(samples.dtype)
+    else:
+        alpha = None
+    if depth in (1, 2, 4):  # sub-byte gray scales to full 8-bit range
+        samples = (
+            samples.astype(np.uint16) * 255 // ((1 << depth) - 1)
+        ).astype(np.uint8)
+    elif depth == 8:
+        samples = samples.astype(np.uint8)
+    if alpha is not None:
+        samples = np.dstack([samples, alpha])
+        ch += 1
+    return samples[:, :, 0] if ch == 1 else samples
 
 
 def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
@@ -1603,10 +1720,10 @@ def _numpy_decode(b: bytes) -> np.ndarray:
     if b[:2] == b"\xff\xd8":
         return decode_jpeg(b)
     raise NotImplementedError(
-        "numpy codec handles uncompressed PPM/BMP, baseline PNG "
-        "(8-bit gray/RGB/RGBA, non-interlaced), single-frame GIF, and "
-        "baseline (SOF0/SOF1) + progressive (SOF2) JPEG; 12-bit/"
-        "arithmetic/lossless JPEG and exotic PNGs require Pillow — "
+        "numpy codec handles uncompressed PPM/BMP, full-matrix PNG "
+        "(1/2/4/8/16-bit, gray/RGB/palette/alpha, Adam7), single-frame "
+        "GIF, and baseline (SOF0/SOF1) + progressive (SOF2) JPEG; "
+        "12-bit/arithmetic/lossless JPEG requires Pillow — "
         "not in this container"
     )
 
@@ -1637,11 +1754,10 @@ def _pillow():
 def _real_decode(b: bytes) -> np.ndarray:
     """Best-available decode: Pillow when installed (any format it
     knows, and ~100x faster than the interpreted JPEG entropy loop),
-    else the native codecs (PPM/BMP, baseline PNG, single-frame GIF,
-    baseline AND progressive JPEG), else a NotImplementedError naming
-    the missing dependency — the disclosed seam is now 12-bit/
-    arithmetic/lossless JPEG and exotic PNGs only in a Pillow-less
-    container."""
+    else the native codecs (PPM/BMP, full-matrix PNG, single-frame
+    GIF, baseline AND progressive JPEG), else a NotImplementedError
+    naming the missing dependency — the disclosed seam is now 12-bit/
+    arithmetic/lossless JPEG only in a Pillow-less container."""
     img_mod = _pillow()
     if img_mod is not None:
         import io as _io

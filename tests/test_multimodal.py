@@ -406,7 +406,8 @@ def test_png_rejects_corruption_and_exotic_forms():
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"JFIF....")
 
-    # 16-bit depth is out of scope and must say so, not mis-decode
+    # 16-bit depth decodes natively as of round 9 (was the disclosed
+    # r8 seam) — the same stream that used to raise now yields uint16
     def chunk(tag, data):
         return (
             struct.pack(">I", len(data)) + tag + data
@@ -419,8 +420,9 @@ def test_png_rejects_corruption_and_exotic_forms():
         + chunk(b"IDAT", _z.compress(b"\x00" * 26))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="16-bit|palette"):
-        decode_png(deep)
+    got = decode_png(deep)
+    assert got.dtype == np.uint16 and got.shape == (2, 2, 3)
+    assert not got.any()
 
 
 def test_numpy_codec_decodes_png_payload_in_spark(spark):
@@ -930,3 +932,210 @@ def test_resize_bilinear_antialiases_vs_nearest(spark):
     assert (bil[1] == 77).all() and (near[1] == 77).all()
     with pt.raises(ValueError, match="interpolation"):
         resize_images(media, 8, 8, codec="numpy", interpolation="bicubic")
+
+
+# --- round 9: full PNG format matrix (palette / sub-byte / 16-bit / Adam7) --
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_pack_row(samples, depth):
+    """1-D sample values → packed scanline bytes, MSB-first (spec §7.2)."""
+    import numpy as np
+
+    s = np.asarray(samples)
+    if depth == 16:
+        return s.astype(">u2").tobytes()
+    if depth == 8:
+        return s.astype(np.uint8).tobytes()
+    bits = ((s[:, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
+def _png_filter_rows(rows, bpp, ftype=0):
+    """Forward-filter packed rows (list of bytes) with one filter type —
+    the encoder side of spec §6, written independently of the decoder."""
+    import numpy as np
+
+    out = b""
+    prev = np.zeros(len(rows[0]), np.int32)
+    for rb in rows:
+        raw = np.frombuffer(rb, np.uint8).astype(np.int32)
+        if ftype == 0:
+            enc = raw
+        elif ftype == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), raw[:-bpp]])
+            enc = (raw - left) & 0xFF
+        elif ftype == 2:  # Up
+            enc = (raw - prev) & 0xFF
+        else:
+            raise ValueError(ftype)
+        out += bytes([ftype]) + enc.astype(np.uint8).tobytes()
+        prev = raw
+    return out
+
+
+def _build_png(w, h, depth, color, raw_stream, plte=None, trns=None,
+               interlace=0):
+    import struct
+    import zlib
+
+    b = b"\x89PNG\r\n\x1a\n"
+    b += _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    )
+    if plte is not None:
+        b += _png_chunk(b"PLTE", bytes(plte.reshape(-1)))
+    if trns is not None:
+        b += _png_chunk(b"tRNS", trns)
+    b += _png_chunk(b"IDAT", zlib.compress(raw_stream))
+    b += _png_chunk(b"IEND", b"")
+    return b
+
+
+def test_png_palette_with_and_without_trns():
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_png
+
+    plte = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 2], [1, 1, 3, 0, 3]],
+                   np.uint8)
+    # depth-4 palette: two indices per byte
+    raw = _png_filter_rows(
+        [_png_pack_row(r, 4) for r in idx], bpp=1, ftype=0
+    )
+    got = decode_png(_build_png(5, 3, 4, 3, raw, plte=plte))
+    assert got.shape == (3, 5, 3)
+    assert np.array_equal(got, plte[idx])
+    # with per-index alpha (tRNS shorter than the palette: rest opaque)
+    got_a = decode_png(
+        _build_png(5, 3, 4, 3, raw, plte=plte, trns=bytes([0, 128]))
+    )
+    assert got_a.shape == (3, 5, 4)
+    assert np.array_equal(got_a[:, :, :3], plte[idx])
+    exp_alpha = np.array([0, 128, 255, 255], np.uint8)[idx]
+    assert np.array_equal(got_a[:, :, 3], exp_alpha)
+
+
+def test_png_16bit_gray_and_rgb_sub_filter():
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(11)
+    g16 = rng.randint(0, 65536, (4, 7), dtype=np.uint16)
+    raw = _png_filter_rows(
+        [_png_pack_row(r, 16) for r in g16], bpp=2, ftype=1
+    )
+    got = decode_png(_build_png(7, 4, 16, 0, raw))
+    assert got.dtype == np.uint16 and np.array_equal(got, g16)
+
+    rgb16 = rng.randint(0, 65536, (3, 5, 3), dtype=np.uint16)
+    raw = _png_filter_rows(
+        [_png_pack_row(r.reshape(-1), 16) for r in rgb16], bpp=6, ftype=2
+    )
+    got = decode_png(_build_png(5, 3, 16, 2, raw))
+    assert got.dtype == np.uint16 and np.array_equal(got, rgb16)
+
+
+def test_png_subbyte_gray_scales_to_8bit():
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_png
+
+    bits = np.array([[1, 0, 1, 1, 0, 1, 0, 0, 1], [0] * 9], np.uint8)
+    raw = _png_filter_rows([_png_pack_row(r, 1) for r in bits], bpp=1)
+    got = decode_png(_build_png(9, 2, 1, 0, raw))
+    assert np.array_equal(got, bits * 255)
+
+    two = np.array([[0, 1, 2, 3, 3]], np.uint8)
+    raw = _png_filter_rows([_png_pack_row(r, 2) for r in two], bpp=1)
+    got = decode_png(_build_png(5, 1, 2, 0, raw))
+    assert np.array_equal(got[0], np.array([0, 85, 170, 255, 255]))
+
+
+def test_png_trns_colorkey_adds_alpha():
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_png
+
+    g = np.array([[7, 9], [9, 7]], np.uint8)
+    raw = _png_filter_rows([_png_pack_row(r, 8) for r in g], bpp=1)
+    got = decode_png(
+        _build_png(2, 2, 8, 0, raw, trns=(9).to_bytes(2, "big"))
+    )
+    assert got.shape == (2, 2, 2)
+    assert np.array_equal(got[:, :, 0], g)
+    assert np.array_equal(got[:, :, 1], np.where(g == 9, 0, 255))
+
+
+def test_png_adam7_matches_sequential_all_colortypes():
+    """Interlaced decode equals the sequential decode of the same
+    pixels; the pass streams are built here by independent numpy
+    slicing (img[y0::dy, x0::dx]), not by the decoder's reassembly."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_png, encode_png
+
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    rng = np.random.RandomState(3)
+    for shape, color, depth in [
+        ((13, 11, 3), 2, 8),   # RGB8, odd dims exercise empty tails
+        ((8, 8), 0, 8),        # gray8, exact pass grid
+        ((5, 21, 4), 6, 8),    # RGBA8, wide
+        ((9, 6), 0, 16),       # gray16
+    ]:
+        maxv = 65536 if depth == 16 else 256
+        dt = np.uint16 if depth == 16 else np.uint8
+        img = rng.randint(0, maxv, shape, dtype=dt)
+        ch = 1 if img.ndim == 2 else img.shape[2]
+        bpp = max(1, ch * depth // 8)
+        stream = b""
+        for i, (x0, y0, dx, dy) in enumerate(passes):
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            rows = [_png_pack_row(r.reshape(-1), depth) for r in sub]
+            stream += _png_filter_rows(rows, bpp, ftype=i % 3)
+        h, w = img.shape[:2]
+        got = decode_png(
+            _build_png(w, h, depth, color, stream, interlace=1)
+        )
+        assert got.dtype == dt and np.array_equal(got, img), (shape, depth)
+        if depth == 8:
+            # sequential twin via the repo's own encoder
+            assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_invalid_combos_raise():
+    import numpy as np
+    import pytest as pt
+
+    from opentimes_spark.operators.multimodal import decode_png
+
+    raw = _png_filter_rows([b"\x00\x00"], bpp=1)
+    with pt.raises(ValueError, match="invalid PNG header"):
+        decode_png(_build_png(1, 1, 16, 3, raw))  # 16-bit palette: illegal
+    with pt.raises(ValueError, match="invalid PNG header"):
+        decode_png(_build_png(1, 1, 4, 2, raw))   # 4-bit RGB: illegal
+    with pt.raises(ValueError, match="missing PLTE"):
+        decode_png(_build_png(2, 1, 8, 3, _png_filter_rows([b"\x00\x01"], 1)))
+    idx = np.array([[3]], np.uint8)
+    plte = np.array([[1, 2, 3]], np.uint8)  # only index 0 valid
+    raw = _png_filter_rows([_png_pack_row(r, 8) for r in idx], 1)
+    with pt.raises(ValueError, match="palette index"):
+        decode_png(_build_png(1, 1, 8, 3, raw, plte=plte))
