@@ -221,3 +221,67 @@ def gopher_pass(text: Column) -> Column:
         & ((n_alpha * 1.0 / n_words) >= 0.8)
         & (n_stop >= 2),
     ).otherwise(F.lit(False))
+
+
+def bm25_scores(
+    docs,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Okapi BM25 over a FIXED query-term set, with the idf kept as the
+    rational Robertson ratio (N - df + 0.5)/(df + 0.5) rather than its
+    log — a monotone transform that never changes the ranking but keeps
+    every operation a correctly-rounded IEEE */÷ (the registry's
+    ln-avoidance idiom, text_tfidf_topk).  Returns one row per document:
+    (id, dl, s_<term>... , bm25) with the term scores summed in the
+    caller-given FIXED order so the fold is engine-reproducible.
+
+    Scale shape: per-term tf is ``size(filter(tokens, = t))`` — a
+    zero-shuffle projection; the corpus stats (N, avgdl, per-term df)
+    are ONE aggregate row broadcast back via crossJoin.  No token
+    explode, no per-term join: cost is one corpus pass + one 1-row
+    broadcast, independent of |terms| beyond expression width."""
+    toks = tokens(F.col(text_col))
+
+    def _tf(term: str):
+        # NB: a two-parameter lambda would make F.filter pass the array
+        # INDEX as the second argument — bind the term via closure
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    out_cols = []
+    total = None
+    for i, term in enumerate(terms):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfq = F.col(f"df_{i}").cast("double")
+        idf = (F.col("n_docs") - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+        s = (
+            idf
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+        )
+        out_cols.append(stable_round(s, 6).alias(f"s_{term}"))
+        total = s if total is None else total + s
+    return scored.select(
+        F.col(id_col),
+        F.col("dl").cast("bigint").alias("dl"),
+        *out_cols,
+        stable_round(total, 6).alias("bm25"),
+    )

@@ -301,6 +301,60 @@ def read_snapshot(
     return spark.read.parquet(vdir)
 
 
+def diff_snapshots(
+    spark: SparkSession,
+    root: str,
+    old_version: int,
+    new_version: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshot versions of the same table:
+    one row per affected key with ``op`` ∈ {'added', 'removed',
+    'changed'} — the lakehouse change-feed a downstream incremental
+    consumer wants ("what did the corpus publish change?"), computed
+    from the retained versions themselves, no CDC log required.
+
+    Mechanics: both versions are reduced to (key, fingerprint) where the
+    fingerprint is an md5 over every non-key column (null-tagged,
+    \\x01-separated, so NULL ≠ '' and column boundaries can't alias);
+    a single full-outer join on the key classifies each row.  At scale
+    this shuffles the two key+32-byte-hash projections — never the wide
+    rows — and both sides prune to key columns + fingerprint inputs at
+    the parquet scan."""
+    old = read_snapshot(spark, root, old_version)
+    new = read_snapshot(spark, root, new_version)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot schemas differ: v{old_version}={sorted(old.columns)} "
+            f"v{new_version}={sorted(new.columns)}"
+        )
+    from pyspark.sql import functions as F
+
+    val_cols = [c for c in old.columns if c not in key_cols]
+    if not val_cols:
+        raise ValueError("diff needs at least one non-key column")
+
+    def fp(df: DataFrame) -> DataFrame:
+        tagged = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in sorted(val_cols)
+        ]
+        return df.select(
+            *key_cols, F.md5(F.concat_ws("\x01", *tagged)).alias("_fp")
+        )
+
+    o = fp(old).withColumnRenamed("_fp", "_fp_old")
+    n = fp(new).withColumnRenamed("_fp", "_fp_new")
+    joined = o.join(n, on=key_cols, how="full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .alias("op"),
+    ).filter(F.col("op").isNotNull())
+
+
 def list_snapshots(root: str) -> list[dict]:
     """Manifests of all retained versions, oldest first."""
     out = []

@@ -17501,3 +17501,906 @@ def sketch_quantiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f"p{int(q * 100)}", float(v)) for q, v in sorted(est.items())],
         "q_label string, estimate double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 battery III: lexical retrieval — Okapi BM25 (rational idf) and
+# reciprocal-rank fusion of two rankers.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash", "vector")
+
+_BM25_BASE_SQL = f"""
+    base AS (
+        SELECT doc_id, LENGTH({_TOKS_SQL}) AS dl,
+               LENGTH(list_filter({_TOKS_SQL}, x -> x = 'join')) AS tf_0,
+               LENGTH(list_filter({_TOKS_SQL}, x -> x = 'hash')) AS tf_1,
+               LENGTH(list_filter({_TOKS_SQL}, x -> x = 'vector')) AS tf_2
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+               SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+               SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+               SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+        FROM base
+    )"""
+
+
+def _bm25_term_sql(i: int) -> str:
+    return f"""(s.n_docs - CAST(s.df_{i} AS DOUBLE) + 0.5)
+               / (CAST(s.df_{i} AS DOUBLE) + 0.5)
+               * (CAST(b.tf_{i} AS DOUBLE) * 2.2)
+               / (CAST(b.tf_{i} AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * b.dl
+                           / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))"""
+
+
+@query(
+    "docs_bm25_topk",
+    f"""
+    WITH {_BM25_BASE_SQL},
+    scored AS (
+        SELECT b.doc_id, b.dl,
+               {_bm25_term_sql(0)} AS s0,
+               {_bm25_term_sql(1)} AS s1,
+               {_bm25_term_sql(2)} AS s2
+        FROM base b CROSS JOIN stats s
+    ),
+    rounded AS (
+        SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+               FLOOR(s0 * 1000000 + 0.5) / 1000000 AS s_join,
+               FLOOR(s1 * 1000000 + 0.5) / 1000000 AS s_hash,
+               FLOOR(s2 * 1000000 + 0.5) / 1000000 AS s_vector,
+               FLOOR((s0 + s1 + s2) * 1000000 + 0.5) / 1000000 AS bm25
+        FROM scored
+    )
+    SELECT doc_id, dl, s_join, s_hash, s_vector, bm25, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM rounded
+    ) WHERE rnk <= 10
+    """,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (k1=1.2, b=0.75) for the fixed query
+    {join, hash, vector}, top-10 documents.  The idf stays the rational
+    Robertson ratio (N-df+0.5)/(df+0.5) — a monotone transform of the
+    log form, so the ranking is identical while every op is a
+    correctly-rounded IEEE */÷ (the registry's ln-avoidance idiom).
+    Per-term tf is a zero-shuffle size(filter(tokens)) projection — no
+    token explode, no per-term join; corpus stats ride ONE broadcast
+    aggregate row.  (functions/text.py:bm25_scores; LLM-pipeline:
+    lexical leg of hybrid retrieval.)"""
+    from pyspark.sql import Window
+
+    from opentimes_spark.functions.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(d, list(_BM25_TERMS))
+    # top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject —
+    # a per-partition heap + driver merge, no global sort partition);
+    # the rank window then runs over 10 rows
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "doc_id", "dl", "s_join", "s_hash", "s_vector", "bm25", "rnk"
+    )
+
+
+@query(
+    "docs_rrf_fusion",
+    f"""
+    WITH {_BM25_BASE_SQL},
+    scored AS (
+        SELECT b.doc_id,
+               FLOOR(({_bm25_term_sql(0)} + {_bm25_term_sql(1)}
+                      + {_bm25_term_sql(2)}) * 1000000 + 0.5) / 1000000
+                   AS bm25,
+               FLOOR((CAST(b.tf_0 * s.n_docs AS DOUBLE) / s.df_0
+                      + CAST(b.tf_1 * s.n_docs AS DOUBLE) / s.df_1
+                      + CAST(b.tf_2 * s.n_docs AS DOUBLE) / s.df_2)
+                     * 1000000 + 0.5) / 1000000 AS tfidf
+        FROM base b CROSS JOIN stats s
+    ),
+    la AS (
+        SELECT doc_id, rank_a FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY bm25 DESC, doc_id) AS rank_a
+            FROM scored
+        ) WHERE rank_a <= 100
+    ),
+    lb AS (
+        SELECT doc_id, rank_b FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY tfidf DESC, doc_id) AS rank_b
+            FROM scored
+        ) WHERE rank_b <= 100
+    ),
+    fused AS (
+        SELECT COALESCE(la.doc_id, lb.doc_id) AS doc_id,
+               la.rank_a, lb.rank_b,
+               COALESCE(1.0 / (60 + la.rank_a), 0.0)
+                   + COALESCE(1.0 / (60 + lb.rank_b), 0.0) AS rrf_raw
+        FROM la FULL OUTER JOIN lb ON lb.doc_id = la.doc_id
+    )
+    SELECT doc_id, rank_a, rank_b,
+           FLOOR(rrf_raw * 1000000 + 0.5) / 1000000 AS rrf, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_raw DESC, doc_id) AS rnk
+        FROM fused
+    ) WHERE rnk <= 10
+    """,
+)
+def docs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, k=60) of two
+    lexical rankers over the same fixed query — BM25 and raw tf·N/df —
+    the standard hybrid-retrieval merge that needs only RANKS, never
+    comparable scores.  Both rankers order all documents with doc_id
+    tie-breaks, the fused score folds ranker A then B (fixed order),
+    and 1/(60+rank) is exact-input IEEE division, so the whole fusion
+    is engine-reproducible.  At scale each ranker is the zero-explode
+    BM25 projection plus one window; the fusion join is on doc_id.
+    (LLM-pipeline: retrieval-ensemble leg of RAG.)"""
+    from pyspark.sql import Window
+
+    from opentimes_spark.functions.text import bm25_scores, stable_round, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    a = bm25_scores(d, list(_BM25_TERMS)).select("doc_id", "bm25")
+    toks = tokens(F.col("text"))
+
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    base = d.select(
+        "doc_id",
+        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(_BM25_TERMS)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    tfidf_sum = None
+    for i in range(len(_BM25_TERMS)):
+        term_score = (
+            (F.col(f"tf_{i}") * F.col("n_docs")).cast("double")
+            / F.col(f"df_{i}")
+        )
+        tfidf_sum = term_score if tfidf_sum is None else tfidf_sum + term_score
+    b = (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", stable_round(tfidf_sum, 6).alias("tfidf"))
+    )
+    # standard production RRF fuses top-K LISTS, not full-corpus
+    # ranks: each ranker's top-100 comes off an orderBy+limit heap
+    # (TakeOrderedAndProject), the rank window then runs over 100 rows
+    wa = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    wb = Window.orderBy(F.desc("tfidf"), F.asc("doc_id"))
+    la = (
+        a.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(100)
+        .withColumn("rank_a", F.row_number().over(wa).cast("long"))
+        .select("doc_id", "rank_a")
+    )
+    lb = (
+        b.orderBy(F.desc("tfidf"), F.asc("doc_id")).limit(100)
+        .withColumn("rank_b", F.row_number().over(wb).cast("long"))
+        .select("doc_id", "rank_b")
+    )
+    fused = la.join(lb, "doc_id", "full_outer")
+    rrf_raw = F.coalesce(
+        1.0 / (F.lit(60) + F.col("rank_a")), F.lit(0.0)
+    ) + F.coalesce(1.0 / (F.lit(60) + F.col("rank_b")), F.lit(0.0))
+    top = (
+        fused.withColumn("rrf_raw", rrf_raw)
+        .orderBy(F.desc("rrf_raw"), F.asc("doc_id"))
+        .limit(10)
+    )
+    wf = Window.orderBy(F.desc("rrf_raw"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(wf).cast("long")).select(
+        "doc_id", "rank_a", "rank_b",
+        stable_round(F.col("rrf_raw"), 6).alias("rrf"), "rnk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 battery IV: rank-based nonparametric tests (Mann-Whitney U,
+# Kruskal-Wallis H) — the distribution-free leg of the experimentation
+# battery (events_ab_lift_ztest / CUPED assume nothing about value shapes,
+# but their z-tests do; these don't).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_mann_whitney_value",
+    """
+    WITH ev AS (
+        SELECT CAST(FLOOR(value) AS BIGINT) AS v,
+               CASE WHEN ('0x' || substr(md5('ab1:' || user_id), 1, 8))
+                         ::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS is_a
+        FROM events
+    ),
+    g AS (
+        SELECT v, CAST(SUM(is_a) AS BIGINT) AS n_a,
+               CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+               COUNT(*) AS n_v
+        FROM ev GROUP BY v
+    ),
+    ranked AS (
+        SELECT v, n_a, n_b, n_v,
+               COALESCE(SUM(n_v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (n_v + 1) / 2.0 AS avg_rank
+        FROM g
+    ),
+    folded AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+               CAST(SUM(n_b) AS BIGINT) AS nb,
+               SUM(n_a * avg_rank) AS r_a,
+               CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS ties
+        FROM ranked
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(r_a - na * (na + 1) / 2.0, 2) AS u_a,
+           ROUND((r_a - na * (na + 1) / 2.0
+                  - CAST(na AS DOUBLE) * nb / 2.0)
+                 / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                        * ((na + nb + 1)
+                           - CAST(ties AS DOUBLE)
+                             / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))),
+                 6) AS z
+    FROM folded
+    """,
+)
+def events_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) on integer-bucketed event
+    values between the md5-coin A/B arms, with the normal approximation
+    UNDER THE EXACT TIE CORRECTION — the distribution-free twin of
+    events_ab_lift_ztest for heavy-tailed metrics where a mean z-test
+    lies.  Rank machinery is aggregate-first: group by bucket (the tie
+    groups), prefix-sum the grid for average ranks, and fold n_a·rank
+    products — every term sits on the exact 0.5 grid well under 2^53,
+    so the rank sum is order-independent and both engines agree bit-
+    for-bit before the single final division.  The window runs over the
+    VALUE GRID (aggregated, ~100 rows), never the event stream."""
+    e = _t(spark, sf_dir, "events")
+    is_a = (
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long") % 2 == 0,
+            1,
+        ).otherwise(0)
+    )
+    g = (
+        e.select(F.floor("value").cast("bigint").alias("v"), is_a.alias("is_a"))
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").cast("bigint").alias("n_a"),
+            F.sum(1 - F.col("is_a")).cast("bigint").alias("n_b"),
+            F.count(F.lit(1)).alias("n_v"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "avg_rank",
+        F.coalesce(F.sum("n_v").over(w), F.lit(0))
+        + (F.col("n_v") + 1) / F.lit(2.0),
+    )
+    folded = ranked.agg(
+        F.sum("n_a").cast("bigint").alias("na"),
+        F.sum("n_b").cast("bigint").alias("nb"),
+        F.sum(F.col("n_a") * F.col("avg_rank")).alias("r_a"),
+        F.sum(
+            F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        ).cast("bigint").alias("ties"),
+    )
+    na, nb, ties = F.col("na"), F.col("nb"), F.col("ties")
+    u_a = F.col("r_a") - na * (na + 1) / F.lit(2.0)
+    mu = na.cast("double") * nb / F.lit(2.0)
+    sigma2 = (
+        na.cast("double") * nb / F.lit(12.0)
+        * (
+            (na + nb + 1)
+            - ties.cast("double") / ((na + nb).cast("double") * (na + nb - 1))
+        )
+    )
+    return folded.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(u_a, 2).alias("u_a"),
+        F.round((u_a - mu) / F.sqrt(sigma2), 6).alias("z"),
+    )
+
+
+@query(
+    "orders_kruskal_wallis_priority",
+    """
+    WITH o AS (
+        SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS v,
+               o_orderpriority AS grp
+        FROM orders
+    ),
+    cell AS (SELECT v, grp, COUNT(*) AS n_vg FROM o GROUP BY v, grp),
+    g AS (SELECT v, CAST(SUM(n_vg) AS BIGINT) AS n_v FROM cell GROUP BY v),
+    ranked AS (
+        SELECT v, n_v,
+               COALESCE(SUM(n_v) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (n_v + 1) / 2.0 AS avg_rank
+        FROM g
+    ),
+    per_group AS (
+        SELECT c.grp, CAST(SUM(c.n_vg) AS BIGINT) AS n_j,
+               SUM(c.n_vg * r.avg_rank) AS r_j
+        FROM cell c JOIN ranked r ON r.v = c.v
+        GROUP BY c.grp
+    ),
+    scalars AS (
+        SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+               list_aggregate(list(r_j * r_j / n_j ORDER BY grp), 'sum')
+                   AS sum_rr,
+               (SELECT CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT)
+                FROM ranked) AS ties
+        FROM per_group
+    ),
+    h AS (
+        SELECT n, ties,
+               12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sum_rr - 3.0 * (n + 1)
+                   AS h_stat
+        FROM scalars
+    )
+    SELECT p.grp AS priority, p.n_j,
+           ROUND(p.r_j, 2) AS rank_sum,
+           ROUND(h.h_stat, 6) AS h_stat,
+           ROUND(h.h_stat / (1.0 - CAST(h.ties AS DOUBLE)
+                             / (CAST(h.n AS DOUBLE) * h.n * h.n - h.n)),
+                 6) AS h_corrected
+    FROM per_group p CROSS JOIN h
+    """,
+)
+def orders_kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five order priorities on
+    1000-bucketed order value: per-group rank sums off the shared
+    average-rank grid, H = 12/(N(N+1))·ΣR_j²/n_j − 3(N+1), and the
+    tie-corrected H' = H/(1 − Σ(t³−t)/(N³−N)) — does ANY priority
+    shift the spend distribution, with zero normality assumptions
+    (the nonparametric sibling of orders_priority_anova).  Rank sums
+    are exact 0.5-grid folds; ΣR_j²/n_j is genuinely inexact, so it
+    folds in PRIORITY ORDER via the registry's sorted-fold idiom (5
+    elements).  The rank grid is aggregated (~hundreds of buckets);
+    the 5-row group table and 1-row H broadcast back."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("v"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    cell = o.groupBy("v", "grp").agg(F.count(F.lit(1)).alias("n_vg"))
+    g = cell.groupBy("v").agg(F.sum("n_vg").cast("bigint").alias("n_v"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "avg_rank",
+        F.coalesce(F.sum("n_v").over(w), F.lit(0))
+        + (F.col("n_v") + 1) / F.lit(2.0),
+    )
+    per_group = (
+        cell.join(ranked.select("v", "avg_rank"), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("n_vg").cast("bigint").alias("n_j"),
+            F.sum(F.col("n_vg") * F.col("avg_rank")).alias("r_j"),
+        )
+    )
+    ties_row = ranked.agg(
+        F.sum(
+            F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        ).cast("bigint").alias("ties")
+    )
+    scalars = (
+        per_group.agg(
+            F.sum("n_j").cast("bigint").alias("n"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("grp", (F.col("r_j") * F.col("r_j") / F.col("n_j")).alias("x")))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["x"],
+            ).alias("sum_rr"),
+        )
+        .crossJoin(F.broadcast(ties_row))
+    )
+    h = scalars.select(
+        "n", "ties",
+        (
+            F.lit(12.0) / (F.col("n").cast("double") * (F.col("n") + 1))
+            * F.col("sum_rr")
+            - F.lit(3.0) * (F.col("n") + 1)
+        ).alias("h_stat"),
+    )
+    corr = F.lit(1.0) - F.col("ties").cast("double") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return per_group.crossJoin(F.broadcast(h)).select(
+        F.col("grp").alias("priority"),
+        "n_j",
+        F.round("r_j", 2).alias("rank_sum"),
+        F.round("h_stat", 6).alias("h_stat"),
+        F.round(F.col("h_stat") / corr, 6).alias("h_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 battery V: leakage-safe feature encoding, expectation-suite data
+# quality, and snapshot-version diffing (lakehouse change feed).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cust_segment_target_encoding_loo",
+    """
+    WITH t AS (
+        SELECT c.c_custkey, c.c_mktsegment AS segment,
+               CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                    AS DECIMAL(18,2)) AS t_c
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_s,
+               CAST(SUM(t_c) AS DECIMAL(28,2)) AS sum_s
+        FROM t GROUP BY 1
+    )
+    SELECT t.c_custkey, t.segment,
+           ROUND(CAST(t.t_c AS DOUBLE), 2) AS own_total,
+           ROUND(CAST(s.sum_s - t.t_c AS DOUBLE) / (s.n_s - 1), 6) AS loo_enc
+    FROM t JOIN s USING (segment)
+    """,
+)
+def cust_segment_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of customer market segment against
+    total customer spend — THE leakage-safe categorical encoder for
+    tabular feature pipelines: each row's encoding
+    (Σ_segment − own)/(n_segment − 1) excludes its own target, so the
+    feature can't memorize the label.  Spend sums are exact
+    DECIMAL(18,2) (the CUPED idiom) so the per-segment fold is
+    order-independent; doubles appear only in the two final single-step
+    casts.  Two shuffles at scale: the customer rollup and the
+    segment rollup (5 rows, broadcast back)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    t = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            ).cast("decimal(18,2)").alias("t_c")
+        )
+    )
+    s = t.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("t_c").cast("decimal(28,2)").alias("sum_s"),
+    )
+    return t.join(F.broadcast(s), "segment").select(
+        "c_custkey",
+        "segment",
+        F.round(F.col("t_c").cast("double"), 2).alias("own_total"),
+        F.round(
+            (F.col("sum_s") - F.col("t_c")).cast("double") / (F.col("n_s") - 1),
+            6,
+        ).alias("loo_enc"),
+    )
+
+
+@query(
+    "orders_expectations_report",
+    """
+    WITH a AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+               SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                        THEN 1 ELSE 0 END) AS bad_status,
+               SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                          OR o_orderdate > TIMESTAMP '1998-12-31'
+                        THEN 1 ELSE 0 END) AS bad_date
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'row_count_at_least_1000' AS expectation,
+               CAST(n AS BIGINT) AS observed, n >= 1000 AS passed FROM a
+        UNION ALL SELECT 'orderkey_unique', CAST(dup_keys AS BIGINT),
+               dup_keys = 0 FROM a
+        UNION ALL SELECT 'custkey_not_null', CAST(null_cust AS BIGINT),
+               null_cust = 0 FROM a
+        UNION ALL SELECT 'totalprice_positive', CAST(bad_price AS BIGINT),
+               bad_price = 0 FROM a
+        UNION ALL SELECT 'status_in_domain', CAST(bad_status AS BIGINT),
+               bad_status = 0 FROM a
+        UNION ALL SELECT 'orderdate_in_range', CAST(bad_date AS BIGINT),
+               bad_date = 0 FROM a
+    )
+    """,
+)
+def orders_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite data-quality gate (the Great-Expectations
+    contract shape): one scan computes every check's violation count,
+    then explodes to (expectation, observed, passed) rows — the table a
+    pipeline's publish step gates on, complementing lineitem_dq_audit's
+    column-profile form.  ONE aggregate over orders (count-distinct is
+    the only extra shuffle), six constant rows out; at 100 TB the scan
+    is the cost and it is paid once for all checks."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("F", "O", "P")).cast("long")
+        ).alias("bad_status"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("timestamp"))
+            ).cast("long")
+        ).alias("bad_date"),
+    )
+    checks = [
+        ("row_count_at_least_1000", F.col("n"), F.col("n") >= 1000),
+        ("orderkey_unique", F.col("dup_keys"), F.col("dup_keys") == 0),
+        ("custkey_not_null", F.col("null_cust"), F.col("null_cust") == 0),
+        ("totalprice_positive", F.col("bad_price"), F.col("bad_price") == 0),
+        ("status_in_domain", F.col("bad_status"), F.col("bad_status") == 0),
+        ("orderdate_in_range", F.col("bad_date"), F.col("bad_date") == 0),
+    ]
+    rows = [
+        F.struct(
+            F.lit(name).alias("expectation"),
+            obs.cast("bigint").alias("observed"),
+            passed.alias("passed"),
+        )
+        for name, obs, passed in checks
+    ]
+    return a.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+@query(
+    "orders_snapshot_diff",
+    """
+    WITH v0 AS (
+        SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    v1 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 101 != 0
+    ),
+    d AS (
+        SELECT COALESCE(v1.o_orderkey, v0.o_orderkey) AS k,
+               CASE WHEN v0.o_orderkey IS NULL THEN 'added'
+                    WHEN v1.o_orderkey IS NULL THEN 'removed'
+                    WHEN v1.o_orderstatus != v0.o_orderstatus THEN 'changed'
+               END AS op
+        FROM v0 FULL OUTER JOIN v1 ON v1.o_orderkey = v0.o_orderkey
+    )
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM d WHERE op IS NOT NULL GROUP BY op
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version change feed THROUGH the snapshots layer:
+    publish orders-as-of-1996 as v=0 and a mutated orders-as-of-1997 as
+    v=1 (keys %101 dropped, status rewritten on keys %97), then
+    io/snapshots.diff_snapshots classifies every key added / removed /
+    changed from the retained versions alone — no CDC log.  The oracle
+    replays the diff as pure set algebra over the same definitions, so
+    the snapshot write → pointer → read → full-outer fingerprint diff
+    path is value-certified end to end.  The diff shuffles (key, md5)
+    projections only, never wide rows."""
+    import tempfile
+
+    from opentimes_spark.io import snapshots
+
+    o = _t(spark, sf_dir, "orders")
+    v0 = o.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    v1 = (
+        o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        .filter(F.col("o_orderkey") % 101 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="otq_snapdiff_")
+    snapshots.write_snapshot(v0, root)
+    snapshots.write_snapshot(v1, root)
+    d = snapshots.diff_snapshots(spark, root, 0, 1, ["o_orderkey"])
+    return d.groupBy("op").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 battery VI: classical time-series decomposition, bot/scraper
+# detection (pipeline hygiene for crawled corpora), and funnel latency.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_stl_monthly_decomposition",
+    """
+    WITH m AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mk,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(28,2)) AS gmv
+        FROM orders GROUP BY 1
+    ),
+    ma AS (
+        SELECT mk, gmv,
+               CAST(SUM(gmv) OVER w AS DECIMAL(38,2)) AS ma_sum,
+               COUNT(*) OVER w AS ma_n
+        FROM m
+        WINDOW w AS (ORDER BY mk ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ),
+    detr AS (
+        SELECT mk, gmv, ma_sum, ma_n,
+               CASE WHEN ma_n = 13
+                    THEN CAST(13 * gmv - ma_sum AS DECIMAL(38,2)) END
+                   AS d13
+        FROM ma
+    ),
+    seas AS (
+        SELECT mk % 12 AS moy,
+               CAST(SUM(d13) AS DECIMAL(38,2)) AS s_sum,
+               CAST(COUNT(d13) AS BIGINT) AS s_cnt
+        FROM detr WHERE d13 IS NOT NULL GROUP BY 1
+    )
+    SELECT d.mk AS month_key,
+           ROUND(CAST(d.gmv AS DOUBLE), 2) AS gmv,
+           ROUND(CAST(d.ma_sum AS DOUBLE) / 13, 4) AS trend_ma,
+           ROUND(CAST(d.d13 AS DOUBLE) / 13, 4) AS detrended,
+           ROUND(CAST(s.s_sum AS DOUBLE) / (13.0 * s.s_cnt), 4) AS seasonal,
+           ROUND(CAST(d.d13 AS DOUBLE) / 13
+                 - CAST(s.s_sum AS DOUBLE) / (13.0 * s.s_cnt), 4)
+               AS remainder
+    FROM detr d JOIN seas s ON s.moy = d.mk % 12
+    WHERE d.d13 IS NOT NULL
+    """,
+)
+def orders_stl_monthly_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of monthly GMV (the moving-
+    average STL ancestor): 13-month centered MA trend, month-of-year
+    seasonal means of the detrended series, and the remainder — the
+    series-health triptych behind every 'is this drop seasonal or
+    real?' question.  Exactness discipline: GMV and the MA ride
+    DECIMAL sums, and the detrended series is kept as the EXACT
+    integer-scaled 13·gmv − MA_sum so the seasonal fold is
+    order-independent; doubles appear only in final single-step
+    divisions.  Both windows run over the month DIMENSION (~80 rows) —
+    the aggregate-first idiom; edge months without a full 13-month
+    window are excluded (NULL MA)."""
+    from pyspark.sql import Window
+
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mk")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)").alias("gmv")
+        )
+    )
+    w = Window.orderBy("mk").rowsBetween(-6, 6)
+    ma = m.select(
+        "mk", "gmv",
+        F.sum("gmv").over(w).cast("decimal(38,2)").alias("ma_sum"),
+        F.count(F.lit(1)).over(w).alias("ma_n"),
+    )
+    detr = ma.withColumn(
+        "d13",
+        F.when(
+            F.col("ma_n") == 13,
+            (F.lit(13) * F.col("gmv") - F.col("ma_sum")).cast("decimal(38,2)"),
+        ),
+    )
+    seas = (
+        detr.filter(F.col("d13").isNotNull())
+        .groupBy((F.col("mk") % 12).alias("moy"))
+        .agg(
+            F.sum("d13").cast("decimal(38,2)").alias("s_sum"),
+            F.count("d13").cast("bigint").alias("s_cnt"),
+        )
+    )
+    seasonal = F.col("s_sum").cast("double") / (F.lit(13.0) * F.col("s_cnt"))
+    detrended = F.col("d13").cast("double") / 13
+    return (
+        detr.filter(F.col("d13").isNotNull())
+        .join(F.broadcast(seas), F.col("mk") % 12 == F.col("moy"))
+        .select(
+            F.col("mk").alias("month_key"),
+            F.round(F.col("gmv").cast("double"), 2).alias("gmv"),
+            F.round(F.col("ma_sum").cast("double") / 13, 4).alias("trend_ma"),
+            F.round(detrended, 4).alias("detrended"),
+            F.round(seasonal, 4).alias("seasonal"),
+            F.round(detrended - seasonal, 4).alias("remainder"),
+        )
+    )
+
+
+@query(
+    "events_bot_detection",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS g
+        FROM ev
+    ),
+    per_user AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(COUNT(g) AS BIGINT) AS n_gaps,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0))
+                   AS sum_g2
+        FROM gaps
+        GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events, n_gaps,
+           ROUND(CAST(sum_g AS DOUBLE) / n_gaps, 2) AS mean_gap_us,
+           ROUND(sqrt(CAST(n_gaps * sum_g2
+                           - CAST(sum_g AS DECIMAL(38,0)) * sum_g
+                           AS DOUBLE)) / sum_g, 6) AS cv,
+           n_events >= 30
+           AND sqrt(CAST(n_gaps * sum_g2
+                         - CAST(sum_g AS DECIMAL(38,0)) * sum_g
+                         AS DOUBLE)) / sum_g < 0.3 AS is_bot
+    FROM per_user WHERE n_gaps >= 5
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/scraper heuristic over event inter-arrival REGULARITY: a
+    human's gaps are bursty (coefficient of variation ≳ 1), a
+    scheduled scraper's are metronomic (cv → 0) — so flag users with
+    ≥30 events whose gap cv < 0.3.  The crawl-hygiene sibling of the
+    corpus-quality filters: at 100 TB this is what keeps synthetic
+    traffic out of training data.  cv is computed SCALE-FREE as
+    √(n·Σg² − (Σg)²)/Σg from exact integer-microsecond gaps — Σg²
+    rides DECIMAL(38,0) because a day-long gap squared overflows
+    int64 — with doubles only in the final single-step cast; the gap
+    window is per-user partitioned (parallel), one shuffle."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    wl = Window.partitionBy("user_id").orderBy("us")
+    gaps = ev.withColumn("g", F.col("us") - F.lag("us").over(wl))
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("g").cast("bigint").alias("n_gaps"),
+            F.sum("g").cast("bigint").alias("sum_g"),
+            F.sum(F.col("g").cast("decimal(38,0)") * F.col("g"))
+            .cast("decimal(38,0)").alias("sum_g2"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    var_num = (
+        F.col("n_gaps") * F.col("sum_g2")
+        - F.col("sum_g").cast("decimal(38,0)") * F.col("sum_g")
+    ).cast("double")
+    cv = F.sqrt(var_num) / F.col("sum_g")
+    return per_user.select(
+        "user_id", "n_events", "n_gaps",
+        F.round(F.col("sum_g").cast("double") / F.col("n_gaps"), 2).alias(
+            "mean_gap_us"
+        ),
+        F.round(cv, 6).alias("cv"),
+        ((F.col("n_events") >= 30) & (cv < 0.3)).alias("is_bot"),
+    )
+
+
+@query(
+    "events_funnel_time_to_convert",
+    """
+    WITH fv AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS v_us
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN fv ON fv.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.v_us
+        GROUP BY e.user_id
+    ),
+    g AS (
+        SELECT fv.user_id, fp.p_us - fv.v_us AS gap
+        FROM fv JOIN fp ON fp.user_id = fv.user_id
+    ),
+    r AS (
+        SELECT gap, ROW_NUMBER() OVER (ORDER BY gap, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM g
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = FLOOR((n - 1) / 2 + 1) THEN gap END)
+                AS BIGINT) AS p50_us,
+           CAST(MAX(CASE WHEN rn = FLOOR((n - 1) * 9 / 10 + 1) THEN gap END)
+                AS BIGINT) AS p90_us,
+           CAST(FLOOR(SUM(gap) / COUNT(*)) AS BIGINT) AS mean_us_floor
+    FROM r
+    """,
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: time from each user's FIRST view to their first
+    purchase at-or-after it, summarized as exact discrete p50/p90 (the
+    sorted element at floor((n−1)·q), integer index arithmetic — no
+    interpolation, no percentile_cont cross-engine semantics) and the
+    floor-divided mean — the conversion-lag companion to
+    events_funnel_ordered's count funnel.  All gaps are exact integer
+    microseconds; the ranking window runs over the CONVERTED-USER
+    frame (one row per user, already aggregated), not the event
+    stream."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    g = fv.join(fp, "user_id").select(
+        "user_id", (F.col("p_us") - F.col("v_us")).alias("gap")
+    )
+    wr = Window.orderBy("gap", "user_id")
+    wn = Window.partitionBy()
+    r = g.select(
+        "gap",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    idx50 = (F.col("n") - 1) / 2 + 1
+    idx90 = (F.col("n") - 1) * 9 / 10 + 1
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == F.floor(idx50), F.col("gap"))
+        ).cast("bigint").alias("p50_us"),
+        F.max(
+            F.when(F.col("rn") == F.floor(idx90), F.col("gap"))
+        ).cast("bigint").alias("p90_us"),
+        F.floor(F.sum("gap") / F.count(F.lit(1))).cast("bigint").alias(
+            "mean_us_floor"
+        ),
+    )

@@ -602,3 +602,48 @@ def test_bloom_filter_cols_write_real_bitsets(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(plain).collect()))
     b = sorted(map(tuple, spark.read.parquet(bloomed).collect()))
     assert a == b
+
+
+def test_diff_snapshots_classifies_and_disambiguates_nulls(spark, tmp_path):
+    """Version diff (round 9): added/removed/changed classification off
+    the retained versions; the fingerprint must distinguish NULL from
+    empty string and from adjacent-column aliasing."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from opentimes_spark.io.snapshots import diff_snapshots, write_snapshot
+
+    root = str(tmp_path / "dsnap")
+    v0 = spark.createDataFrame(
+        [(1, "a", "x"), (2, None, "y"), (3, "ab", "c"), (4, "keep", "k")],
+        "k long, u string, v string",
+    )
+    v1 = spark.createDataFrame(
+        [
+            (2, "", "y"),       # NULL -> '' must read as CHANGED
+            (3, "a", "bc"),     # boundary shift 'ab','c' -> 'a','bc': CHANGED
+            (4, "keep", "k"),   # identical
+            (5, "new", "n"),    # ADDED (and 1 is REMOVED)
+        ],
+        "k long, u string, v string",
+    )
+    assert write_snapshot(v0, root) == 0
+    assert write_snapshot(v1, root) == 1
+    got = {
+        r["k"]: r["op"]
+        for r in diff_snapshots(spark, root, 0, 1, ["k"]).collect()
+    }
+    assert got == {1: "removed", 2: "changed", 3: "changed", 5: "added"}
+
+    # schema drift between versions is an error, not a silent diff
+    v2 = spark.createDataFrame([(1, "a")], "k long, other string")
+    assert write_snapshot(v2, root) == 2
+    with pt.raises(ValueError, match="schemas differ"):
+        diff_snapshots(spark, root, 1, 2, ["k"])
+    # a key-only table has nothing to fingerprint
+    v3 = spark.createDataFrame([(1,)], "k long")
+    root2 = str(tmp_path / "dsnap2")
+    write_snapshot(v3, root2)
+    write_snapshot(v3, root2)
+    with pt.raises(ValueError, match="non-key column"):
+        diff_snapshots(spark, root2, 0, 1, ["k"])
