@@ -114,7 +114,12 @@ def running_user_stats_tws(stream: DataFrame) -> DataFrame:
     messages with protobuf; without ``google.protobuf`` installed the
     Spark driver worker crashes opaquely mid-query, so absence is
     surfaced here as an explicit error.  The legacy-API twin
-    ``running_user_stats`` has no such dependency."""
+    ``running_user_stats`` has no such dependency.  (Probed again in
+    round 9: ``import google.protobuf`` fails and ``pip download
+    protobuf`` finds no distribution — the container has no index
+    access — so the seam stands; the auto-activating test in
+    tests/test_streaming.py flips on by itself the moment protobuf
+    appears.)"""
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as e:
