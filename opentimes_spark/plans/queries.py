@@ -18404,3 +18404,504 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
             "mean_us_floor"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 battery IV: graph centrality, deterministic sketches, weighted
+# sampling, collocation statistics, changepoint detection, concentration.
+# Shared discipline: every iterative / fractional step is exact int64 (or
+# decimal) arithmetic — `div`⟷`//` floor division on positive operands —
+# so the DuckDB oracle replays values bit-for-bit with plain SUMs, no
+# sorted-fold scaffolding.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nations_pagerank",
+    """
+    WITH e AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+    ew AS (SELECT e.src, e.dst, e.w, ow.out_w FROM e JOIN ow ON e.src = ow.src),
+    nd AS (SELECT n_nationkey AS nid, n_name FROM nation),
+    p  AS (SELECT COUNT(*) AS nn FROM nd),
+    r0 AS (SELECT nid, CAST(1000000000::BIGINT // p.nn AS BIGINT) AS rank
+           FROM nd CROSS JOIN p),
+    c1 AS (SELECT ew.dst AS nid, SUM((r0.rank * ew.w) // ew.out_w) AS s
+           FROM ew JOIN r0 ON r0.nid = ew.src GROUP BY ew.dst),
+    r1 AS (SELECT nd.nid,
+                  CAST(((15::BIGINT * 1000000000) // (100 * p.nn))
+                       + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS rank
+           FROM nd CROSS JOIN p LEFT JOIN c1 ON c1.nid = nd.nid),
+    c2 AS (SELECT ew.dst AS nid, SUM((r1.rank * ew.w) // ew.out_w) AS s
+           FROM ew JOIN r1 ON r1.nid = ew.src GROUP BY ew.dst),
+    r2 AS (SELECT nd.nid,
+                  CAST(((15::BIGINT * 1000000000) // (100 * p.nn))
+                       + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS rank
+           FROM nd CROSS JOIN p LEFT JOIN c2 ON c2.nid = nd.nid),
+    c3 AS (SELECT ew.dst AS nid, SUM((r2.rank * ew.w) // ew.out_w) AS s
+           FROM ew JOIN r2 ON r2.nid = ew.src GROUP BY ew.dst),
+    r3 AS (SELECT nd.nid,
+                  CAST(((15::BIGINT * 1000000000) // (100 * p.nn))
+                       + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS rank
+           FROM nd CROSS JOIN p LEFT JOIN c3 ON c3.nid = nd.nid)
+    SELECT nd.n_name AS nation, r3.rank AS rank_scaled
+    FROM r3 JOIN nd ON nd.nid = r3.nid
+    """,
+)
+def nations_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-level trade graph (edge
+    cust_nation → supp_nation weighted by lineitem count), 3 iterations,
+    damping 0.85 — the classic iterative graph algorithm the reference
+    family's tree/graph rollups never needed, done certified: ranks live
+    as int64 shares of SCALE=1e9 and every per-edge contribution is
+    ``(rank*w) div out_w`` floor division, so iteration sums are
+    order-free exact integers and the oracle unrolls all 3 rounds with
+    plain SUMs (the docs_classifier_train_weights int64-gradient
+    precedent).  Dangling mass (a nation with no outbound trade) is
+    dropped, standard simplification, identical in both engines.
+
+    Scale shape: the heavy stage is edge construction — one fact-fact
+    join (lineitem⋈orders on orderkey) plus two broadcast dims, then a
+    625-row-max aggregate.  The iteration loop joins the persisted
+    edge table (node-grain, NOT fact-grain) with a node-grain rank
+    table: per-round cost is O(|edges|), the textbook distributed
+    PageRank shape; rank*w ≤ SCALE·|edges| keeps int64 headroom to
+    ~1e9 edges.  `.persist()` makes the 3 unrolled rounds reuse one
+    edge materialization instead of re-running the fact join."""
+    SCALE = 1_000_000_000
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ow = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = edges.join(ow, "src").persist()
+    nodes = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("nid"), "n_name"
+    )
+    n_nations = nation.count()  # bounded: 25-row dimension
+    teleport = (15 * SCALE) // (100 * n_nations)
+    r = nodes.select("nid").withColumn(
+        "rank", F.lit(SCALE // n_nations).cast("bigint")
+    )
+    for _ in range(3):
+        contrib = ew.join(r, ew.src == r.nid).select(
+            F.col("dst"), F.expr("(rank * w) div out_w").alias("cb")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("cb").alias("s"))
+        r = (
+            nodes.select("nid")
+            .join(sums, F.col("nid") == F.col("dst"), "left")
+            .select(
+                "nid",
+                (
+                    F.lit(teleport)
+                    + F.expr("(85 * coalesce(s, cast(0 as bigint))) div 100")
+                ).cast("bigint").alias("rank"),
+            )
+        )
+    return r.join(nodes, "nid").select(
+        F.col("n_name").alias("nation"), F.col("rank").alias("rank_scaled")
+    )
+
+
+@query(
+    "events_hll_distinct",
+    """
+    WITH h AS (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               CAST('0x' || substr(h, 1, 2) AS BIGINT) AS bucket,
+               CAST('0x' || substr(h, 3, 15) AS BIGINT) AS tail
+        FROM h
+    ),
+    r AS (
+        SELECT event_type, bucket,
+               MAX(CASE WHEN tail = 0 THEN 61
+                        ELSE 61 - LENGTH(bin(tail)) END) AS m
+        FROM b GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, COUNT(*) AS nb,
+               SUM(((1::BIGINT) << (61 - m))::HUGEINT) AS sp
+        FROM r GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(256 - nb AS BIGINT) AS n_zero_registers,
+           FLOOR(1.0854228543761655e+23
+                 / (CAST(sp AS DOUBLE)
+                    + CAST(256 - nb AS DOUBLE) * 2305843009213693952.0)
+                 * 100 + 0.5) / 100 AS est_distinct
+    FROM s
+    """,
+)
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type (Flajolet et
+    al. 2007), p=8 / m=256 registers, built on md5 so — like the KMV
+    twin (sketch_kmv_distinct) — the ESTIMATE ITSELF is
+    engine-deterministic: bucket = first hex byte, rho = leading-zero
+    count of the next 60 bits + 1 via ``61 - length(bin(tail))``
+    (exact integer, no float log), register = MAX(rho).  The harmonic
+    denominator sums 2^(61-M_j) as exact DECIMAL/HUGEINT integers
+    (dyadic terms span 61 octaves — a double SUM would round), absent
+    buckets contribute 2^61, and only the final alpha·m²·2^61 / S
+    division is IEEE double — one correctly-rounded op sequence both
+    engines share.  Raw estimator only (no small/large-range
+    correction — those need ln; the KMV twin covers the small range),
+    with n_zero_registers exposed so a consumer can see when the
+    linear-counting regime applies.
+
+    Scale shape: one scan → 256-row-per-type register agg (map-side
+    combining MAX) → 1-row-per-type fold; the sketch is mergeable by
+    register MAX, the per-day ledger contract of sketch_kmv/
+    quantile_sketch."""
+    e = _t(spark, sf_dir, "events")
+    h = e.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    )
+    b = h.select(
+        "event_type",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring("h", 3, 15), 16, 10).cast("bigint").alias("tail"),
+    )
+    rho = F.when(F.col("tail") == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.bin(F.col("tail")))
+    )
+    regs = b.select("event_type", "bucket", rho.alias("rho")).groupBy(
+        "event_type", "bucket"
+    ).agg(F.max("rho").alias("m"))
+    sk = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(
+            F.expr("cast(shiftleft(cast(1 as bigint), 61 - m) as decimal(38,0))")
+        ).alias("sp"),
+    )
+    denom = sk.sp.cast("double") + (F.lit(256) - F.col("nb")).cast(
+        "double"
+    ) * F.lit(2305843009213693952.0)
+    return sk.select(
+        "event_type",
+        (F.lit(256) - F.col("nb")).cast("bigint").alias("n_zero_registers"),
+        (
+            F.floor(F.lit(1.0854228543761655e23) / denom * 100 + 0.5) / 100
+        ).alias("est_distinct"),
+    )
+
+
+@query(
+    "orders_pps_systematic_sample",
+    """
+    WITH w AS (
+        SELECT c.c_mktsegment AS mktsegment, o.o_orderkey,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS w_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cw AS (
+        SELECT mktsegment, o_orderkey, w_cents,
+               SUM(w_cents) OVER (PARTITION BY mktsegment ORDER BY o_orderkey
+                                  ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(w_cents) OVER (PARTITION BY mktsegment) AS tot
+        FROM w
+    )
+    SELECT mktsegment, o_orderkey, w_cents,
+           CAST(cumw // (tot // 40) AS BIGINT) AS slot
+    FROM cw
+    WHERE (cumw // (tot // 40)) > ((cumw - w_cents) // (tot // 40))
+    """,
+)
+def orders_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling, stratified
+    by market segment: weights are exact integer cents, the stride is
+    ``total // k`` (k=40 per stratum), and a row is drawn iff its
+    cumulative-weight interval crosses a stride boundary — the
+    deterministic PPS design (Madow 1949) that importance-samples
+    high-value orders with NO random state, so the oracle replays the
+    exact sample.  (An Efraimidis–Spirakis exponential-key sample would
+    hinge on cross-engine `pow` ulps at the k-th-order-statistic
+    boundary — the same flake class the registry's ln-avoidance idiom
+    exists to kill; boundary-crossing needs only integer floor
+    division.)
+
+    Scale shape: one broadcast dim join + a per-stratum prefix sum
+    (partitioned window, one shuffle on the 5-value segment key).  The
+    5-way parallelism cap is the documented trade at this grain; for a
+    high-cardinality frame the same selection predicate runs on a
+    two-pass range-partitioned prefix sum (per-partition totals →
+    cumulative offsets → within-partition cumsum), which io/write.py's
+    range-sorted layout already co-locates."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias(
+            "w_cents"
+        ),
+    )
+    part = Window.partitionBy("mktsegment")
+    cum = (
+        part.orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cw = w.select(
+        "mktsegment",
+        "o_orderkey",
+        "w_cents",
+        F.sum("w_cents").over(cum).alias("cumw"),
+        F.sum("w_cents").over(part).alias("tot"),
+    )
+    return cw.filter(
+        F.expr("(cumw div (tot div 40)) > ((cumw - w_cents) div (tot div 40))")
+    ).select(
+        "mktsegment",
+        "o_orderkey",
+        "w_cents",
+        F.expr("cumw div (tot div 40)").cast("bigint").alias("slot"),
+    )
+
+
+@query(
+    "docs_pmi_bigram_lift",
+    """
+    WITH d AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x != '') AS t
+        FROM documents
+    ),
+    d2 AS (SELECT t FROM d WHERE len(t) >= 2),
+    bp AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM d2, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    bg AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bp GROUP BY 1, 2),
+    un AS (
+        SELECT tok, COUNT(*) AS c
+        FROM (SELECT UNNEST(t) AS tok FROM d) GROUP BY 1
+    ),
+    st AS (
+        SELECT CAST((SELECT SUM(c) FROM un) AS BIGINT) AS u_tok,
+               CAST((SELECT COUNT(*) FROM bp) AS BIGINT) AS b_tok
+    )
+    SELECT bg.w1, bg.w2, bg.c_xy,
+           FLOOR(((CAST(bg.c_xy AS DOUBLE) * st.u_tok) / st.b_tok)
+                 * st.u_tok / cx.c / cy.c * 10000 + 0.5) / 10000 AS lift
+    FROM bg
+    CROSS JOIN st
+    JOIN un cx ON cx.tok = bg.w1
+    JOIN un cy ON cy.tok = bg.w2
+    WHERE bg.c_xy >= 5
+    ORDER BY lift DESC, bg.w1, bg.w2
+    LIMIT 30
+    """,
+)
+def docs_pmi_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-30 adjacent-token bigrams by pointwise
+    lift p(xy)/(p(x)p(y)) = c_xy·U²/(B·c_x·c_y) — PMI without the log
+    (monotone transform; the ln-avoidance idiom), support floor
+    c_xy ≥ 5.  Bigrams come from a positional transform over the
+    token array (``t[i]``,``t[i+1]`` — no self-join of positions), and
+    the lift is ONE fixed sequence of IEEE double ·/÷ shared by both
+    engines, so values hash-match exactly.
+
+    Scale shape: explode → two token-grain aggregates (bigram and
+    unigram counts, map-side combined), a 1-row broadcast stats join,
+    and two token-key joins of the bigram table against the unigram
+    table — all token-grain, never doc²; top-k is
+    TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    from opentimes_spark.functions.text import tokens
+
+    d = docs.select(tokens(F.col("text")).alias("t"))
+    d2 = d.filter(F.size("t") >= 2)
+    pairs = d2.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t)-1),"
+                " (x, i) -> struct(x AS w1, t[i+1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    un = d.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    st = un.agg(F.sum("c").cast("bigint").alias("u_tok")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).cast("bigint").alias("b_tok"))
+    )
+    cx = un.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))
+    cy = un.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))
+    j = (
+        bg.filter(F.col("c_xy") >= 5)
+        .crossJoin(F.broadcast(st))
+        .join(cx, "w1")
+        .join(cy, "w2")
+    )
+    lift = (
+        (F.col("c_xy").cast("double") * F.col("u_tok")) / F.col("b_tok")
+    ) * F.col("u_tok") / F.col("c_x") / F.col("c_y")
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "c_xy",
+            (F.floor(lift * 10000 + 0.5) / 10000).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(30)
+    )
+
+
+@query(
+    "orders_cusum_changepoint",
+    """
+    WITH wk AS (
+        SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT wk, x,
+               ROW_NUMBER() OVER (ORDER BY wk) AS rn,
+               SUM(x) OVER (ORDER BY wk ROWS UNBOUNDED PRECEDING) AS pfx
+        FROM wk
+    ),
+    tot AS (SELECT SUM(x) AS tot, COUNT(*) AS nw FROM wk)
+    SELECT seq.wk AS split_week,
+           CAST(ABS(tot.nw * seq.pfx - seq.rn * tot.tot) AS BIGINT)
+               AS cusum_stat,
+           CAST(seq.rn AS BIGINT) AS weeks_before,
+           CAST(seq.pfx // seq.rn AS BIGINT) AS mean_before_cents,
+           CAST((tot.tot - seq.pfx) // (tot.nw - seq.rn) AS BIGINT)
+               AS mean_after_cents
+    FROM seq CROSS JOIN tot
+    WHERE seq.rn < tot.nw
+    ORDER BY ABS(tot.nw * seq.pfx - seq.rn * tot.tot) DESC, seq.wk
+    LIMIT 1
+    """,
+)
+def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint over weekly revenue: the split week maximizing
+    |n·prefix_t − t·total| — the cumulative-deviation statistic
+    C_t = Σ(x_i − x̄) rescaled by n so it stays EXACT int64 cents (no
+    rational mean), with before/after weekly means as floor-divided
+    cents.  The level-shift detector that pairs with
+    events_anomaly_zscore's pointwise outliers and the STL
+    decomposition's trend.
+
+    Scale shape: fact scan folds to a ~100-row week grain before any
+    window; the unpartitioned prefix sum runs over that aggregate (the
+    lint-sanctioned aggregated-frame shape), and the argmax is a
+    1-row top-k."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd")
+        .alias("wk")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        ).alias("x")
+    )
+    wo = Window.orderBy("wk")
+    seq = wk.select(
+        "wk",
+        "x",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("x")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("pfx"),
+    )
+    tot = wk.agg(F.sum("x").alias("tot"), F.count(F.lit(1)).alias("nw"))
+    j = seq.crossJoin(F.broadcast(tot)).filter(F.col("rn") < F.col("nw"))
+    stat = F.abs(F.col("nw") * F.col("pfx") - F.col("rn") * F.col("tot"))
+    return (
+        j.select(
+            F.col("wk").alias("split_week"),
+            stat.cast("bigint").alias("cusum_stat"),
+            F.col("rn").cast("bigint").alias("weeks_before"),
+            F.expr("pfx div rn").cast("bigint").alias("mean_before_cents"),
+            F.expr("(tot - pfx) div (nw - rn)").cast("bigint").alias(
+                "mean_after_cents"
+            ),
+        )
+        .orderBy(F.desc("cusum_stat"), "split_week")
+        .limit(1)
+    )
+
+
+@query(
+    "events_user_gini",
+    """
+    WITH x AS (
+        SELECT event_type, user_id, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY x, user_id) AS i
+        FROM x
+    ),
+    g AS (
+        SELECT event_type, COUNT(*) AS n, SUM(x) AS s0, SUM(i * x) AS s1
+        FROM r GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_users,
+           FLOOR(CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+                 / CAST(n * s0 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS gini
+    FROM g
+    """,
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity within each event type —
+    the concentration metric behind "is our traffic a whale problem"
+    — via the exact rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ)
+    over ascending counts.  Both Σ terms are exact int64 (tie order
+    within equal x cannot change Σi·x: equal values times a fixed
+    rank-sum), so only the single final division is floating point.
+
+    Scale shape: fact → user-grain count (one shuffle), partitioned
+    rank window over the aggregate, 1-row-per-type fold."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    x = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    r = x.select("event_type", "x", F.row_number().over(w).alias("i"))
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s0"),
+        F.sum(F.col("i") * F.col("x")).alias("s1"),
+    )
+    gini = (
+        (F.lit(2) * F.col("s1") - (F.col("n") + 1) * F.col("s0")).cast("double")
+        / (F.col("n") * F.col("s0")).cast("double")
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_users"),
+        (F.floor(gini * 1000000 + 0.5) / 1000000).alias("gini"),
+    )
