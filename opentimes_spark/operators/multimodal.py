@@ -17,9 +17,10 @@ format a stdlib+numpy decoder can honestly cover:
   decoder (dimensions + checksum derived from the bytes) for pipeline
   tests that don't care about pixels;
 - ``codec="real"`` auto-detects Pillow per worker process and falls
-  back to the native codecs; only arithmetic/12-bit/lossless JPEG
-  still raises at the disclosed seam (progressive JPEG landed in
-  round 8, exotic PNGs in round 9).
+  back to the native codecs; only arithmetic-coded and hierarchical
+  JPEG still raise at the disclosed seam (progressive JPEG landed in
+  round 8; exotic PNGs, 12-bit sequential, and lossless SOF3 in
+  round 9).
 
 Scale notes: binary payloads dominate row size, so operators here
 (a) never collect payloads to the driver, (b) project metadata-only
@@ -96,8 +97,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
 # a reshape; baseline PNG adds stdlib zlib + the five spec filters
 # (round 6, full format matrix round 9); baseline JPEG adds Annex-K
 # Huffman + IDCT (round 7); progressive JPEG adds multi-scan spectral-
-# selection / successive-approximation decode (round 8).  Only
-# arithmetic/12-bit/lossless JPEG remains behind the Pillow seam.
+# selection / successive-approximation decode (round 8); 12-bit
+# sequential and lossless SOF3 land in round 9.  Only arithmetic-coded
+# and hierarchical JPEG remain behind the Pillow seam.
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -561,8 +563,10 @@ def decode_gif(b: bytes) -> np.ndarray:
 # 4:2:2 sampling, restart markers.  Closes the web-image codec seam in
 # a Pillow-less container (VERDICT r6 missing #1, r7 missing #1 — web
 # corpora are overwhelmingly JPEG and progressive is a double-digit
-# share).  Arithmetic-coded, 12-bit, and lossless JPEGs remain behind
-# the Pillow auto-detect seam.
+# share).  12-bit extended sequential (16-bit DQT, optimized DHT) and
+# lossless SOF3 (Annex-H predictors, round 9) decode natively too;
+# arithmetic-coded and hierarchical JPEGs remain behind the Pillow
+# auto-detect seam.
 
 _ZIGZAG = np.array([
      0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
@@ -698,15 +702,26 @@ class _BitWriter:
 
 
 def _jpeg_quantized(
-    img: np.ndarray, quality: int, subsample: bool
+    img: np.ndarray, quality: int, subsample: bool, precision: int = 8
 ) -> tuple:
     """Shared encode front half: color transform, subsampling, padding,
     vectorized block DCT, quantization.  Returns
     ``(gray, h, w, samp, qt_l, qt_c, mcu_rows, mcu_cols, zz)`` where
     ``zz[ci]`` is an (nby, nbx, 64) int64 array of zigzag-order
-    quantized coefficients for component ``ci``."""
-    if img.dtype != np.uint8:
-        raise ValueError("encode_jpeg needs uint8")
+    quantized coefficients for component ``ci``.  ``precision`` 12
+    (extended sequential, uint16 input < 4096) centers the transform
+    at 2048 and scales the Annex-K tables x16 (the libjpeg 12-bit
+    convention), which pushes entries past 255 → 16-bit DQT."""
+    if precision == 8:
+        if img.dtype != np.uint8:
+            raise ValueError("encode_jpeg needs uint8")
+    elif precision == 12:
+        if img.dtype != np.uint16:
+            raise ValueError("12-bit encode needs uint16")
+        if img.size and int(img.max()) >= 4096:
+            raise ValueError("12-bit sample exceeds 4095")
+    else:
+        raise ValueError("precision must be 8 or 12")
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError(f"unsupported shape {img.shape}")
@@ -716,6 +731,10 @@ def _jpeg_quantized(
 
     qt_l = _quality_quant(_QT_LUMA, quality)
     qt_c = _quality_quant(_QT_CHROMA, quality)
+    if precision == 12:
+        qt_l = np.clip(qt_l * 16.0, 1, 65535)
+        qt_c = np.clip(qt_c * 16.0, 1, 65535)
+    half = float(1 << (precision - 1))
     if gray:
         planes = [img.astype(np.float64)]
         samp = [(1, 1)]
@@ -724,8 +743,8 @@ def _jpeg_quantized(
         rgb = img.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
         if subsample:  # 2x2 box mean → 4:2:0
             ph = (h + 1) // 2 * 2
             pw = (w + 1) // 2 * 2
@@ -748,7 +767,7 @@ def _jpeg_quantized(
     for plane, (sh, sv), qt in zip(planes, samp, qts):
         th, tw = mcu_rows * sv * 8, mcu_cols * sh * 8
         ph, pw = plane.shape
-        p = np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge") - 128.0
+        p = np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge") - half
         nby, nbx = th // 8, tw // 8
         blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
         coef = np.einsum("ki,abij,lj->abkl", _DCT_T, blocks, _DCT_T)
@@ -762,92 +781,88 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = True,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """uint8 grayscale (HxW) or RGB (HxWx3) → baseline JFIF JPEG
     (SOF0, Annex-K tables scaled by ``quality``, 4:2:0 chroma when
     ``subsample`` else 4:4:4).  The lossy round-trip partner of
     ``decode_jpeg`` — correctness-first pure numpy+stdlib, used to
-    property-test the decoder without Pillow."""
+    property-test the decoder without Pillow.  ``precision=12`` takes
+    uint16 input (< 4096), emits extended sequential (SOF1) with
+    16-bit quantization tables and K.2-optimized Huffman tables — the
+    standard Annex-K tables only reach the 8-bit coefficient
+    categories, so 12-bit streams always carry custom DHTs."""
     import struct
 
     gray, h, w, samp, qt_l, qt_c, mcu_rows, mcu_cols, zzs = (
-        _jpeg_quantized(img, quality, subsample)
+        _jpeg_quantized(img, quality, subsample, precision)
     )
 
-    dc_tbls = [_canonical_codes(*_HT_DC_LUMA)] + (
-        [] if gray else [_canonical_codes(*_HT_DC_CHROMA)] * 2
-    )
-    ac_tbls = [_canonical_codes(*_HT_AC_LUMA)] + (
-        [] if gray else [_canonical_codes(*_HT_AC_CHROMA)] * 2
-    )
+    cls_of = [0] + ([] if gray else [1, 1])
+    if precision == 8:
+        dht_tables = [
+            (0, 0, _HT_DC_LUMA), (1, 0, _HT_AC_LUMA),
+        ] + ([] if gray else [
+            (0, 1, _HT_DC_CHROMA), (1, 1, _HT_AC_CHROMA),
+        ])
+    else:
+        # Two-pass: count symbols per table class, build K.2 tables.
+        fc_dc = [_FreqCounter(), _FreqCounter()]
+        fc_ac = [_FreqCounter(), _FreqCounter()]
+        _seq_scan_pass(
+            zzs, samp, mcu_rows, mcu_cols, restart_interval,
+            [fc_dc[c] for c in cls_of], [fc_ac[c] for c in cls_of],
+        )
+        dht_tables = []
+        for cls, fcs in ((0, fc_dc), (1, fc_ac)):
+            for dest in range(1 if gray else 2):
+                if fcs[dest].freq:
+                    dht_tables.append(
+                        (cls, dest, _build_huffman(fcs[dest].freq))
+                    )
+    codes = {
+        (cls, dest): _canonical_codes(*bv) for cls, dest, bv in dht_tables
+    }
+    dc_tbls = [codes[(0, c)] for c in cls_of]
+    ac_tbls = [codes[(1, c)] for c in cls_of]
 
     bw = _BitWriter()
-    pred = [0] * len(samp)
-    n_rst = 0
-    for my in range(mcu_rows):
-        for mx in range(mcu_cols):
-            mcu = my * mcu_cols + mx
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                bw.marker(0xD0 + (n_rst & 7))
-                n_rst += 1
-                pred = [0] * len(samp)
-            for ci, (sh, sv) in enumerate(samp):
-                for by in range(sv):
-                    for bx in range(sh):
-                        zz = zzs[ci][my * sv + by, mx * sh + bx]
-                        # DC difference
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        cat = _magnitude_cat(diff)
-                        code, length = dc_tbls[ci][cat]
-                        bw.put(code, length)
-                        if cat:
-                            v = diff if diff >= 0 else diff + (1 << cat) - 1
-                            bw.put(v, cat)
-                        # AC run-length
-                        run = 0
-                        for k in range(1, 64):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                code, length = ac_tbls[ci][0xF0]  # ZRL
-                                bw.put(code, length)
-                                run -= 16
-                            cat = _magnitude_cat(v)
-                            code, length = ac_tbls[ci][run * 16 + cat]
-                            bw.put(code, length)
-                            bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
-                            run = 0
-                        if run:
-                            code, length = ac_tbls[ci][0x00]  # EOB
-                            bw.put(code, length)
+    _seq_scan_pass(
+        zzs, samp, mcu_rows, mcu_cols, restart_interval,
+        [_HuffEmitter(bw, t) for t in dc_tbls],
+        [_HuffEmitter(bw, t) for t in ac_tbls],
+    )
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
+    def dqt(tq: int, qt: np.ndarray) -> bytes:
+        if precision == 8:
+            return seg(
+                0xFFDB, bytes([tq]) + bytes(qt.astype(np.uint8).ravel()[_ZIGZAG])
+            )
+        return seg(  # Pq=1: 16-bit big-endian entries
+            0xFFDB,
+            bytes([0x10 | tq]) + qt.astype(">u2").ravel()[_ZIGZAG].tobytes(),
+        )
+
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(qt_l.astype(np.uint8).ravel()[_ZIGZAG]))
+    out += dqt(0, qt_l)
     if not gray:
-        out += seg(
-            0xFFDB, b"\x01" + bytes(qt_c.astype(np.uint8).ravel()[_ZIGZAG])
-        )
+        out += dqt(1, qt_c)
     ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci in range(ncomp):
         sh, sv = samp[ci]
         sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1)
-    out += seg(0xFFC0, sof)
+    out += seg(0xFFC0 if precision == 8 else 0xFFC1, sof)
 
-    def dht(cls: int, dest: int, bits: list[int], vals: list[int]) -> bytes:
-        return seg(0xFFC4, bytes([(cls << 4) | dest] + bits + vals))
-
-    out += dht(0, 0, *_HT_DC_LUMA) + dht(1, 0, *_HT_AC_LUMA)
-    if not gray:
-        out += dht(0, 1, *_HT_DC_CHROMA) + dht(1, 1, *_HT_AC_CHROMA)
+    for cls, dest, (tbits, tvals) in dht_tables:
+        out += seg(
+            0xFFC4, bytes([(cls << 4) | dest] + list(tbits) + list(tvals))
+        )
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
@@ -958,6 +973,61 @@ class _HuffEmitter:
 
     def marker(self, byte: int) -> None:
         self.bw.marker(byte)
+
+
+def _seq_scan_pass(
+    zzs: list,
+    samp: list,
+    mcu_rows: int,
+    mcu_cols: int,
+    restart_interval: int,
+    dc_em: list,
+    ac_em: list,
+) -> None:
+    """One sequential (SOF0/SOF1) entropy scan over quantized zigzag
+    blocks, symbol-by-symbol through per-component emitters — run twice
+    with ``_FreqCounter`` then ``_HuffEmitter`` for optimized-table
+    encodes (the K.2 two-pass shape), once with ``_HuffEmitter`` over
+    the Annex-K tables for the plain baseline path."""
+    pred = [0] * len(samp)
+    n_rst = 0
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            mcu = my * mcu_cols + mx
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                dc_em[0].marker(0xD0 + (n_rst & 7))
+                n_rst += 1
+                pred = [0] * len(samp)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = zzs[ci][my * sv + by, mx * sh + bx]
+                        # DC difference
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        cat = _magnitude_cat(diff)
+                        dc_em[ci].sym(cat)
+                        if cat:
+                            v = diff if diff >= 0 else diff + (1 << cat) - 1
+                            dc_em[ci].bits(v, cat)
+                        # AC run-length
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ac_em[ci].sym(0xF0)  # ZRL
+                                run -= 16
+                            cat = _magnitude_cat(v)
+                            ac_em[ci].sym(run * 16 + cat)
+                            ac_em[ci].bits(
+                                v if v >= 0 else v + (1 << cat) - 1, cat
+                            )
+                            run = 0
+                        if run:
+                            ac_em[ci].sym(0x00)  # EOB
 
 
 class _ProgScanState:
@@ -1224,6 +1294,207 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+def _ll_predict(
+    plane: np.ndarray,
+    row: int,
+    col: int,
+    predictor: int,
+    default: int,
+    anchor: tuple[int, int],
+) -> int:
+    """Prediction value for the lossless sample at (row, col) per ITU
+    T.81 H.2: ``anchor`` is the position of the first sample of the
+    current restart interval (scan start when DRI=0).  That sample
+    takes the default ``2^(P-Pt-1)``; the remainder of its line uses
+    the 1-D horizontal predictor Ra; every later line starts on Rb and
+    applies the selected predictor 1-7 elsewhere.  Shared verbatim by
+    encoder and decoder so the round-trip is exact by construction."""
+    ar, ac = anchor
+    if row == ar:
+        if col == ac:
+            return default
+        return int(plane[row, col - 1])  # Ra
+    if col == 0:
+        return int(plane[row - 1, col])  # Rb
+    a = int(plane[row, col - 1])
+    b = int(plane[row - 1, col])
+    c = int(plane[row - 1, col - 1])
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    if predictor == 7:
+        return (a + b) >> 1
+    raise ValueError(f"lossless predictor {predictor} out of range")
+
+
+def _ll_scan_pass(
+    samples: list[np.ndarray],
+    predictor: int,
+    pt: int,
+    precision: int,
+    restart_interval: int,
+    em,
+) -> None:
+    """Lossless entropy scan (encode side): row-major sample walk,
+    components interleaved per MCU, differences coded as SSSS category
+    + magnitude bits from the DC-table alphabet (SSSS=16 ≡ diff 32768,
+    no appended bits; all arithmetic mod 2^16 per H.1.2.1)."""
+    nc = len(samples)
+    h, w = samples[0].shape
+    default = 1 << (precision - pt - 1)
+    anchor = (0, 0)
+    n_rst = 0
+    for row in range(h):
+        for col in range(w):
+            mcu = row * w + col
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                em.marker(0xD0 + (n_rst & 7))
+                n_rst += 1
+                anchor = (row, col)
+            for ci in range(nc):
+                x = int(samples[ci][row, col])
+                p = _ll_predict(
+                    samples[ci], row, col, predictor, default, anchor
+                )
+                d = (x - p) & 0xFFFF
+                if d >= 32768:
+                    d -= 65536
+                if d == -32768:
+                    em.sym(16)
+                    continue
+                cat = _magnitude_cat(d)
+                em.sym(cat)
+                if cat:
+                    em.bits(d if d >= 0 else d + (1 << cat) - 1, cat)
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 4,
+    point_transform: int = 0,
+    precision: int | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8/uint16 grayscale (HxW) or multi-channel (HxWxC, C<=4) →
+    lossless JPEG (SOF3, ITU T.81 Annex H): predictive coding with
+    selector 1-7, point transform ``Al``, optimized (K.2) Huffman table
+    over the difference categories, components interleaved one sample
+    per MCU.  No color transform and no quantization — ``decode_jpeg``
+    reproduces the (point-transform-shifted) input bit-for-bit, which
+    is the round-trip property the tests pin.  ``precision`` defaults
+    to 8 for uint8 and 16 for uint16 input."""
+    import struct
+
+    if img.ndim == 2:
+        chans = [img]
+    elif img.ndim == 3 and 1 <= img.shape[2] <= 4:
+        chans = [img[..., i] for i in range(img.shape[2])]
+    else:
+        raise ValueError(f"unsupported shape {img.shape}")
+    if img.dtype == np.uint8:
+        prec = 8 if precision is None else precision
+    elif img.dtype == np.uint16:
+        prec = 16 if precision is None else precision
+    else:
+        raise ValueError("encode_jpeg_lossless needs uint8 or uint16")
+    if not 2 <= prec <= 16:
+        raise ValueError("lossless precision must be in 2..16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be in 1..7")
+    if not 0 <= point_transform < prec:
+        raise ValueError("point transform must be in 0..precision-1")
+    if int(max(int(c.max()) for c in chans if c.size)) >= (1 << prec):
+        raise ValueError("sample exceeds declared precision")
+    h, w = chans[0].shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    samples = [
+        (c.astype(np.int32) >> point_transform) for c in chans
+    ]
+
+    fc = _FreqCounter()
+    _ll_scan_pass(
+        samples, predictor, point_transform, prec, restart_interval, fc
+    )
+    bits, vals = _build_huffman(fc.freq)
+    table = _canonical_codes(bits, vals)
+    bw = _BitWriter()
+    _ll_scan_pass(
+        samples, predictor, point_transform, prec, restart_interval,
+        _HuffEmitter(bw, table),
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, h, w, len(samples))
+    for ci in range(len(samples)):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)  # 1x1, Tq unused
+    out += seg(0xFFC3, sof)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(samples)])
+    for ci in range(len(samples)):
+        sos += bytes([ci + 1, 0x00])  # td=0 (ta unused)
+    sos += bytes([predictor, 0, point_transform])  # Ss=sel, Se=0, Al=Pt
+    out += seg(0xFFDA, sos)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_lossless_scan(
+    b: bytes,
+    pos: int,
+    sc: list[tuple[int, int, int]],
+    predictor: int,
+    pt: int,
+    huff: dict,
+    planes: dict[int, np.ndarray],
+    precision: int,
+    restart: int,
+) -> None:
+    """Decode one lossless (SOF3) scan into the per-component int32
+    sample planes — the inverse walk of ``_ll_scan_pass``, using the
+    same ``_ll_predict`` so reconstruction is exact by construction.
+    Values stay point-transform-shifted here; the caller re-shifts."""
+    h, w = next(iter(planes.values())).shape
+    default = 1 << (precision - pt - 1)
+    tables = [huff[(0, td)] for _, td, _ in sc]
+    comp_planes = [planes[cid] for cid, _, _ in sc]
+    br = _JpegBitReader(b, pos)
+    anchor = (0, 0)
+    n_rst = 0
+    for row in range(h):
+        for col in range(w):
+            mcu = row * w + col
+            if restart and mcu and mcu % restart == 0:
+                br.align_and_expect_rst(n_rst)
+                n_rst = (n_rst + 1) & 7
+                anchor = (row, col)
+            for plane, tbl in zip(comp_planes, tables):
+                cat = _read_huff(br, tbl)
+                if cat == 16:
+                    diff = 32768
+                elif cat:
+                    diff = _extend(br.bits(cat), cat)
+                else:
+                    diff = 0
+                p = _ll_predict(plane, row, col, predictor, default, anchor)
+                plane[row, col] = (p + diff) & 0xFFFF
+
+
 class _JpegBitReader:
     """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
     stops at any real marker (RSTn handled by the MCU loop)."""
@@ -1486,18 +1757,23 @@ def _decode_progressive_scan(
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """JPEG (baseline SOF0/SOF1 AND progressive SOF2) → uint8 array,
-    pure numpy+stdlib: marker parse, canonical Huffman, dequantize,
+    """JPEG (sequential SOF0/SOF1 at 8 OR 12 bits, progressive SOF2,
+    lossless SOF3) → uint8 array (uint16 above 8-bit precision), pure
+    numpy+stdlib: marker parse, canonical Huffman, dequantize,
     orthonormal IDCT, chroma upsample, JFIF YCbCr→RGB.  Handles
     grayscale and any integer sampling grid (4:4:4/4:2:2/4:2:0),
-    DRI/RSTn restart markers, and — for SOF2 — multi-scan spectral
-    selection and successive approximation (DC first/refine, AC first
-    with EOB runs, AC refinement with correction bits, per ITU T.81
-    §G.2 — the libjpeg decode_mcu_* semantics).  Arithmetic-coded,
-    12-bit, and lossless streams raise at the disclosed Pillow seam.
-    Perf note: the entropy loop is interpreted Python (~bit-serial) —
-    correct but slow for megapixel images; with Pillow installed
-    ``_real_decode`` prefers the C path (the documented fast seam)."""
+    DRI/RSTn restart markers, 16-bit (Pq=1) quantization tables, and —
+    for SOF2 — multi-scan spectral selection and successive
+    approximation (DC first/refine, AC first with EOB runs, AC
+    refinement with correction bits, per ITU T.81 §G.2 — the libjpeg
+    decode_mcu_* semantics).  SOF3 decodes the Annex-H predictive
+    process (selectors 1-7, point transform, 2..16-bit precision,
+    components returned untransformed — T.81 defines no lossless color
+    transform).  Arithmetic-coded and hierarchical streams raise at
+    the disclosed Pillow seam.  Perf note: the entropy loop is
+    interpreted Python (~bit-serial) — correct but slow for megapixel
+    images; with Pillow installed ``_real_decode`` prefers the C path
+    (the documented fast seam)."""
     import struct
 
     if b[:2] != b"\xff\xd8":
@@ -1508,8 +1784,12 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
     h = w = 0
     restart = 0
+    prec = 8
     progressive = False
+    lossless = False
     coefs: dict[int, np.ndarray] | None = None  # cid -> (nby, nbx, 64) zigzag
+    ll_planes: dict[int, np.ndarray] | None = None  # cid -> (h, w) int32
+    ll_pt: dict[int, int] = {}  # cid -> point transform of its scan
     geom: tuple | None = None
     scan_comps: list[tuple[int, int, int]] = []  # id, td, ta
     while pos + 4 <= len(b):
@@ -1526,18 +1806,15 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             off = 0
             while off < len(data):
                 pq, tq = data[off] >> 4, data[off] & 0xF
-                if pq:
-                    raise NotImplementedError(
-                        "16-bit quantization tables need Pillow"
-                    )
-                if off + 65 > len(data):
+                nb = 2 if pq else 1  # Pq=1: 16-bit big-endian entries
+                if off + 1 + 64 * nb > len(data):
                     raise ValueError("JPEG: truncated DQT")
                 tbl = np.zeros(64, np.float64)
                 tbl[_ZIGZAG] = np.frombuffer(
-                    data, np.uint8, count=64, offset=off + 1
+                    data, ">u2" if pq else np.uint8, count=64, offset=off + 1
                 )
                 qts[tq] = tbl.reshape(8, 8)
-                off += 65
+                off += 1 + 64 * nb
         elif marker == 0xC4:  # DHT (may hold several tables)
             off = 0
             while off < len(data):
@@ -1549,22 +1826,32 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = list(data[off + 17 : off + 17 + n])
                 huff[(cls, dest)] = _huff_decoder(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, 2 prog, 3 ll
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
-            if prec != 8:
-                raise NotImplementedError("12-bit JPEG needs Pillow")
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError("JPEG: bad lossless precision")
+            elif prec not in (8, 12):
+                raise ValueError(f"JPEG: bad DCT precision {prec}")
             if len(data) < 6 + 3 * nc:
                 raise ValueError("JPEG: truncated SOF")
             for ci in range(nc):
                 cid, hv, tq = data[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+            if lossless and any(
+                c[1] != 1 or c[2] != 1 for c in comps
+            ):
+                raise NotImplementedError(
+                    "lossless JPEG with subsampled components needs Pillow"
+                )
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: baseline (SOF0/SOF1) and "
-                "progressive (SOF2) decode natively — lossless/"
-                "arithmetic streams need Pillow"
+                f"JPEG SOF{marker - 0xC0}: baseline (SOF0/SOF1, 8/12-bit), "
+                "progressive (SOF2), and lossless (SOF3) decode natively — "
+                "arithmetic-coded and hierarchical streams need Pillow"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", data[:2])
@@ -1575,6 +1862,30 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                  data[2 + 2 * ci] & 0xF)
                 for ci in range(ns)
             ]
+            if lossless:
+                if not comps:
+                    raise ValueError("JPEG: SOS before SOF")
+                pred_sel = data[1 + 2 * ns]
+                al = data[3 + 2 * ns] & 0xF
+                if not 1 <= pred_sel <= 7:
+                    raise ValueError("JPEG: bad lossless predictor")
+                if not 0 <= al < prec:
+                    raise ValueError("JPEG: bad lossless point transform")
+                if ll_planes is None:
+                    ll_planes = {
+                        cid: np.zeros((h, w), np.int32)
+                        for cid, _, _, _ in comps
+                    }
+                for cid, _, _ in sc:
+                    ll_pt[cid] = al
+                scan_comps = sc
+                start = pos + 2 + seglen
+                _decode_lossless_scan(
+                    b, start, sc, pred_sel, al, huff, ll_planes,
+                    prec, restart,
+                )
+                pos = _jpeg_entropy_end(b, start)
+                continue
             if not progressive:
                 scan_comps = sc
                 pos = pos + 2 + seglen
@@ -1606,6 +1917,18 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     if not comps or not scan_comps:
         raise ValueError("JPEG missing SOF/SOS")
 
+    if lossless:
+        if ll_planes is None:
+            raise ValueError("JPEG: lossless frame without scan")
+        dtype = np.uint8 if prec <= 8 else np.uint16
+        arrs = [
+            (ll_planes[cid] << ll_pt.get(cid, 0)).astype(dtype)
+            for cid, _, _, _ in comps
+        ]
+        # No color transform: T.81 defines none for lossless; components
+        # are returned exactly as stored (our encoder stores channels).
+        return arrs[0] if len(arrs) == 1 else np.stack(arrs, axis=-1)
+
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
     mcu_cols = -(-w // (8 * max_h))
@@ -1629,9 +1952,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             )
             planes[cid] = (
                 blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-                + 128.0
+                + float(1 << (prec - 1))
             )
-        return _jpeg_planes_to_image(planes, comps, max_h, max_v, h, w)
+        return _jpeg_planes_to_image(planes, comps, max_h, max_v, h, w, prec)
 
     planes = {
         cid: np.zeros((mcu_rows * sv * 8, mcu_cols * sh * 8), np.float64)
@@ -1676,9 +1999,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     block = _DCT_T.T @ coef.reshape(8, 8) @ _DCT_T
                     r0 = (my * sv + by) * 8
                     c0 = (mx * sh + bx) * 8
-                    planes[cid][r0 : r0 + 8, c0 : c0 + 8] = block + 128.0
+                    planes[cid][r0 : r0 + 8, c0 : c0 + 8] = (
+                        block + float(1 << (prec - 1))
+                    )
 
-    return _jpeg_planes_to_image(planes, comps, max_h, max_v, h, w)
+    return _jpeg_planes_to_image(planes, comps, max_h, max_v, h, w, prec)
 
 
 def _jpeg_planes_to_image(
@@ -1688,8 +2013,15 @@ def _jpeg_planes_to_image(
     max_v: int,
     h: int,
     w: int,
+    prec: int = 8,
 ) -> np.ndarray:
-    """Shared decode tail: chroma upsample + JFIF YCbCr→RGB."""
+    """Shared decode tail: chroma upsample + JFIF YCbCr→RGB.  12-bit
+    frames center chroma at 2048, clamp to 0..4095, and come back as
+    uint16 (uint8 at 8-bit) — the libjpeg ``sample_range_limit``
+    convention at either precision."""
+    half = float(1 << (prec - 1))
+    lim = (1 << prec) - 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
     full = []
     for cid, sh, sv, _ in comps:
         p = planes[cid]
@@ -1698,13 +2030,13 @@ def _jpeg_planes_to_image(
         p = p.repeat(max_v // sv, axis=0).repeat(max_h // sh, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(full[0]), 0, lim).astype(dtype)
     y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bl = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, bl], axis=-1)), 0, 255).astype(
-        np.uint8
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    bl = y + 1.772 * (cb - half)
+    return np.clip(np.round(np.stack([r, g, bl], axis=-1)), 0, lim).astype(
+        dtype
     )
 
 

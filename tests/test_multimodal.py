@@ -793,13 +793,13 @@ def test_jpeg_rejects_progressive_truncated_and_non_jpeg():
 
     with pt.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"P6\n1 1\n255\nxxx")
-    # progressive (SOF2) decodes natively as of round 8; lossless
-    # (SOF3) remains behind the Pillow seam
-    lossless = (
-        b"\xff\xd8\xff\xc3" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
+    # progressive (SOF2) decodes natively as of round 8 and lossless
+    # (SOF3) as of round 9; arithmetic coding (SOF9) stays a seam
+    arith = (
+        b"\xff\xd8\xff\xc9" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
     )
-    with pt.raises(NotImplementedError, match="SOF3"):
-        decode_jpeg(lossless)
+    with pt.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg(arith)
     good = encode_jpeg(np.full((8, 8), 77, dtype=np.uint8), quality=90)
     with pt.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])  # truncated entropy stream
@@ -1139,3 +1139,128 @@ def test_png_invalid_combos_raise():
     raw = _png_filter_rows([_png_pack_row(r, 8) for r in idx], 1)
     with pt.raises(ValueError, match="palette index"):
         decode_png(_build_png(1, 1, 8, 3, raw, plte=plte))
+
+
+def test_jpeg_lossless_roundtrip_exact_all_predictors():
+    """SOF3 lossless: decode(encode(x)) must reproduce the input
+    BIT-FOR-BIT for every predictor selector 1-7 — the defining
+    property of the Annex-H process (no quantization, no DCT)."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, (13, 19)).astype(np.uint8)
+    for pred in range(1, 8):
+        out = decode_jpeg(encode_jpeg_lossless(img, predictor=pred))
+        assert out.dtype == np.uint8 and np.array_equal(out, img), pred
+
+
+def test_jpeg_lossless_high_precision_and_point_transform():
+    """12/16-bit lossless with multi-channel interleave and point
+    transform: output is uint16 and equals the Pt-truncated input
+    exactly ((x >> Pt) << Pt)."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(32)
+    for prec, pt_, shape in [
+        (12, 0, (7, 11)),
+        (16, 0, (6, 9, 3)),
+        (16, 3, (5, 8, 2)),
+        (12, 2, (1, 17)),
+    ]:
+        img = rng.randint(0, 1 << prec, shape).astype(np.uint16)
+        blob = encode_jpeg_lossless(
+            img, predictor=4, point_transform=pt_, precision=prec
+        )
+        out = decode_jpeg(blob)
+        want = ((img.astype(np.int32) >> pt_) << pt_).astype(np.uint16)
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, want), (prec, pt_, shape)
+
+
+def test_jpeg_lossless_restart_intervals():
+    """RSTn in a lossless scan resets the predictor to the scan-start
+    state (T.81 H.2.2); the round-trip stays exact at every interval
+    including intervals that split rows mid-line."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(33)
+    img = rng.randint(0, 256, (11, 7, 3)).astype(np.uint8)
+    for ri in (1, 3, 5, 76):
+        blob = encode_jpeg_lossless(img, predictor=7, restart_interval=ri)
+        assert np.array_equal(decode_jpeg(blob), img), ri
+
+
+def test_jpeg_12bit_sequential_roundtrip():
+    """Extended sequential at 12-bit precision (SOF1, 16-bit DQT,
+    optimized DHT): decodes to uint16 with quantization error that
+    scales with the x16 table scaling — pinned against the 8-bit
+    encode of the same (scaled) image."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    base = yy * 30 + xx * 20  # smooth, no wraparound
+    img12 = np.stack(
+        [base, base // 2 + 300, 3000 - base // 2], axis=-1
+    ).astype(np.uint16)
+    for sub in (False, True):
+        out = decode_jpeg(
+            encode_jpeg(img12, quality=95, subsample=sub, precision=12)
+        )
+        assert out.dtype == np.uint16 and out.shape == img12.shape
+        err12 = np.abs(out.astype(np.int64) - img12.astype(np.int64))
+        img8 = (img12 >> 4).astype(np.uint8)
+        out8 = decode_jpeg(encode_jpeg(img8, quality=95, subsample=sub))
+        err8 = np.abs(out8.astype(np.int64) - img8.astype(np.int64))
+        # 12-bit error, rescaled to 8-bit units, stays within the 8-bit
+        # error envelope plus rounding slack
+        assert err12.max() / 16.0 <= err8.max() + 2.0, sub
+
+    # grayscale + restart markers: decode equals the unrestarted stream
+    g = (base % 4096).astype(np.uint16)
+    a = decode_jpeg(
+        encode_jpeg(g, quality=90, precision=12, restart_interval=2)
+    )
+    b = decode_jpeg(encode_jpeg(g, quality=90, precision=12))
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_12bit_input_validation():
+    import numpy as np
+    import pytest as pt
+
+    from opentimes_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    with pt.raises(ValueError, match="needs uint16"):
+        encode_jpeg(np.zeros((4, 4), np.uint8), precision=12)
+    with pt.raises(ValueError, match="exceeds 4095"):
+        encode_jpeg(np.full((4, 4), 4096, np.uint16), precision=12)
+    with pt.raises(ValueError, match="precision must be 8 or 12"):
+        encode_jpeg(np.zeros((4, 4), np.uint8), precision=10)
+    with pt.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(np.zeros((4, 4), np.uint8), predictor=8)
+    with pt.raises(ValueError, match="point transform"):
+        encode_jpeg_lossless(np.zeros((4, 4), np.uint8), point_transform=8)
+    with pt.raises(ValueError, match="declared precision"):
+        encode_jpeg_lossless(
+            np.full((4, 4), 255, np.uint8), precision=4
+        )
