@@ -18905,3 +18905,511 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_users"),
         (F.floor(gini * 1000000 + 0.5) / 1000000).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 battery V: association rules, community detection, RFM scoring,
+# fuzzy string matching, forensic digit audit, set-overlap similarity.
+# Same exact-arithmetic discipline as battery IV: every ratio lives as a
+# floor-divided int64 ppm so both engines replay values bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_brand_basket_lift",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets),
+    bc AS (SELECT brand, COUNT(*) AS n FROM baskets GROUP BY brand),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+        FROM baskets a JOIN baskets b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST((p.n_ab * nb.n_orders * 1000000) // (ca.n * cb.n)
+                AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN bc ca ON ca.brand = p.brand_a
+    JOIN bc cb ON cb.brand = p.brand_b
+    CROSS JOIN nb
+    ORDER BY lift_ppm DESC, p.brand_a, p.brand_b
+    LIMIT 15
+    """,
+)
+def orders_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association lift between part brands co-occurring
+    in one order — support/lift mining, the canonical batch pattern the
+    reference's OD-matrix joins never needed.  lift = N·n(ab)/(n(a)·n(b))
+    lives as a floor-divided ppm int so the top-15 ranking is replayed
+    value-exactly.
+
+    Scale shape: the basket melt is one fact-dim join projected to
+    (orderkey, brand) DISTINCT — 25 brands cap the per-order set, so
+    the self-join fans out ≤ C(25,2)=300 pairs/order and aggregates to
+    ≤ 300 rows total; brand counts and N ride 1-row/25-row broadcast
+    joins.  Int64 headroom: n_ab·N·1e6 needs n_ab·N < 9.2e12 — beyond
+    ~3e6 orders promote the ppm product to DECIMAL(38) or rescale to
+    per-million baskets first (documented, same floor semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    nb = baskets.agg(F.countDistinct("okey").alias("n_orders"))
+    bc = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.expr(
+                "CAST((n_ab * n_orders * 1000000) div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
+        .limit(15)
+    )
+
+
+@query(
+    "nations_trade_communities",
+    """
+    WITH tw AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    top3 AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY src ORDER BY w DESC, dst
+                   ) AS rk
+            FROM tw
+        ) t WHERE rk <= 3
+    ),
+    und AS (
+        SELECT src, dst FROM top3
+        UNION
+        SELECT dst AS src, src AS dst FROM top3
+    ),
+    l0 AS (SELECT n_nationkey AS nid, n_nationkey AS lbl FROM nation),
+    l1 AS (
+        SELECT l0.nid,
+               LEAST(l0.lbl, COALESCE(MIN(p.lbl), l0.lbl)) AS lbl
+        FROM l0
+        LEFT JOIN und e ON e.src = l0.nid
+        LEFT JOIN l0 p  ON p.nid = e.dst
+        GROUP BY l0.nid, l0.lbl
+    ),
+    l2 AS (
+        SELECT l1.nid,
+               LEAST(l1.lbl, COALESCE(MIN(p.lbl), l1.lbl)) AS lbl
+        FROM l1
+        LEFT JOIN und e ON e.src = l1.nid
+        LEFT JOIN l1 p  ON p.nid = e.dst
+        GROUP BY l1.nid, l1.lbl
+    ),
+    l3 AS (
+        SELECT l2.nid,
+               LEAST(l2.lbl, COALESCE(MIN(p.lbl), l2.lbl)) AS lbl
+        FROM l2
+        LEFT JOIN und e ON e.src = l2.nid
+        LEFT JOIN l2 p  ON p.nid = e.dst
+        GROUP BY l2.nid, l2.lbl
+    )
+    SELECT nn.n_name AS nation, CAST(l3.lbl AS BIGINT) AS community
+    FROM l3 JOIN nation nn ON nn.n_nationkey = l3.nid
+    """,
+)
+def nations_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the nation trade graph by deterministic
+    min-label propagation: sparsify to each nation's top-3 trade
+    partners (ROW_NUMBER with dst tiebreak — no float weight ordering),
+    symmetrize, then 3 unrolled rounds of lbl ← min(lbl, min neighbor
+    lbl).  Min-propagation is the order-free core of connected
+    components, so every round is a plain MIN aggregate both engines
+    replay exactly.
+
+    Scale shape: edge construction is the same fact-side join as
+    nations_pagerank collapsed to node grain (≤ 625 rows); each
+    propagation round is O(|edges|) node-grain joins — the textbook
+    large-star/small-star building block (operators/components.py runs
+    the full alternating algorithm; this registers the SQL-replayable
+    fixed-round variant)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    tw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    w3 = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    top3 = (
+        tw.select("src", "dst", F.row_number().over(w3).alias("rk"))
+        .where(F.col("rk") <= 3)
+        .select("src", "dst")
+    )
+    und = top3.union(
+        top3.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    und = und.persist()
+    lbl = n.select(
+        F.col("n_nationkey").alias("nid"), F.col("n_nationkey").alias("lbl")
+    )
+    for _ in range(3):
+        nbr = (
+            und.join(
+                lbl.select(
+                    F.col("nid").alias("dst"), F.col("lbl").alias("nlbl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("mn"))
+        )
+        lbl = (
+            lbl.join(nbr, lbl.nid == nbr.src, "left")
+            .select(
+                lbl.nid,
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return lbl.join(n, lbl.nid == n.n_nationkey).select(
+        F.col("n_name").alias("nation"), F.col("lbl").cast("bigint").alias("community")
+    )
+
+
+@query(
+    "cust_rfm_segments",
+    """
+    WITH m AS (
+        SELECT o_custkey AS ck,
+               MAX(CAST(o_orderdate AS DATE)) AS last_d,
+               COUNT(*) AS freq,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    g AS (SELECT MAX(last_d) AS maxd FROM m),
+    s AS (
+        SELECT ck, date_diff('day', last_d, g.maxd) AS rec_days, freq, cents
+        FROM m CROSS JOIN g
+    ),
+    sc AS (
+        SELECT ck, cents,
+               NTILE(5) OVER (ORDER BY rec_days ASC, ck) AS r_score,
+               NTILE(5) OVER (ORDER BY freq DESC, ck)    AS f_score,
+               NTILE(5) OVER (ORDER BY cents DESC, ck)   AS m_score
+        FROM s
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM sc GROUP BY 1, 2, 3
+    """,
+)
+def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the marketing-analytics staple: per-customer order rollup, NTILE(5)
+    scores on each axis, segment-cell counts.  Monetary is exact int64
+    cents (per-row FLOOR(x*100+0.5) is one deterministic IEEE op in
+    both engines; the SUM is then integer) and every NTILE ordering
+    carries the custkey tiebreak, so the 125-cell output is replayed
+    value-exactly.
+
+    Scale shape: one fact→customer-grain shuffle, then three global
+    NTILE windows over the AGGREGATE (customer grain, not fact grain —
+    the --windows lint distinction).  At 1000-executor scale the global
+    sort-for-quintiles becomes the bottleneck; the documented evolution
+    is approx_percentile boundaries (operators/aggstate.py sketches)
+    joined as a 4-row broadcast — same output contract."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).alias("cents"),
+    )
+    g = m.agg(F.max("last_d").alias("maxd"))
+    s = m.crossJoin(F.broadcast(g)).select(
+        "ck",
+        F.datediff(F.col("maxd"), F.col("last_d")).alias("rec_days"),
+        "freq",
+        "cents",
+    )
+    sc = s.select(
+        "ck",
+        "cents",
+        F.ntile(5).over(Window.orderBy(F.asc("rec_days"), "ck")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("freq"), "ck")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("cents"), "ck")).alias("m_score"),
+    )
+    return sc.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("cents").cast("bigint").alias("cents_total"),
+    ).select(
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
+        "n_cust",
+        "cents_total",
+    )
+
+
+@query(
+    "part_fuzzy_name_pairs",
+    """
+    WITH cand AS (
+        SELECT a.p_brand AS brand,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_cand,
+           CAST(SUM(CASE WHEN dist <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_close,
+           CAST(MIN(dist) AS BIGINT) AS min_dist
+    FROM cand GROUP BY brand
+    """,
+)
+def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate detection on part names via Levenshtein edit
+    distance with (brand, size) blocking — the classic entity-
+    resolution candidate-pair pattern.  Spark's ``levenshtein`` and
+    DuckDB's ``levenshtein`` are both the unweighted Wagner-Fischer
+    distance (verified identical on randomized pairs), so per-brand
+    candidate/close-pair counts replay exactly.
+
+    Scale shape: blocking bounds the quadratic — the self-join runs
+    per (brand, size) bucket, pairs ≈ Σ C(bucket,2), never all-pairs;
+    at 100 TB the same shape holds as long as block keys stay
+    selective (add p_type to the key when buckets outgrow memory —
+    same one-shuffle sort-merge self-join)."""
+    p = _t(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_brand").alias("brand"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+    )
+    return cand.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+        F.sum(F.when(F.col("dist") <= 8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_close"),
+        F.min("dist").cast("bigint").alias("min_dist"),
+    )
+
+
+@query(
+    "events_benford_digits",
+    """
+    WITH d AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(value * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM events
+        WHERE value > 0 AND CAST(FLOOR(value * 100) AS BIGINT) > 0
+    ),
+    n AS (SELECT COUNT(*) AS total FROM d),
+    c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY digit),
+    bf AS (
+        SELECT * FROM (VALUES
+            (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+            (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757)
+        ) t(digit, ppm)
+    )
+    SELECT CAST(bf.digit AS BIGINT) AS digit,
+           CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_obs,
+           CAST((COALESCE(c.cnt, 0) * 1000000) // n.total AS BIGINT)
+               AS obs_ppm,
+           CAST(bf.ppm AS BIGINT) AS benford_ppm,
+           CAST((COALESCE(c.cnt, 0) * 1000000) // n.total - bf.ppm
+                AS BIGINT) AS dev_ppm
+    FROM bf LEFT JOIN c ON c.digit = bf.digit CROSS JOIN n
+    """,
+)
+def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of event values — the fraud/
+    data-quality forensic: observed first-significant-digit shares vs
+    the log10(1+1/d) expectation.  The digit comes from the decimal
+    string of exact integer cents (per-row FLOOR(value*100) is one
+    IEEE op, identical in both engines — no log10 at row level), and
+    expected shares are pinned int literals (floor(log10(1+1/d)·1e6))
+    in BOTH texts, so no libm difference can leak in.
+
+    Scale shape: one scan → 9-group count, the 9-row expectation table
+    and 1-row total ride broadcast joins.  Zero windows, zero floats."""
+    e = _t(spark, sf_dir, "events")
+    d = (
+        e.where(F.col("value") > 0)
+        .select(
+            F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents")
+        )
+        .where(F.col("cents") > 0)
+        .select(
+            F.expr(
+                "CAST(SUBSTR(CAST(cents AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    bf = spark.createDataFrame(
+        [(1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+         (6, 66946), (7, 57991), (8, 51152), (9, 45757)],
+        "digit bigint, ppm bigint",
+    )
+    return (
+        bf.join(c, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("digit").cast("bigint").alias("digit"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_obs"),
+            F.expr(
+                "CAST((COALESCE(cnt, 0) * 1000000) div total AS BIGINT)"
+            ).alias("obs_ppm"),
+            F.col("ppm").cast("bigint").alias("benford_ppm"),
+            F.expr(
+                "CAST((COALESCE(cnt, 0) * 1000000) div total - ppm AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+@query(
+    "supplier_overlap_jaccard",
+    """
+    WITH top_s AS (
+        SELECT l_suppkey AS sk FROM lineitem GROUP BY 1
+        ORDER BY COUNT(*) DESC, l_suppkey LIMIT 10
+    ),
+    sp AS (
+        SELECT DISTINCT l.l_suppkey AS sk, l.l_partkey AS pk
+        FROM lineitem l JOIN top_s t ON l.l_suppkey = t.sk
+    ),
+    sz AS (SELECT sk, COUNT(*) AS n FROM sp GROUP BY 1),
+    inter AS (
+        SELECT a.sk AS sk_a, b.sk AS sk_b, COUNT(*) AS i
+        FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk
+        GROUP BY 1, 2
+    )
+    SELECT CAST(i.sk_a AS BIGINT) AS sk_a,
+           CAST(i.sk_b AS BIGINT) AS sk_b,
+           CAST(i.i AS BIGINT) AS n_common,
+           CAST((i.i * 1000000) // (za.n + zb.n - i.i) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter i
+    JOIN sz za ON za.sk = i.sk_a
+    JOIN sz zb ON zb.sk = i.sk_b
+    ORDER BY jaccard_ppm DESC, sk_a, sk_b
+    LIMIT 20
+    """,
+)
+def supplier_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard overlap between the part catalogs of the top-10
+    suppliers by shipment volume — the set-similarity primitive behind
+    assortment analysis, done without MinHash because the candidate
+    set is explicitly bounded first (rank with suppkey tiebreak, so
+    the top-10 selection itself is deterministic).
+
+    Scale shape: the expensive step is fact → (supplier, part)
+    DISTINCT restricted by a 10-row broadcast semi-join; the
+    intersection self-join is bounded by parts shared within 10
+    suppliers (≤ 45 pairs out).  The UNBOUNDED version of this
+    operator is minhash_lsh_dedup in operators/dedup.py — this query
+    registers the exact small-k contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    top_s = (
+        li.groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "sk")
+        .limit(10)
+        .select("sk")
+    )
+    sp = (
+        li.join(
+            F.broadcast(top_s), li.l_suppkey == F.col("sk")
+        )
+        .select("sk", F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    sz = sp.groupBy("sk").agg(F.count(F.lit(1)).alias("n"))
+    a = sp.alias("a")
+    b = sp.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .groupBy(F.col("a.sk").alias("sk_a"), F.col("b.sk").alias("sk_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sz.select(F.col("sk").alias("sk_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("sk").alias("sk_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(za), "sk_a")
+        .join(F.broadcast(zb), "sk_b")
+        .select(
+            F.col("sk_a").cast("bigint").alias("sk_a"),
+            F.col("sk_b").cast("bigint").alias("sk_b"),
+            F.col("i").cast("bigint").alias("n_common"),
+            F.expr(
+                "CAST((i * 1000000) div (n_a + n_b - i) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "sk_a", "sk_b")
+        .limit(20)
+    )
