@@ -19413,3 +19413,631 @@ def supplier_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_ppm"), "sk_a", "sk_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 battery VI: sequential hypothesis testing, positional
+# co-occurrence, resampling inference, survey reweighting, wavelet
+# multiresolution, and local-extrema detection — six operator families
+# with no prior registry coverage, all under the int64/pinned-literal
+# exactness discipline.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sprt_decision",
+    """
+    WITH daily AS (
+        SELECT user_id % 2 AS variant,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv,
+               COUNT(*) AS total
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT variant, d,
+               SUM(conv * 100083 + (total - conv) * (-25002))
+                   OVER (PARTITION BY variant ORDER BY d) AS llr,
+               SUM(total) OVER (PARTITION BY variant ORDER BY d) AS n_cum
+        FROM daily
+    ),
+    firsts AS (
+        SELECT variant,
+               MIN(CASE WHEN llr >= 2944438 THEN d END) AS h1_day,
+               MIN(CASE WHEN llr <= -2944438 THEN d END) AS h0_day
+        FROM cum GROUP BY variant
+    ),
+    dec AS (
+        SELECT variant,
+               CASE
+                   WHEN h1_day IS NOT NULL
+                        AND (h0_day IS NULL OR h1_day <= h0_day)
+                       THEN 'h1'
+                   WHEN h0_day IS NOT NULL THEN 'h0'
+                   ELSE 'continue'
+               END AS decision,
+               CASE
+                   WHEN h1_day IS NOT NULL
+                        AND (h0_day IS NULL OR h1_day <= h0_day)
+                       THEN h1_day
+                   WHEN h0_day IS NOT NULL THEN h0_day
+                   ELSE '-'
+               END AS decision_day
+        FROM firsts
+    )
+    SELECT CAST(dec.variant AS BIGINT) AS variant, dec.decision,
+           dec.decision_day,
+           CAST(COALESCE(c.n_cum, f.n_fin) AS BIGINT) AS n_obs,
+           CAST(COALESCE(c.llr, f.llr_fin) AS BIGINT) AS llr_micro
+    FROM dec
+    LEFT JOIN cum c ON c.variant = dec.variant AND c.d = dec.decision_day
+    LEFT JOIN (
+        SELECT variant, SUM(total) AS n_fin,
+               SUM(conv * 100083 + (total - conv) * (-25002)) AS llr_fin
+        FROM daily GROUP BY variant
+    ) f ON f.variant = dec.variant
+    """,
+)
+def events_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT (sequential probability ratio test) on conversion
+    rate by experiment arm (user_id parity): H0 p=0.19 vs H1 p=0.21,
+    alpha=beta=0.05.  Per-observation log-likelihood increments are
+    PINNED micro-nat integer literals (floor(ln(.21/.19)*1e6)=100083,
+    floor(ln(.79/.81)*1e6)=-25002, bound floor(ln 19*1e6)=2944438) in
+    both engines — no libm at query time — so the cumulative LLR walk,
+    the day it first crosses a boundary, and the sample size at
+    decision are all exact integers.  This is the group-sequential
+    (daily-peek) form: the always-valid alternative to the fixed-n
+    z-test registered as events_ab_lift_ztest.
+
+    Scale shape: fact → (variant, day) grain in one map-side-combined
+    aggregate; the sequential fold is a window over ~60 aggregate rows
+    (2 variants x 30 days), never over raw events."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = e.groupBy(
+        (F.col("user_id") % 2).alias("variant"),
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("d"),
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    w = Window.partitionBy("variant").orderBy("d")
+    cum = daily.select(
+        "variant",
+        "d",
+        F.sum(
+            F.col("conv") * 100083 + (F.col("total") - F.col("conv")) * -25002
+        ).over(w).alias("llr"),
+        F.sum("total").over(w).alias("n_cum"),
+    )
+    firsts = cum.groupBy("variant").agg(
+        F.min(F.when(F.col("llr") >= 2944438, F.col("d"))).alias("h1_day"),
+        F.min(F.when(F.col("llr") <= -2944438, F.col("d"))).alias("h0_day"),
+    )
+    h1_wins = F.col("h1_day").isNotNull() & (
+        F.col("h0_day").isNull() | (F.col("h1_day") <= F.col("h0_day"))
+    )
+    dec = firsts.select(
+        "variant",
+        F.when(h1_wins, F.lit("h1"))
+        .when(F.col("h0_day").isNotNull(), F.lit("h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.when(h1_wins, F.col("h1_day"))
+        .when(F.col("h0_day").isNotNull(), F.col("h0_day"))
+        .otherwise(F.lit("-"))
+        .alias("decision_day"),
+    )
+    fin = daily.groupBy("variant").agg(
+        F.sum("total").alias("n_fin"),
+        F.sum(
+            F.col("conv") * 100083 + (F.col("total") - F.col("conv")) * -25002
+        ).alias("llr_fin"),
+    )
+    cd = cum.select(
+        F.col("variant").alias("cv"), F.col("d").alias("cd"),
+        "llr", "n_cum",
+    )
+    return (
+        dec.join(
+            cd,
+            (F.col("cv") == F.col("variant"))
+            & (F.col("cd") == F.col("decision_day")),
+            "left",
+        )
+        .join(fin, "variant", "left")
+        .select(
+            F.col("variant").cast("bigint").alias("variant"),
+            "decision",
+            "decision_day",
+            F.coalesce(F.col("n_cum"), F.col("n_fin"))
+            .cast("bigint")
+            .alias("n_obs"),
+            F.coalesce(F.col("llr"), F.col("llr_fin"))
+            .cast("bigint")
+            .alias("llr_micro"),
+        )
+    )
+
+
+@query(
+    "docs_skipgram_cooccur",
+    """
+    WITH d AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x != '') AS t
+        FROM documents
+    ),
+    d2 AS (SELECT t FROM d WHERE len(t) >= 2),
+    sp AS (
+        SELECT t[i] AS w1, t[i + j] AS w2, j AS gap
+        FROM d2,
+             UNNEST(range(1, len(t))) AS u(i),
+             (VALUES (1), (2)) g(j)
+        WHERE i + j <= len(t)
+    )
+    SELECT w1, w2, CAST(gap AS BIGINT) AS gap,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM sp GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 5
+    ORDER BY c DESC, w1, w2, gap
+    LIMIT 20
+    """,
+)
+def docs_skipgram_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence: token pairs at positional gaps 1 AND 2
+    (the word2vec context-window primitive), counted per (pair, gap) —
+    distinct from docs_pmi_bigram_lift, which sees adjacency only.
+    Pairs come from positional array transforms (``t[i]``/``t[i+j]``),
+    not a positions self-join, so the fan-out is exactly (len-1)+(len-2)
+    rows per doc.
+
+    Scale shape: explode → one token-pair aggregate (map-side
+    combined), support floor ≥ 5, TakeOrderedAndProject top-20.  The
+    gap dimension rides the same shuffle key — no extra pass per
+    window offset."""
+    docs = _t(spark, sf_dir, "documents")
+    from opentimes_spark.functions.text import tokens
+
+    d2 = docs.select(tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = d2.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(slice(t, 1, size(t)-1),"
+                "  (x, i) -> struct(x AS w1, t[i+1] AS w2, 1 AS gap)),"
+                " transform(slice(t, 1, greatest(size(t)-2, 0)),"
+                "  (x, i) -> struct(x AS w1, t[i+2] AS w2, 2 AS gap)))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2", "p.gap")
+    return (
+        pairs.groupBy("w1", "w2", "gap")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+        .select(
+            "w1", "w2",
+            F.col("gap").cast("bigint").alias("gap"),
+            F.col("c").cast("bigint").alias("c"),
+        )
+        .orderBy(F.desc("c"), "w1", "w2", "gap")
+        .limit(20)
+    )
+
+
+@query(
+    "orders_jackknife_mean",
+    """
+    WITH o2 AS (
+        SELECT c.c_nationkey AS nk,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (SELECT nk, SUM(cents) AS s, COUNT(*) AS n FROM o2 GROUP BY 1),
+    t AS (SELECT SUM(s) AS st, SUM(n) AS nt, COUNT(*) AS gcnt FROM g),
+    loo AS (
+        SELECT g.nk,
+               ((t.st - g.s) * 1000) // (t.nt - g.n) AS loo_micro,
+               t.gcnt
+        FROM g CROSS JOIN t
+    ),
+    m AS (
+        SELECT SUM(loo_micro) // gcnt AS mbar, gcnt
+        FROM loo GROUP BY gcnt
+    ),
+    v AS (
+        SELECT ((m.gcnt - 1) *
+                SUM((loo.loo_micro - m.mbar) * (loo.loo_micro - m.mbar)))
+               // m.gcnt AS jk_var
+        FROM loo CROSS JOIN m
+        GROUP BY m.gcnt
+    )
+    SELECT nn.n_name AS nation,
+           CAST(loo.loo_micro AS BIGINT) AS loo_mean_millicents,
+           CAST(loo.loo_micro - m.mbar AS BIGINT) AS dev_millicents,
+           CAST(FLOOR(SQRT(CAST(v.jk_var AS DOUBLE)) + 0.5) AS BIGINT)
+               AS jk_se_millicents
+    FROM loo
+    CROSS JOIN m CROSS JOIN v
+    JOIN nation nn ON nn.n_nationkey = loo.nk
+    """,
+)
+def orders_jackknife_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-a-group jackknife for the mean order value: 25
+    leave-one-nation-out estimates, their deviations, and the
+    jackknife standard error — deterministic resampling inference (no
+    RNG: the groups ARE the resampling plan, the survey-statistics
+    standard for variance estimation under clustering).  Everything
+    up to the final SQRT is exact int64 (cents → floor-divided
+    millicents; squared deviations summed as integers); SQRT is
+    IEEE-correctly-rounded on the same integer in both engines, then
+    floored back to an int.
+
+    Scale shape: fact → 25-group rollup; the leave-one-out estimates
+    are algebraic ((S-s_i)/(N-n_i)) so no second pass over the fact
+    table — the whole jackknife is O(groups) after one aggregate.
+    Int64 headroom: (S-s_i)*1e3 and the squared millicent deviations need total cents < 9.2e15 and |dev| < 6e8 — beyond
+    that, swap the microcent scale for DECIMAL(38) (same floor
+    semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o2 = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nk"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    g = o2.groupBy("nk").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    ).persist()  # 25 rows, referenced by t/loo/m/v — one fact pass, not four
+    t = g.agg(
+        F.sum("s").alias("st"),
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("gcnt"),
+    )
+    loo = g.crossJoin(F.broadcast(t)).select(
+        "nk",
+        F.expr("((st - s) * 1000) div (nt - n)").alias("loo_micro"),
+        "gcnt",
+    )
+    m = loo.groupBy("gcnt").agg(
+        F.expr("SUM(loo_micro) div gcnt").alias("mbar")
+    )
+    v = (
+        loo.crossJoin(F.broadcast(m.select("mbar")))
+        .groupBy("gcnt")
+        .agg(
+            F.expr(
+                "((gcnt - 1) * SUM((loo_micro - mbar) * (loo_micro - mbar)))"
+                " div gcnt"
+            ).alias("jk_var")
+        )
+        .select("jk_var")
+    )
+    return (
+        loo.crossJoin(F.broadcast(m.select("mbar")))
+        .crossJoin(F.broadcast(v))
+        .join(n, F.col("nk") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("loo_micro").cast("bigint").alias("loo_mean_millicents"),
+            (F.col("loo_micro") - F.col("mbar"))
+            .cast("bigint")
+            .alias("dev_millicents"),
+            F.expr(
+                "CAST(FLOOR(SQRT(CAST(jk_var AS DOUBLE)) + 0.5) AS BIGINT)"
+            ).alias("jk_se_millicents"),
+        )
+    )
+
+
+@query(
+    "docs_ipf_raking",
+    """
+    WITH cells AS (
+        SELECT source AS src, lang AS lg, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT SUM(n) AS t,
+               COUNT(DISTINCT src) AS r, COUNT(DISTINCT lg) AS c
+        FROM cells
+    ),
+    tg AS (
+        SELECT (t * 1000000) // r AS tr, (t * 1000000) // c AS tc FROM tot
+    ),
+    r1 AS (
+        SELECT src, (SELECT tr FROM tg) * 1000000
+                    // (SUM(n) * 1000000) AS f1
+        FROM cells GROUP BY src
+    ),
+    w1 AS (
+        SELECT cells.src, cells.lg, cells.n, r1.f1 AS w
+        FROM cells JOIN r1 ON r1.src = cells.src
+    ),
+    c1 AS (
+        SELECT lg, (SELECT tc FROM tg) * 1000000 // SUM(n * w) AS g1
+        FROM w1 GROUP BY lg
+    ),
+    w2 AS (
+        SELECT w1.src, w1.lg, w1.n, (w1.w * c1.g1) // 1000000 AS w
+        FROM w1 JOIN c1 ON c1.lg = w1.lg
+    ),
+    r2 AS (
+        SELECT src, (SELECT tr FROM tg) * 1000000 // SUM(n * w) AS f2
+        FROM w2 GROUP BY src
+    ),
+    w3 AS (
+        SELECT w2.src, w2.lg, w2.n, (w2.w * r2.f2) // 1000000 AS w
+        FROM w2 JOIN r2 ON r2.src = w2.src
+    ),
+    c2 AS (
+        SELECT lg, (SELECT tc FROM tg) * 1000000 // SUM(n * w) AS g2
+        FROM w3 GROUP BY lg
+    ),
+    w4 AS (
+        SELECT w3.src, w3.lg, w3.n, (w3.w * c2.g2) // 1000000 AS w
+        FROM w3 JOIN c2 ON c2.lg = w3.lg
+    )
+    SELECT src AS source, lg AS lang, CAST(n AS BIGINT) AS n_docs,
+           CAST(w AS BIGINT) AS w_ppm,
+           CAST(n * w AS BIGINT) AS raked_micro
+    FROM w4
+    """,
+)
+def docs_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of the corpus
+    source x language cell counts to uniform row/column margins — the
+    survey-reweighting algorithm that IS training-data mixture
+    rebalancing: two full IPF sweeps (row, col, row, col), cell
+    weights as floor-divided ppm integers so both engines replay the
+    fixed point of each sweep exactly.
+
+    Scale shape: one fact → cell aggregate, then every sweep is an
+    O(cells) aggregate + broadcast-factor join at margin grain (R+C
+    rows).  The iteration count is fixed and unrolled — the certified
+    analogue of the docs_classifier_train_weights pattern.  Int64
+    headroom: tr*1e6 = T*1e12/R needs T < 9.2e6 per margin cell —
+    beyond that drop the weight scale to 1e3 or promote to
+    DECIMAL(38)."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        F.col("source").alias("src"), F.col("lang").alias("lg")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(
+        F.sum("n").alias("t"),
+        F.countDistinct("src").alias("r"),
+        F.countDistinct("lg").alias("c"),
+    )
+    tg = tot.select(
+        F.expr("(t * 1000000) div r").alias("tr"),
+        F.expr("(t * 1000000) div c").alias("tc"),
+    )
+    cells = cells.crossJoin(F.broadcast(tg))
+    r1 = cells.groupBy("src").agg(
+        F.expr("MIN(tr) * 1000000 div (SUM(n) * 1000000)").alias("f1")
+    )
+    w1 = cells.join(r1, "src").withColumn("w", F.col("f1")).drop("f1")
+    c1 = w1.groupBy("lg").agg(
+        F.expr("MIN(tc) * 1000000 div SUM(n * w)").alias("g1")
+    )
+    w2 = (
+        w1.join(c1, "lg")
+        .withColumn("w", F.expr("(w * g1) div 1000000"))
+        .drop("g1")
+    )
+    r2 = w2.groupBy("src").agg(
+        F.expr("MIN(tr) * 1000000 div SUM(n * w)").alias("f2")
+    )
+    w3 = (
+        w2.join(r2, "src")
+        .withColumn("w", F.expr("(w * f2) div 1000000"))
+        .drop("f2")
+    )
+    c2 = w3.groupBy("lg").agg(
+        F.expr("MIN(tc) * 1000000 div SUM(n * w)").alias("g2")
+    )
+    w4 = (
+        w3.join(c2, "lg")
+        .withColumn("w", F.expr("(w * g2) div 1000000"))
+        .drop("g2")
+    )
+    return w4.select(
+        F.col("src").alias("source"),
+        F.col("lg").alias("lang"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("w").cast("bigint").alias("w_ppm"),
+        (F.col("n") * F.col("w")).cast("bigint").alias("raked_micro"),
+    )
+
+
+@query(
+    "events_haar_energy",
+    """
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    pos AS (SELECT UNNEST(range(0, 16)) AS p),
+    dc AS (
+        SELECT date_diff('day', b.d0, CAST(ts AS DATE)) AS p, COUNT(*) AS c
+        FROM events CROSS JOIN b
+        WHERE date_diff('day', b.d0, CAST(ts AS DATE)) < 16
+        GROUP BY 1
+    ),
+    s0 AS (
+        SELECT pos.p, COALESCE(dc.c, 0) AS v
+        FROM pos LEFT JOIN dc ON dc.p = pos.p
+    ),
+    l1 AS (
+        SELECT p // 2 AS pp,
+               SUM(CASE WHEN p % 2 = 0 THEN v ELSE -v END) AS d,
+               SUM(v) AS a
+        FROM s0 GROUP BY p // 2
+    ),
+    l2 AS (
+        SELECT pp // 2 AS pp,
+               SUM(CASE WHEN pp % 2 = 0 THEN a ELSE -a END) AS d,
+               SUM(a) AS a
+        FROM l1 GROUP BY pp // 2
+    ),
+    l3 AS (
+        SELECT pp // 2 AS pp,
+               SUM(CASE WHEN pp % 2 = 0 THEN a ELSE -a END) AS d,
+               SUM(a) AS a
+        FROM l2 GROUP BY pp // 2
+    ),
+    l4 AS (
+        SELECT pp // 2 AS pp,
+               SUM(CASE WHEN pp % 2 = 0 THEN a ELSE -a END) AS d,
+               SUM(a) AS a
+        FROM l3 GROUP BY pp // 2
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(n_coeffs AS BIGINT) AS n_coeffs,
+           CAST(energy AS BIGINT) AS energy
+    FROM (
+        SELECT 1 AS level, COUNT(*) AS n_coeffs, SUM(d * d) AS energy
+        FROM l1
+        UNION ALL
+        SELECT 2, COUNT(*), SUM(d * d) FROM l2
+        UNION ALL
+        SELECT 3, COUNT(*), SUM(d * d) FROM l3
+        UNION ALL
+        SELECT 4, COUNT(*), SUM(d * d) FROM l4
+        UNION ALL
+        SELECT 0, COUNT(*), SUM(a * a) FROM l4
+    ) u
+    """,
+)
+def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of the 16-day daily
+    event-count signal: 4 detail levels of pairwise sums/differences
+    plus the coarsest approximation, reported as per-level energy
+    (sum of squared coefficients) — the multiresolution screen for
+    "is the variance bursty-daily or slow-trend".  Skipping the 1/√2
+    normalization keeps every coefficient an exact int64 (normalized
+    energies are the int values times a known 2^-level factor), so
+    both engines replay the full filter bank exactly.
+
+    Scale shape: one fact → 16-row day aggregate (zero-filled against
+    a generated position spine); the filter bank is 4 chained
+    O(levels) aggregates over ≤ 16 rows.  At 100 TB the day grain is
+    unchanged — the fan-in happens in the first map-side-combined
+    aggregate."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    pos = spark.range(16).select(F.col("id").cast("int").alias("p"))
+    dc = (
+        e.crossJoin(F.broadcast(b))
+        .select(
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("p")
+        )
+        .where(F.col("p") < 16)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = pos.join(dc, "p", "left").select(
+        "p", F.coalesce(F.col("c"), F.lit(0)).alias("v")
+    )
+    levels = []
+    cur = s.select(F.col("p").alias("pp"), F.col("v").alias("a"))
+    for lv in range(1, 5):
+        nxt = cur.groupBy(F.expr("pp div 2").alias("qq")).agg(
+            F.sum(
+                F.when(F.col("pp") % 2 == 0, F.col("a")).otherwise(-F.col("a"))
+            ).alias("d"),
+            F.sum("a").alias("a"),
+        ).select(F.col("qq").alias("pp"), "d", "a")
+        levels.append(
+            nxt.agg(
+                F.lit(lv).alias("level"),
+                F.count(F.lit(1)).alias("n_coeffs"),
+                F.sum(F.col("d") * F.col("d")).alias("energy"),
+            )
+        )
+        cur = nxt
+    levels.append(
+        cur.agg(
+            F.lit(0).alias("level"),
+            F.count(F.lit(1)).alias("n_coeffs"),
+            F.sum(F.col("a") * F.col("a")).alias("energy"),
+        )
+    )
+    out = levels[0]
+    for df in levels[1:]:
+        out = out.unionAll(df)
+    return out.select(
+        F.col("level").cast("bigint").alias("level"),
+        F.col("n_coeffs").cast("bigint").alias("n_coeffs"),
+        F.col("energy").cast("bigint").alias("energy"),
+    )
+
+
+@query(
+    "events_peak_hours",
+    """
+    WITH hc AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT day, hr, c,
+               LAG(c)  OVER (PARTITION BY day ORDER BY hr) AS pv,
+               LEAD(c) OVER (PARTITION BY day ORDER BY hr) AS nx
+        FROM hc
+    ),
+    pk AS (
+        SELECT day, hr, c FROM w
+        WHERE pv IS NOT NULL AND nx IS NOT NULL
+          AND c > pv AND c > nx AND 8 * c >= 5 * (pv + nx)
+    )
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_peaks,
+           CAST(MIN(hr) AS BIGINT) AS first_peak_hr,
+           CAST(MAX(c) AS BIGINT) AS max_peak
+    FROM pk GROUP BY day
+    """,
+)
+def events_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-extrema detection on the hourly traffic curve: an hour is
+    a peak when it strictly beats both neighbors AND clears a 1.25x
+    prominence floor over their mean (8c >= 5(prev+next) — kept in
+    integers, no division).  Per-day peak count, first peak hour, and
+    tallest peak.  The signal-processing counterpart of
+    events_anomaly_zscore's global outlier screen: peaks are LOCAL
+    shape features invisible to z-scores.
+
+    Scale shape: fact → (day, hour) grain (map-side combined), then
+    lag/lead windows PARTITIONED by day over ≤ 24 rows each — the
+    window never sees fact grain."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    hc = e.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("day").orderBy("hr")
+    wd = hc.select(
+        "day", "hr", "c",
+        F.lag("c").over(w).alias("pv"),
+        F.lead("c").over(w).alias("nx"),
+    )
+    pk = wd.where(
+        F.col("pv").isNotNull()
+        & F.col("nx").isNotNull()
+        & (F.col("c") > F.col("pv"))
+        & (F.col("c") > F.col("nx"))
+        & (8 * F.col("c") >= 5 * (F.col("pv") + F.col("nx")))
+    )
+    return pk.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_peaks"),
+        F.min("hr").cast("bigint").alias("first_peak_hr"),
+        F.max("c").cast("bigint").alias("max_peak"),
+    )
