@@ -137,6 +137,15 @@ HEADLINE = [
     "sketch_quantiles_daily",
     "lineitem_price_sketch_cert",
     "sim_mmr_rerank_ivfpq",
+    # round-9 battery representatives: the iterative-graph shape
+    # (weighted PageRank, 3 unrolled edge-grain rounds over a persisted
+    # fact-derived edge list), the lexical-retrieval shape (BM25 with
+    # per-term postings join), and the token-pair fan-out shape
+    # (skip-gram co-occurrence at gaps 1-2, one map-side-combined
+    # aggregate over the positional explode)
+    "nations_pagerank",
+    "docs_bm25_topk",
+    "docs_skipgram_cooccur",
 ]
 
 

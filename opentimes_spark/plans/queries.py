@@ -20041,3 +20041,446 @@ def events_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hr").cast("bigint").alias("first_peak_hr"),
         F.max("c").cast("bigint").alias("max_peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 battery VII: order-statistic estimation, gaps-and-islands
+# streaks, exact weighted median, BFS reachability, decile composition,
+# and pricing forensics.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_german_tank",
+    """
+    WITH ok AS (
+        SELECT c.c_nationkey AS nk, o.o_orderkey AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT nk, COUNT(*) AS n_obs, MAX(k) AS m FROM ok GROUP BY nk
+    ),
+    t AS (SELECT MAX(k) AS true_max FROM ok)
+    SELECT nn.n_name AS nation,
+           CAST(g.n_obs AS BIGINT) AS n_obs,
+           CAST(g.m AS BIGINT) AS max_seen,
+           CAST(g.m + g.m // g.n_obs - 1 AS BIGINT) AS est_total,
+           CAST(g.m + g.m // g.n_obs - 1 - t.true_max AS BIGINT) AS err
+    FROM g CROSS JOIN t
+    JOIN nation nn ON nn.n_nationkey = g.nk
+    """,
+)
+def orders_german_tank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The German-tank (serial-number) estimator per customer nation:
+    treating each nation's observed order keys as a sample of the
+    global key sequence, the minimum-variance unbiased estimate of the
+    population maximum is m + m/k - 1 — order-statistic estimation,
+    the sampling-theory dual of the HLL cardinality family already
+    registered.  Pure integer arithmetic (floor division on positive
+    operands), with the signed error against the true global maximum.
+
+    Scale shape: one fact-dim join → 25-group (count, max) rollup —
+    both map-side combinable; the true max rides a 1-row broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    ok = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nk"), F.col("o_orderkey").alias("k")
+    )
+    g = ok.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_obs"), F.max("k").alias("m")
+    )
+    t = ok.agg(F.max("k").alias("true_max"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .join(n, F.col("nk") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.col("m").cast("bigint").alias("max_seen"),
+            F.expr("CAST(m + m div n_obs - 1 AS BIGINT)").alias("est_total"),
+            F.expr(
+                "CAST(m + m div n_obs - 1 - true_max AS BIGINT)"
+            ).alias("err"),
+        )
+    )
+
+
+@query(
+    "cust_order_streaks",
+    """
+    WITH cm AS (
+        SELECT DISTINCT o_custkey AS ck,
+               EXTRACT(year FROM o_orderdate) * 12
+                   + EXTRACT(month FROM o_orderdate) AS mi
+        FROM orders
+    ),
+    isl AS (
+        SELECT ck, mi,
+               mi - ROW_NUMBER() OVER (PARTITION BY ck ORDER BY mi)
+                   AS island
+        FROM cm
+    ),
+    st AS (
+        SELECT ck, island, COUNT(*) AS len FROM isl GROUP BY ck, island
+    ),
+    mx AS (SELECT ck, MAX(len) AS best FROM st GROUP BY ck)
+    SELECT CAST(best AS BIGINT) AS streak_months,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM mx GROUP BY best
+    """,
+)
+def cust_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-month ordering streak per customer — the
+    gaps-and-islands idiom (group id = month index minus row number,
+    constant exactly along a consecutive run), rolled up to a streak-
+    length distribution.  All integer: month index is y*12+m, islands
+    and lengths are counts.
+
+    Scale shape: fact → distinct (customer, month) grain, ROW_NUMBER
+    partitioned per customer (≤ tens of rows each), two count
+    aggregates.  The window never sees more than one customer's months
+    in a partition — co-partitioned with the distinct's shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    cm = o.select(
+        F.col("o_custkey").alias("ck"),
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("mi"),
+    ).distinct()
+    w = Window.partitionBy("ck").orderBy("mi")
+    isl = cm.select(
+        "ck", "mi", (F.col("mi") - F.row_number().over(w)).alias("island")
+    )
+    st = isl.groupBy("ck", "island").agg(F.count(F.lit(1)).alias("len"))
+    mx = st.groupBy("ck").agg(F.max("len").alias("best"))
+    return mx.groupBy("best").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    ).select(
+        F.col("best").cast("bigint").alias("streak_months"), "n_customers"
+    )
+
+
+@query(
+    "lineitem_weighted_median",
+    """
+    WITH r AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS q,
+               l_orderkey AS ok, l_linenumber AS ln
+        FROM lineitem
+    ),
+    c AS (
+        SELECT flag, cents, q,
+               SUM(q) OVER (
+                   PARTITION BY flag ORDER BY cents, ok, ln
+               ) AS cw,
+               SUM(q) OVER (PARTITION BY flag) AS tw
+        FROM r
+    ),
+    med AS (
+        SELECT flag, MIN(cents) AS wmed_cents
+        FROM c WHERE 2 * cw >= tw GROUP BY flag
+    )
+    SELECT m.flag, CAST(m.wmed_cents AS BIGINT) AS wmed_cents,
+           CAST(t.tw AS BIGINT) AS total_weight
+    FROM med m
+    JOIN (SELECT flag, SUM(q) AS tw FROM r GROUP BY flag) t
+      ON t.flag = m.flag
+    """,
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantity-weighted median of line-item price per return
+    flag: the first price (in a total order with key tiebreaks) whose
+    cumulative weight reaches half the flag's total — lower weighted
+    median, fully deterministic in integers, vs the approx-sketch
+    route (lineitem_price_sketch_cert) whose rank error this pins at
+    zero.
+
+    Scale shape: one cumulative-weight window per flag partition over
+    exact cents.  At 100 TB the per-flag sort is the cost — the
+    documented evolution is the mergeable quantile sketch
+    (operators/quantile_sketch.py) with this exact form as its
+    certification oracle on bounded slices."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    wcum = Window.partitionBy("flag").orderBy("cents", "ok", "ln")
+    wall = Window.partitionBy("flag")
+    cdf = r.select(
+        "flag", "cents", "q",
+        F.sum("q").over(wcum).alias("cw"),
+        F.sum("q").over(wall).alias("tw"),
+    )
+    med = (
+        cdf.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("cents").alias("wmed_cents"))
+    )
+    tot = r.groupBy("flag").agg(F.sum("q").alias("tw"))
+    return med.join(tot, "flag").select(
+        "flag",
+        F.col("wmed_cents").cast("bigint").alias("wmed_cents"),
+        F.col("tw").cast("bigint").alias("total_weight"),
+    )
+
+
+@query(
+    "nations_bfs_hops",
+    """
+    WITH tw AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    top3 AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY src ORDER BY w DESC, dst
+                   ) AS rk
+            FROM tw
+        ) t WHERE rk <= 3
+    ),
+    und AS (
+        SELECT src, dst FROM top3
+        UNION
+        SELECT dst AS src, src AS dst FROM top3
+    ),
+    d0 AS (
+        SELECT n_nationkey AS nid,
+               CASE WHEN n_nationkey = 0 THEN 0 ELSE 99 END AS d
+        FROM nation
+    ),
+    d1 AS (
+        SELECT d0.nid,
+               LEAST(d0.d, COALESCE(MIN(p.d) + 1, d0.d)) AS d
+        FROM d0
+        LEFT JOIN und e ON e.dst = d0.nid
+        LEFT JOIN d0 p  ON p.nid = e.src
+        GROUP BY d0.nid, d0.d
+    ),
+    d2 AS (
+        SELECT d1.nid,
+               LEAST(d1.d, COALESCE(MIN(p.d) + 1, d1.d)) AS d
+        FROM d1
+        LEFT JOIN und e ON e.dst = d1.nid
+        LEFT JOIN d1 p  ON p.nid = e.src
+        GROUP BY d1.nid, d1.d
+    ),
+    d3 AS (
+        SELECT d2.nid,
+               LEAST(d2.d, COALESCE(MIN(p.d) + 1, d2.d)) AS d
+        FROM d2
+        LEFT JOIN und e ON e.dst = d2.nid
+        LEFT JOIN d2 p  ON p.nid = e.src
+        GROUP BY d2.nid, d2.d
+    )
+    SELECT nn.n_name AS nation,
+           CAST(CASE WHEN d3.d > 3 THEN -1 ELSE d3.d END AS BIGINT) AS hops
+    FROM d3 JOIN nation nn ON nn.n_nationkey = d3.nid
+    """,
+)
+def nations_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distance from nation 0 over the top-3 trade
+    graph (same deterministic sparsification as
+    nations_trade_communities): 3 unrolled rounds of
+    d ← min(d, min(neighbor d)+1) — the Bellman-Ford/BFS relaxation,
+    all integer MIN folds, unreached-within-3 reported as -1.
+
+    Scale shape: identical to the label-propagation query — per-round
+    O(|edges|) node-grain joins after a once-computed fact-side edge
+    list; rounds unrolled so the oracle replays every frontier."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    tw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    w3 = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    top3 = (
+        tw.select("src", "dst", F.row_number().over(w3).alias("rk"))
+        .where(F.col("rk") <= 3)
+        .select("src", "dst")
+    )
+    und = top3.union(
+        top3.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    d = n.select(
+        F.col("n_nationkey").alias("nid"),
+        F.when(F.col("n_nationkey") == 0, 0).otherwise(99).alias("d"),
+    )
+    for _ in range(3):
+        nb = (
+            und.join(
+                d.select(F.col("nid").alias("src"), F.col("d").alias("pd")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg((F.min("pd") + 1).alias("step"))
+        )
+        d = (
+            d.join(nb, d.nid == nb.dst, "left")
+            .select(
+                d.nid,
+                F.least(
+                    F.col("d"), F.coalesce(F.col("step"), F.col("d"))
+                ).alias("d"),
+            )
+        )
+    return d.join(n, d.nid == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.when(F.col("d") > 3, -1).otherwise(F.col("d"))
+        .cast("bigint")
+        .alias("hops"),
+    )
+
+
+@query(
+    "orders_decile_mix",
+    """
+    WITH r AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o_orderkey AS ok,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS hi
+        FROM orders
+    ),
+    d AS (
+        SELECT hi, NTILE(10) OVER (ORDER BY cents, ok) AS decile FROM r
+    ),
+    t AS (SELECT SUM(hi) AS hi_tot, COUNT(*) AS n_tot FROM r)
+    SELECT CAST(d.decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(d.hi) AS BIGINT) AS n_high,
+           CAST((SUM(d.hi) * 1000000) // COUNT(*) AS BIGINT)
+               AS high_share_ppm,
+           CAST((SUM(d.hi) * 1000000) // COUNT(*)
+                - (t.hi_tot * 1000000) // t.n_tot AS BIGINT) AS lift_ppm
+    FROM d CROSS JOIN t
+    GROUP BY d.decile, t.hi_tot, t.n_tot
+    """,
+)
+def orders_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition analysis across the order-value distribution: split
+    orders into value deciles (NTILE with key tiebreak — fully
+    deterministic) and measure how over/under-represented high-priority
+    orders are in each, as exact ppm shares with the global share as
+    the baseline — the stochastic-dominance screen ("do urgent orders
+    skew expensive?") in table form.
+
+    Scale shape: the global NTILE over fact cents is the cost (one
+    total sort); the mix rollup is 10 groups + a 1-row broadcast.  At
+    100 TB the decile boundaries move to the mergeable quantile sketch
+    and the NTILE becomes a broadcast range join against 9 boundaries
+    — same output contract."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    r = o.select(
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("o_orderkey").alias("ok"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("hi"),
+    )
+    d = r.select(
+        "hi", F.ntile(10).over(Window.orderBy("cents", "ok")).alias("decile")
+    )
+    t = r.agg(F.sum("hi").alias("hi_tot"), F.count(F.lit(1)).alias("n_tot"))
+    return (
+        d.groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("hi").alias("n_high"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("n_high").cast("bigint").alias("n_high"),
+            F.expr(
+                "CAST((n_high * 1000000) div n_orders AS BIGINT)"
+            ).alias("high_share_ppm"),
+            F.expr(
+                "CAST((n_high * 1000000) div n_orders"
+                " - (hi_tot * 1000000) div n_tot AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+@query(
+    "lineitem_price_endings",
+    """
+    WITH r AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) % 100
+               AS ending
+        FROM lineitem
+    ),
+    t AS (SELECT COUNT(*) AS n FROM r)
+    SELECT CAST(ending AS BIGINT) AS ending,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST((COUNT(*) * 1000000) // t.n AS BIGINT) AS share_ppm
+    FROM r CROSS JOIN t
+    GROUP BY ending, t.n
+    ORDER BY cnt DESC, ending
+    LIMIT 10
+    """,
+)
+def lineitem_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-ending forensics: distribution of the cent suffix (00-99)
+    of line-item prices — the pricing-audit companion to the Benford
+    first-digit screen (psychological-pricing .99 clustering, rounding
+    artifacts, synthetic-data uniformity all show up here).  Exact
+    integer cents, ppm shares, deterministic top-10.
+
+    Scale shape: scan → 100-group count with map-side combine, 1-row
+    broadcast total, TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.select(
+        (
+            F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)") % 100
+        ).alias("ending")
+    )
+    t = r.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        r.groupBy("ending")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("ending").cast("bigint").alias("ending"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr("CAST((cnt * 1000000) div n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "ending")
+        .limit(10)
+    )
