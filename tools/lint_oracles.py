@@ -88,9 +88,13 @@ _GRAIN_BOUNDING = {"Aggregate", "GlobalLimit"}
 
 # Disclosed oracle twins: each documents in its docstring that the exact
 # global-NTILE form exists for DuckDB replay and names its sort-free
-# production path (operators/histogram.py equidepth cutpoints or
-# operators/chunking.py range-partitioned ranks).
-WINDOW_ALLOWLIST = {"window_ntile", "hist_equidepth_price"}
+# production path (operators/histogram.py equidepth cutpoints,
+# operators/chunking.py range-partitioned ranks, or — for the decile
+# composition query — quantile-sketch boundaries joined as a broadcast
+# range join, per its docstring).
+WINDOW_ALLOWLIST = {
+    "window_ntile", "hist_equidepth_price", "orders_decile_mix",
+}
 
 
 def unpartitioned_fact_windows(jplan) -> list[str]:
