@@ -26,14 +26,15 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # and semantics; only dict order changes.  `tools/check.py` independently
 # replays ALL registered queries regardless of order.
 #
-# After r8: all 287 registered names have a hash-green driver row across
-# r1-r8 (CORRECTNESS_r08 was 50/50 green; the 11 r8 additions are folded
+# After r9: all 323 registered names have a hash-green driver row across
+# r1-r9 (CORRECTNESS_r09 was 50/50 green; the 36 r9 additions are folded
 # into _CERTIFIED below per the standing pattern).  _FRONT holds names
 # whose SEMANTICS/PLAN changed this round and therefore need a fresh
-# driver hash; for r9 it re-fronts `orders_open_backlog_by_month` (its
-# order-grain join was trimmed per VERDICT r8 Next #7), leaving ~49
-# window slots for round-9 additions (budget ≤ 49 new names via `fresh`).
-_FRONT: list[str] = ["orders_open_backlog_by_month"]
+# driver hash; for r10 it re-fronts `orders_decile_mix` (its production
+# path was swapped to the sketch-boundary broadcast range join per
+# VERDICT r9 Next #4), leaving ~49 window slots for round-10 additions
+# (budget ≤ 49 new names via `fresh`).
+_FRONT: list[str] = ["orders_decile_mix"]
 
 
 def _ordered(mapping):
@@ -168,6 +169,21 @@ _CERTIFIED = {
     "embed_twonn_intrinsic_dim", "events_cuped_adjusted_lift",
     "orders_cdc_retraction_agg", "sim_eval_mrr_ndcg",
     "orders_holt_linear_forecast", "orders_open_backlog_by_month",
+    # r9-certified (CORRECTNESS_r09.json, 50/50 hash_match=true):
+    "sim_mmr_rerank_ivfpq", "lineitem_price_sketch_cert", "docs_bm25_topk",
+    "docs_rrf_fusion", "events_mann_whitney_value",
+    "orders_kruskal_wallis_priority", "cust_segment_target_encoding_loo",
+    "orders_expectations_report", "orders_snapshot_diff",
+    "orders_stl_monthly_decomposition", "events_bot_detection",
+    "events_funnel_time_to_convert", "nations_pagerank", "events_hll_distinct",
+    "orders_pps_systematic_sample", "docs_pmi_bigram_lift",
+    "orders_cusum_changepoint", "events_user_gini", "orders_brand_basket_lift",
+    "nations_trade_communities", "cust_rfm_segments", "part_fuzzy_name_pairs",
+    "events_benford_digits", "supplier_overlap_jaccard", "events_sprt_decision",
+    "docs_skipgram_cooccur", "orders_jackknife_mean", "docs_ipf_raking",
+    "events_haar_energy", "events_peak_hours", "orders_german_tank",
+    "cust_order_streaks", "lineitem_weighted_median", "nations_bfs_hops",
+    "orders_decile_mix", "lineitem_price_endings",
 }
 
 

@@ -138,36 +138,42 @@ def maintain_dedup_ledger(
     """
     try:
         vdir = snapshots.current_dir(root)
-        ledger = spark.read.parquet(vdir)
     except FileNotFoundError:
         vdir = None
-        ledger = None
 
-    fresh, updated = D.incremental_exact_dedup(batch, ledger, id_col, text_col)
     n_batch = batch.count()
     if vdir is None:
+        fresh, updated = D.incremental_exact_dedup(
+            batch, None, id_col, text_col
+        )
         version = snapshots.write_snapshot(updated, root)
         action = "bootstrap"
         live = snapshots.current_dir(root)
+        n_accepted = fresh.count()
     else:
-        new_entries = (
-            updated if ledger is None
-            else updated.join(
-                spark.read.parquet(vdir).select("fp"), "fp", "left_anti"
+        # The dedup DECISION and the ledger append are one critical
+        # section: both run inside append_fn, under the publish lock,
+        # against the locked live directory — so a competing ingest can
+        # no longer accept the same fingerprint in the window between
+        # an unlocked anti join and the locked append (TOCTOU, ADVICE
+        # r9).  The eager localCheckpoint still breaks lineage on the
+        # version dir before new files land in it.
+        def _decide_and_append(d: str) -> int:
+            live_ledger = spark.read.parquet(d).select("fp", "canonical_id")
+            fresh_l, _ = D.incremental_exact_dedup(
+                batch, live_ledger, id_col, text_col
             )
-        )
-        # lineage reads vdir; localCheckpoint before appending into it.
-        # The append goes through append_into_snapshot: publish lock
-        # held (no race with a concurrent compaction), manifest
-        # refreshed (ledger versions are append-grow, not frozen).
-        staged = new_entries.localCheckpoint(eager=True)
-        snapshots.append_into_snapshot(
-            root, lambda d: staged.write.mode("append").parquet(d)
-        )
+            staged = fresh_l.select(
+                D.fingerprint(F.col(text_col)).alias("fp"),
+                F.col(id_col).alias("canonical_id"),
+            ).localCheckpoint(eager=True)
+            staged.write.mode("append").parquet(d)
+            return staged.count()
+
+        n_accepted = snapshots.append_into_snapshot(root, _decide_and_append)
         version = snapshots.latest_version(root)
         action = "append"
         live = vdir
-    n_accepted = fresh.count()
 
     n_files = _parquet_file_count(live)
     if n_files > max_files:
@@ -311,13 +317,21 @@ def maintain_ivfpq_index(
     try:
         vdir = snapshots.current_dir(root)
     except FileNotFoundError:
+        # meta is JSON — record rotated-ness as a bool, not the matrix
+        meta_params = {
+            k: v for k, v in build_params.items() if k != "rotation"
+        }
         version = snapshots.publish_dir_snapshot(
             root,
             lambda d: S.write_ivfpq_index(
                 spark, corpus, d, dim=dim, id_col=id_col, vec_col=vec_col,
                 **build_params,
             ),
-            meta={"built_from": "bootstrap", "dim": dim, **build_params},
+            meta={
+                "built_from": "bootstrap", "dim": dim,
+                "rotated": build_params.get("rotation") is not None,
+                **meta_params,
+            },
         )
         rec = {
             "index": "ivfpq", "action": "bootstrap", "version": int(version),
@@ -336,15 +350,26 @@ def maintain_ivfpq_index(
     action = "append"
     version = snapshots.latest_version(root)
     if tel["staleness_ratio"] > staleness_max:
+        # Carry the live index's OPQ rotation through the rebuild: the
+        # docstring contract is that appends/probes "transparently
+        # rotate", so a rotation=R index must NOT silently become
+        # unrotated after its first staleness rebuild (ADVICE r9).
+        # An explicit caller-supplied rotation in build_params wins.
+        rebuild_params = dict(build_params)
+        if "rotation" not in rebuild_params:
+            stored_rot = S.read_ivfpq_rotation(spark, vdir)
+            if stored_rot is not None:
+                rebuild_params["rotation"] = stored_rot
         version = snapshots.publish_dir_snapshot(
             root,
             lambda d: S.write_ivfpq_index(
                 spark, corpus, d, dim=dim, id_col=id_col, vec_col=vec_col,
-                **build_params,
+                **rebuild_params,
             ),
             meta={
                 "built_from": "staleness_rebuild",
                 "staleness_ratio": tel["staleness_ratio"],
+                "rotated": rebuild_params.get("rotation") is not None,
             },
         )
         action = "rebuild"

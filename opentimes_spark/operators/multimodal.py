@@ -2054,9 +2054,9 @@ def _numpy_decode(b: bytes) -> np.ndarray:
     raise NotImplementedError(
         "numpy codec handles uncompressed PPM/BMP, full-matrix PNG "
         "(1/2/4/8/16-bit, gray/RGB/palette/alpha, Adam7), single-frame "
-        "GIF, and baseline (SOF0/SOF1) + progressive (SOF2) JPEG; "
-        "12-bit/arithmetic/lossless JPEG requires Pillow — "
-        "not in this container"
+        "GIF, and baseline (SOF0/SOF1, incl. 12-bit) + progressive "
+        "(SOF2) + lossless (SOF3) JPEG; arithmetic-coded and "
+        "hierarchical JPEG require Pillow — not in this container"
     )
 
 
@@ -2087,9 +2087,10 @@ def _real_decode(b: bytes) -> np.ndarray:
     """Best-available decode: Pillow when installed (any format it
     knows, and ~100x faster than the interpreted JPEG entropy loop),
     else the native codecs (PPM/BMP, full-matrix PNG, single-frame
-    GIF, baseline AND progressive JPEG), else a NotImplementedError
-    naming the missing dependency — the disclosed seam is now 12-bit/
-    arithmetic/lossless JPEG only in a Pillow-less container."""
+    GIF, baseline incl. 12-bit AND progressive AND lossless SOF3
+    JPEG), else a NotImplementedError naming the missing dependency —
+    the disclosed seam is now arithmetic-coded/hierarchical JPEG only
+    in a Pillow-less container."""
     img_mod = _pillow()
     if img_mod is not None:
         import io as _io
@@ -2100,10 +2101,10 @@ def _real_decode(b: bytes) -> np.ndarray:
         return _numpy_decode(b)
     except NotImplementedError as e:
         raise NotImplementedError(
-            f"{e} — 12-bit/arithmetic/lossless JPEG and non-baseline "
-            "PNG require Pillow (not importable in this container); "
-            "PPM, BMP, baseline PNG, single-frame GIF, and baseline + "
-            "progressive JPEG decode natively without it"
+            f"{e} — arithmetic-coded/hierarchical JPEG requires Pillow "
+            "(not importable in this container); PPM, BMP, full-matrix "
+            "PNG, single-frame GIF, and baseline (incl. 12-bit) + "
+            "progressive + lossless SOF3 JPEG decode natively without it"
         ) from None
 
 

@@ -1225,6 +1225,7 @@ def mmr_rerank(
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
     round_to: int = 6,
+    validate_candidates: bool = False,
 ) -> DataFrame:
     """Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998):
     from each query's shortlist, iteratively select ``k_select``
@@ -1254,7 +1255,19 @@ def mmr_rerank(
     Scale story: the shortlist is k rows/query and the pair matrix
     k² rows/query, both independent of corpus size — MMR cost rides
     on the ANN probe, never the corpus.  Returns
-    (query_id, cand_id, sel_rank, mmr_score)."""
+    (query_id, cand_id, sel_rank, mmr_score).
+
+    Every candidate id MUST exist in ``corpus``: the diversity pass
+    inner-joins shortlist ids against corpus vectors, so an external
+    candidate absent from corpus would be silently dropped from
+    selection rounds >= 2 (round 1 could still pick it), yielding an
+    inconsistent shortlist.  Pass ``validate_candidates=True`` to pay
+    one anti-join action that raises listing the unknown ids instead."""
+    if corpus is None:
+        raise ValueError(
+            "mmr_rerank needs `corpus` — it supplies the candidate "
+            "vectors for the pairwise-diversity matrix"
+        )
     if candidates is not None:
         cands = candidates.select("query_id", "cand_id", "rel")
     else:
@@ -1263,6 +1276,24 @@ def mmr_rerank(
         cands = brute_force_topk(
             queries, corpus, k=k_candidates, id_col=id_col, vec_col=vec_col
         ).select("query_id", "cand_id", F.col("cos_sim").alias("rel"))
+    if validate_candidates:
+        unknown = [
+            r["cand_id"]
+            for r in cands.select("cand_id")
+            .distinct()
+            .join(
+                corpus.select(F.col(id_col).alias("cand_id")),
+                "cand_id",
+                "left_anti",
+            )
+            .limit(20)
+            .collect()
+        ]
+        if unknown:
+            raise ValueError(
+                f"mmr_rerank: candidate ids missing from corpus "
+                f"(first {len(unknown)}): {unknown}"
+            )
     vecs = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v")
     )

@@ -272,3 +272,55 @@ def test_publish_dir_snapshot_atomicity(spark, tmp_path):
     v1 = snapshots.publish_dir_snapshot(root, good)
     assert v1 > 0
     assert snapshots.current_dir(root).endswith(f"v={v1}")
+
+
+def test_rotated_ivfpq_index_survives_staleness_rebuild(spark, tmp_path):
+    """An OPQ-rotated index must stay rotated after a staleness rebuild
+    even when the maintainer doesn't re-pass rotation= (ADVICE r9): the
+    rebuild branch reads the live index's stored ``_rotation`` and
+    carries it into write_ivfpq_index."""
+    from opentimes_spark.operators.similarity import read_ivfpq_rotation
+
+    root = str(tmp_path / "ivfpq_rot")
+    rng = np.random.RandomState(7)
+    centers = np.array([[4.0] * 8, [-4.0] * 8])
+
+    def vecs(ids, shift):
+        return [
+            (int(i),
+             [float(x) for x in centers[i % 2] + 0.1 * rng.randn(8) + shift])
+            for i in ids
+        ]
+
+    corpus = spark.createDataFrame(
+        vecs(range(40), 0.0), "vec_id long, embedding array<double>"
+    )
+    # orthogonal rotation: a permutation matrix (cheap, exactly checkable)
+    rot = np.eye(8)[list(range(1, 8)) + [0]]
+    maintain_ivfpq_index(
+        spark, corpus, corpus.limit(0), root,
+        dim=8, coarse_k=2, m=2, pq_k=4, rotation=rot,
+    )
+    v0 = snapshots.current_dir(root)
+    np.testing.assert_allclose(read_ivfpq_rotation(spark, v0), rot)
+
+    # drifted batch trips staleness; the maintainer call does NOT pass
+    # rotation — the stored one must be carried forward
+    batch_drift = spark.createDataFrame(
+        vecs(range(200, 220), 25.0), "vec_id long, embedding array<double>"
+    )
+    full = corpus.unionByName(batch_drift)
+    r = maintain_ivfpq_index(
+        spark, full, batch_drift, root, dim=8, coarse_k=2, m=2, pq_k=4,
+    )
+    assert r["action"] == "rebuild"
+    v1 = snapshots.current_dir(root)
+    assert v1 != v0
+    got = read_ivfpq_rotation(spark, v1)
+    assert got is not None, "rotation lost across staleness rebuild"
+    np.testing.assert_allclose(got, rot)
+    # and the rebuilt index still answers probes for the whole corpus
+    probe = ivfpq_topk_probe(
+        spark, full.filter(F.col("vec_id") == 200), v1, k=3, n_probe=2, dim=8,
+    )
+    assert probe.count() == 3

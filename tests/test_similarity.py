@@ -568,3 +568,34 @@ def test_opq_rotated_ivfpq_index_improves_recall(spark, tmp_path):
         n_probe=2, dim=dim,
     )
     assert probe.count() == 3
+
+
+def test_mmr_rerank_validates_corpus_and_candidates(spark):
+    """ADVICE r9: corpus=None raises a clear error (not AttributeError),
+    and validate_candidates=True surfaces shortlist ids missing from
+    the corpus instead of silently dropping them in rounds >= 2."""
+    import pytest
+
+    from opentimes_spark.operators.similarity import mmr_rerank
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    cands = spark.createDataFrame(
+        [("q1", 0, 0.9), ("q1", 1, 0.8), ("q1", 99, 0.7)],
+        "query_id string, cand_id long, rel double",
+    )
+    with pytest.raises(ValueError, match="corpus"):
+        mmr_rerank(candidates=cands, corpus=None)
+    with pytest.raises(ValueError, match="99"):
+        mmr_rerank(
+            candidates=cands, corpus=corpus, k_select=2,
+            validate_candidates=True,
+        )
+    # with only known ids, validation passes and selection completes
+    ok = mmr_rerank(
+        candidates=cands.filter("cand_id < 4"), corpus=corpus,
+        k_select=2, validate_candidates=True,
+    )
+    assert ok.count() == 2
