@@ -1294,6 +1294,14 @@ def mmr_rerank(
                 f"mmr_rerank: candidate ids missing from corpus "
                 f"(first {len(unknown)}): {unknown}"
             )
+    # Materialize the shortlist ONCE: it is k rows/query but its plan
+    # may be an entire ANN probe (ADC shortlist + rescore) — without
+    # this, every selection round (and both sides of the pair matrix)
+    # re-executes that probe, multiplying a fixed ~1s plan by ~3k jobs
+    # (the r9 bench showed 5.7s warm where ~2s is the real work).
+    # (no coalesce(1) here: it would propagate up and single-task the
+    # entire ANN probe that produces the shortlist)
+    cands = cands.localCheckpoint(eager=True)
     vecs = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v")
     )
@@ -1311,6 +1319,8 @@ def mmr_rerank(
             F.round(cosine(F.col("a_v"), F.col("b_v")), 6).alias("sim"),
         )
     )
+    # k^2 rows/query; computed once, read by every round >= 2
+    pair = pair.localCheckpoint(eager=True)
 
     selected: DataFrame | None = None
     out = []
@@ -1357,6 +1367,8 @@ def mmr_rerank(
             )
         )
         out.append(pick)
+        if r == k_select:
+            break  # nothing re-reads `selected` after the final pick
         selected = pick if selected is None else selected.unionByName(pick)
         # cut the growing self-referential plan per round: each round's
         # pick is tiny (1 row/query) and later rounds re-read it twice
