@@ -146,6 +146,12 @@ HEADLINE = [
     "nations_pagerank",
     "docs_bm25_topk",
     "docs_skipgram_cooccur",
+    # round-10: the full LLM curation ladder END-TO-END (quality →
+    # gopher → boilerplate → exact dedup → span rewrite → decontam →
+    # SemDeDup → mixture+packing+write), stage checkpoints wiped per
+    # run so the clock prices the full recompute — the LLM-pipeline
+    # analogue of produce_pipeline_e2e (VERDICT r9 Next #2)
+    "curate_pipeline_e2e",
 ]
 
 

@@ -16244,6 +16244,44 @@ def produce_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_lookup(spark, out, "17001000001")
 
 
+@bench_only("curate_pipeline_e2e")
+def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM training-corpus curation ladder END-TO-END on the bench
+    clock (VERDICT r9 Next #2) — the data-pipeline analogue of
+    ``produce_pipeline_e2e``: classifier quality scoring → Gopher rules
+    → boilerplate-coverage filter → exact dedup → ExactSubstr span
+    rewrite → decontamination against the held-out source → SemDeDup
+    semantic prune → weighted mixture + sequence packing + curated
+    write.  Every stage is the same function ``jobs/curate_corpus.py``
+    runs (its stage checkpoints are WIPED per invocation so each timed
+    run prices the full recompute, not the DVC-style cached no-op).
+    Returns the curated corpus frame; correctness of every member
+    operator is pinned by its hash-green registry twin
+    (docs_classifier_scores, docs_gopher_flags,
+    docs_boilerplate_coverage, dedup_exact, dedup_spans_rewrite,
+    decontaminate_spans, semdedup_prune, mix_sources_weighted,
+    pack_sequences)."""
+    import shutil
+    import tempfile
+
+    from opentimes_spark.jobs.curate_corpus import curate, parse_args
+
+    out = os.path.join(tempfile.gettempdir(), "opentimes_bench_curate")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    args = parse_args(
+        [
+            "--sf-dir", sf_dir,
+            "--out", out,
+            "--gopher",
+            "--boilerplate-max", "0.9",
+            "--semantic-tau", "0.2",
+        ]
+    )
+    manifest = curate(spark, args)
+    return spark.read.parquet(manifest["out"])
+
+
 # ---------------------------------------------------------------------------
 # Quality-classifier TRAINING (round 8, VERDICT r7 item 5): multinomial
 # Naive Bayes fit in one counting pass + K=3 diagonally-preconditioned
