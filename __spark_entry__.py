@@ -34,14 +34,10 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # path was swapped to the sketch-boundary broadcast range join per
 # VERDICT r9 Next #4), leaving ~49 window slots for round-10 additions
 # (budget ≤ 49 new names via `fresh`).
-# r10 re-fronts: orders_decile_mix (production path swapped to the
-# sketch-boundary broadcast range join), and both MMR queries (their
-# shortlist/pair matrices are now checkpointed once instead of
-# re-executing the ANN probe per selection round — values unchanged,
-# plan fingerprint re-baselined).
-_FRONT: list[str] = [
-    "orders_decile_mix", "sim_mmr_rerank", "sim_mmr_rerank_ivfpq",
-]
+# r10 re-fronts: both MMR queries (their shortlist/pair matrices are
+# now checkpointed once instead of re-executing the ANN probe per
+# selection round — values unchanged, plan fingerprint re-baselined).
+_FRONT: list[str] = ["sim_mmr_rerank", "sim_mmr_rerank_ivfpq"]
 
 
 def _ordered(mapping):

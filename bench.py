@@ -146,6 +146,10 @@ HEADLINE = [
     "nations_pagerank",
     "docs_bm25_topk",
     "docs_skipgram_cooccur",
+    # round-10: the production decile assignment — sketch-cutpoint
+    # broadcast range join vs the registry twin's global NTILE sort
+    # (plan-asserted Sort/Window-free; hist_equidepth precedent)
+    "orders_decile_mix_approx",
     # round-10: the full LLM curation ladder END-TO-END (quality →
     # gopher → boilerplate → exact dedup → span rewrite → decontam →
     # SemDeDup → mixture+packing+write), stage checkpoints wiped per

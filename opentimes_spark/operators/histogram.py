@@ -41,6 +41,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bucket_assign(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    accuracy: int = 10_000,
+    cutpoints: list[float] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """PER-ROW equi-depth bucket assignment — the production decile
+    labeller (VERDICT r9 Next #4): every input row comes back with a
+    1..n ``bucket_col`` derived from quantile cutpoints, never from a
+    global sort.
+
+    Cutpoint source is pluggable: by default one mergeable
+    ``percentile_approx`` aggregate over ``df`` (map-side partials, a
+    1-row sketch merge); or pass ``cutpoints`` explicitly — e.g.
+    ``quantiles_from_rows`` over a PERSISTED
+    ``operators/quantile_sketch`` artifact, so a daily-ingest pipeline
+    labels today's rows against the corpus-lifetime distribution
+    without rescanning history.  Assignment is a broadcast range join:
+    bucket = 1 + #cutpoints strictly below the value — a per-row fold
+    over an n−1 literal array, whole-stage-codegen'd JVM work.  NULL
+    values are dropped (no position in a value ordering); ties at a
+    cutpoint land in the lower bucket (value-stable, unlike NTILE's
+    arbitrary rank split)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    df = df.filter(F.col(value_col).isNotNull())
+    v = F.col(value_col)
+    if cutpoints is not None:
+        if len(cutpoints) != n_buckets - 1:
+            raise ValueError(
+                f"need {n_buckets - 1} cutpoints, got {len(cutpoints)}"
+            )
+        cuts_arr = F.array(*[F.lit(float(c)) for c in cutpoints])
+        source = df
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = df.agg(
+            F.percentile_approx(value_col, probs, accuracy).alias("__cuts")
+        )
+        cuts_arr = F.col("__cuts")
+        source = df.crossJoin(F.broadcast(cuts))
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            cuts_arr,
+            F.lit(0),
+            lambda acc, c: acc + F.when(v > c, 1).otherwise(0),
+        )
+    ).alias(bucket_col)
+    return source.select(*df.columns, bucket)
+
+
 def equidepth_histogram(
     df: DataFrame,
     value_col: str,
@@ -50,29 +104,12 @@ def equidepth_histogram(
     """Equi-depth histogram of ``value_col``: one row per bucket with
     ``(bucket, n_rows, lo, hi)`` — same output contract as the exact
     NTILE form, no global sort anywhere in the plan."""
-    if n_buckets < 2:
-        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    df = df.filter(F.col(value_col).isNotNull())
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.agg(
-        F.percentile_approx(value_col, probs, accuracy).alias("__cuts")
-    )
-    v = F.col(value_col)
-    bucket = (
-        F.lit(1)
-        + F.aggregate(
-            F.col("__cuts"),
-            F.lit(0),
-            lambda acc, c: acc + F.when(v > c, 1).otherwise(0),
-        )
-    ).alias("bucket")
     return (
-        df.crossJoin(F.broadcast(cuts))
-        .select(v.alias("__v"), bucket)
+        bucket_assign(df, value_col, n_buckets, accuracy)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.min("__v"), 2).alias("lo"),
-            F.round(F.max("__v"), 2).alias("hi"),
+            F.round(F.min(value_col), 2).alias("lo"),
+            F.round(F.max(value_col), 2).alias("hi"),
         )
     )

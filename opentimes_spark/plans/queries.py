@@ -20474,6 +20474,52 @@ def orders_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@bench_only("orders_decile_mix_approx")
+def orders_decile_mix_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of ``orders_decile_mix`` (VERDICT r9 Next
+    #4): decile labels come from ``operators/histogram.bucket_assign``
+    — one mergeable percentile_approx sketch aggregate + a broadcast
+    range join (bucket = 1 + #cutpoints below) — instead of the
+    registered twin's global NTILE sort, the one plan shape that
+    cannot scale past a single executor.  Same output contract
+    (decile, n_orders, n_high, high_share_ppm, lift_ppm); populations
+    per decile deviate from n/10 only by the sketch's per-cutpoint
+    error, and equal cent values are never split across deciles (the
+    NTILE twin splits them by rank — the disclosed contract deviation,
+    same category as hist_equidepth_price -> equidepth_histogram).
+    Plan-asserted Sort/Window-free in tests/test_histogram.py."""
+    from opentimes_spark.operators.histogram import bucket_assign
+
+    o = _t(spark, sf_dir, "orders")
+    r = o.select(
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("hi"),
+    )
+    d = bucket_assign(r, "cents", n_buckets=10, bucket_col="decile")
+    t = r.agg(F.sum("hi").alias("hi_tot"), F.count(F.lit(1)).alias("n_tot"))
+    return (
+        d.groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("hi").alias("n_high"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("n_high").cast("bigint").alias("n_high"),
+            F.expr(
+                "CAST((n_high * 1000000) div n_orders AS BIGINT)"
+            ).alias("high_share_ppm"),
+            F.expr(
+                "CAST((n_high * 1000000) div n_orders"
+                " - (hi_tot * 1000000) div n_tot AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
 @query(
     "lineitem_price_endings",
     """

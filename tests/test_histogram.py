@@ -93,3 +93,64 @@ def test_equidepth_degenerate_columns(spark):
     rows = equidepth_histogram(with_nulls, "v", n_buckets=2).collect()
     assert sum(r["n_rows"] for r in rows) == 8  # the 4 NULLs are out
     assert all(r["lo"] is not None and r["hi"] is not None for r in rows)
+
+
+def test_bucket_assign_contract_and_cutpoint_injection(spark):
+    """bucket_assign labels every non-null row 1..n, populations are
+    near-equal on a distinct-valued column, ties never split, and
+    caller-supplied cutpoints (the persisted-sketch path) override the
+    inline percentile_approx aggregate."""
+    from opentimes_spark.operators.histogram import bucket_assign
+
+    o = read_table(spark, SF, "orders")
+    d = bucket_assign(o, "o_totalprice", n_buckets=10, bucket_col="decile")
+    n = o.filter(F.col("o_totalprice").isNotNull()).count()
+    assert d.count() == n  # every row labelled, none dropped
+    assert set(d.columns) == set(o.columns) | {"decile"}
+    stats = d.groupBy("decile").count().collect()
+    assert {r["decile"] for r in stats} == set(range(1, 11))
+    for r in stats:
+        assert abs(r["count"] - n / 10) <= max(5, 0.02 * n), r
+    # buckets are value-monotone: max(value) in decile k <= min in k+1
+    bounds = {
+        r["decile"]: (r["lo"], r["hi"])
+        for r in d.groupBy("decile")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .collect()
+    }
+    for k in range(1, 10):
+        assert bounds[k][1] <= bounds[k + 1][0]
+
+    # explicit cutpoints: 3 buckets on a known column
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 10)], "id long, v double"
+    )
+    got = {
+        r["id"]: r["b"]
+        for r in bucket_assign(
+            df, "v", n_buckets=3, cutpoints=[3.0, 6.0], bucket_col="b"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2, 7: 3, 8: 3, 9: 3}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="cutpoints"):
+        bucket_assign(df, "v", n_buckets=3, cutpoints=[3.0])
+
+
+def test_decile_mix_approx_plan_is_sort_and_window_free(spark):
+    """The production orders_decile_mix twin must plan neither a global
+    Sort nor a Window — its only single-partition exchange is the
+    percentile_approx sketch merge (VERDICT r9 Next #4)."""
+    from opentimes_spark.plans.queries import BENCH_ONLY
+
+    plan = (
+        BENCH_ONLY["orders_decile_mix_approx"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Sort " not in plan and "Sort[" not in plan
+    assert "Window" not in plan
+    assert "partial_percentile_approx" in plan
