@@ -277,13 +277,12 @@ def ensure_ivf_index(
     fingerprint: tuple | None = None,
 ) -> str:
     """Build-once semantics of a real ANN index: if an index keyed by
-    ``cache_key`` (e.g. the source directory) already exists and is
-    complete (_SUCCESS markers for both the partitioned corpus and the
-    centroid table), return its path without touching the corpus;
-    otherwise build it.  Key is content-addressed on the cache_key
-    string (plus the builder settings) only — rewriting the source
-    under the same path requires clearing the index dir (documented
-    staleness contract).
+    ``cache_key`` (e.g. the source directory) already has a PUBLISHED
+    version, return its live version directory without touching the
+    corpus; otherwise build and publish one.  Key is content-addressed
+    on the cache_key string (plus the builder settings) only —
+    rewriting the source under the same path requires clearing the
+    index dir (documented staleness contract).
 
     ``builder="label"`` partitions by per-label mean centroids (needs a
     label column); ``builder="kmeans"`` fits real Lloyd k-means
@@ -292,30 +291,43 @@ def ensure_ivf_index(
     Pass ``fingerprint=corpus_fingerprint(source_path)`` to fold the
     source's (file count, bytes, max mtime) into the key so rewritten
     data under the same path gets a fresh index instead of silently
-    reusing a stale one."""
+    reusing a stale one.
+
+    Since r10 the root is a VERSIONED SNAPSHOT root (same read-through
+    contract as ``ensure_ivfpq_index``): a published version is
+    consumed with no refit, a miss fits and publishes under the lock +
+    atomic pointer.  Returns the live version directory."""
     import hashlib
     import os
     import tempfile
+
+    from opentimes_spark.io import snapshots
 
     if builder not in ("label", "kmeans"):
         raise ValueError(f"unknown IVF builder: {builder!r}")
     base = base_dir or os.path.join(tempfile.gettempdir(), "opentimes_ivf")
     keyed = f"{cache_key}::{builder}::{k}::{max_iter}::{tol!r}::{fingerprint!r}"
-    path = os.path.join(
+    root = os.path.join(
         base, hashlib.md5(keyed.encode("utf-8")).hexdigest()[:16]
     )
-    complete = os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
-        os.path.join(path, "_centroids", "_SUCCESS")
-    )
-    if not complete:
+    try:
+        return snapshots.current_dir(root)
+    except FileNotFoundError:
+        pass
+
+    def build(d: str) -> None:
         if builder == "kmeans":
             write_ivf_index_kmeans(
-                spark, corpus, path, k=k, max_iter=max_iter, tol=tol,
+                spark, corpus, d, k=k, max_iter=max_iter, tol=tol,
                 vec_col=vec_col, id_col=id_col,
             )
         else:
-            write_ivf_index(corpus, path, label_col, vec_col, id_col, dim)
-    return path
+            write_ivf_index(corpus, d, label_col, vec_col, id_col, dim)
+
+    snapshots.publish_dir_snapshot(
+        root, build, meta={"built_from": "ensure", "builder": builder}
+    )
+    return snapshots.current_dir(root)
 
 
 def ivf_topk_probe(
@@ -1041,34 +1053,89 @@ def corpus_fingerprint(path: str) -> tuple[int, int, int]:
     return (n, sz, mt)
 
 
-def ensure_ivfpq_index(
-    spark,
-    corpus: DataFrame,
+def ivfpq_cache_root(
     cache_key: str,
     base_dir: str | None = None,
     fingerprint: tuple | None = None,
     **kwargs,
 ) -> str:
-    """Build-once wrapper for ``write_ivfpq_index`` (same content-
-    addressed cache contract as ``ensure_ivf_index``; pass
-    ``fingerprint=corpus_fingerprint(source_path)`` to invalidate on
-    source rewrites)."""
+    """The content-addressed VERSIONED ROOT ``ensure_ivfpq_index``
+    resolves for a (cache_key, build params, corpus fingerprint)
+    triple.  Exposed so the lifecycle job (``jobs/maintain_indexes.
+    maintain_ivfpq_index``) can be pointed at the SAME root a query's
+    ensure call will read through — one index, one pointer, one code
+    path."""
     import hashlib
     import os
     import tempfile
 
     base = base_dir or os.path.join(tempfile.gettempdir(), "opentimes_ivfpq")
     keyed = f"{cache_key}::ivfpq::{sorted(kwargs.items())!r}::{fingerprint!r}"
-    path = os.path.join(base, hashlib.md5(keyed.encode("utf-8")).hexdigest()[:16])
-    complete = (
-        os.path.exists(os.path.join(path, "_SUCCESS"))
-        and os.path.exists(os.path.join(path, "_centroids", "_SUCCESS"))
-        and os.path.exists(os.path.join(path, "_codebooks", "_SUCCESS"))
-        and os.path.exists(os.path.join(path, "_meta", "_SUCCESS"))
+    return os.path.join(
+        base, hashlib.md5(keyed.encode("utf-8")).hexdigest()[:16]
     )
-    if not complete:
-        write_ivfpq_index(spark, corpus, path, **kwargs)
-    return path
+
+
+def ensure_ivfpq_index(
+    spark,
+    corpus: DataFrame,
+    cache_key: str,
+    base_dir: str | None = None,
+    fingerprint: tuple | None = None,
+    snapshot_root: str | None = None,
+    **kwargs,
+) -> str:
+    """Build-once resolution of an IVF-PQ index through the VERSIONED
+    SNAPSHOT POINTER (VERDICT r9 Next #6): the index root is a
+    ``io/snapshots`` root (``v=N`` dirs + atomic ``_LATEST``), shared
+    with ``jobs/maintain_indexes.maintain_ivfpq_index`` — a published
+    version (whether this helper fit it, or the lifecycle job
+    bootstrapped/rebuilt it) is consumed as-is with NO refit; only a
+    pointer miss pays the fit ladder, and the build publishes through
+    ``publish_dir_snapshot`` (lock + atomic pointer), so two racing
+    ensures fail fast instead of double-fitting.
+
+    Root resolution: ``snapshot_root`` when given (point it at a
+    lifecycle-managed root), else the content-addressed
+    ``ivfpq_cache_root(cache_key, ..., fingerprint)`` (pass
+    ``fingerprint=corpus_fingerprint(source_path)`` to invalidate on
+    source rewrites).  A published version whose stored geometry
+    (dim/m/coarse_k/pq_k) contradicts the requested build params
+    raises instead of silently serving wrong-shaped ADC tables.
+    Returns the live VERSION directory (probe functions take it
+    verbatim)."""
+    from opentimes_spark.io import snapshots
+
+    root = snapshot_root or ivfpq_cache_root(
+        cache_key, base_dir, fingerprint, **kwargs
+    )
+    try:
+        vdir = snapshots.current_dir(root)
+    except FileNotFoundError:
+        pass
+    else:
+        meta = read_ivfpq_meta(spark, vdir)
+        if meta:
+            for param in ("dim", "m", "coarse_k", "pq_k"):
+                want = kwargs.get(param)
+                if want is not None and meta.get(param) != want:
+                    raise ValueError(
+                        f"published index at {vdir} has {param}="
+                        f"{meta.get(param)}, requested {want} — refit "
+                        "under a different cache_key or let the "
+                        "lifecycle job republish"
+                    )
+        return vdir
+    snapshots.publish_dir_snapshot(
+        root,
+        lambda d: write_ivfpq_index(spark, corpus, d, **kwargs),
+        meta={
+            "built_from": "ensure",
+            "cache_key": cache_key,
+            "rotated": kwargs.get("rotation") is not None,
+        },
+    )
+    return snapshots.current_dir(root)
 
 
 def ivfpq_topk_probe(
