@@ -20568,3 +20568,515 @@ def lineitem_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "ending")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 battery I: hypothesis tests & correlation II (Welch, Mood,
+# chi-square GOF, Kolmogorov-Smirnov, Spearman, Kendall).  Same determinism
+# contract as the r9 rank-test battery: every statistic is fact -> integer
+# rollup -> O(groups) algebra; windows run over AGGREGATED grids only;
+# doubles appear solely in the final scalar division from exact integers
+# (identical in both engines), rounded.  Int64 headroom noted per query;
+# sums that can exceed it use DECIMAL(38,0) <-> HUGEINT exact accumulators.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_welch_ttest",
+    """
+    WITH c AS (
+        SELECT l_returnflag AS g,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    s AS (
+        SELECT g, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c::HUGEINT * c) AS DOUBLE) AS q
+        FROM c GROUP BY g
+    ),
+    w AS (
+        SELECT
+            (SELECT n FROM s WHERE g = 'R') AS n1,
+            (SELECT n FROM s WHERE g = 'N') AS n2,
+            (SELECT s FROM s WHERE g = 'R') AS s1,
+            (SELECT s FROM s WHERE g = 'N') AS s2,
+            (SELECT q FROM s WHERE g = 'R') AS q1,
+            (SELECT q FROM s WHERE g = 'N') AS q2
+    ),
+    v AS (
+        SELECT n1, n2,
+               s1::DOUBLE / n1 AS m1, s2::DOUBLE / n2 AS m2,
+               (q1 - s1::DOUBLE * s1 / n1) / (n1 - 1) / n1 AS a1,
+               (q2 - s2::DOUBLE * s2 / n2) / (n2 - 1) / n2 AS a2
+        FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_r, CAST(n2 AS BIGINT) AS n_n,
+           ROUND(m1 / 100, 2) AS mean_r, ROUND(m2 / 100, 2) AS mean_n,
+           ROUND((m1 - m2) / sqrt(a1 + a2), 6) AS t_welch,
+           ROUND((a1 + a2) * (a1 + a2)
+                 / (a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1)), 2) AS df
+    FROM v
+    """,
+)
+def lineitem_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between returned ('R') and
+    unreturned ('N') line items on extended price, with the
+    Welch-Satterthwaite degrees of freedom — the two-sample mean test
+    that stays valid when group variances differ (unlike the pooled
+    Student t).  Determinism: per-group (n, sum-of-cents, sum-of-
+    squared-cents) are EXACT integers — the squares sum needs int128
+    headroom at sf0.1 (6e5 rows x (1e7 cents)^2 ~ 6e19 > 2^63), so
+    Spark accumulates DECIMAL(38,0) and DuckDB HUGEINT, cast to double
+    only after the exact sum — then mean/variance/t/df are identical
+    double algebra on identical inputs.  Scale: one pass, two groups."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    c = F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    s = (
+        li.select(F.col("l_returnflag").alias("g"), c.alias("c"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").cast("bigint").alias("s"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("q"),
+        )
+    )
+    r = s.filter("g = 'R'").select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("q").alias("q1")
+    )
+    n = s.filter("g = 'N'").select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"), F.col("q").alias("q2")
+    )
+    w = r.crossJoin(F.broadcast(n))
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    a1 = (
+        (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1) / F.col("n1")
+    )
+    a2 = (
+        (F.col("q2") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"))
+        / (F.col("n2") - 1) / F.col("n2")
+    )
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_r"),
+        F.col("n2").cast("bigint").alias("n_n"),
+        F.round(m1 / 100, 2).alias("mean_r"),
+        F.round(m2 / 100, 2).alias("mean_n"),
+        F.round((m1 - m2) / F.sqrt(a1 + a2), 6).alias("t_welch"),
+        F.round(
+            (a1 + a2) * (a1 + a2)
+            / (a1 * a1 / (F.col("n1") - 1) + a2 * a2 / (F.col("n2") - 1)),
+            2,
+        ).alias("df"),
+    )
+
+
+@query(
+    "lineitem_mood_median_test",
+    """
+    WITH c AS (
+        SELECT l_returnflag AS g,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        FROM lineitem
+    ),
+    grid AS (SELECT c, COUNT(*) AS n_v FROM c GROUP BY c),
+    tot AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n FROM grid),
+    med AS (
+        SELECT MIN(c) AS med FROM (
+            SELECT c, SUM(n_v) OVER (ORDER BY c) AS cum FROM grid
+        ) x CROSS JOIN tot WHERE cum * 2 >= n + 1
+    ),
+    cls AS (
+        SELECT g,
+               CAST(SUM(CASE WHEN c.c > med THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above,
+               CAST(SUM(CASE WHEN c.c <= med THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_le
+        FROM c CROSS JOIN med GROUP BY g
+    ),
+    m AS (
+        SELECT CAST(SUM(n_above) AS BIGINT) AS ta,
+               CAST(SUM(n_le) AS BIGINT) AS tl,
+               CAST(SUM(n_above + n_le) AS BIGINT) AS n
+        FROM cls
+    ),
+    chi AS (
+        SELECT ROUND(SUM(
+            (n_above - (n_above + n_le) * ta::DOUBLE / n)
+              * (n_above - (n_above + n_le) * ta::DOUBLE / n)
+              / ((n_above + n_le) * ta::DOUBLE / n)
+            + (n_le - (n_above + n_le) * tl::DOUBLE / n)
+              * (n_le - (n_above + n_le) * tl::DOUBLE / n)
+              / ((n_above + n_le) * tl::DOUBLE / n)
+        ), 6) AS chi2
+        FROM cls CROSS JOIN m
+    )
+    SELECT g AS returnflag, n_above, n_le, chi.chi2 AS chi2
+    FROM cls CROSS JOIN chi
+    """,
+)
+def lineitem_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the three return flags: classify every
+    line item as above / at-or-below the GRAND lower-median of extended
+    price (the smallest cents value whose cumulative count covers
+    (n+1)/2 — computed on the aggregated value GRID, never a row sort),
+    then the 3x2 chi-square of independence.  All counts exact ints;
+    chi-square is the only double, from identical integer inputs.
+    Int64: cum counts <= n; cross products n_above * ta <= n^2 stay
+    in double land.  Scale: grid group-by + a 3-row table."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("c"),
+    )
+    grid = c.groupBy("c").agg(F.count(F.lit(1)).alias("n_v"))
+    tot = grid.agg(F.sum("n_v").cast("bigint").alias("n"))
+    from pyspark.sql import Window
+
+    cum = grid.withColumn(
+        "cum", F.sum("n_v").over(Window.orderBy("c"))
+    )
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 2 >= F.col("n") + 1)
+        .agg(F.min("c").alias("med"))
+    )
+    cls = (
+        c.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum(F.when(F.col("c") > F.col("med"), 1).otherwise(0))
+            .cast("bigint").alias("n_above"),
+            F.sum(F.when(F.col("c") <= F.col("med"), 1).otherwise(0))
+            .cast("bigint").alias("n_le"),
+        )
+    )
+    m = cls.agg(
+        F.sum("n_above").cast("bigint").alias("ta"),
+        F.sum("n_le").cast("bigint").alias("tl"),
+        F.sum(F.col("n_above") + F.col("n_le")).cast("bigint").alias("n"),
+    )
+    row_tot = F.col("n_above") + F.col("n_le")
+    ea = row_tot * F.col("ta").cast("double") / F.col("n")
+    el = row_tot * F.col("tl").cast("double") / F.col("n")
+    chi = (
+        cls.crossJoin(F.broadcast(m))
+        .select(
+            (
+                (F.col("n_above") - ea) * (F.col("n_above") - ea) / ea
+                + (F.col("n_le") - el) * (F.col("n_le") - el) / el
+            ).alias("term")
+        )
+        .agg(F.round(F.sum("term"), 6).alias("chi2"))
+    )
+    return cls.crossJoin(F.broadcast(chi)).select(
+        F.col("g").alias("returnflag"), "n_above", "n_le", "chi2"
+    )
+
+
+@query(
+    "cust_chi2_uniform_gof",
+    """
+    WITH s AS (
+        SELECT c_mktsegment AS segment, COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment
+    ),
+    t AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM s
+    ),
+    chi AS (
+        SELECT ROUND(SUM(
+            (n - tot::DOUBLE / k) * (n - tot::DOUBLE / k)
+            / (tot::DOUBLE / k)), 6) AS chi2
+        FROM s CROSS JOIN t
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n,
+           CAST(n * k * 1000000 // tot - 1000000 AS BIGINT) AS dev_ppm,
+           chi.chi2 AS chi2
+    FROM s CROSS JOIN t CROSS JOIN chi
+    """,
+)
+def cust_chi2_uniform_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of the market-segment distribution
+    against uniform: per-segment observed count, its exact-integer ppm
+    deviation from the uniform expectation, and the shared chi-square
+    statistic — the one-line screen for 'is this dimension balanced?'.
+    Counts and ppm deviations are exact integer arithmetic; chi-square
+    is the single double fold over 5 rows.  Scale: one group-by."""
+    cust = _t(spark, sf_dir, "customer")
+    s = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = s.agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    e = F.col("tot").cast("double") / F.col("k")
+    chi = (
+        s.crossJoin(F.broadcast(t))
+        .select(((F.col("n") - e) * (F.col("n") - e) / e).alias("term"))
+        .agg(F.round(F.sum("term"), 6).alias("chi2"))
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "segment",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                "CAST(n * k * 1000000 div tot - 1000000 AS BIGINT)"
+            ).alias("dev_ppm"),
+            "chi2",
+        )
+    )
+
+
+@query(
+    "events_ks_two_sample",
+    """
+    WITH ev AS (
+        SELECT CAST(FLOOR(value) AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    g AS (
+        SELECT v, CAST(SUM(is_p) AS BIGINT) AS n_p,
+               CAST(SUM(1 - is_p) AS BIGINT) AS n_q
+        FROM ev GROUP BY v
+    ),
+    t AS (
+        SELECT CAST(SUM(n_p) AS BIGINT) AS np,
+               CAST(SUM(n_q) AS BIGINT) AS nq
+        FROM g
+    ),
+    cum AS (
+        SELECT SUM(n_p) OVER (ORDER BY v) AS cp,
+               SUM(n_q) OVER (ORDER BY v) AS cq
+        FROM g
+    ),
+    d AS (
+        SELECT CAST(MAX(ABS(cp * nq - cq * np)) AS BIGINT) AS d_num
+        FROM cum CROSS JOIN t
+    )
+    SELECT np AS n_purchase, nq AS n_view,
+           ROUND(d_num::DOUBLE / (np * nq), 6) AS ks_d,
+           ROUND(d_num::DOUBLE / (np * nq)
+                 * sqrt(np::DOUBLE * nq / (np + nq)), 6) AS ks_stat
+    FROM d CROSS JOIN t
+    """,
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the purchase and
+    view value distributions: D = max |ECDF_p - ECDF_q| over the
+    integer value grid, plus the scaled KS statistic
+    D*sqrt(n1*n2/(n1+n2)).  The max runs over EXACT integer cross-
+    products |cum_p*n_q - cum_q*n_p| (<= n_p*n_q ~ 1e11 at sf0.1, well
+    inside int64), so both engines agree on the argmax bit-for-bit
+    before the single final division.  The window runs over the
+    aggregated value grid, never the event stream."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    g = (
+        e.select(
+            F.floor("value").cast("bigint").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            .alias("is_p"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("is_p").cast("bigint").alias("n_p"),
+            F.sum(1 - F.col("is_p")).cast("bigint").alias("n_q"),
+        )
+    )
+    t = g.agg(
+        F.sum("n_p").cast("bigint").alias("np"),
+        F.sum("n_q").cast("bigint").alias("nq"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v")
+    cum = g.select(
+        F.sum("n_p").over(w).alias("cp"), F.sum("n_q").over(w).alias("cq")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(t))
+        .agg(
+            F.max(
+                F.abs(F.col("cp") * F.col("nq") - F.col("cq") * F.col("np"))
+            ).cast("bigint").alias("d_num")
+        )
+    )
+    ks_d = F.col("d_num").cast("double") / (F.col("np") * F.col("nq"))
+    return d.crossJoin(F.broadcast(t)).select(
+        F.col("np").alias("n_purchase"),
+        F.col("nq").alias("n_view"),
+        F.round(ks_d, 6).alias("ks_d"),
+        F.round(
+            ks_d
+            * F.sqrt(
+                F.col("np").cast("double") * F.col("nq")
+                / (F.col("np") + F.col("nq"))
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@query(
+    "cust_spearman_orders_value",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey AS ck, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY n_orders, ck) AS r1,
+               ROW_NUMBER() OVER (ORDER BY cents, ck) AS r2
+        FROM per_cust
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+        FROM ranked
+    )
+    SELECT n, sum_d2,
+           ROUND(1.0 - 6.0 * sum_d2 / (n::DOUBLE * (n * n - 1)), 6)
+               AS spearman_rho
+    FROM s
+    """,
+)
+def cust_spearman_orders_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's order COUNT and
+    total order VALUE — does ordering more mean spending more, monotone
+    version.  Ranks are ROW_NUMBER over the per-customer aggregate
+    grain with the customer key as the deterministic tiebreak (the
+    disclosed tie convention: deterministic-tiebreak ranks, not
+    average ranks — documented, identical in both engines), so sum d^2
+    is an exact integer; rho is the single closed-form double.  The
+    rank windows run over the CUSTOMER aggregate (n_cust rows), never
+    the order stream; int64: n^3 ~ 3.4e12 at sf0.1."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).cast("bigint").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    ranked = per.select(
+        F.row_number().over(Window.orderBy("n_orders", "ck")).alias("r1"),
+        F.row_number().over(Window.orderBy("cents", "ck")).alias("r2"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+        ).cast("bigint").alias("sum_d2"),
+    )
+    return s.select(
+        "n",
+        "sum_d2",
+        F.round(
+            1.0
+            - 6.0 * F.col("sum_d2")
+            / (F.col("n").cast("double") * (F.col("n") * F.col("n") - 1)),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "events_kendall_tau_hours",
+    """
+    WITH h AS (
+        SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.n AS na, a.s AS sa, b.n AS nb, b.s AS sb
+        FROM h a JOIN h b ON a.hr < b.hr
+    ),
+    f AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(SUM(CASE WHEN (na - nb) * (sa * nb - sb * na) > 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+            CAST(SUM(CASE WHEN (na - nb) * (sa * nb - sb * na) < 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+            CAST(SUM(CASE WHEN na = nb THEN 1 ELSE 0 END) AS BIGINT)
+                AS ties_x,
+            CAST(SUM(CASE WHEN sa * nb = sb * na THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ties_y
+        FROM pairs
+    )
+    SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+           ROUND((concordant - discordant)
+                 / sqrt((n_pairs - ties_x)::DOUBLE * (n_pairs - ties_y)),
+                 6) AS tau_b
+    FROM f
+    """,
+)
+def events_kendall_tau_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between hourly event VOLUME and hourly MEAN value
+    over the 24 hour-of-day aggregates — the O(k^2)-safe monotone-
+    association test for small ordered grains (24x24 pair table, never
+    the event stream).  Mean comparisons avoid division: avg_a < avg_b
+    iff s_a*n_b < s_b*n_a, an exact integer cross-product (s <= 6e9
+    value-cents x n 6e5 ~ 3.6e15, inside int64), so
+    concordant/discordant/tie counts are engine-exact; tau-b is the
+    single closed-form double."""
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy(F.hour("ts").cast("bigint").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+        ).cast("bigint").alias("s"),
+    )
+    a = h.select(
+        F.col("hr").alias("hr_a"), F.col("n").alias("na"), F.col("s").alias("sa")
+    )
+    b = h.select(
+        F.col("hr").alias("hr_b"), F.col("n").alias("nb"), F.col("s").alias("sb")
+    )
+    pairs = a.join(b, F.col("hr_a") < F.col("hr_b"))
+    sign = (F.col("na") - F.col("nb")) * (
+        F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+    )
+    f = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(sign > 0, 1).otherwise(0)).cast("bigint")
+        .alias("concordant"),
+        F.sum(F.when(sign < 0, 1).otherwise(0)).cast("bigint")
+        .alias("discordant"),
+        F.sum(F.when(F.col("na") == F.col("nb"), 1).otherwise(0))
+        .cast("bigint").alias("ties_x"),
+        F.sum(
+            F.when(
+                F.col("sa") * F.col("nb") == F.col("sb") * F.col("na"), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("ties_y"),
+    )
+    return f.select(
+        "n_pairs", "concordant", "discordant", "ties_x", "ties_y",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / F.sqrt(
+                (F.col("n_pairs") - F.col("ties_x")).cast("double")
+                * (F.col("n_pairs") - F.col("ties_y"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
