@@ -21609,3 +21609,433 @@ def supplier_acctbal_trimmed_mean(
         "n_kept",
         "trimmed_mean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 battery III: referential-integrity / reconciliation / conformance
+# audits — the data-contract checks a warehouse runs before publishing a
+# snapshot (reference parallel: the reference validates its published
+# tables' partition completeness before the pointer swap).  Everything is
+# exact integer counts over anti-joins and invariant predicates; fixed,
+# enumerable output rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "referential_integrity_audit",
+    """
+    SELECT * FROM (
+        SELECT 'orders.custkey->customer' AS fk_edge,
+               (SELECT COUNT(*) FROM orders)::BIGINT AS n_child,
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))::BIGINT
+                   AS n_orphans
+        UNION ALL
+        SELECT 'customer.nationkey->nation',
+               (SELECT COUNT(*) FROM customer)::BIGINT,
+               (SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))::BIGINT
+        UNION ALL
+        SELECT 'nation.regionkey->region',
+               (SELECT COUNT(*) FROM nation)::BIGINT,
+               (SELECT COUNT(*) FROM nation n
+                WHERE NOT EXISTS (SELECT 1 FROM region r
+                                  WHERE r.r_regionkey = n.n_regionkey))::BIGINT
+        UNION ALL
+        SELECT 'lineitem.orderkey->orders',
+               (SELECT COUNT(*) FROM lineitem)::BIGINT,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+        UNION ALL
+        SELECT 'lineitem.partkey->part',
+               (SELECT COUNT(*) FROM lineitem)::BIGINT,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))::BIGINT
+        UNION ALL
+        SELECT 'lineitem.suppkey->supplier',
+               (SELECT COUNT(*) FROM lineitem)::BIGINT,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+    ) ORDER BY fk_edge
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every foreign-key edge of the
+    star schema: one row per edge with child cardinality and orphan
+    count (children whose parent key is missing) — the pre-publish
+    contract check.  Each orphan count is a LEFT ANTI join on the key
+    (broadcast for the small dims, shuffle-hash for
+    lineitem->orders); counts are exact.  Scale: 6 independent
+    anti-joins, each one pass over its child table with the parent's
+    key column only."""
+    tables = {
+        "orders": _t(spark, sf_dir, "orders"),
+        "customer": _t(spark, sf_dir, "customer"),
+        "nation": _t(spark, sf_dir, "nation"),
+        "region": _t(spark, sf_dir, "region"),
+        "lineitem": _t(spark, sf_dir, "lineitem"),
+        "part": _t(spark, sf_dir, "part"),
+        "supplier": _t(spark, sf_dir, "supplier"),
+    }
+    edges = [
+        ("orders.custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in edges:
+        ch = tables[child]
+        pa = tables[parent].select(F.col(pk).alias(ck))
+        row = (
+            ch.select(ck)
+            .join(pa, ck, "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .crossJoin(
+                F.broadcast(
+                    ch.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+                )
+            )
+            .select(
+                F.lit(name).alias("fk_edge"), "n_child", "n_orphans"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")
+
+
+@query(
+    "orders_totalprice_reconciliation",
+    """
+    WITH li AS (
+        SELECT l_orderkey AS k,
+               CAST(SUM(
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                   * (100 + CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT))
+               ) AS BIGINT) AS derived_e4
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderstatus AS status,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) * 10000
+                   AS stated_e4,
+               li.derived_e4
+        FROM orders o LEFT JOIN li ON li.k = o.o_orderkey
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN derived_e4 IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_lines,
+           CAST(SUM(CASE WHEN derived_e4 IS NOT NULL
+                          AND ABS(stated_e4 - derived_e4) * 100
+                              <= stated_e4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+           CAST(SUM(CASE WHEN derived_e4 IS NOT NULL
+                          AND ABS(stated_e4 - derived_e4) * 100
+                              > stated_e4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM j GROUP BY status ORDER BY status
+    """,
+)
+def orders_totalprice_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table reconciliation: does the order header's stated
+    total agree with the total DERIVED from its line items
+    (sum extendedprice*(1-discount)*(1+tax)) within 1%?  One row per
+    order status with within-tolerance / mismatch / no-lineitem
+    counts — the classic fact-vs-rollup consistency audit.  All
+    arithmetic is EXACT integers in 1e-4-dollar units (price cents x
+    discount% x tax% — per-line <= 1e7*100*108 ~ 1e11, per-order sum
+    ~ 1e12, inside int64), and the 1% tolerance check is the integer
+    cross-product |stated-derived|*100 <= stated.  Scale: one
+    lineitem rollup (shuffle on orderkey) + one join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    derived = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(
+            F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            * (100 - F.expr("CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)"))
+            * (100 + F.expr("CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)"))
+        ).cast("bigint").alias("derived_e4")
+    )
+    j = o.join(derived, o.o_orderkey == derived.k, "left").select(
+        F.col("o_orderstatus").alias("status"),
+        (
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)") * 10000
+        ).alias("stated_e4"),
+        "derived_e4",
+    )
+    ok = F.col("derived_e4").isNotNull() & (
+        F.abs(F.col("stated_e4") - F.col("derived_e4")) * 100
+        <= F.col("stated_e4")
+    )
+    bad = F.col("derived_e4").isNotNull() & (
+        F.abs(F.col("stated_e4") - F.col("derived_e4")) * 100
+        > F.col("stated_e4")
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("derived_e4").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_no_lines"),
+            F.sum(F.when(ok, 1).otherwise(0)).cast("bigint")
+            .alias("n_within_1pct"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("bigint")
+            .alias("n_mismatch"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "orders_completeness_profile",
+    """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               COUNT(o_orderkey) AS c1,
+               COUNT(o_custkey) AS c2,
+               COUNT(o_orderstatus) AS c3,
+               COUNT(o_totalprice) AS c4,
+               COUNT(o_orderdate) AS c5,
+               COUNT(o_orderpriority) AS c6,
+               SUM(CASE WHEN trim(o_orderstatus) = '' THEN 1 ELSE 0 END)
+                   AS b3,
+               SUM(CASE WHEN trim(o_orderpriority) = '' THEN 1 ELSE 0 END)
+                   AS b6
+        FROM orders
+    )
+    SELECT col, CAST(n AS BIGINT) AS n_rows,
+           CAST(n - non_null AS BIGINT) AS n_null,
+           CAST(blank AS BIGINT) AS n_blank,
+           CAST((non_null - blank) * 1000000 // n AS BIGINT)
+               AS populated_ppm
+    FROM (
+        SELECT 'o_orderkey' AS col, n, c1 AS non_null, 0 AS blank FROM s
+        UNION ALL SELECT 'o_custkey', n, c2, 0 FROM s
+        UNION ALL SELECT 'o_orderstatus', n, c3, b3 FROM s
+        UNION ALL SELECT 'o_totalprice', n, c4, 0 FROM s
+        UNION ALL SELECT 'o_orderdate', n, c5, 0 FROM s
+        UNION ALL SELECT 'o_orderpriority', n, c6, b6 FROM s
+    ) ORDER BY col
+    """,
+)
+def orders_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-completeness profile of the orders table: one row per
+    column with null count, blank count (string columns), and the
+    exact populated ppm — the ingest-gate report every pipeline runs
+    before accepting a batch.  ONE aggregate pass computes every
+    per-column count (no per-column scans); the unpivot is a 6-row
+    literal reshape.  All exact integers."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("c1"),
+        F.count("o_custkey").alias("c2"),
+        F.count("o_orderstatus").alias("c3"),
+        F.count("o_totalprice").alias("c4"),
+        F.count("o_orderdate").alias("c5"),
+        F.count("o_orderpriority").alias("c6"),
+        F.sum(
+            F.when(F.trim(F.col("o_orderstatus")) == "", 1).otherwise(0)
+        ).alias("b3"),
+        F.sum(
+            F.when(F.trim(F.col("o_orderpriority")) == "", 1).otherwise(0)
+        ).alias("b6"),
+    )
+    rows = [
+        ("o_orderkey", "c1", None),
+        ("o_custkey", "c2", None),
+        ("o_orderstatus", "c3", "b3"),
+        ("o_totalprice", "c4", None),
+        ("o_orderdate", "c5", None),
+        ("o_orderpriority", "c6", "b6"),
+    ]
+    out = None
+    for col, nn, bl in rows:
+        blank = F.col(bl) if bl else F.lit(0)
+        row = s.select(
+            F.lit(col).alias("col"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            (F.col("n") - F.col(nn)).cast("bigint").alias("n_null"),
+            blank.cast("bigint").alias("n_blank"),
+            ((F.col(nn) - blank) * 1000000 / F.col("n"))
+            .cast("bigint").alias("populated_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("col")
+
+
+@query(
+    "lineitem_domain_conformance",
+    """
+    WITH checks AS (
+        SELECT
+            SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                     THEN 1 ELSE 0 END) AS qty_oob,
+            SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                AS price_nonpos,
+            SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                     THEN 1 ELSE 0 END) AS discount_oob,
+            SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END)
+                AS tax_oob,
+            SUM(CASE WHEN l_shipdate < DATE '1992-01-01'
+                      OR l_shipdate > DATE '1998-12-31'
+                     THEN 1 ELSE 0 END) AS shipdate_oob,
+            SUM(CASE WHEN l_returnflag NOT IN ('R', 'A', 'N')
+                     THEN 1 ELSE 0 END) AS returnflag_bad,
+            COUNT(*) AS n
+        FROM lineitem
+    )
+    SELECT rule, CAST(n AS BIGINT) AS n_rows,
+           CAST(viol AS BIGINT) AS n_violations,
+           CAST(viol * 1000000 // n AS BIGINT) AS violation_ppm
+    FROM (
+        SELECT 'quantity_in_1_50' AS rule, qty_oob AS viol, n FROM checks
+        UNION ALL SELECT 'price_positive', price_nonpos, n FROM checks
+        UNION ALL SELECT 'discount_in_0_0.1', discount_oob, n FROM checks
+        UNION ALL SELECT 'tax_in_0_0.08', tax_oob, n FROM checks
+        UNION ALL SELECT 'shipdate_in_range', shipdate_oob, n FROM checks
+        UNION ALL SELECT 'returnflag_domain', returnflag_bad, n FROM checks
+    ) ORDER BY rule
+    """,
+)
+def lineitem_domain_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-conformance audit of lineitem: one row per business rule
+    (quantity range, positive price, discount/tax bounds, ship-date
+    window, return-flag domain) with exact violation counts and ppm —
+    the declarative data-contract check, evaluated in ONE aggregate
+    pass with the rule table as a literal reshape."""
+    li = _t(spark, sf_dir, "lineitem")
+    checks = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).alias("qty_oob"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias(
+            "price_nonpos"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            ).otherwise(0)
+        ).alias("discount_oob"),
+        F.sum(
+            F.when((F.col("l_tax") < 0) | (F.col("l_tax") > 0.08), 1)
+            .otherwise(0)
+        ).alias("tax_oob"),
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("l_shipdate") > F.lit("1998-12-31").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("shipdate_oob"),
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("R", "A", "N"), 1).otherwise(0)
+        ).alias("returnflag_bad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rules = [
+        ("quantity_in_1_50", "qty_oob"),
+        ("price_positive", "price_nonpos"),
+        ("discount_in_0_0.1", "discount_oob"),
+        ("tax_in_0_0.08", "tax_oob"),
+        ("shipdate_in_range", "shipdate_oob"),
+        ("returnflag_domain", "returnflag_bad"),
+    ]
+    out = None
+    for rule, col in rules:
+        row = checks.select(
+            F.lit(rule).alias("rule"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col(col).cast("bigint").alias("n_violations"),
+            (F.col(col) * 1000000 / F.col("n")).cast("bigint")
+            .alias("violation_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rule")
+
+
+@query(
+    "keys_uniqueness_audit",
+    """
+    SELECT * FROM (
+        SELECT 'orders.o_orderkey' AS key_def,
+               (SELECT COUNT(*) FROM orders)::BIGINT AS n_rows,
+               (SELECT COUNT(*) FROM
+                   (SELECT o_orderkey FROM orders
+                    GROUP BY o_orderkey HAVING COUNT(*) > 1))::BIGINT
+                   AS n_dup_keys
+        UNION ALL
+        SELECT 'lineitem.(orderkey,linenumber)',
+               (SELECT COUNT(*) FROM lineitem)::BIGINT,
+               (SELECT COUNT(*) FROM
+                   (SELECT l_orderkey, l_linenumber FROM lineitem
+                    GROUP BY 1, 2 HAVING COUNT(*) > 1))::BIGINT
+        UNION ALL
+        SELECT 'customer.c_custkey',
+               (SELECT COUNT(*) FROM customer)::BIGINT,
+               (SELECT COUNT(*) FROM
+                   (SELECT c_custkey FROM customer
+                    GROUP BY c_custkey HAVING COUNT(*) > 1))::BIGINT
+        UNION ALL
+        SELECT 'events.event_id',
+               (SELECT COUNT(*) FROM events)::BIGINT,
+               (SELECT COUNT(*) FROM
+                   (SELECT event_id FROM events
+                    GROUP BY event_id HAVING COUNT(*) > 1))::BIGINT
+        UNION ALL
+        SELECT 'documents.doc_id',
+               (SELECT COUNT(*) FROM documents)::BIGINT,
+               (SELECT COUNT(*) FROM
+                   (SELECT doc_id FROM documents
+                    GROUP BY doc_id HAVING COUNT(*) > 1))::BIGINT
+    ) ORDER BY key_def
+    """,
+)
+def keys_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the five key-bearing tables
+    (orders, lineitem's composite key, customer, events, documents):
+    one row per declared key with the count of duplicated key values —
+    the other half of the publish contract next to
+    referential_integrity_audit.  Each check is a key-grain group-by
+    (map-side combined) counting groups with multiplicity > 1."""
+    defs = [
+        ("orders.o_orderkey", _t(spark, sf_dir, "orders"), ["o_orderkey"]),
+        ("lineitem.(orderkey,linenumber)", _t(spark, sf_dir, "lineitem"),
+         ["l_orderkey", "l_linenumber"]),
+        ("customer.c_custkey", _t(spark, sf_dir, "customer"), ["c_custkey"]),
+        ("events.event_id", _t(spark, sf_dir, "events"), ["event_id"]),
+        ("documents.doc_id", _t(spark, sf_dir, "documents"), ["doc_id"]),
+    ]
+    out = None
+    for name, df, keys in defs:
+        dups = (
+            df.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_keys"))
+        )
+        row = (
+            df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .crossJoin(F.broadcast(dups))
+            .select(F.lit(name).alias("key_def"), "n_rows", "n_dup_keys")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("key_def")
