@@ -22039,3 +22039,248 @@ def keys_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("key_def")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 battery IV: graph algorithms II (HITS hubs/authorities, Katz
+# path-count centrality, bipartite co-supply projection).  Same certified-
+# iteration discipline as nations_pagerank: unrolled rounds, edge-grain
+# joins, exact integer scores (normalized to integer shares between HITS
+# rounds so headroom is scale-free), oracle replays every round.
+# ---------------------------------------------------------------------------
+
+
+def _trade_edges_sql(weighted: bool = True) -> str:
+    """Shared oracle CTE body for the nation trade graph."""
+    agg = "COUNT(*)" if weighted else "1"
+    return f"""
+        SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+               CAST(s.s_nationkey AS BIGINT) AS dst,
+               CAST({agg} AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    """
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+
+
+@query(
+    "nations_hits_hubs_authorities",
+    f"""
+    WITH edges AS ({_trade_edges_sql()}),
+    h1r AS (SELECT src, CAST(SUM(w) AS BIGINT) AS v FROM edges GROUP BY src),
+    h1m AS (SELECT CAST(MAX(v) AS BIGINT) AS mx FROM h1r),
+    h1 AS (SELECT src, CAST(v * 1000000 // mx AS BIGINT) AS h
+           FROM h1r CROSS JOIN h1m),
+    a1r AS (
+        SELECT e.dst, CAST(SUM(e.w * h1.h) AS BIGINT) AS v
+        FROM edges e JOIN h1 ON h1.src = e.src GROUP BY e.dst
+    ),
+    a1m AS (SELECT CAST(MAX(v) AS BIGINT) AS mx FROM a1r),
+    a1 AS (SELECT dst, CAST(v * 1000000 // mx AS BIGINT) AS a
+           FROM a1r CROSS JOIN a1m),
+    h2r AS (
+        SELECT e.src, CAST(SUM(e.w * a1.a) AS BIGINT) AS v
+        FROM edges e JOIN a1 ON a1.dst = e.dst GROUP BY e.src
+    ),
+    h2m AS (SELECT CAST(MAX(v) AS BIGINT) AS mx FROM h2r),
+    h2 AS (SELECT src, CAST(v * 1000000 // mx AS BIGINT) AS h
+           FROM h2r CROSS JOIN h2m)
+    SELECT n.n_name AS nation,
+           COALESCE(h2.h, 0) AS hub_ppm,
+           COALESCE(a1.a, 0) AS auth_ppm
+    FROM nation n
+    LEFT JOIN h2 ON h2.src = n.n_nationkey
+    LEFT JOIN a1 ON a1.dst = n.n_nationkey
+    ORDER BY nation
+    """,
+)
+def nations_hits_hubs_authorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HITS (Kleinberg) hubs-and-authorities over the weighted nation
+    trade graph, 1.5 unrolled mutual-reinforcement rounds (h1 = row
+    sums, a1 = W'h1, h2 = Wa1) with INTEGER max-normalization between
+    rounds — each score vector is rescaled to exact ppm-of-max shares
+    by floor division, so every iteration sum is order-free exact
+    int64 REGARDLESS of scale factor (scores <= 1e6, per-edge products
+    <= 1e6*w).  The oracle replays all rounds; ties and dangling
+    nations resolve identically (COALESCE 0).  Scale shape: edge
+    construction is the fact join (one shuffle), iterations are
+    O(|edges|) joins on the 625-row edge table."""
+    edges = _trade_edges(spark, sf_dir).persist()
+    nation = _t(spark, sf_dir, "nation")
+
+    def norm(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+        mx = df.agg(F.max(val).cast("bigint").alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            key,
+            F.expr(f"CAST({val} * 1000000 div mx AS BIGINT)").alias(out),
+        )
+
+    h1 = norm(
+        edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("v")),
+        "src", "v", "h",
+    )
+    a1 = norm(
+        edges.join(h1, "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("w") * F.col("h")).cast("bigint").alias("v")),
+        "dst", "v", "a",
+    )
+    h2 = norm(
+        edges.join(a1, "dst")
+        .groupBy("src")
+        .agg(F.sum(F.col("w") * F.col("a")).cast("bigint").alias("v")),
+        "src", "v", "h",
+    )
+    return (
+        nation.join(h2, nation.n_nationkey == h2.src, "left")
+        .join(a1, nation.n_nationkey == a1.dst, "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("hub_ppm"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("auth_ppm"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "nations_katz_path_counts",
+    f"""
+    WITH adj AS (
+        SELECT DISTINCT src, dst FROM ({_trade_edges_sql(weighted=False)})
+    ),
+    d1 AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS c FROM adj GROUP BY dst),
+    p2 AS (
+        SELECT a.src, b.dst FROM adj a JOIN adj b ON b.src = a.dst
+    ),
+    d2 AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS c FROM p2 GROUP BY dst),
+    p3 AS (
+        SELECT p.src, b.dst FROM p2 p JOIN adj b ON b.src = p.dst
+    ),
+    d3 AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS c FROM p3 GROUP BY dst)
+    SELECT n.n_name AS nation,
+           COALESCE(d1.c, 0) AS paths_len1,
+           COALESCE(d2.c, 0) AS paths_len2,
+           COALESCE(d3.c, 0) AS paths_len3,
+           COALESCE(d1.c, 0) * 4 + COALESCE(d2.c, 0) * 2
+               + COALESCE(d3.c, 0) AS katz_score8
+    FROM nation n LEFT JOIN d1 ON d1.dst = n.n_nationkey
+    LEFT JOIN d2 ON d2.dst = n.n_nationkey
+    LEFT JOIN d3 ON d3.dst = n.n_nationkey
+    ORDER BY nation
+    """,
+)
+def nations_katz_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz-style centrality as EXACT path counts on the unweighted
+    trade adjacency: the number of walks of length 1, 2, and 3 ending
+    at each nation, combined with attenuation beta=1/2 scaled by 8
+    (score8 = 4*d1 + 2*d2 + d3 — an exact integer, no float decay).
+    Walk counting is iterated relational composition (adj join adj),
+    the A^k shape; counts <= V^(k-1) stay tiny.  Scale: the fact join
+    builds adjacency once; compositions are joins on the <= V^2-row
+    edge list, never the fact table."""
+    adj = _trade_edges(spark, sf_dir).select("src", "dst").distinct().persist()
+    nation = _t(spark, sf_dir, "nation")
+    d1 = adj.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    a2 = adj.select(F.col("src").alias("s"), F.col("dst").alias("mid"))
+    p2 = a2.join(
+        adj.select(F.col("src").alias("mid"), F.col("dst")), "mid"
+    ).select("s", "dst")
+    d2 = p2.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    p3 = (
+        p2.select(F.col("s"), F.col("dst").alias("mid"))
+        .join(adj.select(F.col("src").alias("mid"), F.col("dst")), "mid")
+        .select("s", "dst")
+    )
+    d3 = p3.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("c3"))
+    out = (
+        nation.join(d1, nation.n_nationkey == d1.dst, "left").drop("dst")
+        .join(d2, nation.n_nationkey == d2.dst, "left").drop("dst")
+        .join(d3, nation.n_nationkey == d3.dst, "left").drop("dst")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce(F.col("c1"), F.lit(0)).cast("bigint")
+            .alias("paths_len1"),
+            F.coalesce(F.col("c2"), F.lit(0)).cast("bigint")
+            .alias("paths_len2"),
+            F.coalesce(F.col("c3"), F.lit(0)).cast("bigint")
+            .alias("paths_len3"),
+        )
+    )
+    return out.withColumn(
+        "katz_score8",
+        (
+            F.col("paths_len1") * 4 + F.col("paths_len2") * 2
+            + F.col("paths_len3")
+        ).cast("bigint"),
+    ).orderBy("nation")
+
+
+@query(
+    "supplier_co_supply_pairs",
+    """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.sk AS s1, b.sk AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM ps a JOIN ps b ON b.pk = a.pk AND a.sk < b.sk
+        GROUP BY a.sk, b.sk
+    )
+    SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2, shared
+    FROM pairs
+    ORDER BY shared DESC, s1, s2
+    LIMIT 20
+    """,
+)
+def supplier_co_supply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the supplier-part graph: the top-20
+    supplier pairs by number of DISTINCT shared parts — the
+    co-occurrence projection behind supplier-substitutability and
+    vendor-consolidation analysis.  The pair join is keyed on the part
+    (candidates only within a part's supplier list, the same
+    bounded-fan-out shape as the LSH band join — never all supplier
+    pairs); counts exact, cut deterministic via (shared desc, s1, s2).
+    Scale: fan-out is sum over parts of (suppliers-per-part choose 2),
+    bounded by the part-grain skew cap argument documented for
+    fuzzy_skewstress."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    a = ps.select("pk", F.col("sk").alias("s1"))
+    b = ps.select("pk", F.col("sk").alias("s2"))
+    return (
+        a.join(b, "pk")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .select(
+            F.col("s1").cast("bigint").alias("s1"),
+            F.col("s2").cast("bigint").alias("s2"),
+            "shared",
+        )
+        .orderBy(F.desc("shared"), "s1", "s2")
+        .limit(20)
+    )
