@@ -22284,3 +22284,278 @@ def supplier_co_supply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared"), "s1", "s2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 battery V: time-series diagnostics II (autocorrelation, rolling-
+# window anomaly z-scores, distribution-entropy drift).  Deviation products
+# that exceed int64 use the DECIMAL(38,0) <-> HUGEINT exact-accumulator
+# idiom from lineitem_welch_ttest; per-row transcendental terms are
+# quantized to integer units before any cross-row sum.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_acf_monthly",
+    """
+    WITH mo AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY m) AS i, y FROM mo
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+        FROM idx
+    ),
+    dev AS (SELECT i, CAST(y * n - s AS BIGINT) AS d FROM idx CROSS JOIN t),
+    denom AS (
+        SELECT CAST(SUM(d::HUGEINT * d) AS DOUBLE) AS d0 FROM dev
+    ),
+    lags AS (
+        SELECT lag.k,
+               CAST(SUM(a.d::HUGEINT * b.d) AS DOUBLE) AS num
+        FROM (VALUES (1), (2), (3)) lag(k)
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.i = a.i + lag.k
+        GROUP BY lag.k
+    )
+    SELECT CAST(k AS BIGINT) AS lag, t.n AS n_months,
+           ROUND(num / d0, 6) AS acf
+    FROM lags CROSS JOIN denom CROSS JOIN t
+    ORDER BY lag
+    """,
+)
+def orders_acf_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the monthly-revenue series at lags 1-3 —
+    the stationarity / seasonality screen before any forecasting.
+    Deviations are computed as EXACT integers d_t = y_t*n - s (scaled
+    by n to avoid the fractional mean), and both the lag products and
+    the denominator accumulate in DECIMAL(38,0)/HUGEINT (d ~ 2e11
+    cents-scale at sf0.1, d^2 ~ 4e22 > int64), cast to double only
+    after the exact sum — both engines divide identical numbers.
+    Scale: one month rollup, then O(months) self-joins on the ~80-row
+    index."""
+    mo = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).cast("bigint").alias("y")
+        )
+    )
+    from pyspark.sql import Window
+
+    idx = mo.select(
+        F.row_number().over(Window.orderBy("m")).alias("i"), "y"
+    )
+    t = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    dev = idx.crossJoin(F.broadcast(t)).select(
+        "i", (F.col("y") * F.col("n") - F.col("s")).cast("bigint").alias("d"),
+        "n",
+    )
+    denom = dev.agg(
+        F.sum(
+            (F.col("d").cast("decimal(38,0)") * F.col("d"))
+        ).cast("double").alias("d0")
+    )
+    a = dev.select(F.col("i").alias("ia"), F.col("d").alias("da"))
+    b = dev.select(F.col("i").alias("ib"), F.col("d").alias("db"))
+    lags = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    num = (
+        lags.join(a)
+        .join(b, F.col("ib") == F.col("ia") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.col("da").cast("decimal(38,0)") * F.col("db")
+            ).cast("double").alias("num")
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(denom))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("k").cast("bigint").alias("lag"),
+            F.col("n").alias("n_months"),
+            F.round(F.col("num") / F.col("d0"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@query(
+    "orders_rolling_z_anomalies",
+    """
+    WITH mo AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    roll AS (
+        SELECT m, y,
+               COUNT(*) OVER w AS k,
+               CAST(SUM(y) OVER w AS BIGINT) AS s,
+               CAST(SUM(y::HUGEINT * y) OVER w AS DOUBLE) AS q
+        FROM mo
+        WINDOW w AS (ORDER BY m ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(m AS BIGINT) AS month_idx, y AS revenue_dollars,
+           ROUND((y - s::DOUBLE / 12)
+                 / sqrt((q - s::DOUBLE * s / 12) / 11), 4) AS z,
+           CAST(CASE WHEN ABS((y - s::DOUBLE / 12)
+                    / sqrt((q - s::DOUBLE * s / 12) / 11)) > 2
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM roll WHERE k = 12
+    ORDER BY month_idx
+    """,
+)
+def orders_rolling_z_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection on monthly revenue: each month
+    scored against the TRAILING 12 months (current excluded) as a
+    z-score, flagged at |z| > 2 — the ops-dashboard spike detector.
+    Window sums are exact integers in whole dollars (y^2 sums ride the
+    HUGEINT/DECIMAL accumulator: 12 x (2.4e9)^2 would clip int64 at
+    sf1); mean/std/z are identical double algebra.  The window runs
+    over the ~80-row month rollup."""
+    mo = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+        )
+        .agg(
+            F.sum(F.expr("CAST(FLOOR(o_totalprice) AS BIGINT)"))
+            .cast("bigint").alias("y")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("m").rowsBetween(-12, -1)
+    roll = mo.select(
+        "m", "y",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("y").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).over(w)
+        .cast("double").alias("q"),
+    )
+    z = (F.col("y") - F.col("s").cast("double") / 12) / F.sqrt(
+        (F.col("q") - F.col("s").cast("double") * F.col("s") / 12) / 11
+    )
+    return (
+        roll.filter(F.col("k") == 12)
+        .select(
+            F.col("m").cast("bigint").alias("month_idx"),
+            F.col("y").alias("revenue_dollars"),
+            F.round(z, 4).alias("z"),
+            F.when(F.abs(z) > 2, 1).otherwise(0).cast("bigint")
+            .alias("is_anomaly"),
+        )
+        .orderBy("month_idx")
+    )
+
+
+@query(
+    "events_hour_entropy_drift",
+    """
+    WITH hr AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    day_tot AS (SELECT d, CAST(SUM(c) AS BIGINT) AS cd FROM hr GROUP BY d),
+    ent AS (
+        SELECT hr.d,
+               CAST(-SUM(CAST(FLOOR(
+                   1000000000.0 * (hr.c::DOUBLE / dt.cd)
+                   * ln(hr.c::DOUBLE / dt.cd) + 0.5) AS BIGINT))
+                   AS BIGINT) AS h_nano
+        FROM hr JOIN day_tot dt ON dt.d = hr.d
+        GROUP BY hr.d
+    ),
+    seq AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, h_nano FROM ent
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(i) AS BIGINT) AS sx,
+               CAST(SUM(h_nano) AS BIGINT) AS sy,
+               CAST(SUM(i * h_nano) AS BIGINT) AS sxy,
+               CAST(SUM(i * i) AS BIGINT) AS sxx
+        FROM seq
+    )
+    SELECT n AS n_days,
+           ROUND(sy::DOUBLE / n / 1000000000.0, 6) AS mean_entropy_nats,
+           ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                 / (n::DOUBLE * sxx - sx::DOUBLE * sx) / 1000000000.0, 9)
+               AS entropy_slope_per_day
+    FROM s
+    """,
+)
+def events_hour_entropy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-drift detector: the Shannon entropy (nats) of each
+    day's hour-of-day event distribution, and the OLS slope of that
+    entropy over the day index — a flattening or sharpening daily
+    rhythm (bot ramp-up, timezone mix shift) shows as a non-zero
+    slope.  Per-(day,hour) entropy terms are quantized to integer NANO
+    units before the per-day sum (p ln p from identical exact-integer
+    ratios), and the OLS slope is the closed form over exact integer
+    folds.  Int64: |term| <= ln(24)*1e9 ~ 3.2e9, day sums ~ 7.6e10,
+    i*h_nano over ~2e3 days ~ 1.5e14.  Scale: fact -> (day, hour)
+    rollup, then O(days) algebra."""
+    e = _t(spark, sf_dir, "events")
+    hr = e.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").cast("bigint").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    day_tot = hr.groupBy("d").agg(F.sum("c").cast("bigint").alias("cd"))
+    p = F.col("c").cast("double") / F.col("cd")
+    ent = (
+        hr.join(day_tot, "d")
+        .groupBy("d")
+        .agg(
+            (-F.sum(
+                F.floor(F.lit(1000000000.0) * p * F.log(p) + 0.5)
+                .cast("bigint")
+            )).cast("bigint").alias("h_nano")
+        )
+    )
+    from pyspark.sql import Window
+
+    seq = ent.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "h_nano"
+    )
+    s = seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("i").cast("bigint").alias("sx"),
+        F.sum("h_nano").cast("bigint").alias("sy"),
+        F.sum(F.col("i") * F.col("h_nano")).cast("bigint").alias("sxy"),
+        F.sum(F.col("i") * F.col("i")).cast("bigint").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n") / 1000000000.0, 6
+        ).alias("mean_entropy_nats"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            / 1000000000.0,
+            9,
+        ).alias("entropy_slope_per_day"),
+    )
