@@ -22559,3 +22559,248 @@ def events_hour_entropy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("entropy_slope_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 battery VI: LLM-pipeline diagnostics II (cross-source duplicate
+# matrix, shard-grain n-gram novelty decay, sentence-grain dedup rate,
+# int8-quantization error report).  Each is an aggregate-first REPORT over
+# an operator family the registry already value-certifies at the row grain,
+# promoted to corpus-QA grain.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_cross_source_dup_matrix",
+    """
+    WITH fps AS (
+        SELECT DISTINCT
+            substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   1, 50) AS fp,
+            source
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM fps a JOIN fps b ON b.fp = a.fp AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fps FROM fps
+        GROUP BY source
+    )
+    SELECT p.source_a, p.source_b, p.shared_fps,
+           CAST(p.shared_fps * 1000000 // LEAST(sa.n_fps, sb.n_fps)
+                AS BIGINT) AS containment_ppm
+    FROM pairs p
+    JOIN per_src sa ON sa.source = p.source_a
+    JOIN per_src sb ON sb.source = p.source_b
+    ORDER BY p.shared_fps DESC, p.source_a, p.source_b
+    LIMIT 25
+    """,
+)
+def docs_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplicate matrix: for each source pair, the
+    number of normalized-text fingerprints present in BOTH, and the
+    containment ppm against the smaller side — the mirror-detection
+    report that decides which crawl sources to drop wholesale before
+    per-doc dedup even runs.  The pair join is keyed on the
+    fingerprint (one row per distinct (fp, source)); counts exact.
+    The key is the 50-char NORMALIZED-PREFIX (the near-mirror blocking
+    grain — this synthetic corpus has zero full-text exact dups, but
+    22 cross-source prefix collisions at sf0.01, so the report is
+    exercised, not vacuous).  Scale: fingerprint group-by + a
+    fp-keyed self-join whose fan-out is bounded by
+    sources-per-fingerprint, never |docs|^2."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fps = d.select(
+        F.substring(norm, 1, 50).alias("fp"), "source"
+    ).distinct()
+    a = fps.select("fp", F.col("source").alias("source_a"))
+    b = fps.select("fp", F.col("source").alias("source_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+    )
+    per_src = fps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps")
+    )
+    sa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_fps").alias("na")
+    )
+    sb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_fps").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "shared_fps",
+            F.expr(
+                "CAST(shared_fps * 1000000 div least(na, nb) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+        .orderBy(F.desc("shared_fps"), "source_a", "source_b")
+        .limit(25)
+    )
+
+
+@query(
+    "docs_ngram_novelty_by_shard",
+    """
+    WITH mx AS (
+        SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS hi FROM documents
+    ),
+    grams AS (
+        SELECT CAST(doc_id * 10 // hi AS BIGINT) AS shard, g
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x != '') AS t
+            FROM documents
+        ) CROSS JOIN mx,
+        UNNEST(CASE WHEN len(t) >= 5
+               THEN list_transform(range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                        || t[i+3] || ' ' || t[i+4])
+               ELSE [] END) u(g)
+    ),
+    first_seen AS (
+        SELECT g, CAST(MIN(shard) AS BIGINT) AS s0 FROM grams GROUP BY g
+    ),
+    per_shard AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_occ FROM grams
+        GROUP BY shard
+    ),
+    novel AS (
+        SELECT s0 AS shard, CAST(COUNT(*) AS BIGINT) AS n_novel
+        FROM first_seen GROUP BY s0
+    )
+    SELECT p.shard, p.n_occ, COALESCE(n.n_novel, 0) AS n_novel_grams,
+           CAST(COALESCE(n.n_novel, 0) * 1000000 // p.n_occ AS BIGINT)
+               AS novelty_ppm
+    FROM per_shard p LEFT JOIN novel n ON n.shard = p.shard
+    ORDER BY p.shard
+    """,
+)
+def docs_ngram_novelty_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-novelty decay curve: split the corpus into 10 doc-id
+    shards and measure, per shard, how many DISTINCT 5-grams make
+    their first corpus appearance there, against the shard's total
+    5-gram occurrences — the saturation diagnostic ('is crawl batch
+    N still adding new content?').  First-appearance is min(shard)
+    per gram — one group-by, no ordering dependence; shard boundaries
+    are exact integer id arithmetic, not a sort.  Scale: gram fan-out
+    map-side combines to one row per distinct gram."""
+    d = _t(spark, sf_dir, "documents")
+    from opentimes_spark.functions.text import tokens as _tokens
+
+    mx = d.agg((F.max("doc_id") + 1).cast("bigint").alias("hi"))
+    toks = _tokens(F.col("text"))
+    grams_arr = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, i + j) for j in range(5)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("CAST(doc_id * 10 div hi AS BIGINT)").alias("shard"),
+            F.explode(grams_arr).alias("g"),
+        )
+    )
+    first_seen = grams.groupBy("g").agg(
+        F.min("shard").cast("bigint").alias("s0")
+    )
+    per_shard = grams.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    novel = first_seen.groupBy(F.col("s0").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    return (
+        per_shard.join(novel, "shard", "left")
+        .select(
+            "shard", "n_occ",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint")
+            .alias("n_novel_grams"),
+            F.expr(
+                "CAST(coalesce(n_novel, 0) * 1000000 div n_occ AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "docs_sentence_dedup_rate",
+    """
+    WITH sents AS (
+        SELECT doc_id, trim(s) AS s
+        FROM (SELECT doc_id, UNNEST(string_split(text, '.')) AS s
+              FROM documents)
+        WHERE trim(s) != ''
+    ),
+    per_sent AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS n_occ,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM sents GROUP BY s
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_occ) AS BIGINT) AS occ_total,
+               CAST(COUNT(*) AS BIGINT) AS distinct_sents,
+               CAST(SUM(CASE WHEN n_docs > 1 THEN n_occ ELSE 0 END)
+                    AS BIGINT) AS occ_cross_doc,
+               CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS sents_cross_doc
+        FROM per_sent
+    )
+    SELECT occ_total, distinct_sents, occ_cross_doc, sents_cross_doc,
+           CAST(occ_cross_doc * 1000000 // occ_total AS BIGINT)
+               AS cross_doc_occ_ppm
+    FROM tot
+    """,
+)
+def docs_sentence_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grain duplication report: split docs on '.', count
+    sentences whose exact text recurs in MORE THAN ONE document, and
+    the fraction of all sentence occurrences that are cross-document
+    repeats — the between-spans grain (finer than doc-level exact
+    dedup, coarser than 8-token ExactSubstr) used for boilerplate-
+    sentence stripping.  Pure counting: explode -> sentence group-by
+    (map-side combined) -> one fold row."""
+    d = _t(spark, sf_dir, "documents")
+    sents = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"\.")).alias("s_raw"),
+        )
+        .select("doc_id", F.trim(F.col("s_raw")).alias("s"))
+        .filter(F.col("s") != "")
+    )
+    per_sent = sents.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    return per_sent.agg(
+        F.sum("n_occ").cast("bigint").alias("occ_total"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_sents"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_occ")).otherwise(0))
+        .cast("bigint").alias("occ_cross_doc"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("bigint")
+        .alias("sents_cross_doc"),
+    ).select(
+        "occ_total", "distinct_sents", "occ_cross_doc", "sents_cross_doc",
+        F.expr(
+            "CAST(occ_cross_doc * 1000000 div occ_total AS BIGINT)"
+        ).alias("cross_doc_occ_ppm"),
+    )
