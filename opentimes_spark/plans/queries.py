@@ -22804,3 +22804,291 @@ def docs_sentence_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(occ_cross_doc * 1000000 div occ_total AS BIGINT)"
         ).alias("cross_doc_occ_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 battery VII: reporting/relational breadth (ties-aware top-k per
+# group, share-of-parent rollup, grid-exact group medians) and embedding
+# quantization QA.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_top3_customers_per_priority",
+    """
+    WITH per_cust AS (
+        SELECT o_orderpriority AS priority, o_custkey AS ck,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT priority, ck, cents,
+               RANK() OVER (PARTITION BY priority
+                            ORDER BY cents DESC, ck) AS rnk
+        FROM per_cust
+    )
+    SELECT priority, CAST(rnk AS BIGINT) AS rnk,
+           CAST(ck AS BIGINT) AS custkey,
+           ROUND(cents / 100.0, 2) AS revenue
+    FROM ranked WHERE rnk <= 3
+    ORDER BY priority, rnk
+    """,
+)
+def orders_top3_customers_per_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ties-aware top-3 customers by revenue within each order
+    priority — the per-group leaderboard shape (RANK over a PARTITIONED
+    window, so no global sort; the window's input is the customer-grain
+    rollup, not the order stream).  Rank keys include the customer key,
+    making the cut deterministic; revenue is exact cents."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_custkey").alias("ck"),
+    ).agg(
+        F.sum(
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).cast("bigint").alias("cents")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("priority").orderBy(F.desc("cents"), "ck")
+    return (
+        per.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "priority",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("ck").cast("bigint").alias("custkey"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("priority", "rnk")
+    )
+
+
+@query(
+    "revenue_share_of_parent",
+    """
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    ),
+    reg AS (
+        SELECT region, CAST(SUM(cents) AS BIGINT) AS reg_cents FROM rev
+        GROUP BY region
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot_cents FROM rev)
+    SELECT rev.region, rev.nation,
+           ROUND(rev.cents / 100.0, 2) AS revenue,
+           CAST(rev.cents * 1000000 // reg.reg_cents AS BIGINT)
+               AS share_of_region_ppm,
+           CAST(rev.cents * 1000000 // tot.tot_cents AS BIGINT)
+               AS share_of_total_ppm
+    FROM rev JOIN reg ON reg.region = rev.region CROSS JOIN tot
+    ORDER BY rev.region, rev.nation
+    """,
+)
+def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent report down the geography hierarchy: each
+    nation's revenue as exact ppm of its region and of the grand total
+    — the multi-level contribution table every BI rollup renders.
+    One fact aggregation; parents join back as broadcast 5-row / 1-row
+    aggregates; shares are exact integer floor-division ppm."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).cast("bigint").alias("cents")
+        )
+    )
+    reg = rev.groupBy("region").agg(
+        F.sum("cents").cast("bigint").alias("reg_cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("tot_cents"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region", "nation",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.expr("CAST(cents * 1000000 div reg_cents AS BIGINT)")
+            .alias("share_of_region_ppm"),
+            F.expr("CAST(cents * 1000000 div tot_cents AS BIGINT)")
+            .alias("share_of_total_ppm"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "orders_group_medians_grid",
+    """
+    WITH c AS (
+        SELECT o_orderpriority AS pr,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders
+    ),
+    grid AS (SELECT pr, v, CAST(COUNT(*) AS BIGINT) AS n_v FROM c
+             GROUP BY pr, v),
+    tot AS (SELECT pr, CAST(SUM(n_v) AS BIGINT) AS n FROM grid GROUP BY pr),
+    cum AS (
+        SELECT g.pr, g.v, t.n,
+               SUM(g.n_v) OVER (PARTITION BY g.pr ORDER BY g.v) AS hi,
+               SUM(g.n_v) OVER (PARTITION BY g.pr ORDER BY g.v) - g.n_v
+                   AS lo
+        FROM grid g JOIN tot t ON t.pr = g.pr
+    ),
+    lo_med AS (
+        SELECT pr, MIN(v) AS v FROM cum
+        WHERE hi * 2 >= n + 1 GROUP BY pr
+    ),
+    hi_med AS (
+        SELECT pr, MIN(v) AS v FROM cum
+        WHERE hi * 2 >= n + 2 GROUP BY pr
+    )
+    SELECT t.pr AS priority, t.n AS n_orders,
+           ROUND(l.v / 100.0, 2) AS median_lo,
+           ROUND(h.v / 100.0, 2) AS median_hi,
+           ROUND((l.v + h.v) / 200.0, 3) AS median_interp
+    FROM tot t JOIN lo_med l ON l.pr = t.pr JOIN hi_med h ON h.pr = t.pr
+    ORDER BY priority
+    """,
+)
+def orders_group_medians_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-priority medians computed engine-neutrally on the
+    value grid: the lower and upper middle order statistics (ranks
+    ceil((n+1)/2) and ceil((n+2)/2) via prefix-sum threshold, the same
+    grid technique as supplier_acctbal_trimmed_mean) and their exact
+    midpoint — avoiding both engines' quantile functions, whose
+    interpolation conventions differ.  Windows run over the per-
+    priority value grid, PARTITIONED by priority.  All ranks exact
+    integers; the midpoint sits on the exact half-cent grid."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("pr"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v"),
+    )
+    grid = c.groupBy("pr", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v")
+    )
+    tot = grid.groupBy("pr").agg(F.sum("n_v").cast("bigint").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pr").orderBy("v")
+    cum = (
+        grid.join(tot, "pr")
+        .select(
+            "pr", "v", "n",
+            F.sum("n_v").over(w).alias("hi"),
+        )
+    )
+    lo_med = (
+        cum.filter(F.col("hi") * 2 >= F.col("n") + 1)
+        .groupBy("pr")
+        .agg(F.min("v").alias("lo_v"))
+    )
+    hi_med = (
+        cum.filter(F.col("hi") * 2 >= F.col("n") + 2)
+        .groupBy("pr")
+        .agg(F.min("v").alias("hi_v"))
+    )
+    return (
+        tot.join(lo_med, "pr")
+        .join(hi_med, "pr")
+        .select(
+            F.col("pr").alias("priority"),
+            F.col("n").alias("n_orders"),
+            F.round(F.col("lo_v") / 100.0, 2).alias("median_lo"),
+            F.round(F.col("hi_v") / 100.0, 2).alias("median_hi"),
+            F.round((F.col("lo_v") + F.col("hi_v")) / 200.0, 3)
+            .alias("median_interp"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "embed_int8_recon_error",
+    """
+    WITH el AS (
+        SELECT label, generate_subscripts(v, 1) AS d, unnest(v) AS x
+        FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+    ),
+    scales AS (
+        SELECT d, 127.0 / MAX(ABS(x)) AS s FROM el GROUP BY d
+    ),
+    err AS (
+        SELECT el.label,
+               CAST(FLOOR(1000000000000.0
+                   * (el.x - FLOOR(el.x * sc.s + 0.5) / sc.s)
+                   * (el.x - FLOOR(el.x * sc.s + 0.5) / sc.s) + 0.5)
+                   AS BIGINT) AS e2_pico,
+               CAST(FLOOR(1000000000.0
+                   * ABS(el.x - FLOOR(el.x * sc.s + 0.5) / sc.s))
+                   AS BIGINT) AS ae_nano
+        FROM el JOIN scales sc ON sc.d = el.d
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_elems,
+           ROUND(SUM(e2_pico)::DOUBLE / COUNT(*) / 1e12, 9) AS mse,
+           ROUND(MAX(ae_nano) / 1e9, 6) AS max_abs_err
+    FROM err GROUP BY label ORDER BY label
+    """,
+)
+def embed_int8_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding-quantization ERROR REPORT: per label, the mean
+    squared and max absolute reconstruction error of the symmetric
+    per-dimension int8 scheme (scale_d = 127/max|x_d|, the
+    embed_quantize_int8 contract) — the QA table that decides whether
+    a corpus tolerates 4x-smaller vectors before the ANN index
+    rebuilds on quantized codes.  Quantize/dequantize uses
+    FLOOR(x*s+0.5) (identical in both engines, unlike ROUND's
+    half-even/half-up split); per-element squared errors are quantized
+    to integer PICO units and |err| to NANO before the exact integer
+    folds.  Scale: one posexplode (map-only), a 64-row broadcast of
+    per-dim scales, one label rollup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label", F.posexplode("embedding").alias("p", "x")
+    ).select("label", (F.col("p") + 1).alias("d"), "x")
+    scales = el.groupBy("d").agg(
+        (F.lit(127.0) / F.max(F.abs(F.col("x")))).alias("s")
+    )
+    recon = F.floor(F.col("x") * F.col("s") + 0.5) / F.col("s")
+    err = el.join(F.broadcast(scales), "d").select(
+        "label",
+        F.floor(
+            F.lit(1000000000000.0) * (F.col("x") - recon)
+            * (F.col("x") - recon) + 0.5
+        ).cast("bigint").alias("e2_pico"),
+        F.floor(F.lit(1000000000.0) * F.abs(F.col("x") - recon))
+        .cast("bigint").alias("ae_nano"),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_elems"),
+            F.round(
+                F.sum("e2_pico").cast("double") / F.count(F.lit(1)) / 1e12, 9
+            ).alias("mse"),
+            F.round(F.max("ae_nano") / 1e9, 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
