@@ -23092,3 +23092,451 @@ def embed_int8_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 battery VIII: sequence transitions, rank-dependence, order-
+# statistic confidence intervals, robust shape statistics, circular
+# statistics — distribution-shape families the registry did not yet cover.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cust_priority_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT o_custkey AS ck, o_orderpriority AS pr,
+               LAG(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev_pr
+        FROM orders
+    ),
+    trans AS (
+        SELECT prev_pr, pr, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_pr IS NOT NULL GROUP BY 1, 2
+    ),
+    row_tot AS (
+        SELECT prev_pr, CAST(SUM(n) AS BIGINT) AS row_n FROM trans
+        GROUP BY prev_pr
+    )
+    SELECT t.prev_pr AS from_priority, t.pr AS to_priority, t.n,
+           CAST(t.n * 1000000 // r.row_n AS BIGINT) AS row_share_ppm
+    FROM trans t JOIN row_tot r ON r.prev_pr = t.prev_pr
+    ORDER BY from_priority, to_priority
+    """,
+)
+def cust_priority_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order transition matrix of order priorities WITHIN each
+    customer's order sequence (LAG over the customer-partitioned,
+    date-ordered stream with the order key as deterministic tiebreak):
+    counts and exact row-share ppm for each (from, to) pair — the
+    behavioral Markov screen ('do urgent orderers stay urgent?').
+    The window is PARTITIONED by customer (parallel, no global sort);
+    the matrix is a 25-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_orderpriority").alias("pr"),
+        F.lag("o_orderpriority").over(w).alias("prev_pr"),
+    )
+    trans = (
+        seq.filter(F.col("prev_pr").isNotNull())
+        .groupBy("prev_pr", "pr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    row_tot = trans.groupBy("prev_pr").agg(
+        F.sum("n").cast("bigint").alias("row_n")
+    )
+    return (
+        trans.join(F.broadcast(row_tot), "prev_pr")
+        .select(
+            F.col("prev_pr").alias("from_priority"),
+            F.col("pr").alias("to_priority"),
+            "n",
+            F.expr("CAST(n * 1000000 div row_n AS BIGINT)")
+            .alias("row_share_ppm"),
+        )
+        .orderBy("from_priority", "to_priority")
+    )
+
+
+@query(
+    "lineitem_rank_dependence_grid",
+    """
+    WITH c AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    pgrid AS (
+        SELECT p, SUM(COUNT(*)) OVER (ORDER BY p) AS hi FROM c GROUP BY p
+    ),
+    pcuts AS (
+        SELECT k, MIN(p) AS cut FROM pgrid CROSS JOIN tot,
+             (VALUES (1), (2), (3), (4)) t(k)
+        WHERE hi * 5 >= k * n GROUP BY k
+    ),
+    qgrid AS (
+        SELECT q, SUM(COUNT(*)) OVER (ORDER BY q) AS hi FROM c GROUP BY q
+    ),
+    qcuts AS (
+        SELECT k, MIN(q) AS cut FROM qgrid CROSS JOIN tot,
+             (VALUES (1), (2), (3), (4)) t(k)
+        WHERE hi * 5 >= k * n GROUP BY k
+    ),
+    binned AS (
+        SELECT 1 + (SELECT COUNT(*) FROM pcuts WHERE cut < c.p) AS pb,
+               1 + (SELECT COUNT(*) FROM qcuts WHERE cut < c.q) AS qb
+        FROM c
+    ),
+    cells AS (
+        SELECT pb, qb, CAST(COUNT(*) AS BIGINT) AS n_cell FROM binned
+        GROUP BY pb, qb
+    ),
+    margins AS (
+        SELECT pb, CAST(SUM(n_cell) AS BIGINT) AS np FROM cells GROUP BY pb
+    ),
+    marginsq AS (
+        SELECT qb, CAST(SUM(n_cell) AS BIGINT) AS nq FROM cells GROUP BY qb
+    )
+    SELECT CAST(c.pb AS BIGINT) AS price_quintile,
+           CAST(c.qb AS BIGINT) AS qty_quintile, c.n_cell,
+           CAST(c.n_cell * t.n * 1000000 // (m.np * mq.nq) AS BIGINT)
+               AS independence_lift_ppm
+    FROM cells c JOIN margins m ON m.pb = c.pb
+    JOIN marginsq mq ON mq.qb = c.qb CROSS JOIN tot t
+    ORDER BY price_quintile, qty_quintile
+    """,
+)
+def lineitem_rank_dependence_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank-dependence (empirical copula) grid: joint quintile-bucket
+    counts of extended price x quantity with the exact independence
+    lift n_cell*n/(n_p*n_q) in ppm — the nonparametric dependence
+    heatmap behind 'do big orders get big items?'.  Quintile cut
+    points are exact order statistics from per-variable value grids
+    (prefix-sum threshold, ties fall low — never a row sort); bucket
+    assignment is '1 + #cuts strictly below', the bucket_assign
+    contract.  All counts and lifts exact integers.  Scale: two grid
+    group-bys, broadcast cuts, one cell rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "p"
+        ),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    tot = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from pyspark.sql import Window
+
+    def cuts(col: str):
+        grid = c.groupBy(col).agg(F.count(F.lit(1)).alias("n_v"))
+        cum = grid.select(
+            col, F.sum("n_v").over(Window.orderBy(col)).alias("hi")
+        )
+        ks = spark.range(1, 5).select(F.col("id").alias("k"))
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .join(F.broadcast(ks))
+            .filter(F.col("hi") * 5 >= F.col("k") * F.col("n"))
+            .groupBy("k")
+            .agg(F.min(col).alias("cut"))
+            .agg(F.sort_array(F.collect_list("cut")).alias("cuts"))
+        )
+    pc = cuts("p").select(F.col("cuts").alias("pcuts"))
+    qc = cuts("q").select(F.col("cuts").alias("qcuts"))
+    binned = (
+        c.crossJoin(F.broadcast(pc))
+        .crossJoin(F.broadcast(qc))
+        .select(
+            (
+                F.lit(1)
+                + F.aggregate(
+                    F.col("pcuts"), F.lit(0),
+                    lambda a, x: a + F.when(x < F.col("p"), 1).otherwise(0),
+                )
+            ).alias("pb"),
+            (
+                F.lit(1)
+                + F.aggregate(
+                    F.col("qcuts"), F.lit(0),
+                    lambda a, x: a + F.when(x < F.col("q"), 1).otherwise(0),
+                )
+            ).alias("qb"),
+        )
+    )
+    cells = binned.groupBy("pb", "qb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cell")
+    )
+    mp = cells.groupBy("pb").agg(F.sum("n_cell").cast("bigint").alias("np"))
+    mq = cells.groupBy("qb").agg(F.sum("n_cell").cast("bigint").alias("nq"))
+    return (
+        cells.join(F.broadcast(mp), "pb")
+        .join(F.broadcast(mq), "qb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pb").cast("bigint").alias("price_quintile"),
+            F.col("qb").cast("bigint").alias("qty_quintile"),
+            "n_cell",
+            F.expr(
+                "CAST(n_cell * n * 1000000 div (np * nq) AS BIGINT)"
+            ).alias("independence_lift_ppm"),
+        )
+        .orderBy("price_quintile", "qty_quintile")
+    )
+
+
+@query(
+    "orders_median_confidence_interval",
+    """
+    WITH c AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    ranks AS (
+        SELECT n,
+               CAST(FLOOR(n / 2.0 - 0.98 * sqrt(n::DOUBLE)) AS BIGINT)
+                   AS r_lo,
+               CAST(CEIL(n / 2.0 + 1 + 0.98 * sqrt(n::DOUBLE)) AS BIGINT)
+                   AS r_hi,
+               CAST(FLOOR((n + 1) / 2.0) AS BIGINT) AS r_med
+        FROM tot
+    ),
+    cum AS (
+        SELECT v, SUM(COUNT(*)) OVER (ORDER BY v) AS hi FROM c GROUP BY v
+    )
+    SELECT r.n AS n_orders,
+           ROUND((SELECT MIN(v) FROM cum WHERE hi >= r.r_med) / 100.0, 2)
+               AS median,
+           ROUND((SELECT MIN(v) FROM cum WHERE hi >= r.r_lo) / 100.0, 2)
+               AS ci95_lo,
+           ROUND((SELECT MIN(v) FROM cum WHERE hi >= r.r_hi) / 100.0, 2)
+               AS ci95_hi
+    FROM ranks r
+    """,
+)
+def orders_median_confidence_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median of
+    order value via ORDER-STATISTIC ranks: the interval
+    [X_(n/2 - 0.98*sqrt(n)), X_(n/2 + 1 + 0.98*sqrt(n))] (the binomial
+    normal approximation, 0.98 = z_{.975}/2) — no bootstrap, no
+    distributional assumption, just three exact rank lookups on the
+    value grid's prefix sums.  Rank indices come from identical double
+    algebra on the exact count; lookups are min-v-above-threshold on
+    the aggregated grid."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v")
+    )
+    tot = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranks = tot.select(
+        "n",
+        F.floor(
+            F.col("n") / 2.0 - 0.98 * F.sqrt(F.col("n").cast("double"))
+        ).cast("bigint").alias("r_lo"),
+        F.ceil(
+            F.col("n") / 2.0 + 1 + 0.98 * F.sqrt(F.col("n").cast("double"))
+        ).cast("bigint").alias("r_hi"),
+        F.floor((F.col("n") + 1) / 2.0).cast("bigint").alias("r_med"),
+    )
+    from pyspark.sql import Window
+
+    cum = (
+        c.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_v"))
+        .select("v", F.sum("n_v").over(Window.orderBy("v")).alias("hi"))
+    )
+
+    def at_rank(rcol: str, out: str):
+        return (
+            cum.crossJoin(F.broadcast(ranks))
+            .filter(F.col("hi") >= F.col(rcol))
+            .agg(F.round(F.min("v") / 100.0, 2).alias(out))
+        )
+
+    return (
+        ranks.select("n")
+        .crossJoin(F.broadcast(at_rank("r_med", "median")))
+        .crossJoin(F.broadcast(at_rank("r_lo", "ci95_lo")))
+        .crossJoin(F.broadcast(at_rank("r_hi", "ci95_hi")))
+        .select(
+            F.col("n").alias("n_orders"), "median", "ci95_lo", "ci95_hi"
+        )
+    )
+
+
+@query(
+    "lineitem_robust_shape_stats",
+    """
+    WITH c AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    cum AS (
+        SELECT v, SUM(COUNT(*)) OVER (ORDER BY v) AS hi FROM c GROUP BY v
+    ),
+    qs AS (
+        SELECT
+            (SELECT MIN(v) FROM cum CROSS JOIN tot
+             WHERE hi * 8 >= n) AS p125,
+            (SELECT MIN(v) FROM cum CROSS JOIN tot
+             WHERE hi * 4 >= n) AS q1,
+            (SELECT MIN(v) FROM cum CROSS JOIN tot
+             WHERE hi * 2 >= n) AS q2,
+            (SELECT MIN(v) FROM cum CROSS JOIN tot
+             WHERE hi * 4 >= 3 * n) AS q3,
+            (SELECT MIN(v) FROM cum CROSS JOIN tot
+             WHERE hi * 8 >= 7 * n) AS p875
+    )
+    SELECT ROUND(q1 / 100.0, 2) AS q1, ROUND(q2 / 100.0, 2) AS median,
+           ROUND(q3 / 100.0, 2) AS q3,
+           ROUND((q3 + q1 - 2.0 * q2) / (q3 - q1), 6) AS bowley_skewness,
+           ROUND((p875 - p125)::DOUBLE / (q3 - q1) / 1.704, 6)
+               AS moors_kurtosis_proxy
+    FROM qs
+    """,
+)
+def lineitem_robust_shape_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (quantile-based) distribution-shape statistics of line
+    price: Bowley skewness (q3+q1-2*median)/(q3-q1) and an
+    octile-based kurtosis proxy (p87.5-p12.5)/IQR normalized by the
+    Gaussian reference 1.704 — outlier-immune alternatives to moment
+    skewness/kurtosis, all from five exact order statistics on the
+    value grid (prefix-sum thresholds, integer cross-multiplied — no
+    quantile-function interpolation, no row sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "v"
+        )
+    )
+    tot = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from pyspark.sql import Window
+
+    cum = (
+        c.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_v"))
+        .select("v", F.sum("n_v").over(Window.orderBy("v")).alias("hi"))
+        .crossJoin(F.broadcast(tot))
+    )
+
+    def order_stat(mult: int, num: int, out: str):
+        return cum.filter(
+            F.col("hi") * mult >= F.lit(num) * F.col("n")
+        ).agg(F.min("v").alias(out))
+
+    qs = (
+        order_stat(8, 1, "p125")
+        .crossJoin(F.broadcast(order_stat(4, 1, "q1")))
+        .crossJoin(F.broadcast(order_stat(2, 1, "q2")))
+        .crossJoin(F.broadcast(order_stat(4, 3, "q3")))
+        .crossJoin(F.broadcast(order_stat(8, 7, "p875")))
+    )
+    return qs.select(
+        F.round(F.col("q1") / 100.0, 2).alias("q1"),
+        F.round(F.col("q2") / 100.0, 2).alias("median"),
+        F.round(F.col("q3") / 100.0, 2).alias("q3"),
+        F.round(
+            (F.col("q3") + F.col("q1") - 2.0 * F.col("q2"))
+            / (F.col("q3") - F.col("q1")),
+            6,
+        ).alias("bowley_skewness"),
+        F.round(
+            (F.col("p875") - F.col("p125")).cast("double")
+            / (F.col("q3") - F.col("q1")) / 1.704,
+            6,
+        ).alias("moors_kurtosis_proxy"),
+    )
+
+
+@query(
+    "events_circular_hour_stats",
+    """
+    WITH h AS (
+        SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    f AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * CAST(FLOOR(
+                   1000000000.0 * cos(2 * pi() * hr / 24.0) + 0.5)
+                   AS BIGINT)) AS BIGINT) AS sc_nano,
+               CAST(SUM(c * CAST(FLOOR(
+                   1000000000.0 * sin(2 * pi() * hr / 24.0) + 0.5)
+                   AS BIGINT)) AS BIGINT) AS ss_nano
+        FROM h
+    )
+    SELECT n AS n_events,
+           ROUND(sqrt(sc_nano::DOUBLE * sc_nano + ss_nano::DOUBLE * ss_nano)
+                 / n / 1e9, 6) AS resultant_r,
+           ROUND((24.0 * (atan2(ss_nano::DOUBLE, sc_nano::DOUBLE)
+                  + 2 * pi()) / (2 * pi())) % 24.0, 4) AS mean_hour,
+           ROUND(n * (sqrt(sc_nano::DOUBLE * sc_nano
+                           + ss_nano::DOUBLE * ss_nano) / n / 1e9)
+                   * (sqrt(sc_nano::DOUBLE * sc_nano
+                           + ss_nano::DOUBLE * ss_nano) / n / 1e9), 4)
+               AS rayleigh_z
+    FROM f
+    """,
+)
+def events_circular_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIRCULAR statistics of event time-of-day: the mean direction
+    (mean hour on the 24h clock), the resultant length R (0 = uniform
+    around the clock, 1 = a single spike), and the Rayleigh z = nR^2
+    uniformity test — directional statistics, where a naive arithmetic
+    mean of hours is wrong (23:00 and 01:00 average to midnight, not
+    noon).  The 24 unit vectors' cos/sin are quantized to integer NANO
+    units once per hour bucket, so the resultant components are exact
+    integer dot products; atan2/sqrt run on identical integers.
+    Scale: one 24-row rollup."""
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy(F.hour("ts").cast("bigint").alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    two_pi = 2 * 3.141592653589793
+    cosq = F.floor(
+        F.lit(1e9) * F.cos(F.lit(two_pi) * F.col("hr") / 24.0) + 0.5
+    ).cast("bigint")
+    sinq = F.floor(
+        F.lit(1e9) * F.sin(F.lit(two_pi) * F.col("hr") / 24.0) + 0.5
+    ).cast("bigint")
+    f = h.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * cosq).cast("bigint").alias("sc_nano"),
+        F.sum(F.col("c") * sinq).cast("bigint").alias("ss_nano"),
+    )
+    rlen = (
+        F.sqrt(
+            F.col("sc_nano").cast("double") * F.col("sc_nano")
+            + F.col("ss_nano").cast("double") * F.col("ss_nano")
+        )
+        / F.col("n") / 1e9
+    )
+    mean_hour = (
+        F.lit(24.0)
+        * (
+            F.atan2(
+                F.col("ss_nano").cast("double"),
+                F.col("sc_nano").cast("double"),
+            )
+            + F.lit(two_pi)
+        )
+        / F.lit(two_pi)
+    ) % 24.0
+    return f.select(
+        F.col("n").alias("n_events"),
+        F.round(rlen, 6).alias("resultant_r"),
+        F.round(mean_hour, 4).alias("mean_hour"),
+        F.round(F.col("n") * rlen * rlen, 4).alias("rayleigh_z"),
+    )
