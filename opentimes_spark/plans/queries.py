@@ -23540,3 +23540,349 @@ def events_circular_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_hour, 4).alias("mean_hour"),
         F.round(F.col("n") * rlen * rlen, 4).alias("rayleigh_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 battery IX: agreement & information measures (Cohen's kappa,
+# mutual information), concentration reporting, and Efraimidis-Spirakis
+# weighted sampling-without-replacement — all exact-integer folds with
+# quantized transcendental terms.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_langid_cohen_kappa",
+    """
+    WITH pred AS (
+        SELECT lang AS truth,
+               CASE WHEN len(list_filter(
+                        string_split_regex(lower(text), '[^a-z]+'),
+                        x -> x IN ('the', 'and', 'of', 'to', 'in', 'is',
+                                   'that', 'for'))) >= 2
+                    THEN 'en' ELSE 'other' END AS pred
+        FROM documents
+    ),
+    cm AS (
+        SELECT CASE WHEN truth = 'en' THEN 'en' ELSE 'other' END AS t,
+               pred AS p, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tot,
+               CAST(SUM(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT)
+                   AS agree,
+               CAST(SUM(CASE WHEN t = 'en' THEN n ELSE 0 END) AS BIGINT)
+                   AS t_en,
+               CAST(SUM(CASE WHEN p = 'en' THEN n ELSE 0 END) AS BIGINT)
+                   AS p_en
+        FROM cm
+    )
+    SELECT tot AS n_docs, agree AS n_agree,
+           CAST(agree * 1000000 // tot AS BIGINT) AS agreement_ppm,
+           ROUND((agree::DOUBLE / tot
+                  - (t_en::DOUBLE * p_en + (tot - t_en)::DOUBLE
+                     * (tot - p_en)) / (tot::DOUBLE * tot))
+                 / (1 - (t_en::DOUBLE * p_en + (tot - t_en)::DOUBLE
+                         * (tot - p_en)) / (tot::DOUBLE * tot)), 6)
+               AS cohen_kappa
+    FROM f
+    """,
+)
+def docs_langid_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stored language label and a stopword-
+    based English detector (>= 2 of 8 core English stopwords) —
+    chance-corrected agreement, the honest score when one class
+    dominates (raw agreement flatters a constant predictor).  The 2x2
+    confusion counts are exact integers; kappa is closed-form double
+    algebra on them.  Scale: per-row token filter (JVM higher-order
+    fold), one 4-row confusion rollup."""
+    d = _t(spark, sf_dir, "documents")
+    stop = F.array(
+        *[F.lit(x) for x in
+          ("the", "and", "of", "to", "in", "is", "that", "for")]
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"),
+        lambda x: F.array_contains(stop, x),
+    )
+    pred = d.select(
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("t"),
+        F.when(F.size(toks) >= 2, "en").otherwise("other").alias("p"),
+    )
+    cm = pred.groupBy("t", "p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    f = cm.agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.sum(F.when(F.col("t") == F.col("p"), F.col("n")).otherwise(0))
+        .cast("bigint").alias("agree"),
+        F.sum(F.when(F.col("t") == "en", F.col("n")).otherwise(0))
+        .cast("bigint").alias("t_en"),
+        F.sum(F.when(F.col("p") == "en", F.col("n")).otherwise(0))
+        .cast("bigint").alias("p_en"),
+    )
+    pe = (
+        F.col("t_en").cast("double") * F.col("p_en")
+        + (F.col("tot") - F.col("t_en")).cast("double")
+        * (F.col("tot") - F.col("p_en"))
+    ) / (F.col("tot").cast("double") * F.col("tot"))
+    po = F.col("agree").cast("double") / F.col("tot")
+    return f.select(
+        F.col("tot").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        F.expr("CAST(agree * 1000000 div tot AS BIGINT)")
+        .alias("agreement_ppm"),
+        F.round((po - pe) / (1 - pe), 6).alias("cohen_kappa"),
+    )
+
+
+@query(
+    "orders_mi_priority_status",
+    """
+    WITH cm AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, CAST(SUM(n) AS BIGINT) AS nx FROM cm GROUP BY x),
+    my AS (SELECT y, CAST(SUM(n) AS BIGINT) AS ny FROM cm GROUP BY y),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cm),
+    terms AS (
+        SELECT CAST(FLOOR(1000000000.0 * (cm.n::DOUBLE / t)
+                   * ln(cm.n::DOUBLE * t / (mx.nx::DOUBLE * my.ny)) + 0.5)
+                   AS BIGINT) AS mi_nano
+        FROM cm JOIN mx ON mx.x = cm.x JOIN my ON my.y = cm.y CROSS JOIN tot
+    ),
+    hx AS (
+        SELECT CAST(-SUM(CAST(FLOOR(1000000000.0 * (nx::DOUBLE / t)
+                   * ln(nx::DOUBLE / t) + 0.5) AS BIGINT)) AS BIGINT)
+            AS hx_nano
+        FROM mx CROSS JOIN tot
+    )
+    SELECT t AS n_orders,
+           ROUND(SUM(mi_nano)::DOUBLE / 1e9, 6) AS mutual_info_nats,
+           ROUND(SUM(mi_nano)::DOUBLE / hx.hx_nano, 6)
+               AS uncertainty_coefficient
+    FROM terms CROSS JOIN tot CROSS JOIN hx
+    GROUP BY t, hx.hx_nano
+    """,
+)
+def orders_mi_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and order status
+    (nats), plus Theil's uncertainty coefficient U = I(X;Y)/H(X) — the
+    normalized 'how much does knowing the status tell you about the
+    priority' dependence measure for categorical pairs, where
+    Cramer's V (already registered) measures association strength but
+    not information.  Per-cell p*ln terms are quantized to integer
+    NANO units before the fold (15 cells, exact integer margins), so
+    both engines sum identical integers."""
+    o = _t(spark, sf_dir, "orders")
+    cm = o.groupBy(
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mx = cm.groupBy("x").agg(F.sum("n").cast("bigint").alias("nx"))
+    my = cm.groupBy("y").agg(F.sum("n").cast("bigint").alias("ny"))
+    tot = cm.agg(F.sum("n").cast("bigint").alias("t"))
+    terms = (
+        cm.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                F.lit(1000000000.0)
+                * (F.col("n").cast("double") / F.col("t"))
+                * F.log(
+                    F.col("n").cast("double") * F.col("t")
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                )
+                + 0.5
+            ).cast("bigint").alias("mi_nano")
+        )
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum(
+                F.floor(
+                    F.lit(1000000000.0)
+                    * (F.col("nx").cast("double") / F.col("t"))
+                    * F.log(F.col("nx").cast("double") / F.col("t"))
+                    + 0.5
+                ).cast("bigint")
+            )).cast("bigint").alias("hx_nano")
+        )
+    )
+    return (
+        terms.agg(F.sum("mi_nano").cast("bigint").alias("mi"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(hx))
+        .select(
+            F.col("t").alias("n_orders"),
+            F.round(F.col("mi").cast("double") / 1e9, 6)
+            .alias("mutual_info_nats"),
+            F.round(
+                F.col("mi").cast("double") / F.col("hx_nano"), 6
+            ).alias("uncertainty_coefficient"),
+        )
+    )
+
+
+@query(
+    "events_top1pct_user_share",
+    """
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events
+        GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(c) AS BIGINT) AS n_events
+        FROM per_user
+    ),
+    grid AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS n_u,
+               CAST(SUM(c) AS BIGINT) AS ev
+        FROM per_user GROUP BY c
+    ),
+    cum AS (
+        SELECT c, n_u, ev,
+               SUM(n_u) OVER (ORDER BY c DESC) AS users_above,
+               SUM(ev) OVER (ORDER BY c DESC) AS ev_above
+        FROM grid
+    ),
+    pick AS (
+        SELECT t.n_users, t.n_events,
+               (t.n_users + 99) // 100 AS k,
+               MAX(CASE WHEN users_above <= (t.n_users + 99) // 100
+                        THEN ev_above ELSE 0 END) AS ev_full,
+               MAX(CASE WHEN users_above <= (t.n_users + 99) // 100
+                        THEN users_above ELSE 0 END) AS u_full,
+               MIN(CASE WHEN users_above >= (t.n_users + 99) // 100
+                        THEN c ELSE NULL END) AS c_boundary
+        FROM cum CROSS JOIN tot t GROUP BY 1, 2, 3
+    )
+    SELECT n_users, n_events, CAST(k AS BIGINT) AS k_top_users,
+           CAST(ev_full + (k - u_full) * c_boundary AS BIGINT)
+               AS events_top1pct,
+           CAST((ev_full + (k - u_full) * c_boundary) * 1000000
+                // n_events AS BIGINT) AS share_ppm
+    FROM pick
+    """,
+)
+def events_top1pct_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-user concentration: the share of all events generated by
+    the top 1% most-active users (k = ceil(n/100)) — the abuse/bot
+    budget metric.  Computed on the per-user COUNT GRID with a
+    descending prefix sum: whole count-buckets above the boundary
+    contribute fully, the boundary bucket contributes exactly its
+    surviving k - u_full users at c_boundary events each — exact
+    integer tie handling, no row sort, no approximate percentile.
+    Scale: user rollup -> count-grid rollup (tiny) -> one row."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("c").cast("bigint").alias("n_events"),
+    )
+    grid = per_user.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u"),
+        F.sum("c").cast("bigint").alias("ev"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("c"))
+    cum = grid.select(
+        "c", "n_u", "ev",
+        F.sum("n_u").over(w).alias("users_above"),
+        F.sum("ev").over(w).alias("ev_above"),
+    )
+    k = F.expr("(n_users + 99) div 100")
+    pick = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_users", "n_events")
+        .agg(
+            F.max(
+                F.when(F.col("users_above") <= k, F.col("ev_above"))
+                .otherwise(0)
+            ).alias("ev_full"),
+            F.max(
+                F.when(F.col("users_above") <= k, F.col("users_above"))
+                .otherwise(0)
+            ).alias("u_full"),
+            F.min(
+                F.when(F.col("users_above") >= k, F.col("c"))
+            ).alias("c_boundary"),
+        )
+    )
+    return pick.select(
+        "n_users", "n_events",
+        F.expr("CAST((n_users + 99) div 100 AS BIGINT)").alias("k_top_users"),
+        F.expr(
+            "CAST(ev_full + ((n_users + 99) div 100 - u_full) * c_boundary"
+            " AS BIGINT)"
+        ).alias("events_top1pct"),
+        F.expr(
+            "CAST((ev_full + ((n_users + 99) div 100 - u_full) * c_boundary)"
+            " * 1000000 div n_events AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+@query(
+    "orders_weighted_reservoir_sample",
+    """
+    WITH keyed AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS w,
+               -ln((1 + ('0x' || substr(md5('wrs:' || o_orderkey), 1, 8))
+                        ::BIGINT) / 4294967297.0)
+                   / CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS key
+        FROM orders
+    ),
+    topk AS (
+        SELECT o_orderkey, w, key FROM keyed
+        ORDER BY key, o_orderkey LIMIT 100
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+           CAST(SUM(w) AS BIGINT) AS sample_cents,
+           CAST(MIN(w) AS BIGINT) AS min_weight,
+           ROUND(MAX(key), 9) AS max_key
+    FROM topk
+    """,
+)
+def orders_weighted_reservoir_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=100, inclusion
+    probability proportional to order value — the Efraimidis-Spirakis
+    A-ES scheme: each row draws u from its md5 coin and keeps key =
+    -ln(u)/w; the k SMALLEST keys are the sample.  Distributed as a
+    TakeOrderedAndProject (per-partition top-k, no global sort), fully
+    deterministic: u = (1+h)/2^32+1 from the exact integer hash, so
+    keys are identical doubles in both engines, ties broken by order
+    key.  The output is the sample's aggregate signature (size, total
+    weight, min weight, max key) — stable regardless of which
+    equal-key row a pathological corpus might admit."""
+    o = _t(spark, sf_dir, "orders")
+    w = F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wrs:"), F.col("o_orderkey").cast("string"))),
+            1, 8,
+        ), 16, 10,
+    ).cast("long")
+    keyed = o.select(
+        "o_orderkey",
+        w.alias("w"),
+        (-F.log((1 + h) / F.lit(4294967297.0)) / w).alias("key"),
+    )
+    topk = keyed.orderBy("key", "o_orderkey").limit(100)
+    return topk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.sum("w").cast("bigint").alias("sample_cents"),
+        F.min("w").cast("bigint").alias("min_weight"),
+        F.round(F.max("key"), 9).alias("max_key"),
+    )
