@@ -23886,3 +23886,345 @@ def orders_weighted_reservoir_sample(
         F.min("w").cast("bigint").alias("min_weight"),
         F.round(F.max("key"), 9).alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 battery X: ordered-trend, paired-comparison, and cumulative-
+# share reports (Cochran-Armitage, McNemar, Lorenz deciles).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cochran_armitage_trend",
+    """
+    WITH c AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    grid AS (
+        SELECT v, SUM(COUNT(*)) OVER (ORDER BY v) AS hi FROM c GROUP BY v
+    ),
+    cuts AS (
+        SELECT k, MIN(v) AS cut FROM grid CROSS JOIN tot,
+             (VALUES (1), (2), (3), (4)) t(k)
+        WHERE hi * 5 >= k * n GROUP BY k
+    ),
+    binned AS (
+        SELECT 1 + (SELECT COUNT(*) FROM cuts WHERE cut < c.v) AS b, y
+        FROM c
+    ),
+    g AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(y) AS BIGINT) AS r_b
+        FROM binned GROUP BY b
+    ),
+    f AS (
+        SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+               CAST(SUM(r_b) AS BIGINT) AS r,
+               CAST(SUM(b * r_b) AS BIGINT) AS sbr,
+               CAST(SUM(b * n_b) AS BIGINT) AS sbn,
+               CAST(SUM(b * b * n_b) AS BIGINT) AS sbbn
+        FROM g
+    )
+    SELECT n AS n_orders, r AS n_urgent,
+           ROUND((sbr - r::DOUBLE * sbn / n)
+                 / sqrt(r::DOUBLE * (n - r) / n / n
+                        * (sbbn - sbn::DOUBLE * sbn / n)), 6)
+               AS trend_z
+    FROM f
+    """,
+)
+def orders_cochran_armitage_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage trend test: is the urgent-order RATE monotone
+    across order-value quintiles?  The ordered-categories version of
+    the 2xk chi-square (which ignores ordering) — scores are the
+    quintile indices, the statistic is the score-weighted excess
+    z = (sum b*r_b - r*sum b*n_b/n) / sqrt(p(1-p)*Sxx).  Quintile
+    boundaries are exact grid order statistics (the bucket_assign
+    contract); every fold term is an exact integer (b*b*n_b <= 25n);
+    z is one closed-form double."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        .alias("y"),
+    )
+    tot = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from pyspark.sql import Window
+
+    grid = (
+        c.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_v"))
+        .select("v", F.sum("n_v").over(Window.orderBy("v")).alias("hi"))
+    )
+    ks = spark.range(1, 5).select(F.col("id").alias("k"))
+    cuts = (
+        grid.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ks))
+        .filter(F.col("hi") * 5 >= F.col("k") * F.col("n"))
+        .groupBy("k")
+        .agg(F.min("v").alias("cut"))
+        .agg(F.sort_array(F.collect_list("cut")).alias("cuts"))
+    )
+    binned = c.crossJoin(F.broadcast(cuts)).select(
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("cuts"), F.lit(0),
+                lambda a, x: a + F.when(x < F.col("v"), 1).otherwise(0),
+            )
+        ).alias("b"),
+        "y",
+    )
+    g = binned.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("r_b"),
+    )
+    f = g.agg(
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.sum("r_b").cast("bigint").alias("r"),
+        F.sum(F.col("b") * F.col("r_b")).cast("bigint").alias("sbr"),
+        F.sum(F.col("b") * F.col("n_b")).cast("bigint").alias("sbn"),
+        F.sum(F.col("b") * F.col("b") * F.col("n_b")).cast("bigint")
+        .alias("sbbn"),
+    )
+    num = F.col("sbr") - F.col("r").cast("double") * F.col("sbn") / F.col("n")
+    var = (
+        F.col("r").cast("double") * (F.col("n") - F.col("r"))
+        / F.col("n") / F.col("n")
+        * (
+            F.col("sbbn")
+            - F.col("sbn").cast("double") * F.col("sbn") / F.col("n")
+        )
+    )
+    return f.select(
+        F.col("n").alias("n_orders"),
+        F.col("r").alias("n_urgent"),
+        F.round(num / F.sqrt(var), 6).alias("trend_z"),
+    )
+
+
+@query(
+    "docs_mcnemar_detectors",
+    """
+    WITH pred AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+               CASE WHEN len(list_filter(
+                        string_split_regex(lower(text), '[^a-z]+'),
+                        x -> x IN ('the', 'and', 'of', 'to', 'in', 'is',
+                                   'that', 'for'))) >= 2
+                    THEN 1 ELSE 0 END AS det_a,
+               CASE WHEN len(text) > 0 AND
+                    CAST(length(regexp_replace(text, '[^aeiou]', '', 'g'))
+                         AS DOUBLE) / len(text) BETWEEN 0.08 AND 0.45
+                    THEN 1 ELSE 0 END AS det_b
+        FROM documents
+    ),
+    f AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN (det_a = truth) AND (det_b != truth)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS b_only_a,
+            CAST(SUM(CASE WHEN (det_a != truth) AND (det_b = truth)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c_only_b,
+            CAST(SUM(CASE WHEN det_a = truth THEN 1 ELSE 0 END) AS BIGINT)
+                AS acc_a,
+            CAST(SUM(CASE WHEN det_b = truth THEN 1 ELSE 0 END) AS BIGINT)
+                AS acc_b
+        FROM pred
+    )
+    SELECT n AS n_docs,
+           CAST(acc_a * 1000000 // n AS BIGINT) AS acc_a_ppm,
+           CAST(acc_b * 1000000 // n AS BIGINT) AS acc_b_ppm,
+           b_only_a, c_only_b,
+           ROUND((b_only_a - c_only_b) * (b_only_a - c_only_b)
+                 / (b_only_a + c_only_b)::DOUBLE, 6) AS mcnemar_chi2
+    FROM f
+    """,
+)
+def docs_mcnemar_detectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two English detectors on the SAME
+    documents (stopword-count vs vowel-ratio heuristics, judged
+    against the stored label): chi2 = (b-c)^2/(b+c) over the
+    DISCORDANT pairs only — the correct significance test for 'is
+    classifier A better than B' on a shared eval set, where two
+    independent accuracy CIs overlap misleadingly.  All counts exact;
+    one closed-form double."""
+    d = _t(spark, sf_dir, "documents")
+    stop = F.array(
+        *[F.lit(x) for x in
+          ("the", "and", "of", "to", "in", "is", "that", "for")]
+    )
+    det_a = (
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: F.array_contains(stop, x),
+            )
+        ) >= 2
+    ).cast("int")
+    vow = F.length(F.regexp_replace(F.col("text"), "[^aeiou]", ""))
+    det_b = (
+        (F.length(F.col("text")) > 0)
+        & (vow.cast("double") / F.length(F.col("text"))).between(0.08, 0.45)
+    ).cast("int")
+    truth = (F.col("lang") == "en").cast("int")
+    pred = d.select(
+        truth.alias("truth"), det_a.alias("det_a"), det_b.alias("det_b")
+    )
+    f = pred.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("det_a") == F.col("truth"))
+                & (F.col("det_b") != F.col("truth")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("b_only_a"),
+        F.sum(
+            F.when(
+                (F.col("det_a") != F.col("truth"))
+                & (F.col("det_b") == F.col("truth")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("c_only_b"),
+        F.sum(F.when(F.col("det_a") == F.col("truth"), 1).otherwise(0))
+        .cast("bigint").alias("acc_a"),
+        F.sum(F.when(F.col("det_b") == F.col("truth"), 1).otherwise(0))
+        .cast("bigint").alias("acc_b"),
+    )
+    return f.select(
+        F.col("n").alias("n_docs"),
+        F.expr("CAST(acc_a * 1000000 div n AS BIGINT)").alias("acc_a_ppm"),
+        F.expr("CAST(acc_b * 1000000 div n AS BIGINT)").alias("acc_b_ppm"),
+        "b_only_a", "c_only_b",
+        F.round(
+            (F.col("b_only_a") - F.col("c_only_b"))
+            * (F.col("b_only_a") - F.col("c_only_b"))
+            / (F.col("b_only_a") + F.col("c_only_b")).cast("double"),
+            6,
+        ).alias("mcnemar_chi2"),
+    )
+
+
+@query(
+    "cust_lorenz_revenue_deciles",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s
+        FROM per_cust
+    ),
+    grid AS (
+        SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS n_v,
+               CAST(SUM(cents) AS BIGINT) AS rev
+        FROM per_cust GROUP BY cents
+    ),
+    cum AS (
+        SELECT v, n_v, rev,
+               SUM(n_v) OVER (ORDER BY v) AS hi,
+               SUM(rev) OVER (ORDER BY v) AS rev_cum
+        FROM grid
+    ),
+    deciles AS (
+        SELECT d.k,
+               MAX(CASE WHEN cum.hi * 10 <= k * t.n THEN cum.rev_cum
+                        ELSE 0 END) AS rev_full,
+               MAX(CASE WHEN cum.hi * 10 <= k * t.n THEN cum.hi
+                        ELSE 0 END) AS u_full,
+               MIN(CASE WHEN cum.hi * 10 >= k * t.n THEN cum.v
+                        ELSE NULL END) AS v_boundary
+        FROM cum CROSS JOIN tot t,
+             (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) d(k)
+        GROUP BY d.k
+    )
+    SELECT CAST(d.k AS BIGINT) AS decile,
+           CAST(t.n * d.k // 10 AS BIGINT) AS n_cust_cum,
+           CAST(d.rev_full + (t.n * d.k // 10 - d.u_full) * d.v_boundary
+                AS BIGINT) AS rev_cents_cum,
+           CAST((d.rev_full + (t.n * d.k // 10 - d.u_full) * d.v_boundary)
+                * 1000000 // t.s AS BIGINT) AS lorenz_ppm
+    FROM deciles d CROSS JOIN tot t
+    ORDER BY decile
+    """,
+)
+def cust_lorenz_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve of customer revenue at decile resolution: for
+    the poorest k/10 of customers (by total spend, ascending), their
+    exact cumulative revenue share in ppm — the curve whose area
+    complement is the Gini already registered (orders_gini_by_nation),
+    rendered as the 10-point table BI tools plot.  Same
+    grid-plus-boundary-split technique as events_top1pct_user_share:
+    whole value-buckets below the decile boundary contribute fully,
+    the straddling bucket contributes exactly its surviving members at
+    the boundary value — exact integers throughout."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).cast("bigint").alias("cents")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    grid = per.groupBy(F.col("cents").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.sum("cents").cast("bigint").alias("rev"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v")
+    cum = grid.select(
+        "v", "n_v", "rev",
+        F.sum("n_v").over(w).alias("hi"),
+        F.sum("rev").over(w).alias("rev_cum"),
+    )
+    ks = spark.range(1, 11).select(F.col("id").alias("k"))
+    deciles = (
+        cum.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("hi") * 10 <= F.col("k") * F.col("n"),
+                    F.col("rev_cum"),
+                ).otherwise(0)
+            ).alias("rev_full"),
+            F.max(
+                F.when(
+                    F.col("hi") * 10 <= F.col("k") * F.col("n"), F.col("hi")
+                ).otherwise(0)
+            ).alias("u_full"),
+            F.min(
+                F.when(
+                    F.col("hi") * 10 >= F.col("k") * F.col("n"), F.col("v")
+                )
+            ).alias("v_boundary"),
+        )
+    )
+    return (
+        deciles.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("bigint").alias("decile"),
+            F.expr("CAST(n * k div 10 AS BIGINT)").alias("n_cust_cum"),
+            F.expr(
+                "CAST(rev_full + (n * k div 10 - u_full) * v_boundary"
+                " AS BIGINT)"
+            ).alias("rev_cents_cum"),
+            F.expr(
+                "CAST((rev_full + (n * k div 10 - u_full) * v_boundary)"
+                " * 1000000 div s AS BIGINT)"
+            ).alias("lorenz_ppm"),
+        )
+        .orderBy("decile")
+    )
