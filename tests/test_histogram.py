@@ -154,3 +154,50 @@ def test_decile_mix_approx_plan_is_sort_and_window_free(spark):
     assert "Sort " not in plan and "Sort[" not in plan
     assert "Window" not in plan
     assert "partial_percentile_approx" in plan
+
+
+def test_bucket_assign_consumes_persisted_sketch_cutpoints(spark, tmp_path):
+    """The daily-ingest labelling path the bucket_assign docstring
+    promises: per-day sketches persist once, merged_quantiles over the
+    sketch rows (history never rescanned) yields decile cutpoints, and
+    bucket_assign labels a NEW batch against the corpus-lifetime
+    distribution.  Populations land near n/10 and the boundary
+    invariant (every bucket-k value <= every bucket-k+1 value) holds."""
+    from opentimes_spark.operators.histogram import bucket_assign
+    from opentimes_spark.operators.quantile_sketch import (
+        merged_quantiles,
+        write_sketch,
+    )
+
+    o = read_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    # two "ingest days" sketched independently
+    d1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    d2 = o.filter(F.col("o_orderkey") % 2 == 1)
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_sketch(d1, "o_totalprice", p1)
+    write_sketch(d2, "o_totalprice", p2)
+
+    probs = [i / 10 for i in range(1, 10)]
+    qs = merged_quantiles(spark, [p1, p2], probs)
+    cuts = [qs[p] for p in probs]
+    assert cuts == sorted(cuts)
+
+    labelled = bucket_assign(
+        o, "o_totalprice", n_buckets=10, cutpoints=cuts, bucket_col="decile"
+    )
+    n = o.count()
+    stats = labelled.groupBy("decile").count().collect()
+    assert {r["decile"] for r in stats} <= set(range(1, 11))
+    for r in stats:
+        # sketch error tolerance: populations within 10% of n/10 + slack
+        assert abs(r["count"] - n / 10) <= max(10, 0.1 * n), r
+    bounds = {
+        r["decile"]: (r["lo"], r["hi"])
+        for r in labelled.groupBy("decile")
+        .agg(F.min("o_totalprice").alias("lo"),
+             F.max("o_totalprice").alias("hi"))
+        .collect()
+    }
+    ks = sorted(bounds)
+    for a, b in zip(ks, ks[1:]):
+        assert bounds[a][1] <= bounds[b][0]
