@@ -24228,3 +24228,536 @@ def cust_lorenz_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 evaluation & drift-monitoring battery: the metrics a training-
+# data pipeline runs over its quality classifier and its ingest streams —
+# grid-exact ROC-AUC, calibration (ECE + Brier decomposition), a second
+# two-sample distribution test (Cramér-von Mises, complementing KS), a
+# sequential drift detector (Page-Hinkley, complementing CUSUM/SPRT), and
+# deterministic stratified k-fold assignment for eval splits.  All follow
+# the house determinism rule: exact integer arithmetic on an aggregate
+# grid, a single documented quantization (ppm / milli) or one final
+# double, windows only over aggregated frames.
+#
+# The shared "classifier score" is a deterministic text feature (the
+# 'the'-trigram rate per word, clamped to 0..99) computed identically in
+# both engines — a stand-in for the Arrow-batched classifier scores of
+# operators/inference.py whose exact replay already lives in
+# docs_classifier_scores; here the METRIC machinery is what is certified.
+# ---------------------------------------------------------------------------
+
+_SCORE_SQL = (
+    "LEAST(99, 3000 * ((length(text) - length(replace(text, 'the', '')))"
+    " {d} 3) {d} ((length(text) - length(replace(text, ' ', ''))) + 1))"
+)
+
+
+@query(
+    "docs_quality_roc_auc",
+    """
+    WITH f AS (
+        SELECT """ + _SCORE_SQL.format(d="//") + """ AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+        FROM documents
+    ),
+    g AS (
+        SELECT score, CAST(SUM(is_pos) AS BIGINT) AS n_p,
+               CAST(SUM(1 - is_pos) AS BIGINT) AS n_q
+        FROM f GROUP BY score
+    ),
+    t AS (
+        SELECT CAST(SUM(n_p) AS BIGINT) AS np,
+               CAST(SUM(n_q) AS BIGINT) AS nq
+        FROM g
+    ),
+    cum AS (
+        SELECT n_p, n_q,
+               SUM(n_q) OVER (ORDER BY score) - n_q AS cq_below
+        FROM g
+    ),
+    u AS (
+        SELECT CAST(SUM(n_p * (2 * cq_below + n_q)) AS BIGINT) AS num2
+        FROM cum
+    )
+    SELECT np AS n_pos, nq AS n_neg,
+           ROUND(num2::DOUBLE / (2.0 * np * nq), 6) AS auc,
+           ROUND(num2::DOUBLE / (np::DOUBLE * nq) - 1.0, 6) AS gini
+    FROM u CROSS JOIN t
+    """,
+)
+def docs_quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of a deterministic quality score against the lang='en'
+    label, computed on the score GRID with the exact tie correction:
+    2U = Σ_s n_pos(s)·(2·cum_neg_below(s) + n_neg(s)), AUC = U/(np·nq)
+    — the Mann-Whitney identity, so ties contribute exactly ½.  The
+    integer 2U makes both engines agree bit-for-bit before the single
+    final division; gini = 2·AUC − 1.  Scale: one fact fold to a
+    ≤100-row score grid, windows over that grid only; int64 headroom
+    np·nq ~ 1e15 at 50M docs."""
+    f = _t(spark, sf_dir, "documents").select(
+        F.expr(_SCORE_SQL.format(d="div")).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_pos"),
+    )
+    g = f.groupBy("score").agg(
+        F.sum("is_pos").cast("bigint").alias("n_p"),
+        F.sum(1 - F.col("is_pos")).cast("bigint").alias("n_q"),
+    )
+    t = g.agg(
+        F.sum("n_p").cast("bigint").alias("np"),
+        F.sum("n_q").cast("bigint").alias("nq"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("score")
+    cum = g.select(
+        "n_p", "n_q", (F.sum("n_q").over(w) - F.col("n_q")).alias("cq_below")
+    )
+    u = cum.agg(
+        F.sum(F.col("n_p") * (2 * F.col("cq_below") + F.col("n_q")))
+        .cast("bigint")
+        .alias("num2")
+    )
+    return u.crossJoin(F.broadcast(t)).select(
+        F.col("np").alias("n_pos"),
+        F.col("nq").alias("n_neg"),
+        F.round(
+            F.col("num2").cast("double") / (2.0 * F.col("np") * F.col("nq")), 6
+        ).alias("auc"),
+        F.round(
+            F.col("num2").cast("double")
+            / (F.col("np").cast("double") * F.col("nq"))
+            - 1.0,
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "docs_quality_ece",
+    """
+    WITH f AS (
+        SELECT """ + _SCORE_SQL.format(d="//") + """ AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+        FROM documents
+    ),
+    b AS (
+        SELECT CAST(score // 10 AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+               CAST(SUM(score) AS BIGINT) AS sum_score
+        FROM f GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM b),
+    g AS (
+        SELECT bin, n, n_pos,
+               CAST(sum_score * 10000 // n AS BIGINT) AS conf_ppm,
+               CAST(n_pos * 1000000 // n AS BIGINT) AS acc_ppm
+        FROM b
+    ),
+    e AS (
+        SELECT CAST(SUM(n * ABS(conf_ppm - acc_ppm)) AS BIGINT) AS wsum
+        FROM g
+    )
+    SELECT bin, n, n_pos, conf_ppm, acc_ppm,
+           ABS(conf_ppm - acc_ppm) AS gap_ppm,
+           CAST(e.wsum // t.nn AS BIGINT) AS ece_ppm
+    FROM g CROSS JOIN t CROSS JOIN e
+    """,
+)
+def docs_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the quality score read as a
+    probability (score/100) over 10 equal-width confidence bins: per
+    bin the mean confidence and the empirical positive rate in exact
+    integer ppm (floor-quantized), the per-bin |gap|, and the shared
+    count-weighted ECE — the reliability-diagram table.  Scale: one
+    fold to a 10-row bin grid; all divisions are integer floor on
+    exact sums (sum_score·1e4 ≤ 1e6·N — int64 to ~9e12 docs)."""
+    f = _t(spark, sf_dir, "documents").select(
+        F.expr(_SCORE_SQL.format(d="div")).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_pos"),
+    )
+    b = f.groupBy(F.expr("CAST(score div 10 AS BIGINT)").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_pos").cast("bigint").alias("n_pos"),
+        F.sum("score").cast("bigint").alias("sum_score"),
+    )
+    t = b.agg(F.sum("n").cast("bigint").alias("nn"))
+    g = b.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("CAST(sum_score * 10000 div n AS BIGINT)").alias("conf_ppm"),
+        F.expr("CAST(n_pos * 1000000 div n AS BIGINT)").alias("acc_ppm"),
+    )
+    e = g.agg(
+        F.sum(F.col("n") * F.abs(F.col("conf_ppm") - F.col("acc_ppm")))
+        .cast("bigint")
+        .alias("wsum")
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(e))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "conf_ppm",
+            "acc_ppm",
+            F.abs(F.col("conf_ppm") - F.col("acc_ppm")).alias("gap_ppm"),
+            F.expr("CAST(wsum div nn AS BIGINT)").alias("ece_ppm"),
+        )
+    )
+
+
+@query(
+    "docs_quality_brier_decomp",
+    """
+    WITH f AS (
+        SELECT """ + _SCORE_SQL.format(d="//") + """ AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+        FROM documents
+    ),
+    g AS (
+        SELECT score,
+               CAST(COUNT(*) AS BIGINT) AS n_s,
+               CAST(SUM(is_pos) AS BIGINT) AS pos_s
+        FROM f GROUP BY score
+    ),
+    t AS (
+        SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+               CAST(SUM(pos_s) AS BIGINT) AS p
+        FROM g
+    ),
+    terms AS (
+        SELECT
+            CAST(SUM((pos_s::HUGEINT * (100 - score) * (100 - score)
+                      + (n_s - pos_s)::HUGEINT * score * score) * 100
+                     // t.n) AS BIGINT) AS brier_ppm,
+            CAST(SUM((score::HUGEINT * n_s - 100 * pos_s)
+                     * (score::HUGEINT * n_s - 100 * pos_s) * 100
+                     // (n_s::HUGEINT * t.n)) AS BIGINT) AS rel_ppm,
+            CAST(SUM((pos_s::HUGEINT * t.n - t.p::HUGEINT * n_s)
+                     * (pos_s::HUGEINT * t.n - t.p::HUGEINT * n_s) * 1000000
+                     // (n_s::HUGEINT * t.n * t.n * t.n)) AS BIGINT)
+                AS res_ppm
+        FROM g CROSS JOIN t
+    )
+    SELECT t.n, t.p AS n_pos, terms.brier_ppm, terms.rel_ppm, terms.res_ppm,
+           CAST(t.p::HUGEINT * (t.n - t.p) * 1000000 // (t.n::HUGEINT * t.n)
+                AS BIGINT) AS unc_ppm
+    FROM terms CROSS JOIN t
+    """,
+)
+def docs_quality_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score of the quality score
+    read as probability score/100: BS, reliability, resolution, and
+    uncertainty (BS ≈ REL − RES + UNC up to the documented per-term
+    floor quantization).  Every term is exact int128 arithmetic on the
+    ≤100-row score grid — Spark DECIMAL(38,0), DuckDB HUGEINT (the
+    lineitem_welch_ttest idiom) — each term floor-quantized to ppm
+    BEFORE the sum, so both engines agree bit-for-bit with no double
+    algebra at all.  Scale: one fold to the score grid, O(grid)
+    algebra after."""
+    f = _t(spark, sf_dir, "documents").select(
+        F.expr(_SCORE_SQL.format(d="div")).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_pos"),
+    )
+    g = f.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("is_pos").cast("bigint").alias("pos_s"),
+    )
+    t = g.agg(
+        F.sum("n_s").cast("bigint").alias("n"),
+        F.sum("pos_s").cast("bigint").alias("p"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    terms = (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            F.expr(
+                "(" + dec.format("pos_s") + " * (100 - score) * (100 - score)"
+                " + " + dec.format("n_s - pos_s") + " * score * score) * 100"
+                " div " + dec.format("n")
+            ).alias("b_term"),
+            F.expr(
+                "(" + dec.format("score") + " * n_s - 100 * pos_s)"
+                " * (" + dec.format("score") + " * n_s - 100 * pos_s) * 100"
+                " div (" + dec.format("n_s") + " * n)"
+            ).alias("r_term"),
+            F.expr(
+                "(" + dec.format("pos_s") + " * n - " + dec.format("p")
+                + " * n_s) * (" + dec.format("pos_s") + " * n - "
+                + dec.format("p") + " * n_s) * 1000000"
+                " div (" + dec.format("n_s") + " * n * n * n)"
+            ).alias("s_term"),
+        )
+        .agg(
+            F.sum("b_term").cast("bigint").alias("brier_ppm"),
+            F.sum("r_term").cast("bigint").alias("rel_ppm"),
+            F.sum("s_term").cast("bigint").alias("res_ppm"),
+        )
+    )
+    return terms.crossJoin(F.broadcast(t)).select(
+        "n",
+        F.col("p").alias("n_pos"),
+        "brier_ppm",
+        "rel_ppm",
+        "res_ppm",
+        F.expr(
+            "CAST(" + dec.format("p") + " * (n - p) * 1000000 div ("
+            + dec.format("n") + " * n) AS BIGINT)"
+        ).alias("unc_ppm"),
+    )
+
+
+@query(
+    "events_cramer_von_mises",
+    """
+    WITH ev AS (
+        SELECT CAST(FLOOR(value) AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    g AS (
+        SELECT v, CAST(SUM(is_p) AS BIGINT) AS n_p,
+               CAST(SUM(1 - is_p) AS BIGINT) AS n_q
+        FROM ev GROUP BY v
+    ),
+    t AS (
+        SELECT CAST(SUM(n_p) AS BIGINT) AS np,
+               CAST(SUM(n_q) AS BIGINT) AS nq
+        FROM g
+    ),
+    cum AS (
+        SELECT n_p, n_q,
+               SUM(n_p) OVER (ORDER BY v) AS cp,
+               SUM(n_q) OVER (ORDER BY v) AS cq
+        FROM g
+    ),
+    s AS (
+        SELECT CAST(SUM((n_p + n_q)::HUGEINT
+                        * (cp::HUGEINT * nq - cq::HUGEINT * np)
+                        * (cp::HUGEINT * nq - cq::HUGEINT * np))
+                    AS HUGEINT) AS snum
+        FROM cum CROSS JOIN t
+    )
+    SELECT np AS n_purchase, nq AS n_view,
+           ROUND(CAST(snum AS DOUBLE)
+                 / (np::DOUBLE * nq * (np + nq) * (np + nq)), 6) AS cvm_t
+    FROM s CROSS JOIN t
+    """,
+)
+def events_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion between the purchase and
+    view value distributions in its ECDF-integral form:
+    T = nm/(n+m)² · Σ_x w(x)·(F_n(x) − G_m(x))² over the combined
+    integer value grid with multiplicity weights w — the L2 companion
+    to events_ks_two_sample's sup-norm D (KS sees the single worst
+    gap; CvM accumulates every gap, catching broad shape drift KS
+    misses).  The inner sum is exact int128 cross-products
+    (cp·nq − cq·np ≤ n·m ~ 2.5e9 at sf0.1, squared ~ 6e18 — Spark
+    DECIMAL(38,0), DuckDB HUGEINT), one final double division.
+    Scale: windows over the aggregated value grid only."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    g = (
+        e.select(
+            F.floor("value").cast("bigint").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            .alias("is_p"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("is_p").cast("bigint").alias("n_p"),
+            F.sum(1 - F.col("is_p")).cast("bigint").alias("n_q"),
+        )
+    )
+    t = g.agg(
+        F.sum("n_p").cast("bigint").alias("np"),
+        F.sum("n_q").cast("bigint").alias("nq"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v")
+    cum = g.select(
+        "n_p",
+        "n_q",
+        F.sum("n_p").over(w).alias("cp"),
+        F.sum("n_q").over(w).alias("cq"),
+    )
+    s = (
+        cum.crossJoin(F.broadcast(t))
+        .select(
+            F.expr(
+                "CAST(n_p + n_q AS DECIMAL(38,0))"
+                " * (CAST(cp AS DECIMAL(38,0)) * nq"
+                "    - CAST(cq AS DECIMAL(38,0)) * np)"
+                " * (CAST(cp AS DECIMAL(38,0)) * nq"
+                "    - CAST(cq AS DECIMAL(38,0)) * np)"
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("snum"))
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        F.col("np").alias("n_purchase"),
+        F.col("nq").alias("n_view"),
+        F.round(
+            F.col("snum").cast("double")
+            / (
+                F.col("np").cast("double")
+                * F.col("nq")
+                * (F.col("np") + F.col("nq"))
+                * (F.col("np") + F.col("nq"))
+            ),
+            6,
+        ).alias("cvm_t"),
+    )
+
+
+@query(
+    "orders_page_hinkley",
+    """
+    WITH wk AS (
+        SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT wk, x,
+               ROW_NUMBER() OVER (ORDER BY wk) AS i,
+               SUM(x) OVER (ORDER BY wk ROWS UNBOUNDED PRECEDING) AS s
+        FROM wk
+    ),
+    dev AS (
+        SELECT wk, i, CAST(x * 1000 - s * 1000 // i AS BIGINT) AS q
+        FROM seq
+    ),
+    m AS (
+        SELECT wk, i,
+               SUM(q) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS m_t
+        FROM dev
+    ),
+    ph AS (
+        SELECT wk, i, m_t,
+               m_t - MIN(m_t) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+                   AS ph_t
+        FROM m
+    )
+    SELECT wk AS alarm_week, CAST(ph_t AS BIGINT) AS ph_milli,
+           CAST(i AS BIGINT) AS weeks_observed
+    FROM ph
+    ORDER BY ph_t DESC, wk
+    LIMIT 1
+    """,
+)
+def orders_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector over weekly order volume: the
+    cumulative deviation from the RUNNING mean m_t = Σ_{i≤t}(x_i − x̄_i)
+    (milli-units, each term floor-quantized as x_i·1000 − ⌊S_i·1000/i⌋
+    — both parts non-negative integers, so floor is engine-identical),
+    with the PH statistic m_t − min_{s≤t} m_s and its argmax week —
+    the sequential upward-shift alarm that complements
+    orders_cusum_changepoint's retrospective split and
+    events_sprt_decision's hypothesis pair.  Scale: fact folds to the
+    ~300-row week grain before any window; int64 headroom S·1000 ~
+    3e8 weeks·orders at sf0.1, safe past sf1000."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd")
+        .alias("wk")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wo = Window.orderBy("wk")
+    seq = wk.select(
+        "wk",
+        "x",
+        F.row_number().over(wo).alias("i"),
+        F.sum("x")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("s"),
+    )
+    dev = seq.select(
+        "wk", "i", F.expr("CAST(x * 1000 - s * 1000 div i AS BIGINT)")
+        .alias("q")
+    )
+    wi = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = dev.select("wk", "i", F.sum("q").over(wi).alias("m_t"))
+    ph = m.select(
+        "wk", "i", "m_t", (F.col("m_t") - F.min("m_t").over(wi)).alias("ph_t")
+    )
+    return (
+        ph.select(
+            F.col("wk").alias("alarm_week"),
+            F.col("ph_t").cast("bigint").alias("ph_milli"),
+            F.col("i").cast("bigint").alias("weeks_observed"),
+        )
+        .orderBy(F.desc("ph_milli"), "alarm_week")
+        .limit(1)
+    )
+
+
+@query(
+    "cust_stratified_kfold",
+    """
+    WITH r AS (
+        SELECT c_mktsegment AS segment,
+               CAST((ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_custkey) - 1) % 5
+                    AS BIGINT) AS fold
+        FROM customer
+    ),
+    g AS (
+        SELECT segment, fold, CAST(COUNT(*) AS BIGINT) AS n
+        FROM r GROUP BY segment, fold
+    ),
+    b AS (
+        SELECT segment, CAST(MAX(n) - MIN(n) AS BIGINT) AS imbalance
+        FROM g GROUP BY segment
+    )
+    SELECT g.segment, g.fold, g.n, b.imbalance
+    FROM g JOIN b ON g.segment = b.segment
+    """,
+)
+def cust_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 5-fold assignment over customers:
+    fold = (rank within market segment by customer key) mod 5, so every
+    segment's folds differ by at most one member — the eval-split
+    primitive for training the quality classifier without segment
+    leakage (pairs with train_val_split's hash split; this one
+    guarantees per-stratum balance).  Output: per (segment, fold)
+    count plus the per-segment max−min imbalance (≤ 1 by
+    construction — the assertion a reviewer checks).  Scale: the rank
+    window is PARTITIONED by segment over the customer dimension; at
+    fact scale the same idiom runs on the salted row_number ladder."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    r = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        (
+            (
+                F.row_number().over(
+                    Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+                )
+                - 1
+            )
+            % 5
+        )
+        .cast("bigint")
+        .alias("fold"),
+    )
+    g = r.groupBy("segment", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    b = g.groupBy("segment").agg(
+        (F.max("n") - F.min("n")).cast("bigint").alias("imbalance")
+    )
+    return g.join(F.broadcast(b), "segment").select(
+        "segment", "fold", "n", "imbalance"
+    )
