@@ -11,8 +11,10 @@ format a stdlib+numpy decoder can honestly cover:
   PLTE + tRNS), single-frame GIF (full LZW
   with dictionary growth + 4-pass interlace), baseline JPEG (SOF0:
   Annex-K Huffman, orthonormal IDCT, 4:2:0/4:2:2/4:4:4 sampling, DRI
-  restart markers — round 7), and RIFF/PCM WAV — each with an encoder
-  partner and byte-level round-trip tests.
+  restart markers — round 7), and RIFF/WAVE audio across the full
+  format matrix (integer PCM 8/16/24/32-bit, IEEE float32/64, G.711
+  mu-law/A-law, IMA ADPCM, EXTENSIBLE wrappers — round 10) — each
+  with an encoder partner and byte-level round-trip tests.
 - ``decode_image`` with ``codec="fake"`` runs a deterministic synthetic
   decoder (dimensions + checksum derived from the bytes) for pipeline
   tests that don't care about pixels;
@@ -2412,11 +2414,18 @@ def resize_images(
     return df.filter(F.col("kind") == "image").mapInPandas(resize, RESIZED_SCHEMA)
 
 
-# --- audio: pure-numpy WAV (RIFF/PCM) codec + frame features ---------------
-# Uncompressed PCM needs no audio library — RIFF chunk walk + frombuffer.
-# Compressed codecs (MP3/Opus) would plug in at the same seam Pillow does
-# for images; PCM is the on-disk format training pipelines standardize on
-# anyway (decode once at ingest, store raw).
+# --- audio: pure-numpy WAV (RIFF) codec + frame features -------------------
+# The native decoder covers the full RIFF/WAVE format matrix a web crawl
+# actually contains: integer PCM at 8/16/24/32 bits, IEEE float32/64,
+# G.711 mu-law and A-law (the telephony formats, exact 256-entry
+# expansion), IMA/DVI ADPCM (format 0x11, 4-bit, mono/stereo — decoded
+# vectorized ACROSS blocks: the per-sample recurrence loops over the
+# ~505 in-block positions while numpy carries every block's
+# predictor/index state in lockstep), and WAVE_FORMAT_EXTENSIBLE
+# wrappers of any of these.  Only perceptual codecs (MP3/Opus/AAC)
+# remain behind the external-library seam — they would plug in at the
+# same place Pillow does for images; PCM is the on-disk format training
+# pipelines standardize on anyway (decode once at ingest, store raw).
 
 
 def encode_wav(
@@ -2444,10 +2453,297 @@ def encode_wav(
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
+# G.711 (ITU-T): exact 256-entry expansion tables built from the
+# segment/mantissa formulas; encode_* are their standard compressors.
+_G711_BIAS = 0x84
+_G711_CLIP = 32635
+
+
+def _mulaw_decode_table() -> np.ndarray:
+    u = (~np.arange(256)).astype(np.uint8)
+    sign = (u & 0x80) != 0
+    exponent = (u.astype(np.int32) >> 4) & 0x07
+    mantissa = u.astype(np.int32) & 0x0F
+    mag = (((mantissa << 3) + _G711_BIAS) << exponent) - _G711_BIAS
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_decode_table() -> np.ndarray:
+    u = (np.arange(256) ^ 0x55).astype(np.int32)
+    sign = (u & 0x80) != 0
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+    )
+    # A-law sign bit SET means positive (ITU G.711 convention — the
+    # opposite of mu-law's)
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+_MULAW_DECODE = _mulaw_decode_table()
+_ALAW_DECODE = _alaw_decode_table()
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 → G.711 mu-law codes (uint8), vectorized Sun idiom."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _G711_CLIP) + _G711_BIAS
+    exponent = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    exponent = np.clip(exponent, 0, 7)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa)).astype(np.uint8)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 → G.711 A-law codes (uint8)."""
+    x = samples.astype(np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767) >> 3  # 13-bit magnitude
+    exponent = np.zeros_like(mag)
+    nz = mag >= 32
+    exponent[nz] = (np.floor(np.log2(mag[nz])) - 4).astype(np.int32)
+    exponent = np.clip(exponent, 0, 7)
+    mantissa = np.where(
+        exponent == 0, mag >> 1, (mag >> exponent) & 0x0F
+    )
+    return ((sign | (exponent << 4) | mantissa) ^ 0x55).astype(np.uint8)
+
+
+def _wav_wrap(fmt_body: bytes, extra_chunks: bytes, data: bytes) -> bytes:
+    chunks = (
+        b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+        + extra_chunks
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8000, law: str = "mulaw"
+) -> bytes:
+    """int16 samples (n,) or (n, ch) → G.711 mu-law/A-law RIFF bytes
+    (format tag 7 / 6) — the telephony WAV flavor."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav_g711 expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    enc = mulaw_encode if law == "mulaw" else alaw_encode
+    tag = 7 if law == "mulaw" else 6
+    data = enc(samples.reshape(-1)).tobytes()
+    fmt_body = (
+        tag.to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * ch).to_bytes(4, "little")
+        + ch.to_bytes(2, "little")  # block align: 1 byte/sample/ch
+        + (8).to_bytes(2, "little")
+    )
+    fact = b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+    return _wav_wrap(fmt_body, fact, data)
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 1024
+) -> bytes:
+    """int16 samples (n,) or (n, ch) → IMA/DVI ADPCM RIFF bytes (format
+    tag 0x11, 4-bit).  The standard greedy compressor: per block, the
+    header carries the first sample verbatim plus the carried step
+    index; each following sample becomes the 4-bit code whose decode
+    lands nearest under the current step.  Input is padded to whole
+    blocks with trailing silence (the spec's convention)."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav_ima_adpcm expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if ch not in (1, 2):
+        raise ValueError("IMA ADPCM supports 1-2 channels")
+    spb = (block_align - 4 * ch) * 2 // ch + 1  # samples/block/channel
+    n_blocks = (n + spb - 1) // spb
+    padded = np.zeros((n_blocks * spb, ch), dtype=np.int16)
+    padded[:n] = samples
+    out = bytearray()
+    idx = [0] * ch
+    for bi in range(n_blocks):
+        blk = padded[bi * spb : (bi + 1) * spb]
+        heads = bytearray()
+        chan_words = []
+        for c in range(ch):
+            pred = int(blk[0, c])
+            heads += int(pred).to_bytes(2, "little", signed=True)
+            heads += bytes([idx[c], 0])
+            codes = bytearray()
+            for s in blk[1:, c].astype(np.int32):
+                step = int(_IMA_STEPS[idx[c]])
+                delta = int(s) - pred
+                code = 8 if delta < 0 else 0
+                delta = abs(delta)
+                diff = step >> 3
+                if delta >= step:
+                    code |= 4
+                    delta -= step
+                    diff += step
+                if delta >= step >> 1:
+                    code |= 2
+                    delta -= step >> 1
+                    diff += step >> 1
+                if delta >= step >> 2:
+                    code |= 1
+                    diff += step >> 2
+                pred += -diff if code & 8 else diff
+                pred = max(-32768, min(32767, pred))
+                idx[c] = max(0, min(88, idx[c] + int(_IMA_INDEX_ADJ[code & 7])))
+                codes.append(code)
+            chan_words.append(codes)
+        out += heads
+        # interleave one 4-byte word (8 codes) per channel at a time
+        for g in range((spb - 1) // 8):
+            for c in range(ch):
+                cs = chan_words[c][g * 8 : g * 8 + 8]
+                for k in range(0, 8, 2):
+                    out.append(cs[k] | (cs[k + 1] << 4))
+    fmt_body = (
+        (0x11).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align // spb).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")  # cbSize
+        + spb.to_bytes(2, "little")  # wSamplesPerBlock
+    )
+    fact = b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+    return _wav_wrap(fmt_body, fact, bytes(out))
+
+
+# IMA/DVI ADPCM (WAV format 0x11): standard step/index tables.
+_IMA_STEPS = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32,
+)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_codes(
+    codes: np.ndarray, pred0: np.ndarray, idx0: np.ndarray
+) -> np.ndarray:
+    """Vectorized-across-blocks IMA decode: ``codes`` (n_blocks, m)
+    4-bit codes, ``pred0``/``idx0`` (n_blocks,) header state → (n_blocks,
+    m) int16.  The per-sample recurrence runs over m (in-block
+    positions); every block advances in lockstep as numpy rows — the
+    same batch-the-independent-units strategy the JPEG decoder uses for
+    MCU rows."""
+    n_blocks, m = codes.shape
+    out = np.empty((n_blocks, m), dtype=np.int16)
+    pred = pred0.astype(np.int32).copy()
+    idx = np.clip(idx0.astype(np.int32), 0, 88)
+    for j in range(m):
+        code = codes[:, j].astype(np.int32)
+        step = _IMA_STEPS[idx]
+        diff = step >> 3
+        diff += np.where(code & 4, step, 0)
+        diff += np.where(code & 2, step >> 1, 0)
+        diff += np.where(code & 1, step >> 2, 0)
+        pred = np.where(code & 8, pred - diff, pred + diff)
+        pred = np.clip(pred, -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX_ADJ[code & 7], 0, 88)
+        out[:, j] = pred
+    return out
+
+
+def _decode_ima_adpcm(
+    data: bytes, ch: int, block_align: int
+) -> np.ndarray:
+    """WAV format-0x11 payload → (n, ch) int16.  Block layout per spec:
+    a 4-byte (predictor:int16, index:u8, pad) header per channel, then
+    channel-interleaved 4-byte words of eight 4-bit codes each (low
+    nibble first)."""
+    if ch not in (1, 2):
+        raise ValueError(f"IMA ADPCM supports 1-2 channels, got {ch}")
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return np.zeros((0, ch), dtype=np.int16)
+    raw = np.frombuffer(data, dtype=np.uint8, count=n_blocks * block_align)
+    blocks = raw.reshape(n_blocks, block_align)
+    head = blocks[:, : 4 * ch]
+    pred0 = np.empty((n_blocks, ch), dtype=np.int32)
+    idx0 = np.empty((n_blocks, ch), dtype=np.int32)
+    for c in range(ch):
+        h = head[:, 4 * c : 4 * c + 4]
+        pred0[:, c] = (
+            h[:, :2].copy().view("<i2").astype(np.int32).reshape(n_blocks)
+        )
+        idx0[:, c] = h[:, 2]
+    body = blocks[:, 4 * ch :]
+    # (n_blocks, n_groups, ch, 4): groups of one 4-byte word per channel
+    words = body.reshape(n_blocks, -1, ch, 4)
+    spb = words.shape[1] * 8  # coded samples per block per channel
+    out = np.empty((n_blocks, spb + 1, ch), dtype=np.int16)
+    for c in range(ch):
+        wb = words[:, :, c, :].reshape(n_blocks, -1)  # (n_blocks, 4*groups)
+        codes = np.empty((n_blocks, spb), dtype=np.uint8)
+        codes[:, 0::2] = wb & 0x0F
+        codes[:, 1::2] = wb >> 4
+        out[:, 0, c] = pred0[:, c].astype(np.int16)
+        out[:, 1:, c] = _ima_decode_codes(codes, pred0[:, c], idx0[:, c])
+    return out.reshape(n_blocks * (spb + 1), ch)
+
+
+def _pcm_to_int16(data: bytes, ch: int, bits: int, fmt: int) -> np.ndarray:
+    """Integer/float PCM payload → (n, ch) int16 (high bits kept)."""
+    if fmt == 3:  # IEEE float
+        if bits not in (32, 64):
+            raise ValueError(f"IEEE float WAV must be 32/64-bit, got {bits}")
+        w = bits // 8
+        n = len(data) // (w * ch)
+        f = np.frombuffer(data, dtype=f"<f{w}", count=n * ch)
+        s = np.clip(f, -1.0, 1.0) * 32767.0
+        return np.round(s).astype(np.int16).reshape(n, ch)
+    if bits == 8:  # unsigned by spec
+        n = len(data) // ch
+        u = np.frombuffer(data, dtype=np.uint8, count=n * ch)
+        return (
+            ((u.astype(np.int16) - 128) << 8).astype(np.int16).reshape(n, ch)
+        )
+    if bits == 16:
+        n = len(data) // (2 * ch)
+        return np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    if bits == 24:
+        n = len(data) // (3 * ch)
+        u = np.frombuffer(data, dtype=np.uint8, count=n * ch * 3)
+        u = u.reshape(-1, 3).astype(np.int32)
+        v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        v = np.where(v & 0x800000, v - 0x1000000, v)
+        return (v >> 8).astype(np.int16).reshape(n, ch)
+    if bits == 32:
+        n = len(data) // (4 * ch)
+        v = np.frombuffer(data, dtype="<i4", count=n * ch)
+        return (v >> 16).astype(np.int16).reshape(n, ch)
+    raise ValueError(f"unsupported PCM bit depth {bits}")
+
+
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE 16-bit PCM → ((n, ch) int16 array, sample_rate). Walks
-    the chunk list per the RIFF spec (fmt/data may be preceded by LIST
-    or fact chunks; chunk bodies are word-aligned)."""
+    """RIFF/WAVE → ((n, ch) int16 array, sample_rate).  Walks the chunk
+    list per the RIFF spec (fmt/data may be preceded by LIST or fact
+    chunks; chunk bodies are word-aligned).  Native format matrix:
+    integer PCM 8/16/24/32-bit, IEEE float32/64, G.711 mu-law (7) and
+    A-law (6), IMA/DVI ADPCM (0x11, mono/stereo), and any of these
+    wrapped in WAVE_FORMAT_EXTENSIBLE (0xFFFE).  Wider-than-16-bit
+    sources keep their high 16 bits — the pipeline's canonical sample
+    type.  Perceptual codecs (MP3/Opus/AAC) are the one remaining
+    external-library seam."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, fmt, data = 12, None, None
@@ -2465,15 +2761,29 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     audio_format = int.from_bytes(fmt[0:2], "little")
     ch = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(
-            "only 16-bit PCM WAV supported (compressed audio would plug "
-            "in at this seam, like Pillow for images)"
-        )
-    n = len(data) // (2 * ch)
-    samples = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
-    return samples, sample_rate
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag in GUID
+        if len(fmt) < 26:
+            raise ValueError("EXTENSIBLE fmt chunk too short")
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if ch < 1:
+        raise ValueError("channel count must be >= 1")
+    if audio_format in (1, 3):
+        return _pcm_to_int16(data, ch, bits, audio_format), sample_rate
+    if audio_format in (6, 7):  # G.711 A-law / mu-law: 8-bit codes
+        table = _ALAW_DECODE if audio_format == 6 else _MULAW_DECODE
+        n = len(data) // ch
+        codes = np.frombuffer(data, dtype=np.uint8, count=n * ch)
+        return table[codes].reshape(n, ch), sample_rate
+    if audio_format == 0x11:  # IMA/DVI ADPCM
+        return _decode_ima_adpcm(data, ch, block_align), sample_rate
+    raise NotImplementedError(
+        f"WAV format tag 0x{audio_format:02x} not supported natively "
+        "(PCM 8/16/24/32, float32/64, G.711 mu/A-law, IMA ADPCM are; "
+        "perceptual codecs like MP3/Opus would plug in at this seam, "
+        "like Pillow for images)"
+    )
 
 
 AUDIO_FRAME_SCHEMA = StructType(

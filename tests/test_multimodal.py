@@ -270,17 +270,190 @@ def test_wav_roundtrip_mono_and_stereo():
     assert np.array_equal(s2, stereo)
 
 
-def test_wav_rejects_non_pcm():
+def test_wav_rejects_perceptual_codecs():
     import numpy as np
 
     from opentimes_spark.operators.multimodal import decode_wav, encode_wav
 
     b = bytearray(encode_wav(np.zeros(16, dtype=np.int16), 8000))
-    b[20:22] = (3).to_bytes(2, "little")  # IEEE float format tag
-    with pytest.raises(NotImplementedError, match="16-bit PCM"):
+    b[20:22] = (0x55).to_bytes(2, "little")  # MP3 format tag
+    with pytest.raises(NotImplementedError, match="0x55"):
         decode_wav(bytes(b))
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"nope")
+
+
+def _wav_bytes(fmt_tag, ch, rate, bits, data, fmt_extra=b""):
+    fmt = (
+        fmt_tag.to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * ch * max(bits // 8, 1)).to_bytes(4, "little")
+        + (ch * max(bits // 8, 1)).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+        + fmt_extra
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_pcm_width_matrix():
+    """8/24/32-bit integer PCM and float32/64 all decode to the high 16
+    bits of the source — the pipeline's canonical sample type."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_wav
+
+    # 8-bit unsigned: 0 → -32768, 128 → 0, 255 → +32512
+    s, sr = decode_wav(_wav_bytes(1, 1, 8000, 8, bytes([0, 128, 255])))
+    assert sr == 8000 and s[:, 0].tolist() == [-32768, 0, 32512]
+
+    # 24-bit: high 16 bits kept, sign extended
+    vals24 = [0x7FFFFF, -0x800000, 0x000100]
+    data24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals24)
+    s, _ = decode_wav(_wav_bytes(1, 1, 8000, 24, data24))
+    assert s[:, 0].tolist() == [v >> 8 for v in vals24]
+
+    # 32-bit int: high 16 bits kept
+    v32 = np.array([2**31 - 1, -(2**31), 65536], dtype="<i4")
+    s, _ = decode_wav(_wav_bytes(1, 1, 8000, 32, v32.tobytes()))
+    assert s[:, 0].tolist() == [(2**31 - 1) >> 16, -(2**15), 1]
+
+    # float32 / float64: scaled to int16 with clipping
+    f32 = np.array([0.0, 1.0, -1.0, 0.5, 2.0], dtype="<f4")
+    s, _ = decode_wav(_wav_bytes(3, 1, 8000, 32, f32.tobytes()))
+    assert s[:, 0].tolist() == [0, 32767, -32767, 16384, 32767]
+    f64 = np.array([0.25, -2.0], dtype="<f8")
+    s, _ = decode_wav(_wav_bytes(3, 1, 8000, 64, f64.tobytes()))
+    assert s[:, 0].tolist() == [8192, -32767]
+
+
+def test_wav_extensible_wrapper():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves the real tag from the
+    SubFormat GUID."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_wav
+
+    pcm = np.array([1000, -1000, 123], dtype="<i2")
+    # cbSize(2) + validBits(2) + channelMask(4) + GUID(16, tag in first 2)
+    extra = (
+        (22).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    )
+    s, sr = decode_wav(
+        _wav_bytes(0xFFFE, 1, 44100, 16, pcm.tobytes(), fmt_extra=extra)
+    )
+    assert sr == 44100 and s[:, 0].tolist() == [1000, -1000, 123]
+
+
+def test_wav_g711_exact_vs_reference():
+    """G.711 mu-law and A-law: all 256 codes round-trip through
+    decode→encode exactly (mu-law's +0 alias 0x7F→0xFF is the one
+    spec-sanctioned exception), and — when the stdlib audioop reference
+    is importable — encode AND decode agree bit-for-bit with it."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        _ALAW_DECODE,
+        _MULAW_DECODE,
+        alaw_encode,
+        decode_wav,
+        encode_wav_g711,
+        mulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    mu_rt = mulaw_encode(_MULAW_DECODE[codes])
+    mismatch = np.nonzero(mu_rt != codes)[0]
+    assert mismatch.tolist() in ([], [127])  # 0x7F and 0xFF both decode 0
+    assert (alaw_encode(_ALAW_DECODE[codes]) == codes).all()
+
+    t = np.arange(4000)
+    sine = (12000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    try:
+        import audioop  # removed in Python 3.13 — reference check only
+    except ImportError:
+        audioop = None
+    if audioop is not None:
+        assert (
+            np.frombuffer(audioop.lin2ulaw(sine.tobytes(), 2), np.uint8)
+            == mulaw_encode(sine)
+        ).all()
+        assert (
+            np.frombuffer(
+                audioop.ulaw2lin(mulaw_encode(sine).tobytes(), 2), np.int16
+            )
+            == _MULAW_DECODE[mulaw_encode(sine)]
+        ).all()
+        assert (
+            np.frombuffer(audioop.lin2alaw(sine.tobytes(), 2), np.uint8)
+            == alaw_encode(sine)
+        ).all()
+        assert (
+            np.frombuffer(
+                audioop.alaw2lin(alaw_encode(sine).tobytes(), 2), np.int16
+            )
+            == _ALAW_DECODE[alaw_encode(sine)]
+        ).all()
+
+    # end-to-end through the RIFF wrapper, mono + stereo
+    s, sr = decode_wav(encode_wav_g711(sine, 8000, "mulaw"))
+    assert sr == 8000 and s.shape == (4000, 1)
+    assert np.abs(s[:, 0].astype(int) - sine.astype(int)).max() <= 700
+    st = np.stack([sine, -sine], axis=1).astype(np.int16)
+    s2, _ = decode_wav(encode_wav_g711(st, 8000, "alaw"))
+    assert s2.shape == (4000, 2)
+    assert np.abs(s2.astype(int) - st.astype(int)).max() <= 600
+
+
+def test_wav_ima_adpcm_roundtrip_and_reference():
+    """IMA/DVI ADPCM: the vectorized-across-blocks decoder agrees
+    bit-for-bit with the stdlib audioop reference on a random code
+    stream, and encode→decode tracks a sine within the step-table
+    bound once past the cold-start adaptation window."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        _ima_decode_codes,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    try:
+        import audioop
+    except ImportError:
+        audioop = None
+    if audioop is not None:
+        rng = np.random.default_rng(7)
+        codes = rng.integers(0, 16, 2000).astype(np.uint8)
+        packed = bytes(
+            (int(codes[i]) << 4) | int(codes[i + 1])
+            for i in range(0, 2000, 2)
+        )
+        ref = np.frombuffer(
+            audioop.adpcm2lin(packed, 2, (0, 0))[0], dtype=np.int16
+        )
+        mine = _ima_decode_codes(codes[None, :], np.array([0]), np.array([0]))
+        assert (ref == mine[0]).all()
+
+    t = np.arange(4000)
+    sine = (12000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    s, sr = decode_wav(encode_wav_ima_adpcm(sine, 8000, block_align=256))
+    assert sr == 8000 and s.shape[1] == 1 and s.shape[0] >= 4000
+    err = np.abs(s[:4000, 0].astype(int) - sine.astype(int))
+    assert err[64:].max() <= 700  # steady-state tracking
+    # stereo: channels decode independently and stay mirrored
+    st = np.stack([sine, -sine], axis=1).astype(np.int16)
+    s2, _ = decode_wav(encode_wav_ima_adpcm(st, 8000, block_align=512))
+    err2 = np.abs(s2[:4000].astype(int) - st.astype(int))
+    assert err2[64:].max() <= 700
 
 
 def test_audio_frame_features_sine_vs_silence(spark):
