@@ -19,10 +19,11 @@ format a stdlib+numpy decoder can honestly cover:
   decoder (dimensions + checksum derived from the bytes) for pipeline
   tests that don't care about pixels;
 - ``codec="real"`` auto-detects Pillow per worker process and falls
-  back to the native codecs; only arithmetic-coded and hierarchical
+  back to the native codecs; only progressive-arithmetic and hierarchical
   JPEG still raise at the disclosed seam (progressive JPEG landed in
-  round 8; exotic PNGs, 12-bit sequential, and lossless SOF3 in
-  round 9).
+  round 8; exotic PNGs, 12-bit sequential, and lossless SOF3 in round
+  9; arithmetic sequential SOF9 — the Annex-D QM coder with the F.1.4
+  DC/AC statistical models — in round 10).
 
 Scale notes: binary payloads dominate row size, so operators here
 (a) never collect payloads to the driver, (b) project metadata-only
@@ -100,8 +101,10 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
 # (round 6, full format matrix round 9); baseline JPEG adds Annex-K
 # Huffman + IDCT (round 7); progressive JPEG adds multi-scan spectral-
 # selection / successive-approximation decode (round 8); 12-bit
-# sequential and lossless SOF3 land in round 9.  Only arithmetic-coded
-# and hierarchical JPEG remain behind the Pillow seam.
+# sequential and lossless SOF3 land in round 9; arithmetic sequential
+# (SOF9, Annex-D QM coder) lands in round 10.  Only progressive-
+# arithmetic (SOF10) and hierarchical JPEG remain behind the Pillow
+# seam.
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -1758,6 +1761,567 @@ def _decode_progressive_scan(
                         )
 
 
+# --- JPEG arithmetic entropy coding (SOF9, ITU T.81 Annexes D/F) -----------
+# The QM coder: a multiplication-free binary arithmetic coder with a
+# 113-state probability estimation machine (Table D.3) plus the
+# fixed-probability state 113 used for AC sign decisions.  Encoder and
+# decoder below follow the Annex D/F flowcharts with the byte-oriented
+# register discipline (16-bit A interval renormalized to >= 0x8000,
+# conditional MPS/LPS exchange, carry resolution over stacked 0xFF
+# bytes) and the B.1.1.5 convention that any 0xFF entropy byte is
+# followed by a stuffed 0x00.  The DC/AC statistical models are the
+# F.1.4 decision trees (diff-class conditioned DC contexts, 3-per-k AC
+# EOB/zero/magnitude contexts, Kx low/high spectral split).
+
+# Table D.3 rows: (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS) —
+# the column order of the standard's table: an LPS moves toward the
+# less-skewed states (larger Qe), an MPS toward the more-skewed ones.
+_QM_ROWS = [
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1),
+    (0x5A1D, 113, 113, 0),  # 113: fixed ~0.5, non-adapting (sign bins)
+]
+_QM_QE = [r[0] for r in _QM_ROWS]
+_QM_NMPS = [r[2] for r in _QM_ROWS]
+# LPS transition with the MPS-switch folded into bit 7 (XOR trick):
+_QM_NLPS_SW = [(r[3] << 7) | r[1] for r in _QM_ROWS]
+
+
+class _QMEncoder:
+    """QM arithmetic encoder (T.81 Annex D).  Context state bytes live
+    in caller-owned bytearrays: bit 7 = current MPS, bits 0-6 = Table
+    D.3 state index; transitions use the XOR-folded switch bit."""
+
+    def __init__(self) -> None:
+        # Register scale matches _QMDecoder's INITDEC (A renormalized in
+        # [0x8000, 0x10000), first code byte after 12 shifts at c>>19).
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.buffer = -1  # pending byte (carry may still bump it)
+        self.sc = 0  # stacked 0xFF bytes awaiting carry resolution
+        self.out = bytearray()
+
+    def _emit(self, byte: int) -> None:
+        self.out.append(byte)
+        if byte == 0xFF:  # B.1.1.5 zero-byte stuffing
+            self.out.append(0x00)
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:  # carry: bump pending byte, stacked FFs become 00
+            if self.buffer >= 0:
+                self._emit(self.buffer + 1)
+            for _ in range(self.sc):
+                self._emit(0x00)
+            self.sc = 0
+            # spacer bits guarantee the post-carry byte is not 0xFF
+            self.buffer = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1  # may still be bumped to 0x00 by a carry
+        else:
+            if self.buffer >= 0:
+                self._emit(self.buffer)
+            for _ in range(self.sc):
+                self._emit(0xFF)
+            self.sc = 0
+            self.buffer = t
+        self.c &= 0x7FFFF
+
+    def encode(self, st: bytearray, i: int, bit: int) -> None:
+        s = st[i]
+        qe = _QM_QE[s & 0x7F]
+        a = self.a - qe
+        if bit == s >> 7:  # MPS
+            if a & 0x8000:
+                self.a = a
+                return  # no renormalization, no estimation update
+            if a < qe:  # conditional exchange: MPS takes upper interval
+                self.c += a
+                self.a = qe
+            else:
+                self.a = a
+            st[i] = (s & 0x80) ^ _QM_NMPS[s & 0x7F]
+        else:  # LPS
+            if a < qe:  # conditional exchange: LPS takes lower interval
+                self.a = a
+            else:
+                self.c += a
+                self.a = qe
+            st[i] = (s & 0x80) ^ _QM_NLPS_SW[s & 0x7F]
+        while True:  # RENORME
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a & 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        # D.1.8: pick the in-interval code value with most trailing 0s
+        t = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        if self.c & 0xF8000000:  # final carry
+            if self.buffer >= 0:
+                self._emit(self.buffer + 1)
+            for _ in range(self.sc):
+                self._emit(0x00)
+        else:
+            if self.buffer >= 0:
+                self._emit(self.buffer)
+            for _ in range(self.sc):
+                self._emit(0xFF)
+        self.sc = 0
+        self.buffer = -1
+        # trailing code bytes (trailing zeros are legal entropy data)
+        self._emit((self.c >> 19) & 0xFF)
+        self._emit((self.c >> 11) & 0xFF)
+        return bytes(self.out)
+
+
+class _QMDecoder:
+    """QM arithmetic decoder (T.81 Annex D mirror of ``_QMEncoder``).
+    Consumes stuffed entropy bytes from ``data`` starting at ``pos``;
+    once the terminating marker is reached it feeds zero bytes, per
+    F.2.2.2 (the tail of the code string is never transmitted)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.marker_hit = False
+        self._init_registers()
+
+    def _init_registers(self) -> None:
+        self.c = self._next_byte() << 16
+        self.c += self._next_byte() << 8
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct = 1
+        self.a = 0x8000
+
+    def _next_byte(self) -> int:
+        if self.marker_hit:
+            return 0
+        d, p = self.data, self.pos
+        if p >= len(d):
+            self.marker_hit = True
+            return 0
+        v = d[p]
+        if v == 0xFF:
+            if p + 1 < len(d) and d[p + 1] == 0x00:  # stuffed data byte
+                self.pos = p + 2
+                return 0xFF
+            self.marker_hit = True  # real marker: feed zeros from now on
+            return 0
+        self.pos = p + 1
+        return v
+
+    def _renorm(self) -> None:
+        while self.a < 0x8000:
+            if self.ct == 0:
+                self.c += self._next_byte() << 8
+                self.ct = 8
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            self.a <<= 1
+
+    def decode(self, st: bytearray, i: int) -> int:
+        s = st[i]
+        qe = _QM_QE[s & 0x7F]
+        a = self.a - qe
+        if (self.c >> 16) < a:
+            if a & 0x8000:
+                self.a = a
+                return s >> 7
+            if a < qe:  # conditional exchange: lower interval is LPS
+                bit = (s >> 7) ^ 1
+                st[i] = (s & 0x80) ^ _QM_NLPS_SW[s & 0x7F]
+            else:
+                bit = s >> 7
+                st[i] = (s & 0x80) ^ _QM_NMPS[s & 0x7F]
+            self.a = a
+        else:
+            self.c -= a << 16
+            if a < qe:  # conditional exchange: upper interval is MPS
+                bit = s >> 7
+                st[i] = (s & 0x80) ^ _QM_NMPS[s & 0x7F]
+            else:
+                bit = (s >> 7) ^ 1
+                st[i] = (s & 0x80) ^ _QM_NLPS_SW[s & 0x7F]
+            self.a = qe
+        self._renorm()
+        return bit
+
+    def seek_restart(self) -> None:
+        """Skip to just past the next RSTn marker and re-init (the
+        remaining bytes of the finished restart segment are padding)."""
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                self.pos = p + 2
+                self.marker_hit = False
+                self._init_registers()
+                return
+            p += 1
+        raise ValueError("JPEG: missing restart marker")
+
+
+def _arith_enc_dc(enc, st, ctx, diff, lo, up):
+    """Encode one DC difference per F.1.4.1/F.1.4.4.1; returns the next
+    conditioning context offset for this component."""
+    if diff == 0:
+        enc.encode(st, ctx, 0)
+        return 0
+    enc.encode(st, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    v = (-diff if sign else diff) - 1
+    enc.encode(st, ctx + 1, sign)
+    i = ctx + 2 + sign
+    if v == 0:
+        enc.encode(st, i, 0)
+        m = 0
+    else:
+        enc.encode(st, i, 1)
+        m = 1
+        i = 20  # X1
+        while v >= (m << 1):
+            enc.encode(st, i, 1)
+            m <<= 1
+            i += 1
+        enc.encode(st, i, 0)
+    if m < ((1 << lo) >> 1):
+        nxt = 0
+    elif m > ((1 << up) >> 1):
+        nxt = 12 + sign * 4
+    else:
+        nxt = 4 + sign * 4
+    i += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(st, i, 1 if v & mm else 0)
+        mm >>= 1
+    return nxt
+
+
+def _arith_dec_dc(dec, st, ctx, lo, up):
+    """Decode one DC difference; returns (diff, next context offset)."""
+    if dec.decode(st, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(st, ctx + 1)
+    i = ctx + 2 + sign
+    m = dec.decode(st, i)
+    if m:
+        i = 20
+        while dec.decode(st, i):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("JPEG: arithmetic DC magnitude overflow")
+            i += 1
+    if m < ((1 << lo) >> 1):
+        nxt = 0
+    elif m > ((1 << up) >> 1):
+        nxt = 12 + sign * 4
+    else:
+        nxt = 4 + sign * 4
+    v = m
+    i += 14
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, i):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return (-v if sign else v), nxt
+
+
+def _arith_enc_ac(enc, st, fixed, zz, kx):
+    """Encode one block's AC run (zigzag coefficients 1..63) per
+    F.1.4.2/F.1.4.3: per-k EOB decision, zero-run, fixed-probability
+    sign, magnitude category with the Kx low/high spectral split."""
+    ke = 63
+    while ke >= 1 and zz[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        s3 = 3 * (k - 1)
+        enc.encode(st, s3, 0)  # not EOB
+        while zz[k] == 0:
+            enc.encode(st, s3 + 1, 0)
+            k += 1
+            s3 += 3
+        enc.encode(st, s3 + 1, 1)
+        v = int(zz[k])
+        sign = 1 if v < 0 else 0
+        enc.encode(fixed, 0, sign)
+        v = (-v if sign else v) - 1
+        i = s3 + 2
+        if v == 0:
+            enc.encode(st, i, 0)
+            m = 0
+        else:
+            enc.encode(st, i, 1)
+            if v == 1:
+                enc.encode(st, i, 0)
+                m = 1
+            else:
+                enc.encode(st, i, 1)
+                m = 2
+                i = 189 if k <= kx else 217
+                while v >= (m << 1):
+                    enc.encode(st, i, 1)
+                    m <<= 1
+                    i += 1
+                enc.encode(st, i, 0)
+        i += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(st, i, 1 if v & mm else 0)
+            mm >>= 1
+        k += 1
+    if ke < 63:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _arith_dec_ac(dec, st, fixed, zz, kx):
+    """Decode one block's AC coefficients into zigzag positions 1..63."""
+    k = 1
+    while k <= 63:
+        s3 = 3 * (k - 1)
+        if dec.decode(st, s3):  # EOB
+            return
+        while dec.decode(st, s3 + 1) == 0:
+            k += 1
+            s3 += 3
+            if k > 63:
+                raise ValueError("JPEG: arithmetic AC index overflow")
+        sign = dec.decode(fixed, 0)
+        i = s3 + 2
+        m = dec.decode(st, i)
+        if m:
+            if dec.decode(st, i):
+                m = 2
+                i = 189 if k <= kx else 217
+                while dec.decode(st, i):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "JPEG: arithmetic AC magnitude overflow"
+                        )
+                    i += 1
+        v = m
+        i += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(st, i):
+                v |= mm
+            mm >>= 1
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+
+
+def _decode_arith_seq_scan(
+    b: bytes,
+    pos: int,
+    scan_comps: list[tuple[int, int, int]],
+    coefs: dict[int, np.ndarray],
+    byid: dict[int, tuple[int, int, int]],
+    max_h: int,
+    max_v: int,
+    mcu_rows: int,
+    mcu_cols: int,
+    w: int,
+    h: int,
+    restart: int,
+    dc_cond: dict[int, tuple[int, int]],
+    ac_cond: dict[int, int],
+) -> None:
+    """One arithmetic sequential (SOF9) SOS into the coefficient store.
+    Interleaved scans run in MCU order; single-component scans in block
+    raster order over the component's used blocks (T.81 A.2.2)."""
+    ns = len(scan_comps)
+    dec = _QMDecoder(b, pos)
+
+    def fresh_stats():
+        return (
+            {td: bytearray(64) for _, td, _ in scan_comps},
+            {ta: bytearray(256) for _, _, ta in scan_comps},
+            bytearray([113]),
+        )
+
+    dc_stats, ac_stats, fixed = fresh_stats()
+    dc_ctx = {cid: 0 for cid, _, _ in scan_comps}
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+    if ns == 1:
+        cid0, _, _ = scan_comps[0]
+        sh0, sv0, _ = byid[cid0]
+        nbx_u = -(-(-(-(w * sh0) // max_h)) // 8)
+        nby_u = -(-(-(-(h * sv0) // max_v)) // 8)
+        n_units = nbx_u * nby_u
+    else:
+        n_units = mcu_rows * mcu_cols
+
+    def one_block(cid, td, ta, by, bx):
+        lo, up = dc_cond.get(td, (0, 1))
+        kx = ac_cond.get(ta, 5)
+        zz = coefs[cid][by, bx]
+        diff, dc_ctx[cid] = _arith_dec_dc(
+            dec, dc_stats[td], dc_ctx[cid], lo, up
+        )
+        pred[cid] += diff
+        zz[0] = pred[cid]
+        _arith_dec_ac(dec, ac_stats[ta], fixed, zz, kx)
+
+    for unit in range(n_units):
+        if restart and unit and unit % restart == 0:
+            dec.seek_restart()
+            dc_stats, ac_stats, fixed = fresh_stats()
+            dc_ctx = dict.fromkeys(dc_ctx, 0)
+            pred = dict.fromkeys(pred, 0)
+        if ns == 1:
+            by, bx = divmod(unit, nbx_u)
+            cid, td, ta = scan_comps[0]
+            one_block(cid, td, ta, by, bx)
+        else:
+            my, mx = divmod(unit, mcu_cols)
+            for cid, td, ta in scan_comps:
+                sh, sv, _ = byid[cid]
+                for by in range(sv):
+                    for bx in range(sh):
+                        one_block(cid, td, ta, my * sv + by, mx * sh + bx)
+
+
+def encode_jpeg_arithmetic(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = True,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 grayscale (HxW) or RGB (HxWx3) → arithmetic-coded
+    sequential JFIF JPEG (SOF9, ITU T.81 Annexes D/F): same transform/
+    quantization front half as ``encode_jpeg``, with the QM coder in
+    place of Huffman — no code tables in the stream, a DAC segment
+    carries the conditioning bounds (default L=0, U=1, Kx=5), and the
+    adaptive contexts typically shave 5-10% off the Huffman byte count.
+    The round-trip partner of ``decode_jpeg``'s SOF9 path."""
+    import struct
+
+    gray, h, w, samp, qt_l, qt_c, mcu_rows, mcu_cols, zzs = (
+        _jpeg_quantized(img, quality, subsample, 8)
+    )
+    ncomp = 1 if gray else 3
+    tbl_of = [0] + ([] if gray else [1, 1])
+    lo, up, kx = 0, 1, 5
+
+    def fresh_stats():
+        return (
+            {t: bytearray(64) for t in set(tbl_of)},
+            {t: bytearray(256) for t in set(tbl_of)},
+            bytearray([113]),
+        )
+
+    enc = _QMEncoder()
+    dc_stats, ac_stats, fixed = fresh_stats()
+    dc_ctx = [0] * ncomp
+    pred = [0] * ncomp
+    scan = bytearray()
+    n_rst = 0
+    for mcu in range(mcu_rows * mcu_cols):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            scan += enc.flush()
+            scan += bytes([0xFF, 0xD0 + n_rst])
+            n_rst = (n_rst + 1) & 7
+            enc = _QMEncoder()
+            dc_stats, ac_stats, fixed = fresh_stats()
+            dc_ctx = [0] * ncomp
+            pred = [0] * ncomp
+        my, mx = divmod(mcu, mcu_cols)
+        for ci in range(ncomp):
+            sh, sv = samp[ci]
+            t = tbl_of[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    zz = zzs[ci][my * sv + by, mx * sh + bx]
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    dc_ctx[ci] = _arith_enc_dc(
+                        enc, dc_stats[t], dc_ctx[ci], diff, lo, up
+                    )
+                    _arith_enc_ac(enc, ac_stats[t], fixed, zz, kx)
+    scan += enc.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xFFDB, bytes([0]) + bytes(qt_l.astype(np.uint8).ravel()[_ZIGZAG])
+    )
+    if not gray:
+        out += seg(
+            0xFFDB, bytes([1]) + bytes(qt_c.astype(np.uint8).ravel()[_ZIGZAG])
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1)
+    out += seg(0xFFC9, sof)  # SOF9: extended sequential, arithmetic
+    dac = bytes([0x00, lo | (up << 4), 0x10, kx])
+    if not gray:
+        dac += bytes([0x01, lo | (up << 4), 0x11, kx])
+    out += seg(0xFFCC, dac)  # DAC conditioning
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpeg(b: bytes) -> np.ndarray:
     """JPEG (sequential SOF0/SOF1 at 8 OR 12 bits, progressive SOF2,
     lossless SOF3) → uint8 array (uint16 above 8-bit precision), pure
@@ -1771,8 +2335,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     decode_mcu_* semantics).  SOF3 decodes the Annex-H predictive
     process (selectors 1-7, point transform, 2..16-bit precision,
     components returned untransformed — T.81 defines no lossless color
-    transform).  Arithmetic-coded and hierarchical streams raise at
-    the disclosed Pillow seam.  Perf note: the entropy loop is
+    transform).  Arithmetic SEQUENTIAL streams (SOF9) decode natively
+    via the Annex-D QM coder; progressive-arithmetic and hierarchical
+    streams raise at the disclosed Pillow seam.  Perf note: the entropy loop is
     interpreted Python (~bit-serial) — correct but slow for megapixel
     images; with Pillow installed ``_real_decode`` prefers the C path
     (the documented fast seam)."""
@@ -1789,6 +2354,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     prec = 8
     progressive = False
     lossless = False
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     coefs: dict[int, np.ndarray] | None = None  # cid -> (nby, nbx, 64) zigzag
     ll_planes: dict[int, np.ndarray] | None = None  # cid -> (h, w) int32
     ll_pt: dict[int, int] = {}  # cid -> point transform of its scan
@@ -1828,9 +2396,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = list(data[off + 17 : off + 17 + n])
                 huff[(cls, dest)] = _huff_decoder(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, 2 prog, 3 ll
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+            # SOF0/1 sequential, 2 progressive, 3 lossless, 9 arithmetic
             progressive = marker == 0xC2
             lossless = marker == 0xC3
+            arith = marker == 0xC9
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
             if lossless:
                 if not 2 <= prec <= 16:
@@ -1849,12 +2419,23 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     "lossless JPEG with subsampled components needs Pillow"
                 )
         elif marker in (0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: baseline (SOF0/SOF1, 8/12-bit), "
-                "progressive (SOF2), and lossless (SOF3) decode natively — "
-                "arithmetic-coded and hierarchical streams need Pillow"
+                "progressive (SOF2), lossless (SOF3), and arithmetic "
+                "sequential (SOF9) decode natively — progressive-"
+                "arithmetic and hierarchical streams need Pillow"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            off = 0
+            while off + 2 <= len(data):
+                tc, tb = data[off] >> 4, data[off] & 0xF
+                val = data[off + 1]
+                if tc == 0:
+                    dc_cond[tb] = (val & 0xF, val >> 4)
+                else:
+                    ac_cond[tb] = val
+                off += 2
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -1885,6 +2466,28 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 _decode_lossless_scan(
                     b, start, sc, pred_sel, al, huff, ll_planes,
                     prec, restart,
+                )
+                pos = _jpeg_entropy_end(b, start)
+                continue
+            if arith:
+                if not comps:
+                    raise ValueError("JPEG: SOS before SOF")
+                if geom is None:
+                    mh = max(c[1] for c in comps)
+                    mv = max(c[2] for c in comps)
+                    mc = -(-w // (8 * mh))
+                    mr = -(-h // (8 * mv))
+                    geom = (mh, mv, mr, mc)
+                    coefs = {
+                        cid: np.zeros((mr * sv, mc * sh, 64), np.int64)
+                        for cid, sh, sv, _ in comps
+                    }
+                scan_comps = sc
+                start = pos + 2 + seglen
+                _decode_arith_seq_scan(
+                    b, start, sc, coefs,
+                    {cid: (sh, sv, tq) for cid, sh, sv, tq in comps},
+                    *geom, w, h, restart, dc_cond, ac_cond,
                 )
                 pos = _jpeg_entropy_end(b, start)
                 continue
@@ -1937,7 +2540,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     mcu_rows = -(-h // (8 * max_v))
     byid = {cid: (sh, sv, tq) for cid, sh, sv, tq in comps}
 
-    if progressive:
+    if progressive or arith:
         planes = {}
         for cid, sh, sv, tq in comps:
             if tq not in qts:
@@ -2057,8 +2660,9 @@ def _numpy_decode(b: bytes) -> np.ndarray:
         "numpy codec handles uncompressed PPM/BMP, full-matrix PNG "
         "(1/2/4/8/16-bit, gray/RGB/palette/alpha, Adam7), single-frame "
         "GIF, and baseline (SOF0/SOF1, incl. 12-bit) + progressive "
-        "(SOF2) + lossless (SOF3) JPEG; arithmetic-coded and "
-        "hierarchical JPEG require Pillow — not in this container"
+        "(SOF2) + lossless (SOF3) + arithmetic sequential (SOF9) JPEG; "
+        "progressive-arithmetic (SOF10) and hierarchical JPEG require "
+        "Pillow — not in this container"
     )
 
 
@@ -2090,9 +2694,10 @@ def _real_decode(b: bytes) -> np.ndarray:
     knows, and ~100x faster than the interpreted JPEG entropy loop),
     else the native codecs (PPM/BMP, full-matrix PNG, single-frame
     GIF, baseline incl. 12-bit AND progressive AND lossless SOF3
-    JPEG), else a NotImplementedError naming the missing dependency —
-    the disclosed seam is now arithmetic-coded/hierarchical JPEG only
-    in a Pillow-less container."""
+    AND arithmetic sequential SOF9 JPEG), else a NotImplementedError
+    naming the missing dependency — the disclosed seam is now
+    progressive-arithmetic/hierarchical JPEG only in a Pillow-less
+    container."""
     img_mod = _pillow()
     if img_mod is not None:
         import io as _io
@@ -2103,10 +2708,11 @@ def _real_decode(b: bytes) -> np.ndarray:
         return _numpy_decode(b)
     except NotImplementedError as e:
         raise NotImplementedError(
-            f"{e} — arithmetic-coded/hierarchical JPEG requires Pillow "
-            "(not importable in this container); PPM, BMP, full-matrix "
-            "PNG, single-frame GIF, and baseline (incl. 12-bit) + "
-            "progressive + lossless SOF3 JPEG decode natively without it"
+            f"{e} — progressive-arithmetic/hierarchical JPEG requires "
+            "Pillow (not importable in this container); PPM, BMP, "
+            "full-matrix PNG, single-frame GIF, and baseline (incl. "
+            "12-bit) + progressive + lossless SOF3 + arithmetic "
+            "sequential SOF9 JPEG decode natively without it"
         ) from None
 
 

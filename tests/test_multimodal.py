@@ -966,12 +966,13 @@ def test_jpeg_rejects_progressive_truncated_and_non_jpeg():
 
     with pt.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"P6\n1 1\n255\nxxx")
-    # progressive (SOF2) decodes natively as of round 8 and lossless
-    # (SOF3) as of round 9; arithmetic coding (SOF9) stays a seam
+    # progressive (SOF2) decodes natively as of round 8, lossless
+    # (SOF3) as of round 9, arithmetic sequential (SOF9) as of round
+    # 10; progressive-arithmetic (SOF10) stays a seam
     arith = (
-        b"\xff\xd8\xff\xc9" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
+        b"\xff\xd8\xff\xca" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
     )
-    with pt.raises(NotImplementedError, match="SOF9"):
+    with pt.raises(NotImplementedError, match="SOF10"):
         decode_jpeg(arith)
     good = encode_jpeg(np.full((8, 8), 77, dtype=np.uint8), quality=90)
     with pt.raises(ValueError):
@@ -1437,3 +1438,109 @@ def test_jpeg_12bit_input_validation():
         encode_jpeg_lossless(
             np.full((4, 4), 255, np.uint8), precision=4
         )
+
+
+def test_qm_coder_roundtrip_property():
+    """The T.81 Annex-D QM arithmetic coder: encode→decode is exact on
+    random decision streams across biases, context counts, and lengths
+    — exercises renormalization, conditional exchange, carry
+    resolution over stacked 0xFF bytes, and the marker-tail zero feed."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import _QMDecoder, _QMEncoder
+
+    rng = np.random.default_rng(42)
+    for _ in range(25):
+        n_ctx = int(rng.integers(1, 20))
+        n = int(rng.integers(1, 4000))
+        ctxs = rng.integers(0, n_ctx, n)
+        p = rng.uniform(0.01, 0.99)
+        bits = (rng.random(n) < p).astype(int)
+        enc = _QMEncoder()
+        st_e = bytearray(n_ctx)
+        for c, bit in zip(ctxs, bits):
+            enc.encode(st_e, int(c), int(bit))
+        payload = enc.flush()
+        dec = _QMDecoder(payload, 0)
+        st_d = bytearray(n_ctx)
+        assert [dec.decode(st_d, int(c)) for c in ctxs] == bits.tolist()
+
+
+def test_qm_coder_near_entropy():
+    """Adaptation sanity: a heavily biased stream compresses to within
+    ~25% of the binary entropy bound (a broken estimation table codes
+    ~1+ bit/decision and fails this by an order of magnitude)."""
+    import math
+
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import _QMEncoder
+
+    rng = np.random.default_rng(3)
+    p = 0.05
+    bits = (rng.random(10000) < p).astype(int)
+    enc = _QMEncoder()
+    st = bytearray(1)
+    for bit in bits:
+        enc.encode(st, 0, int(bit))
+    out = enc.flush()
+    ideal = 10000 * -(p * math.log2(p) + (1 - p) * math.log2(1 - p)) / 8
+    assert len(out) < ideal * 1.25
+
+
+def test_jpeg_arithmetic_equals_huffman():
+    """SOF9 arithmetic entropy coding is lossless: decoding the
+    arithmetic stream yields pixels IDENTICAL to the Huffman stream of
+    the same quantized coefficients — across gray/color, 4:2:0/4:4:4,
+    qualities, restart intervals, and odd sizes."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arithmetic,
+    )
+
+    yy, xx = np.mgrid[0:80, 0:88]
+    base = (128 + 90 * np.sin(xx / 11.0) * np.cos(yy / 13.0)).astype(np.uint8)
+    color = np.stack([base, 255 - base, np.roll(base, 7, 1)], axis=-1)
+    for ri in (0, 3):
+        for im, sub in ((base, False), (color, True), (color, False)):
+            bh = encode_jpeg(im, quality=75, subsample=sub,
+                             restart_interval=ri)
+            ba = encode_jpeg_arithmetic(im, quality=75, subsample=sub,
+                                        restart_interval=ri)
+            assert np.array_equal(decode_jpeg(bh), decode_jpeg(ba))
+    rng = np.random.default_rng(9)
+    for shape in ((1, 1), (7, 5), (17, 33, 3)):
+        im = rng.integers(0, 256, shape).astype(np.uint8)
+        sub = len(shape) == 3
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(im, quality=90, subsample=sub)),
+            decode_jpeg(encode_jpeg_arithmetic(im, quality=90,
+                                               subsample=sub)),
+        )
+
+
+def test_jpeg_arithmetic_beats_huffman_size():
+    """On a smooth image the adaptive QM contexts beat the fixed
+    Annex-K Huffman tables outright — the reason SOF9 exists."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_arithmetic,
+    )
+
+    yy, xx = np.mgrid[0:96, 0:128]
+    img = np.stack(
+        [
+            128 + 100 * np.sin(xx / 19.0) * np.cos(yy / 23.0),
+            128 + 80 * np.cos(xx / 31.0 + yy / 17.0),
+            np.clip(xx * 2 - yy, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    bh = encode_jpeg(img, quality=80)
+    ba = encode_jpeg_arithmetic(img, quality=80)
+    assert len(ba) < len(bh)
