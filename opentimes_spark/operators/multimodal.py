@@ -19,11 +19,11 @@ format a stdlib+numpy decoder can honestly cover:
   decoder (dimensions + checksum derived from the bytes) for pipeline
   tests that don't care about pixels;
 - ``codec="real"`` auto-detects Pillow per worker process and falls
-  back to the native codecs; only progressive-arithmetic and hierarchical
+  back to the native codecs; only hierarchical and lossless-arithmetic
   JPEG still raise at the disclosed seam (progressive JPEG landed in
   round 8; exotic PNGs, 12-bit sequential, and lossless SOF3 in round
-  9; arithmetic sequential SOF9 — the Annex-D QM coder with the F.1.4
-  DC/AC statistical models — in round 10).
+  9; arithmetic SOF9 + progressive SOF10 — the Annex-D QM coder with
+  the F.1.4/G.1.3 statistical models — in round 10).
 
 Scale notes: binary payloads dominate row size, so operators here
 (a) never collect payloads to the driver, (b) project metadata-only
@@ -101,10 +101,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
 # (round 6, full format matrix round 9); baseline JPEG adds Annex-K
 # Huffman + IDCT (round 7); progressive JPEG adds multi-scan spectral-
 # selection / successive-approximation decode (round 8); 12-bit
-# sequential and lossless SOF3 land in round 9; arithmetic sequential
-# (SOF9, Annex-D QM coder) lands in round 10.  Only progressive-
-# arithmetic (SOF10) and hierarchical JPEG remain behind the Pillow
-# seam.
+# sequential and lossless SOF3 land in round 9; arithmetic SOF9 and
+# SOF10 (Annex-D QM coder) land in round 10.  Only hierarchical and
+# lossless-arithmetic JPEG remain behind the Pillow seam.
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -2073,18 +2072,19 @@ def _arith_dec_dc(dec, st, ctx, lo, up):
     return (-v if sign else v), nxt
 
 
-def _arith_enc_ac(enc, st, fixed, zz, kx):
-    """Encode one block's AC run (zigzag coefficients 1..63) per
-    F.1.4.2/F.1.4.3: per-k EOB decision, zero-run, fixed-probability
-    sign, magnitude category with the Kx low/high spectral split."""
-    ke = 63
-    while ke >= 1 and zz[ke] == 0:
+def _arith_enc_ac(enc, st, fixed, zz, kx, ss=1, se=63, al=0):
+    """Encode one block's AC run (zigzag coefficients ss..se at point
+    transform al) per F.1.4.2/F.1.4.3 and G.1.3.2: per-k EOB decision,
+    zero-run, fixed-probability sign, magnitude category with the Kx
+    low/high spectral split.  Sequential scans use (1, 63, 0)."""
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         s3 = 3 * (k - 1)
         enc.encode(st, s3, 0)  # not EOB
-        while zz[k] == 0:
+        while (abs(int(zz[k])) >> al) == 0:
             enc.encode(st, s3 + 1, 0)
             k += 1
             s3 += 3
@@ -2092,7 +2092,7 @@ def _arith_enc_ac(enc, st, fixed, zz, kx):
         v = int(zz[k])
         sign = 1 if v < 0 else 0
         enc.encode(fixed, 0, sign)
-        v = (-v if sign else v) - 1
+        v = ((-v if sign else v) >> al) - 1
         i = s3 + 2
         if v == 0:
             enc.encode(st, i, 0)
@@ -2117,21 +2117,22 @@ def _arith_enc_ac(enc, st, fixed, zz, kx):
             enc.encode(st, i, 1 if v & mm else 0)
             mm >>= 1
         k += 1
-    if ke < 63:
+    if ke < se:
         enc.encode(st, 3 * (k - 1), 1)  # EOB
 
 
-def _arith_dec_ac(dec, st, fixed, zz, kx):
-    """Decode one block's AC coefficients into zigzag positions 1..63."""
-    k = 1
-    while k <= 63:
+def _arith_dec_ac(dec, st, fixed, zz, kx, ss=1, se=63, al=0):
+    """Decode one block's AC coefficients into zigzag positions ss..se
+    (values scaled by 1 << al — the successive-approximation domain)."""
+    k = ss
+    while k <= se:
         s3 = 3 * (k - 1)
         if dec.decode(st, s3):  # EOB
             return
         while dec.decode(st, s3 + 1) == 0:
             k += 1
             s3 += 3
-            if k > 63:
+            if k > se:
                 raise ValueError("JPEG: arithmetic AC index overflow")
         sign = dec.decode(fixed, 0)
         i = s3 + 2
@@ -2155,8 +2156,299 @@ def _arith_dec_ac(dec, st, fixed, zz, kx):
                 v |= mm
             mm >>= 1
         v += 1
-        zz[k] = -v if sign else v
+        zz[k] = (-v if sign else v) << al
         k += 1
+
+
+def _arith_enc_ac_refine(enc, st, fixed, zz, ss, se, al):
+    """Encode one block's AC successive-approximation refinement scan
+    (G.1.3.3, the jcarith encode_mcu_AC_refine dual): correction bits
+    for history-nonzero coefficients at st+2, newly-significant flags
+    at st+1 with fixed-probability signs, EOB decisions once past the
+    prior pass's end-of-block index."""
+    kex = se  # last coefficient nonzero BEFORE this pass
+    while kex >= ss and (abs(int(zz[kex])) >> (al + 1)) == 0:
+        kex -= 1
+    ke = se  # last coefficient nonzero AFTER this pass
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    k = ss
+    while k <= se:
+        s3 = 3 * (k - 1)
+        if k > kex:
+            if k > ke:
+                enc.encode(st, s3, 1)  # EOB
+                return
+            enc.encode(st, s3, 0)
+        while True:
+            v = int(zz[k])
+            ta = abs(v) >> al
+            if (abs(v) >> (al + 1)) != 0:  # history-nonzero
+                enc.encode(st, s3 + 2, ta & 1)
+                break
+            if ta != 0:  # newly significant (necessarily ta == 1)
+                enc.encode(st, s3 + 1, 1)
+                enc.encode(fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.encode(st, s3 + 1, 0)
+            k += 1
+            s3 += 3
+        k += 1
+
+
+def _arith_dec_ac_refine(dec, st, fixed, zz, ss, se, al):
+    """Decode one block's AC refinement scan (jdarith
+    decode_mcu_AC_refine dual of ``_arith_enc_ac_refine``)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex >= ss and zz[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        s3 = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(st, s3):  # EOB
+                return
+        while True:
+            if zz[k] != 0:
+                if dec.decode(st, s3 + 2):
+                    zz[k] += m1 if zz[k] < 0 else p1
+                break
+            if dec.decode(st, s3 + 1):
+                zz[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            k += 1
+            s3 += 3
+            if k > se:
+                raise ValueError("JPEG: arithmetic AC refine overflow")
+        k += 1
+
+
+def _decode_arith_prog_scan(
+    b: bytes,
+    pos: int,
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coefs: dict[int, np.ndarray],
+    byid: dict[int, tuple[int, int, int]],
+    max_h: int,
+    max_v: int,
+    mcu_rows: int,
+    mcu_cols: int,
+    w: int,
+    h: int,
+    restart: int,
+    dc_cond: dict[int, tuple[int, int]],
+    ac_cond: dict[int, int],
+) -> None:
+    """One progressive-arithmetic (SOF10) SOS into the coefficient
+    store: DC first scans reuse the sequential DC model in the
+    Al-shifted domain, DC refinements are single fixed-probability
+    bits, AC first/refine use the generalized F.1.4.3/G.1.3.3 models.
+    Statistics reset per scan and per restart interval (jdarith
+    start_pass/process_restart semantics)."""
+    ns = len(scan_comps)
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG: DC scan with nonzero Se")
+    if ss > se or se > 63 or al > 13 or (ah and ah != al + 1):
+        raise ValueError("JPEG: bad progression parameters")
+    if ss > 0 and ns != 1:
+        raise ValueError("JPEG: progressive AC scan must be 1-component")
+    dec = _QMDecoder(b, pos)
+
+    def fresh_stats():
+        return (
+            {td: bytearray(64) for _, td, _ in scan_comps},
+            {ta: bytearray(256) for _, _, ta in scan_comps},
+            bytearray([113]),
+        )
+
+    dc_stats, ac_stats, fixed = fresh_stats()
+    dc_ctx = {cid: 0 for cid, _, _ in scan_comps}
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+    if ns == 1:
+        cid0, _, _ = scan_comps[0]
+        sh0, sv0, _ = byid[cid0]
+        nbx_u = -(-(-(-(w * sh0) // max_h)) // 8)
+        nby_u = -(-(-(-(h * sv0) // max_v)) // 8)
+        n_units = nbx_u * nby_u
+    else:
+        n_units = mcu_rows * mcu_cols
+
+    def dc_block(cid, td, by, bx):
+        zz = coefs[cid][by, bx]
+        if ah == 0:
+            lo, up = dc_cond.get(td, (0, 1))
+            diff, dc_ctx[cid] = _arith_dec_dc(
+                dec, dc_stats[td], dc_ctx[cid], lo, up
+            )
+            pred[cid] += diff
+            zz[0] = pred[cid] << al
+        elif dec.decode(fixed, 0):
+            zz[0] |= 1 << al
+
+    for unit in range(n_units):
+        if restart and unit and unit % restart == 0:
+            dec.seek_restart()
+            dc_stats, ac_stats, fixed = fresh_stats()
+            dc_ctx = dict.fromkeys(dc_ctx, 0)
+            pred = dict.fromkeys(pred, 0)
+        if ns == 1:
+            by, bx = divmod(unit, nbx_u)
+            cid, td, ta = scan_comps[0]
+            if ss == 0:
+                dc_block(cid, td, by, bx)
+            else:
+                kx = ac_cond.get(ta, 5)
+                zz = coefs[cid][by, bx]
+                if ah == 0:
+                    _arith_dec_ac(
+                        dec, ac_stats[ta], fixed, zz, kx, ss, se, al
+                    )
+                else:
+                    _arith_dec_ac_refine(
+                        dec, ac_stats[ta], fixed, zz, ss, se, al
+                    )
+        else:
+            my, mx = divmod(unit, mcu_cols)
+            for cid, td, _ta in scan_comps:
+                sh, sv, _ = byid[cid]
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc_block(cid, td, my * sv + by, mx * sh + bx)
+
+
+def encode_jpeg_progressive_arithmetic(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = True,
+    restart_interval: int = 0,
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """uint8 grayscale (HxW) or RGB (HxWx3) → progressive
+    arithmetic-coded JFIF JPEG (SOF10): the libjpeg default scan
+    script (spectral selection + successive approximation) entropy-
+    coded by the Annex-D QM coder — no Huffman tables at all, fresh
+    statistics per scan.  Quantized coefficients are identical to
+    ``encode_jpeg`` at the same (quality, subsample), so decode must
+    match the baseline decode bit-for-bit."""
+    import struct
+
+    gray, h, w, samp, qt_l, qt_c, mcu_rows, mcu_cols, zzs = (
+        _jpeg_quantized(img, quality, subsample)
+    )
+    ncomp = 1 if gray else 3
+    script = scans if scans is not None else _default_prog_scans(ncomp)
+    for comp_idx, ss, _se, _ah, _al in script:
+        if len(comp_idx) > 1 and ss != 0:
+            raise ValueError(
+                f"illegal progressive scan {comp_idx} Ss={ss}: AC scans "
+                "must be single-component (T.81 G.1.1.1.1)"
+            )
+    tbl_of = [0] + ([] if gray else [1, 1])
+    lo, up, kx = 0, 1, 5
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qt_l.astype(np.uint8).ravel()[_ZIGZAG]))
+    if not gray:
+        out += seg(
+            0xFFDB, b"\x01" + bytes(qt_c.astype(np.uint8).ravel()[_ZIGZAG])
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1)
+    out += seg(0xFFCA, sof)  # SOF10: progressive, arithmetic
+    dac = bytes([0x00, lo | (up << 4), 0x10, kx])
+    if not gray:
+        dac += bytes([0x01, lo | (up << 4), 0x11, kx])
+    out += seg(0xFFCC, dac)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    for comp_idx, ss, se, ah, al in script:
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            td_ta = 0 if ci == 0 else 0x11
+            sos += bytes([ci + 1, td_ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+
+        enc = _QMEncoder()
+        dc_stats = {t: bytearray(64) for t in set(tbl_of)}
+        ac_stats = {t: bytearray(256) for t in set(tbl_of)}
+        fixed = bytearray([113])
+        dc_ctx = [0] * ncomp
+        pred = [0] * ncomp
+        if len(comp_idx) > 1:
+            n_units = mcu_rows * mcu_cols
+        else:
+            ci0 = comp_idx[0]
+            sh0, sv0 = samp[ci0]
+            nbx_u = -(-(-(-(w * sh0) // max_h)) // 8)
+            nby_u = -(-(-(-(h * sv0) // max_v)) // 8)
+            n_units = nbx_u * nby_u
+
+        def dc_block(ci, blk):
+            t = tbl_of[ci]
+            if ah == 0:
+                tv = int(blk[0]) >> al  # arithmetic shift per G.1.2.1
+                diff = tv - pred[ci]
+                pred[ci] = tv
+                dc_ctx[ci] = _arith_enc_dc(
+                    enc, dc_stats[t], dc_ctx[ci], diff, lo, up
+                )
+            else:
+                enc.encode(fixed, 0, (int(blk[0]) >> al) & 1)
+
+        scan_bytes = bytearray()
+        n_rst = 0
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                scan_bytes += enc.flush()
+                scan_bytes += bytes([0xFF, 0xD0 + n_rst])
+                n_rst = (n_rst + 1) & 7
+                enc = _QMEncoder()
+                dc_stats = {t: bytearray(64) for t in set(tbl_of)}
+                ac_stats = {t: bytearray(256) for t in set(tbl_of)}
+                fixed = bytearray([113])
+                dc_ctx = [0] * ncomp
+                pred = [0] * ncomp
+            if len(comp_idx) > 1:
+                my, mx = divmod(unit, mcu_cols)
+                for ci in comp_idx:
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc_block(ci, zzs[ci][my * sv + by, mx * sh + bx])
+            else:
+                by, bx = divmod(unit, nbx_u)
+                blk = zzs[ci0][by, bx]
+                if ss == 0:
+                    dc_block(ci0, blk)
+                elif ah == 0:
+                    _arith_enc_ac(
+                        enc, ac_stats[tbl_of[ci0]], fixed, blk, kx,
+                        ss, se, al,
+                    )
+                else:
+                    _arith_enc_ac_refine(
+                        enc, ac_stats[tbl_of[ci0]], fixed, blk, ss, se, al
+                    )
+        scan_bytes += enc.flush()
+        out += scan_bytes
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _decode_arith_seq_scan(
@@ -2335,9 +2627,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     decode_mcu_* semantics).  SOF3 decodes the Annex-H predictive
     process (selectors 1-7, point transform, 2..16-bit precision,
     components returned untransformed — T.81 defines no lossless color
-    transform).  Arithmetic SEQUENTIAL streams (SOF9) decode natively
-    via the Annex-D QM coder; progressive-arithmetic and hierarchical
-    streams raise at the disclosed Pillow seam.  Perf note: the entropy loop is
+    transform).  Arithmetic streams — sequential SOF9 AND progressive
+    SOF10 — decode natively via the Annex-D QM coder; hierarchical and
+    lossless-arithmetic streams raise at the disclosed Pillow seam.  Perf note: the entropy loop is
     interpreted Python (~bit-serial) — correct but slow for megapixel
     images; with Pillow installed ``_real_decode`` prefers the C path
     (the documented fast seam)."""
@@ -2396,11 +2688,12 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 vals = list(data[off + 17 : off + 17 + n])
                 huff[(cls, dest)] = _huff_decoder(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
-            # SOF0/1 sequential, 2 progressive, 3 lossless, 9 arithmetic
-            progressive = marker == 0xC2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 sequential, 2 progressive, 3 lossless,
+            # 9 arithmetic sequential, 10 arithmetic progressive
+            progressive = marker in (0xC2, 0xCA)
             lossless = marker == 0xC3
-            arith = marker == 0xC9
+            arith = marker in (0xC9, 0xCA)
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
             if lossless:
                 if not 2 <= prec <= 16:
@@ -2418,13 +2711,12 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     "lossless JPEG with subsampled components needs Pillow"
                 )
-        elif marker in (0xC5, 0xC6, 0xC7,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: baseline (SOF0/SOF1, 8/12-bit), "
-                "progressive (SOF2), lossless (SOF3), and arithmetic "
-                "sequential (SOF9) decode natively — progressive-"
-                "arithmetic and hierarchical streams need Pillow"
+                "progressive (SOF2/SOF10), lossless (SOF3), and arithmetic "
+                "sequential (SOF9) decode natively — hierarchical and "
+                "lossless-arithmetic streams need Pillow"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             off = 0
@@ -2469,7 +2761,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 )
                 pos = _jpeg_entropy_end(b, start)
                 continue
-            if arith:
+            if arith and not progressive:
                 if not comps:
                     raise ValueError("JPEG: SOS before SOF")
                 if geom is None:
@@ -2511,11 +2803,18 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 }
             scan_comps = sc
             start = pos + 2 + seglen
-            _decode_progressive_scan(
-                b, start, sc, ss, se, ah, al, huff, coefs,
-                {cid: (sh, sv, tq) for cid, sh, sv, tq in comps},
-                *geom, w, h, restart,
-            )
+            if arith:
+                _decode_arith_prog_scan(
+                    b, start, sc, ss, se, ah, al, coefs,
+                    {cid: (sh, sv, tq) for cid, sh, sv, tq in comps},
+                    *geom, w, h, restart, dc_cond, ac_cond,
+                )
+            else:
+                _decode_progressive_scan(
+                    b, start, sc, ss, se, ah, al, huff, coefs,
+                    {cid: (sh, sv, tq) for cid, sh, sv, tq in comps},
+                    *geom, w, h, restart,
+                )
             pos = _jpeg_entropy_end(b, start)
             continue
         pos += 2 + seglen
@@ -2660,8 +2959,8 @@ def _numpy_decode(b: bytes) -> np.ndarray:
         "numpy codec handles uncompressed PPM/BMP, full-matrix PNG "
         "(1/2/4/8/16-bit, gray/RGB/palette/alpha, Adam7), single-frame "
         "GIF, and baseline (SOF0/SOF1, incl. 12-bit) + progressive "
-        "(SOF2) + lossless (SOF3) + arithmetic sequential (SOF9) JPEG; "
-        "progressive-arithmetic (SOF10) and hierarchical JPEG require "
+        "(SOF2/SOF10) + lossless (SOF3) + arithmetic (SOF9/SOF10) JPEG; "
+        "hierarchical and lossless-arithmetic JPEG require "
         "Pillow — not in this container"
     )
 
@@ -2694,9 +2993,9 @@ def _real_decode(b: bytes) -> np.ndarray:
     knows, and ~100x faster than the interpreted JPEG entropy loop),
     else the native codecs (PPM/BMP, full-matrix PNG, single-frame
     GIF, baseline incl. 12-bit AND progressive AND lossless SOF3
-    AND arithmetic sequential SOF9 JPEG), else a NotImplementedError
+    AND arithmetic SOF9/SOF10 JPEG), else a NotImplementedError
     naming the missing dependency — the disclosed seam is now
-    progressive-arithmetic/hierarchical JPEG only in a Pillow-less
+    hierarchical/lossless-arithmetic JPEG only in a Pillow-less
     container."""
     img_mod = _pillow()
     if img_mod is not None:
@@ -2708,11 +3007,11 @@ def _real_decode(b: bytes) -> np.ndarray:
         return _numpy_decode(b)
     except NotImplementedError as e:
         raise NotImplementedError(
-            f"{e} — progressive-arithmetic/hierarchical JPEG requires "
+            f"{e} — hierarchical/lossless-arithmetic JPEG requires "
             "Pillow (not importable in this container); PPM, BMP, "
             "full-matrix PNG, single-frame GIF, and baseline (incl. "
             "12-bit) + progressive + lossless SOF3 + arithmetic "
-            "sequential SOF9 JPEG decode natively without it"
+            "SOF9/SOF10 JPEG decode natively without it"
         ) from None
 
 

@@ -45,7 +45,7 @@ def test_real_codec_seam_raises_on_compressed_without_pillow(media):
 
     import opentimes_spark.operators.multimodal as mm
 
-    arithmetic = b"\xff\xd8\xff\xca" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
+    arithmetic = b"\xff\xd8\xff\xcb" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
     mm._PIL_IMAGE = "unset"
     if mm._pillow() is None:
         with pytest.raises(NotImplementedError, match="Pillow"):
@@ -241,10 +241,10 @@ def test_numpy_codec_rejects_compressed():
 
     from opentimes_spark.operators.multimodal import _numpy_decode
 
-    # arithmetic-coded JPEG (SOF10) is the remaining seam; baseline AND
-    # progressive Huffman JPEG now decode natively
+    # lossless-arithmetic JPEG (SOF11) is a remaining seam; baseline,
+    # progressive, and arithmetic SOF9/SOF10 now decode natively
     arithmetic = (
-        b"\xff\xd8\xff\xca" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
+        b"\xff\xd8\xff\xcb" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
     )
     with pt.raises(NotImplementedError, match="Pillow"):
         _numpy_decode(arithmetic)
@@ -967,12 +967,12 @@ def test_jpeg_rejects_progressive_truncated_and_non_jpeg():
     with pt.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"P6\n1 1\n255\nxxx")
     # progressive (SOF2) decodes natively as of round 8, lossless
-    # (SOF3) as of round 9, arithmetic sequential (SOF9) as of round
-    # 10; progressive-arithmetic (SOF10) stays a seam
+    # (SOF3) as of round 9, arithmetic SOF9/SOF10 as of round 10;
+    # lossless-arithmetic (SOF11) stays a seam
     arith = (
-        b"\xff\xd8\xff\xca" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
+        b"\xff\xd8\xff\xcb" + struct.pack(">H", 8) + b"\x08\x00\x01\x00\x01\x01"
     )
-    with pt.raises(NotImplementedError, match="SOF10"):
+    with pt.raises(NotImplementedError, match="SOF11"):
         decode_jpeg(arith)
     good = encode_jpeg(np.full((8, 8), 77, dtype=np.uint8), quality=90)
     with pt.raises(ValueError):
@@ -1544,3 +1544,57 @@ def test_jpeg_arithmetic_beats_huffman_size():
     bh = encode_jpeg(img, quality=80)
     ba = encode_jpeg_arithmetic(img, quality=80)
     assert len(ba) < len(bh)
+
+
+def test_jpeg_progressive_arithmetic_equals_baseline():
+    """SOF10 progressive-arithmetic decode reproduces the baseline
+    Huffman decode bit-for-bit (shared quantized coefficients) across
+    gray/color, subsampling, restart intervals, odd sizes, and a
+    custom scan script."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive_arithmetic,
+    )
+
+    yy, xx = np.mgrid[0:80, 0:88]
+    base = (128 + 90 * np.sin(xx / 11.0) * np.cos(yy / 13.0)).astype(np.uint8)
+    color = np.stack([base, 255 - base, np.roll(base, 7, 1)], axis=-1)
+    for ri in (0, 3):
+        for im, sub in ((base, False), (color, True), (color, False)):
+            bh = encode_jpeg(im, quality=75, subsample=sub)
+            ba = encode_jpeg_progressive_arithmetic(
+                im, quality=75, subsample=sub, restart_interval=ri
+            )
+            assert np.array_equal(decode_jpeg(bh), decode_jpeg(ba))
+    rng = np.random.default_rng(5)
+    for shape in ((1, 1), (7, 5), (17, 33, 3)):
+        im = rng.integers(0, 256, shape).astype(np.uint8)
+        sub = len(shape) == 3
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(im, quality=90, subsample=sub)),
+            decode_jpeg(
+                encode_jpeg_progressive_arithmetic(
+                    im, quality=90, subsample=sub
+                )
+            ),
+        )
+    # a custom script exercising deep successive approximation
+    script = [
+        ([0], 0, 0, 0, 3),
+        ([0], 1, 63, 0, 2),
+        ([0], 0, 0, 3, 2),
+        ([0], 1, 63, 2, 1),
+        ([0], 0, 0, 2, 1),
+        ([0], 1, 63, 1, 0),
+        ([0], 0, 0, 1, 0),
+    ]
+    ba = encode_jpeg_progressive_arithmetic(
+        base, quality=75, subsample=False, scans=script
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(base, quality=75, subsample=False)),
+        decode_jpeg(ba),
+    )
