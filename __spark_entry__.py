@@ -26,18 +26,14 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # and semantics; only dict order changes.  `tools/check.py` independently
 # replays ALL registered queries regardless of order.
 #
-# After r9: all 323 registered names have a hash-green driver row across
-# r1-r9 (CORRECTNESS_r09 was 50/50 green; the 36 r9 additions are folded
+# After r10: all 371 registered names have a hash-green driver row across
+# r1-r10 (CORRECTNESS_r10 was 50/50 green; the 48 r10 additions are folded
 # into _CERTIFIED below per the standing pattern).  _FRONT holds names
 # whose SEMANTICS/PLAN changed this round and therefore need a fresh
-# driver hash; for r10 it re-fronts `orders_decile_mix` (its production
-# path was swapped to the sketch-boundary broadcast range join per
-# VERDICT r9 Next #4), leaving ~49 window slots for round-10 additions
-# (budget ≤ 49 new names via `fresh`).
-# r10 re-fronts: both MMR queries (their shortlist/pair matrices are
-# now checkpointed once instead of re-executing the ANN probe per
-# selection round — values unchanged, plan fingerprint re-baselined).
-_FRONT: list[str] = ["sim_mmr_rerank", "sim_mmr_rerank_ivfpq"]
+# driver hash; r11 has no semantic re-fronts so far, leaving the full
+# 50-name window for round-11 additions (budget ≤ 50 new names via
+# `fresh`).
+_FRONT: list[str] = []
 
 
 def _ordered(mapping):
@@ -187,6 +183,30 @@ _CERTIFIED = {
     "events_haar_energy", "events_peak_hours", "orders_german_tank",
     "cust_order_streaks", "lineitem_weighted_median", "nations_bfs_hops",
     "orders_decile_mix", "lineitem_price_endings",
+    # r10-certified (CORRECTNESS_r10.json, 50/50 hash_match=true):
+    "lineitem_welch_ttest", "lineitem_mood_median_test",
+    "cust_chi2_uniform_gof", "events_ks_two_sample",
+    "cust_spearman_orders_value", "events_kendall_tau_hours",
+    "orders_ses_monthly_by_priority", "tokens_good_turing",
+    "orders_capture_recapture", "orders_horvitz_thompson_urgent",
+    "orders_theil_index_by_nation", "supplier_acctbal_trimmed_mean",
+    "referential_integrity_audit", "orders_totalprice_reconciliation",
+    "orders_completeness_profile", "lineitem_domain_conformance",
+    "keys_uniqueness_audit", "nations_hits_hubs_authorities",
+    "nations_katz_path_counts", "supplier_co_supply_pairs",
+    "orders_acf_monthly", "orders_rolling_z_anomalies",
+    "events_hour_entropy_drift", "docs_cross_source_dup_matrix",
+    "docs_ngram_novelty_by_shard", "docs_sentence_dedup_rate",
+    "orders_top3_customers_per_priority", "revenue_share_of_parent",
+    "orders_group_medians_grid", "embed_int8_recon_error",
+    "cust_priority_transition_matrix", "lineitem_rank_dependence_grid",
+    "orders_median_confidence_interval", "lineitem_robust_shape_stats",
+    "events_circular_hour_stats", "docs_langid_cohen_kappa",
+    "orders_mi_priority_status", "events_top1pct_user_share",
+    "orders_weighted_reservoir_sample", "orders_cochran_armitage_trend",
+    "docs_mcnemar_detectors", "cust_lorenz_revenue_deciles",
+    "docs_quality_roc_auc", "docs_quality_ece", "docs_quality_brier_decomp",
+    "events_cramer_von_mises", "orders_page_hinkley", "cust_stratified_kfold",
 }
 
 

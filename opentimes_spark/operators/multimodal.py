@@ -568,8 +568,9 @@ def decode_gif(b: bytes) -> np.ndarray:
 # a Pillow-less container (VERDICT r6 missing #1, r7 missing #1 — web
 # corpora are overwhelmingly JPEG and progressive is a double-digit
 # share).  12-bit extended sequential (16-bit DQT, optimized DHT) and
-# lossless SOF3 (Annex-H predictors, round 9) decode natively too;
-# arithmetic-coded and hierarchical JPEGs remain behind the Pillow
+# lossless SOF3 (Annex-H predictors, round 9) decode natively too, as
+# do arithmetic SOF9/SOF10 (Annex-D QM coder, round 10); only
+# hierarchical and lossless-arithmetic JPEGs remain behind the Pillow
 # auto-detect seam.
 
 _ZIGZAG = np.array([
@@ -3393,29 +3394,50 @@ _ALAW_DECODE = _alaw_decode_table()
 
 
 def mulaw_encode(samples: np.ndarray) -> np.ndarray:
-    """int16 → G.711 mu-law codes (uint8), vectorized Sun idiom."""
-    x = samples.astype(np.int32)
-    sign = np.where(x < 0, 0x80, 0)
-    mag = np.minimum(np.abs(x), _G711_CLIP) + _G711_BIAS
-    exponent = (np.floor(np.log2(mag)) - 7).astype(np.int32)
-    exponent = np.clip(exponent, 0, 7)
-    mantissa = (mag >> (exponent + 3)) & 0x0F
-    return (~(sign | (exponent << 4) | mantissa)).astype(np.uint8)
+    """int16 → G.711 mu-law codes (uint8).
+
+    Exact vectorized port of the Sun ``st_14linear2ulaw`` idiom (the
+    audioop/CCITT reference): the sample is arithmetic-shifted into the
+    14-bit domain FIRST, then the magnitude of negatives is taken as
+    ``-(x >> 2)`` (not ``abs(x) >> 2`` — the two differ for negative
+    samples not divisible by 4), clipped at 8159, biased by 33
+    (``BIAS >> 2``), segmented on the 14-bit segment-end table, and the
+    code word complemented via the sign mask.  Bit-identical to
+    ``audioop.lin2ulaw`` over the full int16 range (swept in
+    ``tests/test_multimodal_audio.py``)."""
+    val = samples.astype(np.int32) >> 2  # arithmetic shift: 14-bit domain
+    mask = np.where(val < 0, 0x7F, 0xFF)
+    mag = np.where(val < 0, -val, val)
+    mag = np.minimum(mag, 8159) + 33  # CLIP then BIAS>>2, 14-bit domain
+    # seg = index of first segment end >= mag over
+    # {0x3F,0x7F,...,0x1FFF}; mag is in [33, 8192] so bit_length-6
+    # (via exact float log2 — mag <= 2**13) reproduces the table search.
+    seg = np.maximum(np.floor(np.log2(mag)).astype(np.int32) - 5, 0)
+    uval = (seg << 4) | ((mag >> (seg + 1)) & 0x0F)
+    out = np.where(seg >= 8, 0x7F, uval) ^ mask  # seg 8 = clipped max
+    return out.astype(np.uint8)
 
 
 def alaw_encode(samples: np.ndarray) -> np.ndarray:
-    """int16 → G.711 A-law codes (uint8)."""
-    x = samples.astype(np.int32)
-    sign = np.where(x >= 0, 0x80, 0)
-    mag = np.minimum(np.abs(x), 32767) >> 3  # 13-bit magnitude
-    exponent = np.zeros_like(mag)
-    nz = mag >= 32
-    exponent[nz] = (np.floor(np.log2(mag[nz])) - 4).astype(np.int32)
-    exponent = np.clip(exponent, 0, 7)
-    mantissa = np.where(
-        exponent == 0, mag >> 1, (mag >> exponent) & 0x0F
+    """int16 → G.711 A-law codes (uint8).
+
+    Exact vectorized port of the Sun ``st_linear2alaw`` idiom: shift
+    into the 13-bit domain first (arithmetic ``>> 3``), then negatives
+    become ``-val - 1`` (one's-complement magnitude — NOT ``abs``),
+    segment on {0x1F,0x3F,...,0xFFF}, with segments 0 and 1 sharing the
+    ``mag >> 1`` quantization.  Bit-identical to ``audioop.lin2alaw``
+    over the full int16 range (swept in tests)."""
+    val = samples.astype(np.int32) >> 3  # arithmetic shift: 13-bit domain
+    mask = np.where(val >= 0, 0xD5, 0x55)  # A-law sign bit SET = positive
+    mag = np.where(val >= 0, val, -val - 1)
+    # seg boundaries 31,63,...,4095 → bit_length-5, floor 0; mag <= 4095
+    seg = np.maximum(
+        np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 4, 0
     )
-    return ((sign | (exponent << 4) | mantissa) ^ 0x55).astype(np.uint8)
+    quant = np.where(seg < 2, (mag >> 1) & 0x0F, (mag >> seg) & 0x0F)
+    aval = (seg << 4) | quant
+    out = np.where(seg >= 8, 0x7F, aval) ^ mask
+    return out.astype(np.uint8)
 
 
 def _wav_wrap(fmt_body: bytes, extra_chunks: bytes, data: bytes) -> bytes:
@@ -3469,6 +3491,17 @@ def encode_wav_ima_adpcm(
     n, ch = samples.shape
     if ch not in (1, 2):
         raise ValueError("IMA ADPCM supports 1-2 channels")
+    # After the 4*ch-byte header the block body is channel-interleaved
+    # word groups of 4*ch bytes each; a block_align that doesn't split
+    # into whole groups would silently shorten every block (the group
+    # loop floors), producing files shorter than their declared
+    # block_align.  Reject instead.
+    if block_align <= 4 * ch or (block_align - 4 * ch) % (4 * ch) != 0:
+        raise ValueError(
+            f"block_align {block_align} invalid for {ch}-channel IMA "
+            f"ADPCM: need 4*ch header + a whole number of 4*ch-byte "
+            f"word groups (e.g. {4 * ch + 4 * ch * max(1, (block_align - 4 * ch) // (4 * ch))})"
+        )
     spb = (block_align - 4 * ch) * 2 // ch + 1  # samples/block/channel
     n_blocks = (n + spb - 1) // spb
     padded = np.zeros((n_blocks * spb, ch), dtype=np.int16)
@@ -3578,10 +3611,35 @@ def _decode_ima_adpcm(
     if ch not in (1, 2):
         raise ValueError(f"IMA ADPCM supports 1-2 channels, got {ch}")
     n_blocks = len(data) // block_align
+    rem = len(data) - n_blocks * block_align
+    tail: np.ndarray | None = None
+    if rem:
+        # Real IMA WAV files commonly end in a legal short final block:
+        # the same 4*ch header followed by fewer (but still whole)
+        # 4*ch-byte word groups.  Decode it rather than dropping it.
+        if rem < 4 * ch:
+            raise ValueError(
+                f"IMA ADPCM payload ends in {rem} trailing bytes — too "
+                f"short for a {4 * ch}-byte block header"
+            )
+        tail_len = 4 * ch + ((rem - 4 * ch) // (4 * ch)) * (4 * ch)
+        tail = _decode_ima_blocks(
+            np.frombuffer(
+                data, dtype=np.uint8, count=tail_len,
+                offset=n_blocks * block_align,
+            ).reshape(1, tail_len),
+            ch,
+        )
     if n_blocks == 0:
-        return np.zeros((0, ch), dtype=np.int16)
+        return tail if tail is not None else np.zeros((0, ch), dtype=np.int16)
     raw = np.frombuffer(data, dtype=np.uint8, count=n_blocks * block_align)
-    blocks = raw.reshape(n_blocks, block_align)
+    full = _decode_ima_blocks(raw.reshape(n_blocks, block_align), ch)
+    return full if tail is None else np.concatenate([full, tail], axis=0)
+
+
+def _decode_ima_blocks(blocks: np.ndarray, ch: int) -> np.ndarray:
+    """Decode a (k, L) uint8 array of equal-length IMA blocks."""
+    n_blocks = blocks.shape[0]
     head = blocks[:, : 4 * ch]
     pred0 = np.empty((n_blocks, ch), dtype=np.int32)
     idx0 = np.empty((n_blocks, ch), dtype=np.int32)

@@ -382,25 +382,28 @@ def test_wav_g711_exact_vs_reference():
     except ImportError:
         audioop = None
     if audioop is not None:
+        # FULL int16 sweep, both laws, both directions.  A sine-only
+        # check is latently flaky: the pre-r11 abs()-based encoders
+        # mismatched audioop on 381 mu-law / 127 A-law values (negative
+        # samples at quantization boundaries, e.g. -31611 mu, -31744 A)
+        # that a 440 Hz sine happens to avoid entirely.
+        full = np.arange(-32768, 32768, dtype=np.int16)
         assert (
-            np.frombuffer(audioop.lin2ulaw(sine.tobytes(), 2), np.uint8)
-            == mulaw_encode(sine)
+            np.frombuffer(audioop.lin2ulaw(full.tobytes(), 2), np.uint8)
+            == mulaw_encode(full)
         ).all()
         assert (
-            np.frombuffer(
-                audioop.ulaw2lin(mulaw_encode(sine).tobytes(), 2), np.int16
-            )
-            == _MULAW_DECODE[mulaw_encode(sine)]
+            np.frombuffer(audioop.lin2alaw(full.tobytes(), 2), np.uint8)
+            == alaw_encode(full)
+        ).all()
+        all_codes = bytes(range(256))
+        assert (
+            np.frombuffer(audioop.ulaw2lin(all_codes, 2), np.int16)
+            == _MULAW_DECODE
         ).all()
         assert (
-            np.frombuffer(audioop.lin2alaw(sine.tobytes(), 2), np.uint8)
-            == alaw_encode(sine)
-        ).all()
-        assert (
-            np.frombuffer(
-                audioop.alaw2lin(alaw_encode(sine).tobytes(), 2), np.int16
-            )
-            == _ALAW_DECODE[alaw_encode(sine)]
+            np.frombuffer(audioop.alaw2lin(all_codes, 2), np.int16)
+            == _ALAW_DECODE
         ).all()
 
     # end-to-end through the RIFF wrapper, mono + stereo
@@ -454,6 +457,54 @@ def test_wav_ima_adpcm_roundtrip_and_reference():
     s2, _ = decode_wav(encode_wav_ima_adpcm(st, 8000, block_align=512))
     err2 = np.abs(s2[:4000].astype(int) - st.astype(int))
     assert err2[64:].max() <= 700
+
+
+def test_wav_ima_adpcm_block_align_validation_and_short_tail():
+    """Encoder rejects a block_align whose body isn't whole 4*ch word
+    groups (it would silently truncate every block); decoder recovers a
+    legal short final block instead of dropping it."""
+    import numpy as np
+    import pytest
+
+    from opentimes_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    t = np.arange(3000)
+    sine = (9000 * np.sin(2 * np.pi * 330 * t / 8000)).astype(np.int16)
+    # mono: body 246 bytes is not a multiple of 4 → reject
+    with pytest.raises(ValueError, match="block_align"):
+        encode_wav_ima_adpcm(sine, 8000, block_align=250)
+    # stereo: body must be a multiple of 8
+    st = np.stack([sine, -sine], axis=1).astype(np.int16)
+    with pytest.raises(ValueError, match="block_align"):
+        encode_wav_ima_adpcm(st, 8000, block_align=260)
+
+    # Short final block: re-wrap a valid stream with its last block cut
+    # down to header + half its word groups (still 4*ch-aligned — the
+    # spec-legal truncated tail real files carry).  All samples up to
+    # the truncation point must decode identically to the full file.
+    wav = encode_wav_ima_adpcm(sine, 8000, block_align=256)
+    full, _ = decode_wav(wav)
+    di = wav.index(b"data")
+    dlen = int.from_bytes(wav[di + 4 : di + 8], "little")
+    body = wav[di + 8 : di + 8 + dlen]
+    cut = len(body) - 256 + 4 + 124  # last block: 4B header + 124B groups
+    short = body[:cut]
+    rewrapped = (
+        wav[:di]
+        + b"data"
+        + len(short).to_bytes(4, "little")
+        + short
+        + wav[di + 8 + dlen :]
+    )
+    got, _ = decode_wav(rewrapped)
+    kept = 1 + 124 * 2  # header sample + 2 codes/byte in the tail block
+    n_full_blocks = len(body) // 256 - 1
+    expect_n = n_full_blocks * (1 + 252 * 2) + kept
+    assert got.shape[0] == expect_n
+    assert (got[:, 0] == full[: got.shape[0], 0]).all()
 
 
 def test_audio_frame_features_sine_vs_silence(spark):
