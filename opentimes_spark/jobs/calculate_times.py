@@ -119,7 +119,12 @@ def run(args: argparse.Namespace, spark: SparkSession | None = None) -> dict:
         blockpop = spark.read.parquet(args.blockpop)
 
     blockloc = build_blockloc(blocks, blockpop)
-    cenloc = build_cenloc(blockloc, args.geography)
+    # cenloc is dimension-sized (one row per census unit — ~84k tracts
+    # nationally) but its lineage is the full block-grain PIP join; the
+    # job reads it five times (center collect, destination broadcast,
+    # matrix origins, the two points writes).  Cache it so the spatial
+    # chain runs once.
+    cenloc = build_cenloc(blockloc, args.geography).cache()
     state_rows = cenloc.filter(F.col("geoid").startswith(args.state))
     center = state_rows.agg(
         F.avg("x_4326").alias("lon"), F.avg("y_4326").alias("lat")

@@ -385,17 +385,20 @@ def compute_times(
         o, d, router_factory, max_split_size=max_split_size, num_chunks=num_chunks
     )
     times, missing = split_times_missing(matrix)
-    n_o, n_d = o.count(), d.count()
-    spark = origins_cenloc.sparkSession
-    metadata = spark.createDataFrame(
-        [
-            (
-                uuid.uuid4().hex[:8],
-                n_o,
-                n_d,
-            )
-        ],
-        "run_id string, calc_n_origins long, calc_n_destinations long",
+    # Metadata stays LAZY: eager o.count()/d.count() here would each
+    # re-execute the full blockloc→cenloc lineage (a Python-worker PIP
+    # join) before the caller has even asked for the matrix — two extra
+    # end-to-end passes that at national scale re-read the whole block
+    # set.  A crossJoin of two 1-row aggregates carries the same counts
+    # and only runs if/when the caller materializes the metadata frame.
+    metadata = (
+        o.agg(F.count(F.lit(1)).alias("calc_n_origins"))
+        .crossJoin(d.agg(F.count(F.lit(1)).alias("calc_n_destinations")))
+        .select(
+            F.lit(uuid.uuid4().hex[:8]).alias("run_id"),
+            F.col("calc_n_origins"),
+            F.col("calc_n_destinations"),
+        )
     )
     return times, missing, metadata
 

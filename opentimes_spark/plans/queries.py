@@ -16228,19 +16228,27 @@ def produce_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blocks, blockpop = _bench_world(spark)
     blockloc = build_blockloc(blocks, blockpop)
-    cenloc = build_cenloc(blockloc, "tract")
-    state_rows = cenloc.filter(F.col("geoid").startswith("17"))
-    center = state_rows.agg(
-        F.avg("x_4326").alias("lon"), F.avg("y_4326").alias("lat")
-    ).collect()[0]
-    dest = build_destpoint(cenloc, (center["lon"], center["lat"]))
-    times, _missing, _metadata = compute_times(
-        state_rows, dest, HaversineRouter, max_split_size=2_000
-    )
-    out = os.path.join(
-        tempfile.gettempdir(), "opentimes_bench_produce", "times"
-    )
-    write_public(times, out)
+    # Same caching the CLI job applies: cenloc is dimension-sized (1000
+    # tract centroids here, ~84k nationally) but its lineage is the
+    # block-grain PIP chain; without the cache the chain re-executes
+    # for the center collect, the destination broadcast, and the matrix
+    # write — three extra Python-worker passes.
+    cenloc = build_cenloc(blockloc, "tract").cache()
+    try:
+        state_rows = cenloc.filter(F.col("geoid").startswith("17"))
+        center = state_rows.agg(
+            F.avg("x_4326").alias("lon"), F.avg("y_4326").alias("lat")
+        ).collect()[0]
+        dest = build_destpoint(cenloc, (center["lon"], center["lat"]))
+        times, _missing, _metadata = compute_times(
+            state_rows, dest, HaversineRouter, max_split_size=2_000
+        )
+        out = os.path.join(
+            tempfile.gettempdir(), "opentimes_bench_produce", "times"
+        )
+        write_public(times, out)
+    finally:
+        cenloc.unpersist()
     return point_lookup(spark, out, "17001000001")
 
 
