@@ -156,6 +156,12 @@ HEADLINE = [
     # run so the clock prices the full recompute — the LLM-pipeline
     # analogue of produce_pipeline_e2e (VERDICT r9 Next #2)
     "curate_pipeline_e2e",
+    # round-11: §3.3 priced on the clock — the reference's one
+    # published latency ("a few seconds" for the map point lookup,
+    # README.md:136-138) vs this engine's partition-pruned 3-column
+    # read of produce_pipeline_e2e's public write (pruning plan
+    # asserted in tests/test_pipeline.py)
+    "point_lookup",
 ]
 
 
