@@ -24791,3 +24791,869 @@ def cust_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.join(F.broadcast(b), "segment").select(
         "segment", "fold", "n", "imbalance"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 battery: variance / spread hypothesis tests (grid-exact).
+# l_quantity is a 50-value integer grid, so group medians, absolute
+# deviations and all sums of squares are EXACT int64 grid algebra —
+# each statistic is one fact→grid rollup then O(groups) arithmetic,
+# the established classical-stats shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_brown_forsythe",
+    """
+    WITH g AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, q, cnt,
+               SUM(cnt) OVER (PARTITION BY flag ORDER BY q) AS c,
+               SUM(cnt) OVER (PARTITION BY flag) AS n
+        FROM g
+    ),
+    med AS (SELECT flag, MIN(q) AS med FROM cum WHERE 2 * c >= n GROUP BY flag),
+    z AS (
+        SELECT g.flag, ABS(g.q - m.med) AS z, g.cnt
+        FROM g JOIN med m ON m.flag = g.flag
+    ),
+    per AS (
+        SELECT flag, CAST(SUM(cnt) AS BIGINT) AS n_g,
+               CAST(SUM(z * cnt) AS BIGINT) AS s1,
+               CAST(SUM(z * z * cnt) AS BIGINT) AS s2
+        FROM z GROUP BY flag
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(s1) AS BIGINT) AS s1_all
+        FROM per
+    ),
+    parts AS (
+        SELECT CAST(SUM(n_g * ((s1::DOUBLE / n_g) - (t.s1_all::DOUBLE / t.n))
+                         * ((s1::DOUBLE / n_g) - (t.s1_all::DOUBLE / t.n)))
+                    AS DOUBLE) AS ssb,
+               CAST(SUM(s2::DOUBLE - n_g * (s1::DOUBLE / n_g)
+                                         * (s1::DOUBLE / n_g)) AS DOUBLE)
+                   AS ssw
+        FROM per CROSS JOIN tot t GROUP BY t.n, t.k
+    )
+    SELECT t.n AS n_total, t.k AS k_groups,
+           ROUND((p.ssb / (t.k - 1)) / (p.ssw / (t.n - t.k)), 6) AS bf_f
+    FROM parts p CROSS JOIN tot t
+    """,
+)
+def lineitem_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test (Levene with median
+    centers) of l_quantity across return flags: group LOWER medians are
+    exact on the 50-value grid (min q with 2·cum ≥ n), z = |q − med| is
+    integer, and SSB/SSW come from exact int64 Σz, Σz² per group — the
+    only doubles are the final two divisions.  Scale: one fact→grid
+    rollup, windows over the ≤150-row grid only."""
+    from pyspark.sql import Window
+
+    g = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("flag").orderBy("q")
+    cum = g.select(
+        "flag", "q", "cnt",
+        F.sum("cnt").over(w).alias("c"),
+        F.sum("cnt").over(Window.partitionBy("flag")).alias("n"),
+    )
+    med = (
+        cum.filter(2 * F.col("c") >= F.col("n"))
+        .groupBy("flag")
+        .agg(F.min("q").alias("med"))
+    )
+    z = g.join(F.broadcast(med), "flag").select(
+        "flag", F.abs(F.col("q") - F.col("med")).alias("z"), "cnt"
+    )
+    per = z.groupBy("flag").agg(
+        F.sum("cnt").cast("bigint").alias("n_g"),
+        F.sum(F.col("z") * F.col("cnt")).cast("bigint").alias("s1"),
+        F.sum(F.col("z") * F.col("z") * F.col("cnt")).cast("bigint")
+        .alias("s2"),
+    )
+    tot = per.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s1").cast("bigint").alias("s1_all"),
+    )
+    mean_g = F.col("s1").cast("double") / F.col("n_g")
+    mean_all = F.col("s1_all").cast("double") / F.col("n")
+    parts = (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k")
+        .agg(
+            F.sum(
+                F.col("n_g") * (mean_g - mean_all) * (mean_g - mean_all)
+            ).cast("double").alias("ssb"),
+            F.sum(
+                F.col("s2").cast("double")
+                - F.col("n_g") * mean_g * mean_g
+            ).cast("double").alias("ssw"),
+        )
+    )
+    return parts.select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("bf_f"),
+    )
+
+
+@query(
+    "lineitem_bartlett_linestatus",
+    """
+    WITH per AS (
+        SELECT l_linestatus AS st, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+        FROM lineitem GROUP BY 1
+    ),
+    v AS (
+        SELECT st, n_g,
+               (s2::DOUBLE - (s1::DOUBLE * s1::DOUBLE) / n_g) / (n_g - 1)
+                   AS s2_g
+        FROM per
+    ),
+    t AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM((n_g - 1) * s2_g) AS DOUBLE) AS sw,
+               CAST(SUM((n_g - 1) * ln(s2_g)) AS DOUBLE) AS slog,
+               CAST(SUM(1.0 / (n_g - 1)) AS DOUBLE) AS sinv
+        FROM v
+    )
+    SELECT n AS n_total, k AS k_groups,
+           ROUND(((n - k) * ln(sw / (n - k)) - slog)
+                 / (1.0 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1))), 6)
+               AS bartlett_t
+    FROM t
+    """,
+)
+def lineitem_bartlett_linestatus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bartlett's test of equal l_quantity variances across line
+    statuses: per-group Σq, Σq² are exact int64 (q ≤ 50 → Σq² ≤
+    1.5×10⁹ at sf0.1, headroom to 10¹⁸ rows), variances use the same
+    explicit sum-of-squares formula in both engines, and the only
+    transcendental is ln over identical doubles (the KL-divergence
+    precedent), absorbed by ROUND 6."""
+    per = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_linestatus").alias("st"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+            .alias("s1"),
+            F.sum(
+                F.col("l_quantity").cast("bigint")
+                * F.col("l_quantity").cast("bigint")
+            ).cast("bigint").alias("s2"),
+        )
+    )
+    s1d = F.col("s1").cast("double")
+    v = per.select(
+        "st", "n_g",
+        (
+            (F.col("s2").cast("double") - s1d * s1d / F.col("n_g"))
+            / (F.col("n_g") - 1)
+        ).alias("s2_g"),
+    )
+    t = v.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum((F.col("n_g") - 1) * F.col("s2_g")).cast("double").alias("sw"),
+        F.sum((F.col("n_g") - 1) * F.log(F.col("s2_g"))).cast("double")
+        .alias("slog"),
+        F.sum(F.lit(1.0) / (F.col("n_g") - 1)).cast("double").alias("sinv"),
+    )
+    nk = F.col("n") - F.col("k")
+    return t.select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        F.round(
+            (nk * F.log(F.col("sw") / nk) - F.col("slog"))
+            / (
+                F.lit(1.0)
+                + (F.col("sinv") - F.lit(1.0) / nk)
+                / (F.lit(3.0) * (F.col("k") - 1))
+            ),
+            6,
+        ).alias("bartlett_t"),
+    )
+
+
+@query(
+    "lineitem_cohens_d_quantity",
+    """
+    WITH per AS (
+        SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+        FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+    ),
+    v AS (
+        SELECT flag, n_g, s1::DOUBLE / n_g AS m,
+               (s2::DOUBLE - (s1::DOUBLE * s1::DOUBLE) / n_g) / (n_g - 1)
+                   AS s2_g
+        FROM per
+    ),
+    w AS (
+        SELECT r.n_g AS n1, a.n_g AS n2, r.m - a.m AS dm,
+               sqrt(((r.n_g - 1) * r.s2_g + (a.n_g - 1) * a.s2_g)
+                    / (r.n_g + a.n_g - 2)) AS s_p
+        FROM (SELECT * FROM v WHERE flag = 'R') r
+        CROSS JOIN (SELECT * FROM v WHERE flag = 'A') a
+    )
+    SELECT n1 AS n_r, n2 AS n_a,
+           ROUND(dm / s_p, 6) AS cohens_d,
+           ROUND((dm / s_p)
+                 * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g
+    FROM w
+    """,
+)
+def lineitem_cohens_d_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect size of the R-vs-A quantity difference: Cohen's d from
+    pooled variance plus the Hedges small-sample correction g — the
+    companion number every hypothesis test in the battery should ship
+    with.  Exact int64 Σq/Σq² per flag; sqrt is correctly rounded, so
+    both engines agree bit-for-bit before ROUND."""
+    per = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "A"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+            .alias("s1"),
+            F.sum(
+                F.col("l_quantity").cast("bigint")
+                * F.col("l_quantity").cast("bigint")
+            ).cast("bigint").alias("s2"),
+        )
+    )
+    s1d = F.col("s1").cast("double")
+    v = per.select(
+        "flag", "n_g",
+        (s1d / F.col("n_g")).alias("m"),
+        (
+            (F.col("s2").cast("double") - s1d * s1d / F.col("n_g"))
+            / (F.col("n_g") - 1)
+        ).alias("s2_g"),
+    )
+    r = v.filter(F.col("flag") == "R").select(
+        F.col("n_g").alias("n1"), F.col("m").alias("m1"),
+        F.col("s2_g").alias("v1"),
+    )
+    a = v.filter(F.col("flag") == "A").select(
+        F.col("n_g").alias("n2"), F.col("m").alias("m2"),
+        F.col("s2_g").alias("v2"),
+    )
+    w = r.crossJoin(F.broadcast(a)).select(
+        "n1", "n2",
+        (F.col("m1") - F.col("m2")).alias("dm"),
+        F.sqrt(
+            ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
+            / (F.col("n1") + F.col("n2") - 2)
+        ).alias("s_p"),
+    )
+    d = F.col("dm") / F.col("s_p")
+    return w.select(
+        F.col("n1").alias("n_r"),
+        F.col("n2").alias("n_a"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(
+            d * (F.lit(1.0) - F.lit(3.0) / (4.0 * (F.col("n1") + F.col("n2")) - 9.0)),
+            6,
+        ).alias("hedges_g"),
+    )
+
+
+@query(
+    "lineitem_cliffs_delta_quantity",
+    """
+    WITH g AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cr,
+               CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca
+        FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+    ),
+    cum AS (
+        SELECT q, cr, ca,
+               SUM(ca) OVER (ORDER BY q) - ca AS ca_below,
+               SUM(ca) OVER (ORDER BY q DESC) - ca AS ca_above
+        FROM g
+    ),
+    t AS (
+        SELECT CAST(SUM(cr) AS BIGINT) AS n_r, CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cr * ca_below) AS BIGINT) AS n_gt,
+               CAST(SUM(cr * ca_above) AS BIGINT) AS n_lt
+        FROM cum
+    )
+    SELECT n_r, n_a, n_gt, n_lt,
+           ROUND((n_gt - n_lt)::DOUBLE / (n_r::DOUBLE * n_a), 6)
+               AS cliffs_delta
+    FROM t
+    """,
+)
+def lineitem_cliffs_delta_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cliff's delta (ordinal dominance) of R-vs-A quantities: #(x>y)
+    and #(x<y) come from cumulative counts on the shared 50-value grid
+    — exact int64 pair counts (≤ 4×10¹⁰ at sf0.1) with ties
+    contributing to neither side, one final double division.  The
+    nonparametric companion to lineitem_cohens_d_quantity."""
+    from pyspark.sql import Window
+
+    g = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "A"))
+        .groupBy(F.col("l_quantity").cast("bigint").alias("q"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint").alias("cr"),
+            F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+            .cast("bigint").alias("ca"),
+        )
+    )
+    cum = g.select(
+        "q", "cr", "ca",
+        (F.sum("ca").over(Window.orderBy("q")) - F.col("ca"))
+        .alias("ca_below"),
+        (F.sum("ca").over(Window.orderBy(F.col("q").desc())) - F.col("ca"))
+        .alias("ca_above"),
+    )
+    t = cum.agg(
+        F.sum("cr").cast("bigint").alias("n_r"),
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum(F.col("cr") * F.col("ca_below")).cast("bigint").alias("n_gt"),
+        F.sum(F.col("cr") * F.col("ca_above")).cast("bigint").alias("n_lt"),
+    )
+    return t.select(
+        "n_r", "n_a", "n_gt", "n_lt",
+        F.round(
+            (F.col("n_gt") - F.col("n_lt")).cast("double")
+            / (F.col("n_r").cast("double") * F.col("n_a")),
+            6,
+        ).alias("cliffs_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 battery: forecast evaluation (time-series III).  Monthly
+# revenue comes from exact cent sums (the SES/Holt precedent), so lag
+# differences are exact integers and every statistic is grid algebra;
+# windows run over the ~80-row month grid only.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_seasonal_naive_mase",
+    """
+    WITH mo AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    lagd AS (
+        SELECT m, y,
+               LAG(y, 1) OVER (ORDER BY m) AS f_naive,
+               LAG(y, 12) OVER (ORDER BY m) AS f_snaive
+        FROM mo
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(COUNT(f_naive) AS BIGINT) AS n_naive,
+               CAST(COUNT(f_snaive) AS BIGINT) AS n_snaive,
+               CAST(SUM(ABS(y - f_naive)) AS BIGINT) AS sae_naive,
+               CAST(SUM(ABS(y - f_snaive)) AS BIGINT) AS sae_snaive
+        FROM lagd
+    )
+    SELECT n_months, n_snaive,
+           ROUND(sae_naive::DOUBLE / n_naive / 100, 4) AS mae_naive,
+           ROUND(sae_snaive::DOUBLE / n_snaive / 100, 4) AS mae_snaive,
+           ROUND((sae_snaive::DOUBLE / n_snaive)
+                 / (sae_naive::DOUBLE / n_naive), 6) AS mase
+    FROM t
+    """,
+)
+def orders_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the seasonal-naive forecast (lag 12 on the observed
+    month series) scaled by the in-sample naive MAE (lag 1) — the
+    scale-free forecast-accuracy baseline every model comparison needs.
+    Absolute errors are exact integer cents; only the two final
+    divisions are doubles."""
+    from pyspark.sql import Window
+
+    mo = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).cast("bigint").alias("y")
+        )
+    )
+    w = Window.orderBy("m")
+    lagd = mo.select(
+        "m", "y",
+        F.lag("y", 1).over(w).alias("f_naive"),
+        F.lag("y", 12).over(w).alias("f_snaive"),
+    )
+    t = lagd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.count("f_naive").cast("bigint").alias("n_naive"),
+        F.count("f_snaive").cast("bigint").alias("n_snaive"),
+        F.sum(F.abs(F.col("y") - F.col("f_naive"))).cast("bigint")
+        .alias("sae_naive"),
+        F.sum(F.abs(F.col("y") - F.col("f_snaive"))).cast("bigint")
+        .alias("sae_snaive"),
+    )
+    return t.select(
+        "n_months", "n_snaive",
+        F.round(
+            F.col("sae_naive").cast("double") / F.col("n_naive") / 100, 4
+        ).alias("mae_naive"),
+        F.round(
+            F.col("sae_snaive").cast("double") / F.col("n_snaive") / 100, 4
+        ).alias("mae_snaive"),
+        F.round(
+            (F.col("sae_snaive").cast("double") / F.col("n_snaive"))
+            / (F.col("sae_naive").cast("double") / F.col("n_naive")),
+            6,
+        ).alias("mase"),
+    )
+
+
+@query(
+    "orders_smape_wape_monthly",
+    """
+    WITH mo AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    lagd AS (
+        SELECT m, y, LAG(y, 1) OVER (ORDER BY m) AS f FROM mo
+    ),
+    t AS (
+        SELECT CAST(COUNT(f) AS BIGINT) AS n_terms,
+               CAST(SUM(ABS(y - f)) AS BIGINT) AS sae,
+               CAST(SUM(y) FILTER (WHERE f IS NOT NULL) AS BIGINT) AS sy,
+               CAST(AVG(2.0 * ABS(y - f) / (y + f)) AS DOUBLE) AS smape
+        FROM lagd
+    )
+    SELECT n_terms,
+           ROUND(smape, 6) AS smape,
+           ROUND(sae::DOUBLE / sy, 6) AS wape
+    FROM t
+    """,
+)
+def orders_smape_wape_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sMAPE and WAPE of the naive (lag-1) monthly revenue forecast —
+    the two percentage-error metrics that stay defined when months
+    differ 100× in volume.  Numerators/denominators are exact cents;
+    the per-month sMAPE terms are doubles averaged over the ≤80-row
+    grid (the q1 avg_disc rounding precedent)."""
+    from pyspark.sql import Window
+
+    mo = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).cast("bigint").alias("y")
+        )
+    )
+    lagd = mo.select(
+        "m", "y", F.lag("y", 1).over(Window.orderBy("m")).alias("f")
+    )
+    t = lagd.agg(
+        F.count("f").cast("bigint").alias("n_terms"),
+        F.sum(F.abs(F.col("y") - F.col("f"))).cast("bigint").alias("sae"),
+        F.sum(F.when(F.col("f").isNotNull(), F.col("y"))).cast("bigint")
+        .alias("sy"),
+        F.avg(
+            F.lit(2.0) * F.abs(F.col("y") - F.col("f"))
+            / (F.col("y") + F.col("f"))
+        ).cast("double").alias("smape"),
+    )
+    return t.select(
+        "n_terms",
+        F.round(F.col("smape"), 6).alias("smape"),
+        F.round(F.col("sae").cast("double") / F.col("sy"), 6).alias("wape"),
+    )
+
+
+@query(
+    "orders_theil_u2_snaive",
+    """
+    WITH mo AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    lagd AS (
+        SELECT m, y,
+               LAG(y, 1) OVER (ORDER BY m) AS f_naive,
+               LAG(y, 12) OVER (ORDER BY m) AS f_snaive
+        FROM mo
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM((y - f_snaive)::DOUBLE * (y - f_snaive)) AS DOUBLE)
+                   AS sse_s,
+               CAST(SUM((y - f_naive)::DOUBLE * (y - f_naive)) AS DOUBLE)
+                   AS sse_n
+        FROM lagd WHERE f_snaive IS NOT NULL
+    )
+    SELECT n_terms,
+           ROUND(sqrt(sse_s / n_terms) / 100, 4) AS rmse_snaive,
+           ROUND(sqrt(sse_n / n_terms) / 100, 4) AS rmse_naive,
+           ROUND(sqrt(sse_s / sse_n), 6) AS theil_u2
+    FROM t
+    """,
+)
+def orders_theil_u2_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 forecast-skill ratio: RMSE(seasonal-naive) /
+    RMSE(naive) over the months where both are defined — U2 < 1 means
+    the seasonal structure is real.  Lag differences are exact integer
+    cents squared in double (relative reassociation error ~1e-14,
+    absorbed by ROUND 6 on a ratio near 1)."""
+    from pyspark.sql import Window
+
+    mo = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).cast("bigint").alias("y")
+        )
+    )
+    w = Window.orderBy("m")
+    lagd = mo.select(
+        "m", "y",
+        F.lag("y", 1).over(w).alias("f_naive"),
+        F.lag("y", 12).over(w).alias("f_snaive"),
+    ).filter(F.col("f_snaive").isNotNull())
+    ds = (F.col("y") - F.col("f_snaive")).cast("double")
+    dn = (F.col("y") - F.col("f_naive")).cast("double")
+    t = lagd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(ds * ds).cast("double").alias("sse_s"),
+        F.sum(dn * dn).cast("double").alias("sse_n"),
+    )
+    return t.select(
+        "n_terms",
+        F.round(F.sqrt(F.col("sse_s") / F.col("n_terms")) / 100, 4)
+        .alias("rmse_snaive"),
+        F.round(F.sqrt(F.col("sse_n") / F.col("n_terms")) / 100, 4)
+        .alias("rmse_naive"),
+        F.round(F.sqrt(F.col("sse_s") / F.col("sse_n")), 6).alias("theil_u2"),
+    )
+
+
+@query(
+    "orders_holt_winters_additive",
+    """
+    WITH RECURSIVE mo AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ),
+    seq AS (SELECT ROW_NUMBER() OVER (ORDER BY m) AS i, y FROM mo),
+    init AS (
+        SELECT
+            (SELECT SUM(y) / 12 FROM seq WHERE i <= 12) AS lev0,
+            ((SELECT SUM(y) / 12 FROM seq WHERE i BETWEEN 13 AND 24)
+             - (SELECT SUM(y) / 12 FROM seq WHERE i <= 12)) / 12 AS tr0,
+            (SELECT list(y - (SELECT SUM(y) / 12 FROM seq WHERE i <= 12)
+                         ORDER BY i)
+             FROM seq WHERE i <= 12)::DOUBLE[] AS seas0
+    ),
+    hw AS (
+        SELECT CAST(12 AS BIGINT) AS i, lev0 AS lev, tr0 AS tr,
+               seas0 AS seas, CAST(0.0 AS DOUBLE) AS sae
+        FROM init
+        UNION ALL
+        SELECT q.i,
+               0.5 * (q.y - h.seas[1]) + 0.5 * (h.lev + h.tr),
+               0.25 * ((0.5 * (q.y - h.seas[1]) + 0.5 * (h.lev + h.tr))
+                       - h.lev) + 0.75 * h.tr,
+               (h.seas[2:] || [0.25 * (q.y - (0.5 * (q.y - h.seas[1])
+                                              + 0.5 * (h.lev + h.tr)))
+                               + 0.75 * h.seas[1]])::DOUBLE[],
+               h.sae + ABS(q.y - (h.lev + h.tr + h.seas[1]))
+        FROM hw h JOIN seq q ON q.i = h.i + 1
+    ),
+    last AS (SELECT MAX(i) AS n FROM seq)
+    SELECT h.i AS n_months,
+           ROUND(h.lev / 100, 4) AS level,
+           ROUND(h.tr / 100, 4) AS trend,
+           ROUND(h.sae / (h.i - 12) / 100, 4) AS mae,
+           ROUND((h.lev + h.tr + h.seas[1]) / 100, 4) AS next_forecast
+    FROM hw h JOIN last l ON h.i = l.n
+    """,
+)
+def orders_holt_winters_additive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive Holt-Winters (alpha=0.5, beta=gamma=0.25, m=12) over
+    the monthly revenue series with one-step-ahead MAE: level/trend
+    init from the first two seasons' means, seasonals from season one,
+    then the full triple recursion from month 13.  The seasonal state
+    rides as a rotating 12-slot array in BOTH engines (head = current
+    month's seasonal, consumed and re-appended each step), every
+    coefficient is exactly representable, monthly y is an exact cent
+    sum — so all ~70 recursion steps are bit-equal across engines.
+    Scale: one fact→month rollup, then an O(months) fold."""
+    from pyspark.sql import Window
+
+    mo = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).cast("double").alias("y")
+        )
+    )
+    seq = mo.select(
+        F.row_number().over(Window.orderBy("m")).cast("bigint").alias("i"),
+        "y",
+    )
+    init = seq.agg(
+        (F.sum(F.when(F.col("i") <= 12, F.col("y"))) / 12).alias("lev0"),
+        (
+            (
+                F.sum(
+                    F.when(
+                        (F.col("i") >= 13) & (F.col("i") <= 24), F.col("y")
+                    )
+                )
+                / 12
+                - F.sum(F.when(F.col("i") <= 12, F.col("y"))) / 12
+            )
+            / 12
+        ).alias("tr0"),
+        F.expr(
+            "transform(array_sort(collect_list(CASE WHEN i <= 12 THEN "
+            "struct(i, y) END)), x -> x.y)"
+        ).alias("ys0"),
+    ).select(
+        "lev0", "tr0",
+        F.expr("transform(ys0, v -> v - lev0)").alias("seas0"),
+    )
+    tail = seq.filter(F.col("i") >= 13)
+    folded = (
+        tail.crossJoin(F.broadcast(init))
+        .groupBy("lev0", "tr0", "seas0")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "y"))).alias("series")
+        )
+    )
+    zero = F.struct(
+        F.col("lev0").alias("lev"),
+        F.col("tr0").alias("tr"),
+        F.col("seas0").alias("seas"),
+        F.lit(0.0).alias("sae"),
+        F.lit(12).cast("bigint").alias("i"),
+    )
+
+    def step(acc, row):
+        y = row["y"]
+        s_old = acc["seas"][0]
+        lev_new = F.lit(0.5) * (y - s_old) + F.lit(0.5) * (
+            acc["lev"] + acc["tr"]
+        )
+        tr_new = F.lit(0.25) * (lev_new - acc["lev"]) + F.lit(0.75) * acc["tr"]
+        s_new = F.lit(0.25) * (y - lev_new) + F.lit(0.75) * s_old
+        return F.struct(
+            lev_new.alias("lev"),
+            tr_new.alias("tr"),
+            F.concat(F.slice(acc["seas"], 2, 11), F.array(s_new))
+            .alias("seas"),
+            (acc["sae"] + F.abs(y - (acc["lev"] + acc["tr"] + s_old)))
+            .alias("sae"),
+            (acc["i"] + 1).cast("bigint").alias("i"),
+        )
+
+    h = folded.select(F.aggregate("series", zero, step).alias("h"))
+    return h.select(
+        F.col("h.i").alias("n_months"),
+        F.round(F.col("h.lev") / 100, 4).alias("level"),
+        F.round(F.col("h.tr") / 100, 4).alias("trend"),
+        F.round(F.col("h.sae") / (F.col("h.i") - 12) / 100, 4).alias("mae"),
+        F.round(
+            (F.col("h.lev") + F.col("h.tr") + F.col("h.seas")[0]) / 100, 4
+        ).alias("next_forecast"),
+    )
+
+
+@query(
+    "events_ewma_control_chart",
+    """
+    WITH RECURSIVE hr AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    seq AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY h) AS i, y::DOUBLE AS y FROM hr
+    ),
+    stat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y::BIGINT) AS BIGINT) AS s1,
+               CAST(SUM(y::BIGINT * y::BIGINT) AS BIGINT) AS s2
+        FROM hr
+    ),
+    base AS (
+        SELECT n, s1::DOUBLE / n AS mu,
+               sqrt((s2::DOUBLE - (s1::DOUBLE * s1::DOUBLE) / n) / n)
+                   AS sigma
+        FROM stat
+    ),
+    ew AS (
+        SELECT CAST(1 AS BIGINT) AS i, q.y AS ewma,
+               CAST(0.0625 AS DOUBLE) AS fac,
+               CAST(CASE WHEN ABS(q.y - b.mu) >
+                    3.0 * b.sigma * sqrt((0.25 / 1.75) * (1.0 - 0.0625))
+                    THEN 1 ELSE 0 END AS BIGINT) AS ooc
+        FROM seq q CROSS JOIN base b WHERE q.i = 1
+        UNION ALL
+        SELECT q.i, 0.25 * q.y + 0.75 * e.ewma, e.fac * 0.5625,
+               e.ooc + CASE WHEN
+                   ABS((0.25 * q.y + 0.75 * e.ewma) - b.mu) >
+                   3.0 * b.sigma
+                       * sqrt((0.25 / 1.75) * (1.0 - e.fac * 0.5625))
+                   THEN 1 ELSE 0 END
+        FROM ew e JOIN seq q ON q.i = e.i + 1 CROSS JOIN base b
+    ),
+    last AS (SELECT MAX(i) AS n FROM seq)
+    SELECT e.i AS n_hours, e.ooc AS n_out_of_control,
+           ROUND(e.ewma, 4) AS last_ewma,
+           ROUND(b.mu, 4) AS mu, ROUND(b.sigma, 4) AS sigma
+    FROM ew e JOIN last l ON e.i = l.n CROSS JOIN base b
+    """,
+)
+def events_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (lambda=0.25, L=3) over hourly event-value
+    sums with the exact time-varying limits 3·sigma·sqrt(lambda/(2-
+    lambda)·(1-(1-lambda)^(2t))): the variance inflation factor
+    (0.75^(2t)) accumulates INSIDE the recursion by multiplying the
+    exactly-representable 0.5625 each step, so both engines walk
+    identical doubles and the out-of-control comparisons can never
+    disagree.  Hourly y uses floor-dollar sums so mu/sigma come from
+    exact int64 Σy, Σy² (headroom: hourly sums ≤ 2.5×10⁶ → Σy² fits to
+    10⁵ hours).  Scale: fact→hour rollup, then an O(hours) fold."""
+    from pyspark.sql import Window
+
+    hr = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("y")
+        )
+    )
+    stat = hr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    base = stat.select(
+        "n",
+        (s1d / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2").cast("double") - s1d * s1d / F.col("n")) / F.col("n")
+        ).alias("sigma"),
+    )
+    seq = hr.select(
+        F.row_number().over(Window.orderBy("h")).cast("bigint").alias("i"),
+        F.col("y").cast("double").alias("y"),
+    )
+    folded = (
+        seq.crossJoin(F.broadcast(base))
+        .groupBy("n", "mu", "sigma")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "y"))).alias("series")
+        )
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("ewma"),
+        F.lit(0.0).alias("fac"),
+        F.lit(0).cast("bigint").alias("ooc"),
+        F.lit(0).cast("bigint").alias("i"),
+    )
+    lim = lambda fac: F.lit(3.0) * F.col("sigma") * F.sqrt(
+        (F.lit(0.25) / F.lit(1.75)) * (F.lit(1.0) - fac)
+    )
+
+    def step(acc, row):
+        y = row["y"]
+        first = F.struct(
+            y.alias("ewma"),
+            F.lit(0.0625).alias("fac"),
+            F.when(
+                F.abs(y - F.col("mu")) > lim(F.lit(0.0625)), F.lit(1)
+            ).otherwise(F.lit(0)).cast("bigint").alias("ooc"),
+            F.lit(1).cast("bigint").alias("i"),
+        )
+        ew = F.lit(0.25) * y + F.lit(0.75) * acc["ewma"]
+        fac = acc["fac"] * F.lit(0.5625)
+        nxt = F.struct(
+            ew.alias("ewma"),
+            fac.alias("fac"),
+            (
+                acc["ooc"]
+                + F.when(F.abs(ew - F.col("mu")) > lim(fac), F.lit(1))
+                .otherwise(F.lit(0))
+            ).cast("bigint").alias("ooc"),
+            (acc["i"] + 1).cast("bigint").alias("i"),
+        )
+        return F.when(acc["i"] == 0, first).otherwise(nxt)
+
+    h = folded.select(
+        "mu", "sigma", F.aggregate("series", zero, step).alias("h")
+    )
+    return h.select(
+        F.col("h.i").alias("n_hours"),
+        F.col("h.ooc").alias("n_out_of_control"),
+        F.round(F.col("h.ewma"), 4).alias("last_ewma"),
+        F.round(F.col("mu"), 4).alias("mu"),
+        F.round(F.col("sigma"), 4).alias("sigma"),
+    )
