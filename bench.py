@@ -162,6 +162,16 @@ HEADLINE = [
     # read of produce_pipeline_e2e's public write (pruning plan
     # asserted in tests/test_pipeline.py)
     "point_lookup",
+    # round-11 shape representatives: the at-scale Poisson bootstrap
+    # (B=100 coin weights -> ONE map-side-combined aggregate; xxhash64
+    # production twin of the md5-certified orders_poisson_bootstrap_ci,
+    # the dedup_minhash precedent), the dedup-threshold sweep (one
+    # bigram-Jaccard pair join, five thresholds off the pair
+    # distribution), and exact sliding-window distinct (dedup-then-
+    # fan-out grid shape)
+    "poisson_bootstrap_xxhash",
+    "docs_dedup_threshold_sweep",
+    "events_sliding_3h_distinct_users",
 ]
 
 
