@@ -616,3 +616,24 @@ def test_driver_lloyd_matches_distributed_step(spark):
             for x, y in zip(cd[cid], cl[cid]):
                 assert abs(x - y) <= 1e-12 * max(abs(x), 1.0)
     base.unpersist()
+
+
+def test_kmeans_fit_distributed_path_matches_driver_path(spark, monkeypatch):
+    """kmeans_fit's two execution paths (driver-vectorized below the
+    element threshold, distributed above) must produce the same model.
+    Force the distributed loop by zeroing the threshold and compare
+    against the default (driver) run — centroids must agree to
+    near-ulp on every dimension, and n_iter must match."""
+    from pyspark.sql import functions as SF
+
+    from opentimes_spark.io.read import read_table
+    from opentimes_spark.operators import clustering
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    m_driver = clustering.kmeans_fit(emb, k=4, max_iter=3, tol=0.0)
+    monkeypatch.setattr(clustering, "_DRIVER_LLOYD_MAX_ELEMS", 0)
+    m_dist = clustering.kmeans_fit(emb, k=4, max_iter=3, tol=0.0)
+    assert m_driver.n_iter == m_dist.n_iter
+    for cid in m_driver.centroids:
+        for x, y in zip(m_driver.centroids[cid], m_dist.centroids[cid]):
+            assert abs(x - y) <= 1e-12 * max(abs(x), 1.0)
