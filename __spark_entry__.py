@@ -30,10 +30,12 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # r1-r10 (CORRECTNESS_r10 was 50/50 green; the 48 r10 additions are folded
 # into _CERTIFIED below per the standing pattern).  _FRONT holds names
 # whose SEMANTICS/PLAN changed this round and therefore need a fresh
-# driver hash; r11 has no semantic re-fronts so far, leaving the full
-# 50-name window for round-11 additions (budget ≤ 50 new names via
-# `fresh`).
-_FRONT: list[str] = []
+# driver hash.
+# r11 re-fronts: the two connected-components consumers — the operator
+# gained a driver union-find cutover below 10^6 canonical edges (values
+# are a pure min-id set, unchanged; plan fingerprints re-baselined).
+# With 41 round-11 additions in `fresh`, the window holds 43 ≤ 50.
+_FRONT: list[str] = ["dedup_components", "docs_dedup_cluster_purity"]
 
 
 def _ordered(mapping):

@@ -85,17 +85,61 @@ def _checksum(edges: DataFrame):
     return (row["n"], row["s"], row["x"])
 
 
+# Above this canonical-edge count the star-contraction loop runs
+# distributed; below it the graph is driver-sized and one union-find
+# pass beats 10-40 six-shuffle Spark rounds.  Output semantics are a
+# pure min-id SET — no floating point — so the two paths are exactly
+# interchangeable (pinned by test).
+_DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(edge_rows, node_rows):
+    """Exact (node, component_id=min member) via union-find on
+    driver-collected canonical edges."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    nodes = [r[0] for r in node_rows]
+    roots = {x: find(x) for x in nodes}
+    for x, r in roots.items():
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    return [(x, comp_min[roots[x]]) for x in nodes]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    force_distributed: bool = False,
 ) -> DataFrame:
     """(node, component_id) for every node appearing in ``edges``;
     component_id = min node id in the component (lexicographic for
     string ids — same ordering the DuckDB-recursive-CTE oracle uses).
     Raises if not converged within ``max_iter`` rounds; with log²-round
-    convergence that cap is structural, not a tuning knob."""
+    convergence that cap is structural, not a tuning knob.
+
+    Adaptive execution: at or below ``_DRIVER_CC_MAX_EDGES`` canonical
+    edges the graph fits on the driver and union-find answers in one
+    collect instead of up to 40 six-shuffle contraction rounds (the
+    kmeans_fit driver-twin precedent — here with NO numeric caveat at
+    all, the output is a min-id set).  ``force_distributed=True`` pins
+    the star-contraction path; the bench stress rows use it so the
+    O(log² n) scale claim keeps getting priced on the clock."""
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     nodes = (
         raw.select(F.col("u").alias("node"))
@@ -105,6 +149,16 @@ def connected_components(
     )
     e = _canonical(raw).localCheckpoint(eager=True)
     prev = _checksum(e)
+    if not force_distributed and prev[0] <= _DRIVER_CC_MAX_EDGES:
+        spark = edges.sparkSession
+        pairs = _driver_union_find(
+            [(r["u"], r["v"]) for r in e.collect()],
+            nodes.collect(),
+        )
+        node_type = nodes.schema["node"].dataType.simpleString()
+        return spark.createDataFrame(
+            pairs, f"node {node_type}, component_id {node_type}"
+        )
     # Size the ITERATION's shuffle parallelism to the edge count: each
     # round is ~6 tiny shuffles, and localCheckpoint defeats AQE's
     # cross-round partition coalescing, so at small edge counts the

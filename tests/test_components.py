@@ -52,7 +52,9 @@ def test_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(20)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError):
-        connected_components(edges, max_iter=2)
+        # force the contraction loop: the driver union-find cutover
+        # answers small graphs without iterating at all
+        connected_components(edges, max_iter=2, force_distributed=True)
 
 
 def test_components_match_union_find_random(spark):
@@ -93,3 +95,48 @@ def test_components_match_union_find_random(spark):
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got = _comp_map(connected_components(df))
         assert got == expect, seed
+
+
+def test_driver_union_find_matches_distributed(spark):
+    """The driver union-find cutover and the forced star-contraction
+    path must return the IDENTICAL (node, component_id) set — the
+    output is pure min-id set semantics, so exact equality, not
+    tolerance."""
+    from pyspark.sql import functions as SF
+
+    from opentimes_spark.operators.components import connected_components
+
+    # mixed graph: a chain, a star, two isolated-ish pairs, a self-loop
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 50)]
+        + [(100, 100 + i) for i in range(1, 20)]
+        + [(200, 201), (300, 301), (400, 400)],
+        "id_a long, id_b long",
+    )
+    fast = {
+        (r["node"], r["component_id"])
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r["node"], r["component_id"])
+        for r in connected_components(
+            edges, force_distributed=True
+        ).collect()
+    }
+    assert fast == dist and len(fast) > 0
+    # string ids take the lexicographic min, identically in both paths
+    sedges = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], "id_a string, id_b string"
+    )
+    f2 = {
+        (r["node"], r["component_id"])
+        for r in connected_components(sedges).collect()
+    }
+    d2 = {
+        (r["node"], r["component_id"])
+        for r in connected_components(
+            sedges, force_distributed=True
+        ).collect()
+    }
+    assert f2 == d2
+    assert ("c", "a") in f2 and ("y", "x") in f2
