@@ -34,7 +34,8 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # r11 re-fronts: the two connected-components consumers — the operator
 # gained a driver union-find cutover below 10^6 canonical edges (values
 # are a pure min-id set, unchanged; plan fingerprints re-baselined).
-# With 41 round-11 additions in `fresh`, the window holds 43 ≤ 50.
+# With 48 round-11 additions in `fresh` (41 earlier batteries + the
+# 7-query trend/audit battery), the window holds exactly 50.
 _FRONT: list[str] = ["dedup_components", "docs_dedup_cluster_purity"]
 
 
