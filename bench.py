@@ -112,6 +112,9 @@ HEADLINE = [
     "components_uniform",
     "components_skewstress",
     "components_starstress",
+    # round-11: the adaptive driver union-find path on the SAME graph
+    # as components_uniform — the pair's ratio prices the cutover win
+    "components_unionfind_cutover",
     # round-7 operator families: MOSS winnowing fingerprints (window-min
     # over gram grain) and the Gram-matrix PCA power iteration (dim^2
     # explode collapsed by map-side combine to a 4096-row shuffle)
