@@ -26,6 +26,7 @@ round so plans don't grow exponentially.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -133,14 +134,40 @@ def connected_components(
     Raises if not converged within ``max_iter`` rounds; with log²-round
     convergence that cap is structural, not a tuning knob.
 
-    Adaptive execution: at or below ``_DRIVER_CC_MAX_EDGES`` canonical
-    edges the graph fits on the driver and union-find answers in one
-    collect instead of up to 40 six-shuffle contraction rounds (the
+    Adaptive execution: at or below ``_DRIVER_CC_MAX_EDGES`` RAW edges
+    the graph fits on the driver and union-find answers from one Arrow
+    transfer instead of up to 40 six-shuffle contraction rounds (the
     kmeans_fit driver-twin precedent — here with NO numeric caveat at
-    all, the output is a min-id set).  ``force_distributed=True`` pins
-    the star-contraction path; the bench stress rows use it so the
-    O(log² n) scale claim keeps getting priced on the clock."""
+    all, the output is a min-id set).  The cutover keys on the raw
+    count (one shuffle-free job) rather than the canonical count so
+    the driver path pays NO Spark shuffles at all: no node distinct,
+    no canonicalization, no checksum — union-find is insensitive to
+    duplicate/self-loop/uncanonicalized edges, so the raw pairs feed
+    it directly (raw ≥ canonical, so the memory bound still holds).
+    ``force_distributed=True`` pins the star-contraction path; the
+    bench stress rows use it so the O(log² n) scale claim keeps
+    getting priced on the clock."""
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not force_distributed and raw.count() <= _DRIVER_CC_MAX_EDGES:
+        spark = edges.sparkSession
+        pdf = raw.toPandas()
+        us, vs = pdf["u"].tolist(), pdf["v"].tolist()
+        seen: set = set()
+        node_list = []
+        for x in us:
+            if x not in seen:
+                seen.add(x)
+                node_list.append(x)
+        for x in vs:
+            if x not in seen:
+                seen.add(x)
+                node_list.append(x)
+        pairs = _driver_union_find(zip(us, vs), [(n,) for n in node_list])
+        node_type = raw.schema["u"].dataType.simpleString()
+        out = pd.DataFrame(pairs, columns=["node", "component_id"])
+        return spark.createDataFrame(
+            out, f"node {node_type}, component_id {node_type}"
+        )
     nodes = (
         raw.select(F.col("u").alias("node"))
         .union(raw.select(F.col("v").alias("node")))
@@ -149,16 +176,6 @@ def connected_components(
     )
     e = _canonical(raw).localCheckpoint(eager=True)
     prev = _checksum(e)
-    if not force_distributed and prev[0] <= _DRIVER_CC_MAX_EDGES:
-        spark = edges.sparkSession
-        pairs = _driver_union_find(
-            [(r["u"], r["v"]) for r in e.collect()],
-            nodes.collect(),
-        )
-        node_type = nodes.schema["node"].dataType.simpleString()
-        return spark.createDataFrame(
-            pairs, f"node {node_type}, component_id {node_type}"
-        )
     # Size the ITERATION's shuffle parallelism to the edge count: each
     # round is ~6 tiny shuffles, and localCheckpoint defeats AQE's
     # cross-round partition coalescing, so at small edge counts the
