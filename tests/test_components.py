@@ -140,3 +140,23 @@ def test_driver_union_find_matches_distributed(spark):
     }
     assert f2 == d2
     assert ("c", "a") in f2 and ("y", "x") in f2
+
+
+def test_driver_path_empty_and_selfloop(spark):
+    """The shuffle-free driver path handles degenerate inputs: an empty
+    edge set yields an empty typed frame; a pure self-loop keeps its
+    node as its own component (union-find skips u==v trivially)."""
+    from pyspark.sql import functions as F
+
+    empty = spark.range(0).select(
+        F.col("id").alias("id_a"), F.col("id").alias("id_b")
+    )
+    out = connected_components(empty)
+    assert out.count() == 0
+    assert out.schema.simpleString() == (
+        "struct<node:bigint,component_id:bigint>"
+    )
+    loop = spark.createDataFrame([(7, 7)], "id_a long, id_b long")
+    assert connected_components(loop).collect() == [
+        __import__("pyspark").sql.Row(node=7, component_id=7)
+    ]
