@@ -453,3 +453,54 @@ def test_jpeg_restart_interval_never_changes_pixels(n, k, seed):
     plain = decode_jpeg(encode_jpeg(img, quality=80))
     rst = decode_jpeg(encode_jpeg(img, quality=80, restart_interval=k))
     assert np.array_equal(plain, rst)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)), max_size=120
+    ),
+    as_str=st.booleans(),
+)
+def test_union_find_matches_bfs_reference(edges, as_str):
+    """Property: the driver union-find kernel (the shuffle-free cutover
+    path of ``connected_components``) labels every node with the exact
+    min member of its component, for ANY edge multiset — duplicates,
+    self-loops, both orientations, long or string ids — matching a
+    brute-force BFS reference."""
+    from opentimes_spark.operators.components import _driver_union_find
+
+    if as_str:  # lexicographic min semantics, same as the operator
+        edges = [(f"n{u:02d}", f"n{v:02d}") for u, v in edges]
+    nodes = []
+    seen = set()
+    for u, v in edges:
+        for x in (u, v):
+            if x not in seen:
+                seen.add(x)
+                nodes.append(x)
+    got = dict(_driver_union_find(iter(edges), [(n,) for n in nodes]))
+    # BFS reference
+    adj: dict = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = {}
+    visited = set()
+    for n in nodes:
+        if n in visited:
+            continue
+        comp = [n]
+        visited.add(n)
+        queue = [n]
+        while queue:
+            x = queue.pop()
+            for y in adj[x]:
+                if y not in visited:
+                    visited.add(y)
+                    comp.append(y)
+                    queue.append(y)
+        m = min(comp)
+        for x in comp:
+            want[x] = m
+    assert got == want
