@@ -148,6 +148,13 @@ def connected_components(
     bench stress rows use it so the O(log² n) scale claim keeps
     getting priced on the clock."""
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # One eager checkpoint = the ONLY materialization of the upstream
+    # edge producer (often an expensive LSH pair join): the cutover
+    # count, the driver-path Arrow transfer, and the distributed
+    # path's node/canonical builds all read these partitions instead
+    # of re-executing the upstream lineage (which the pre-cutover code
+    # paid twice — once for the node distinct, once for canonical).
+    raw = raw.localCheckpoint(eager=True)
     if not force_distributed and raw.count() <= _DRIVER_CC_MAX_EDGES:
         spark = edges.sparkSession
         pdf = raw.toPandas()
