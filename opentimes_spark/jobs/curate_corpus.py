@@ -158,26 +158,42 @@ def curate(spark: SparkSession, args: argparse.Namespace) -> dict:
             q = q.join(over.select("doc_id"), "doc_id", "left_anti")
         return q
 
+    prefilter_params = {
+        "min_score": args.min_score,
+        "eval": args.eval_source,
+        "gopher": args.gopher,
+        "boilerplate_max": args.boilerplate_max,
+    }
     q, skipped = run_stage(
         spark, "prefilter", [src], path("prefilter"), build_prefilter,
-        params={
-            "min_score": args.min_score,
-            "eval": args.eval_source,
-            "gopher": args.gopher,
-            "boilerplate_max": args.boilerplate_max,
-        },
+        params=prefilter_params,
     )
+    counts_path = os.path.join(path("prefilter"), "_stage_counts.json")
+    if skipped and not os.path.exists(counts_path):
+        # The sidecar commits AFTER run_stage's lock: a crash in that
+        # window leaves a complete checkpoint whose interior counts are
+        # unrecoverable from the parquet alone.  Invalidate the lock
+        # and rebuild ONCE instead of wedging every later run on
+        # FileNotFoundError.
+        from opentimes_spark.plans.incremental import _lock_path
+
+        os.remove(_lock_path(path("prefilter")))
+        q, skipped = run_stage(
+            spark, "prefilter", [src], path("prefilter"),
+            build_prefilter, params=prefilter_params,
+        )
     for c in prefilter_caches:
         c.unpersist()
     final_rows = q.count()
-    counts_path = os.path.join(path("prefilter"), "_stage_counts.json")
     if skipped:
         with open(counts_path) as fh:
             interior = json.load(fh)
     else:
         interior = {name: int(o.get["n"]) for name, o in obs.items()}
-        with open(counts_path, "w") as fh:
+        tmp = counts_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(interior, fh)
+        os.replace(tmp, counts_path)  # atomic: no torn sidecar on skip
     stage_rows = dict(interior)
     if args.boilerplate_max is not None:
         stage_rows["boilerplate"] = final_rows

@@ -170,7 +170,14 @@ def connected_components(
                 seen.add(x)
                 node_list.append(x)
         pairs = _driver_union_find(zip(us, vs), [(n,) for n in node_list])
-        node_type = raw.schema["u"].dataType.simpleString()
+        # Output type = the UNION-widened type of (u, v), exactly as the
+        # distributed path's node frame resolves it (analysis only, no
+        # job) — typing from u alone would narrow int-u/bigint-v edges.
+        node_type = (
+            raw.select(F.col("u").alias("node"))
+            .union(raw.select(F.col("v").alias("node")))
+            .schema["node"].dataType.simpleString()
+        )
         out = pd.DataFrame(pairs, columns=["node", "component_id"])
         return spark.createDataFrame(
             out, f"node {node_type}, component_id {node_type}"

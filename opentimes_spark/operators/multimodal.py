@@ -3618,9 +3618,19 @@ def _decode_ima_adpcm(
         # the same 4*ch header followed by fewer (but still whole)
         # 4*ch-byte word groups.  Decode it rather than dropping it.
         if rem < 4 * ch:
-            raise ValueError(
-                f"IMA ADPCM payload ends in {rem} trailing bytes — too "
-                f"short for a {4 * ch}-byte block header"
+            # Shorter than one per-channel header: zero decodable
+            # samples in the remainder.  A web-crawled file truncated
+            # mid-write should still yield its whole blocks — drop the
+            # sub-header garbage instead of failing the whole decode.
+            return (
+                np.zeros((0, ch), dtype=np.int16)
+                if n_blocks == 0
+                else _decode_ima_blocks(
+                    np.frombuffer(
+                        data, dtype=np.uint8, count=n_blocks * block_align
+                    ).reshape(n_blocks, block_align),
+                    ch,
+                )
             )
         tail_len = 4 * ch + ((rem - 4 * ch) // (4 * ch)) * (4 * ch)
         tail = _decode_ima_blocks(

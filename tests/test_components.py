@@ -160,3 +160,23 @@ def test_driver_path_empty_and_selfloop(spark):
     assert connected_components(loop).collect() == [
         __import__("pyspark").sql.Row(node=7, component_id=7)
     ]
+
+
+def test_driver_path_widens_mixed_int_types(spark):
+    """int-u / bigint-v edges: the driver path must type its output
+    from the UNION-widened node type (like the distributed path), not
+    from u alone — pinned with a v-side id beyond int32 range."""
+    big = 5_000_000_000  # > int32
+    edges = spark.createDataFrame(
+        [(1, big), (2, 3)], "id_a int, id_b long"
+    )
+    fast = connected_components(edges)
+    assert fast.schema["node"].dataType.simpleString() == "bigint"
+    got = {(r["node"], r["component_id"]) for r in fast.collect()}
+    dist = {
+        (r["node"], r["component_id"])
+        for r in connected_components(
+            edges, force_distributed=True
+        ).collect()
+    }
+    assert got == dist and (big, 1) in got

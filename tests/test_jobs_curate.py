@@ -163,3 +163,26 @@ def test_curate_gopher_and_boilerplate_stages(spark, tmp_path):
         m2["stages"]["boilerplate"]["rows"]
         < m2["stages"]["quality"]["rows"]
     )
+
+
+def test_curate_recovers_from_missing_prefilter_sidecar(spark, tmp_path):
+    """A crash between run_stage's lock commit and the interior-counts
+    sidecar write used to wedge every later run (skip path read the
+    sidecar with no fallback).  The skip path must now invalidate the
+    lock and rebuild the stage once."""
+    out = str(tmp_path / "curated")
+    os.makedirs(out, exist_ok=True)
+    args = parse_args(
+        ["--sf-dir", "/root/testdata/sf0.001", "--out", out]
+    )
+    m1 = curate(spark, args)
+    rows1 = m1["stages"]["quality"]["rows"]
+    # simulate the crash window: checkpoint + lock committed, sidecar lost
+    os.remove(os.path.join(out, "prefilter", "_stage_counts.json"))
+    m2 = curate(spark, args)
+    assert m2["stages"]["quality"]["rows"] == rows1
+    assert not m2["stages"]["quality"]["skipped"]  # rebuilt, not wedged
+    # and the rebuild restores skippability
+    m3 = curate(spark, args)
+    assert m3["stages"]["quality"]["skipped"]
+    assert m3["stages"]["quality"]["rows"] == rows1

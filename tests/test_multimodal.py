@@ -506,6 +506,21 @@ def test_wav_ima_adpcm_block_align_validation_and_short_tail():
     assert got.shape[0] == expect_n
     assert (got[:, 0] == full[: got.shape[0], 0]).all()
 
+    # Sub-header garbage tail (a crawl truncated mid-write): fewer than
+    # 4*ch trailing bytes hold ZERO decodable samples — the decoder
+    # keeps every whole block instead of failing the file.
+    garbage = body[: 3 * 256] + b"\x01\x02\x03"
+    rewrapped2 = (
+        wav[:di]
+        + b"data"
+        + len(garbage).to_bytes(4, "little")
+        + garbage
+        + wav[di + 8 + dlen :]
+    )
+    got2, _ = decode_wav(rewrapped2)
+    assert got2.shape[0] == 3 * (1 + 252 * 2)
+    assert (got2[:, 0] == full[: got2.shape[0], 0]).all()
+
 
 def test_audio_frame_features_sine_vs_silence(spark):
     """440 Hz sine at sr=8000: ZCR per frame ~ 2*440/8000 = 0.11; RMS ~
