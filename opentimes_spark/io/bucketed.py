@@ -66,16 +66,18 @@ def ensure_bucketed_pair(
     layouts; rewriting a source under the same path requires dropping
     the tables (same documented staleness contract as the IVF index).
 
-    ``n_buckets`` participates in the digest, so asking for a different
-    bucket count builds a NEW layout rather than silently returning the
-    stale one; the cached tables are additionally verified to carry the
-    requested count before reuse."""
+    ``n_buckets`` AND the bucket keys participate in the digest, so
+    asking for a different bucket count or different join keys builds a
+    NEW layout rather than silently returning one bucketed on the old
+    keys (which would hand the caller a full shuffle while promising an
+    exchange-free join); the cached tables are additionally verified to
+    carry the requested count before reuse."""
     import hashlib
     import os
     import tempfile
 
     digest = hashlib.md5(
-        f"{cache_key}::{n_buckets}".encode("utf-8")
+        f"{cache_key}::{n_buckets}::{left_key}::{right_key}".encode("utf-8")
     ).hexdigest()[:12]
     lt, rt = f"{left_table}_{digest}", f"{right_table}_{digest}"
     if (

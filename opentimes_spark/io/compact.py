@@ -95,6 +95,20 @@ def compact_dir(
         os.write(fd, f"{os.getpid()}@{os.uname().nodename}\n".encode())
         os.close(fd)
         recover_compaction(path)
+        # a Hive-partitioned root (key=value subdirs) would be silently
+        # FLATTENED by this whole-dir rewrite — the partition column
+        # becomes a data column and downstream pruning dies.  Compact
+        # the leaf directories individually instead.
+        parts = [
+            d for d in os.listdir(path)
+            if "=" in d and os.path.isdir(os.path.join(path, d))
+        ]
+        if parts:
+            raise ValueError(
+                f"{path} is Hive-partitioned ({parts[0]}, ...) — "
+                "compact_dir would flatten the layout; compact each "
+                "leaf partition directory instead"
+            )
         before = [f for f in os.listdir(path) if f.endswith(".parquet")]
         df = spark.read.parquet(path)
         if target_files and not order_by:

@@ -83,8 +83,13 @@ def fetch_files(
         if base_counts[base] > 1:
             base = f"{hashlib.md5(url.encode()).hexdigest()[:8]}_{base}"
         out = os.path.join(dest_dir, base)
-        with open(out, "wb") as f:
-            f.write(fetcher(url))
+        # fetch BEFORE creating the file: a failed fetch must not strand
+        # a zero-byte artifact a retry/glob would mistake for a download
+        body = fetcher(url)
+        tmp = out + ".part"
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.replace(tmp, out)  # atomic: out exists only complete
         return out
 
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
@@ -94,8 +99,21 @@ def fetch_files(
 def normalize_shapefile_columns(names: Sequence[str]) -> list[str]:
     """S5 column hygiene (pure, always available): lowercase and strip
     trailing vintage digits from shapefile attribute names the way the
-    reference does (utils/census.py:94-96: ``geoid20`` → ``geoid``)."""
-    return [re.sub(r"\d+$", "", n.lower()) for n in names]
+    reference does (utils/census.py:94-96: ``geoid20`` → ``geoid``).
+
+    Collisions keep the FIRST name and de-duplicate later ones with a
+    numeric suffix (``geoid``+``geoid20`` → ``geoid``, ``geoid_2``):
+    a .dbf carrying both vintages would otherwise produce a frame with
+    duplicate columns and AMBIGUOUS_REFERENCE on every select.  An
+    all-digit name (normalizes to '') keeps its original lowercase."""
+    out: list[str] = []
+    seen: dict[str, int] = {}
+    for n in names:
+        base = re.sub(r"\d+$", "", n.lower()) or n.lower()
+        k = seen.get(base, 0) + 1
+        seen[base] = k
+        out.append(base if k == 1 else f"{base}_{k}")
+    return out
 
 
 def load_zipped_shapefile(spark: SparkSession, zip_path: str) -> DataFrame:

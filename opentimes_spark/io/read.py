@@ -36,12 +36,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and downcast to a microsecond TimestampType with exact integer division.
     """
     if name == "events":
+        prior = spark.conf.get(
+            "spark.sql.legacy.parquet.nanosAsLong", "false"
+        )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         from pyspark.sql import functions as F
 
         if dict(df.dtypes).get("ts") == "bigint":
+            # nanos present: the conf must STAY set for this frame's
+            # lifetime (executors consult it when decoding the scan).
+            # Session-wide effect, documented: other nanosecond parquet
+            # read in the same session will also surface as bigint.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # this corpus carries no nanos — restore the prior value so
+            # an unrelated later read keeps its loud unsupported-type
+            # error instead of silently materializing bigint columns
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

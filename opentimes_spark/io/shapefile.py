@@ -211,17 +211,46 @@ def read_zipped_shapefile(
     zip_path: str,
 ) -> tuple[list[str], list[list], list[tuple[str, str, int, int]]]:
     """Zipped shapefile → (column names incl. trailing 'wkt', rows,
-    dbf field specs). Uses the first .shp/.dbf member pair found.
+    dbf field specs). Sidecars are paired by STEM (roads.shp ↔
+    roads.dbf ↔ roads.dbt), never by independent first-match — a zip
+    carrying two layers would otherwise pair one layer's geometry with
+    the other's attributes (silently, whenever their record counts
+    happen to agree).  A multi-layer zip raises with the layer names.
     Shapes paired with deleted .dbf records are dropped with them.
     Memo ('M') block pointers resolve to text through the sidecar .dbt
     member when present, NULL otherwise."""
     with zipfile.ZipFile(zip_path) as z:
-        shp_name = next(n for n in z.namelist() if n.lower().endswith(".shp"))
-        dbf_name = next(n for n in z.namelist() if n.lower().endswith(".dbf"))
+        def stem(n: str) -> str:
+            return n.rsplit(".", 1)[0]
+
+        shp_names = [n for n in z.namelist() if n.lower().endswith(".shp")]
+        if not shp_names:
+            raise ValueError(f"{zip_path}: no .shp member")
+        if len(shp_names) > 1:
+            raise ValueError(
+                f"{zip_path}: multiple shapefile layers "
+                f"{sorted(stem(n) for n in shp_names)} — extract one"
+            )
+        shp_name = shp_names[0]
+        dbf_name = next(
+            (
+                n for n in z.namelist()
+                if n.lower().endswith(".dbf") and stem(n) == stem(shp_name)
+            ),
+            None,
+        )
+        if dbf_name is None:
+            raise ValueError(
+                f"{zip_path}: no .dbf sidecar named {stem(shp_name)}.dbf"
+            )
         wkts = parse_shp(z.read(shp_name))
         fields, rows, deleted = parse_dbf(z.read(dbf_name))
         dbt_name = next(
-            (n for n in z.namelist() if n.lower().endswith(".dbt")), None
+            (
+                n for n in z.namelist()
+                if n.lower().endswith(".dbt") and stem(n) == stem(shp_name)
+            ),
+            None,
         )
         memo_idx = [i for i, f in enumerate(fields) if f[1] == "M"]
         if memo_idx:

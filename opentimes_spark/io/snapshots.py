@@ -314,13 +314,17 @@ def diff_snapshots(
     consumer wants ("what did the corpus publish change?"), computed
     from the retained versions themselves, no CDC log required.
 
-    Mechanics: both versions are reduced to (key, fingerprint) where the
-    fingerprint is an md5 over every non-key column (null-tagged,
-    \\x01-separated, so NULL ≠ '' and column boundaries can't alias);
-    a single full-outer join on the key classifies each row.  At scale
-    this shuffles the two key+32-byte-hash projections — never the wide
-    rows — and both sides prune to key columns + fingerprint inputs at
-    the parquet scan."""
+    Mechanics: both versions are reduced to (key, fingerprint) where
+    the fingerprint is an md5 over PER-COLUMN tokens — 'N' for NULL,
+    'V' + md5(value) otherwise.  Tokens form a prefix code (fixed-width
+    lowercase hex after 'V', and 'N'/'V' are not hex chars), so column
+    boundaries cannot alias no matter what bytes the data carries (a
+    raw separator-join would let ('x\\x01y','z') collide with
+    ('x','y\\x01z'), and a literal '\\x00NULL' string collide with SQL
+    NULL).  A single full-outer join on the key classifies each row.
+    At scale this shuffles the two key+32-byte-hash projections — never
+    the wide rows — and both sides prune to key columns + fingerprint
+    inputs at the parquet scan."""
     old = read_snapshot(spark, root, old_version)
     new = read_snapshot(spark, root, new_version)
     if set(old.columns) != set(new.columns):
@@ -336,11 +340,13 @@ def diff_snapshots(
 
     def fp(df: DataFrame) -> DataFrame:
         tagged = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+                F.concat(F.lit("V"), F.md5(F.col(c).cast("string")))
+            )
             for c in sorted(val_cols)
         ]
         return df.select(
-            *key_cols, F.md5(F.concat_ws("\x01", *tagged)).alias("_fp")
+            *key_cols, F.md5(F.concat(*tagged)).alias("_fp")
         )
 
     o = fp(old).withColumnRenamed("_fp", "_fp_old")

@@ -36,14 +36,16 @@ def _update_user_stats(key, pdfs, state):
         if len(vals):
             mx = max(mx, float(vals.max()))
     state.update((n, total, mx))
+    # -inf is the internal "no non-null value yet" sentinel; the batch
+    # twin's MAX(value) — and SUM(value) — yield NULL there (pandas
+    # all-NaN sum is 0.0, which would diverge), so emit NULL for both
+    none_yet = mx == float("-inf")
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [total],
-            # -inf is the internal "no non-null value yet" sentinel; the
-            # batch twin's MAX(value) yields NULL there, so emit NULL
-            "max_value": [None if mx == float("-inf") else mx],
+            "total_value": [None if none_yet else total],
+            "max_value": [None if none_yet else mx],
         }
     )
 
@@ -83,15 +85,19 @@ class _RunningStatsProcessor:
         for pdf in rows:
             n += len(pdf)
             total += float(pdf["value"].sum())
-            if len(pdf):
-                mx = max(mx, float(pdf["value"].max()))
+            vals = pdf["value"].dropna()  # all-NaN max() is NaN
+            if len(vals):
+                mx = max(mx, float(vals.max()))
         self._state.update((n, total, mx))
+        # identical NULL semantics to the legacy twin: the batch
+        # SUM/MAX over an all-null key is NULL, not 0.0 / -inf
+        none_yet = mx == float("-inf")
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [total],
-                "max_value": [mx],
+                "total_value": [None if none_yet else total],
+                "max_value": [None if none_yet else mx],
             }
         )
 

@@ -207,38 +207,74 @@ def assert_state_plateau(
     'total_removed', 'batches'} where ``batches`` counts the distinct
     batch_ids checked; raises AssertionError with the offending series
     otherwise.  ``total_removed`` sums the WHOLE observed series (the
-    eviction evidence), not just the tail."""
-    series = sorted(
-        (r for r in rows if r["state_rows"] is not None),
-        key=lambda r: (r["batch_id"], r["operator"] or ""),
-    )
-    batch_ids = sorted({r["batch_id"] for r in series})
-    if len(batch_ids) < min_batches:
+    eviction evidence), not just the tail.
+
+    Rows are scoped PER (query_id, run_id) before any of the above: a
+    session-level listener observing two concurrent queries — or one
+    query restarted from checkpoint, which resets batch_id to 0 —
+    would otherwise interleave unrelated batch series and either raise
+    a spurious leak or mask a real one.  Every run is checked
+    independently; at least one run must carry >= ``min_batches``
+    state-bearing batches, and shorter runs (a restart tail) are still
+    held to the per-batch bound."""
+    runs: dict[tuple, list[dict]] = {}
+    for r in rows:
+        if r["state_rows"] is None:
+            continue
+        runs.setdefault(
+            (r.get("query_id"), r.get("run_id")), []
+        ).append(r)
+    if not runs:
         raise AssertionError(
-            f"need >= {min_batches} state-bearing batches, got "
-            f"{len(batch_ids)}"
+            f"need >= {min_batches} state-bearing batches, got 0"
         )
-    tail_ids = set(batch_ids[-min_batches:])
-    tail = [r for r in series if r["batch_id"] in tail_ids]
-    worst = max(r["state_rows"] for r in tail)
-    if worst > per_batch_bound:
-        raise AssertionError(
-            f"state grew past the rate x horizon budget: {worst} > "
-            f"{per_batch_bound}; series="
-            f"{[(r['batch_id'], r['state_rows']) for r in series]}"
+    worst_all = 0
+    total_removed = 0
+    batches_checked = 0
+    deep_runs = 0
+    for key, run_rows in sorted(runs.items(), key=lambda kv: str(kv[0])):
+        series = sorted(
+            run_rows, key=lambda r: (r["batch_id"], r["operator"] or "")
         )
-    per_op: dict[str, list[int]] = {}
-    for r in tail:
-        per_op.setdefault(r["operator"] or "", []).append(r["state_rows"])
-    for op, vals in per_op.items():
-        if len(vals) >= 3 and all(b > a for a, b in zip(vals, vals[1:])):
+        total_removed += sum(r["rows_removed"] or 0 for r in series)
+        batch_ids = sorted({r["batch_id"] for r in series})
+        tail_ids = set(batch_ids[-min_batches:])
+        tail = [r for r in series if r["batch_id"] in tail_ids]
+        worst = max(r["state_rows"] for r in tail)
+        worst_all = max(worst_all, worst)
+        if worst > per_batch_bound:
             raise AssertionError(
-                f"operator {op!r} state grew strictly monotonically over "
-                f"the last {len(vals)} batches: {vals} — eviction is not "
-                "keeping pace (leak signature)"
+                f"run {key}: state grew past the rate x horizon budget: "
+                f"{worst} > {per_batch_bound}; series="
+                f"{[(r['batch_id'], r['state_rows']) for r in series]}"
             )
+        if len(batch_ids) < min_batches:
+            continue  # a short restart tail: bound-checked only
+        deep_runs += 1
+        batches_checked += len(tail_ids)
+        per_op: dict[str, list[int]] = {}
+        for r in tail:
+            per_op.setdefault(r["operator"] or "", []).append(
+                r["state_rows"]
+            )
+        for op, vals in per_op.items():
+            if len(vals) >= 3 and all(
+                b > a for a, b in zip(vals, vals[1:])
+            ):
+                raise AssertionError(
+                    f"run {key}: operator {op!r} state grew strictly "
+                    f"monotonically over the last {len(vals)} batches: "
+                    f"{vals} — eviction is not keeping pace (leak "
+                    "signature)"
+                )
+    if deep_runs == 0:
+        raise AssertionError(
+            f"need >= {min_batches} state-bearing batches in at least "
+            f"one run; runs held "
+            f"{[len({r['batch_id'] for r in v}) for v in runs.values()]}"
+        )
     return {
-        "max_state_rows": worst,
-        "total_removed": sum(r["rows_removed"] or 0 for r in series),
-        "batches": len(tail_ids),
+        "max_state_rows": worst_all,
+        "total_removed": total_removed,
+        "batches": batches_checked,
     }

@@ -154,3 +154,27 @@ def test_ensure_bucketed_pair_honors_n_buckets(spark, tmp_path):
         spark, left, right, "tl", "tr", "k", "k",
         cache_key="nb-test", n_buckets=4, base_dir=str(tmp_path),
     ) == (lt4, rt4)
+
+
+def test_ensure_bucketed_pair_rekeys_on_different_join_keys(spark, tmp_path):
+    """Same cache_key, different join keys: the digest must change, so
+    the second call builds a layout bucketed on the NEW keys instead of
+    returning one bucketed on the old (which would silently reintroduce
+    the shuffle the helper promises to remove)."""
+    from opentimes_spark.io.bucketed import bucket_spec, ensure_bucketed_pair
+
+    left = spark.range(100).selectExpr("id AS k1", "id AS k2", "id AS v")
+    right = spark.range(100).selectExpr("id AS k1", "id AS k2", "id AS w")
+    lt1, rt1 = ensure_bucketed_pair(
+        spark, left, right, "reb_l", "reb_r", "k1", "k1",
+        cache_key="rekey-test", n_buckets=4,
+        base_dir=str(tmp_path / "b1"),
+    )
+    lt2, rt2 = ensure_bucketed_pair(
+        spark, left, right, "reb_l", "reb_r", "k2", "k2",
+        cache_key="rekey-test", n_buckets=4,
+        base_dir=str(tmp_path / "b2"),
+    )
+    assert lt1 != lt2  # distinct digests, not a stale-layout reuse
+    assert "k1" in (bucket_spec(spark, lt1)[1] or "")
+    assert "k2" in (bucket_spec(spark, lt2)[1] or "")

@@ -410,3 +410,37 @@ def test_fetch_files_disambiguates_colliding_basenames(tmp_path):
     assert contents == sorted(u.encode() for u in urls)
     # the non-colliding name stays clean
     assert any(p.endswith("/other.zip") for p in out)
+
+
+def test_normalize_collision_dedupes():
+    """A .dbf carrying two vintages of the same attribute (GEOID +
+    GEOID20) must not produce duplicate columns; all-digit names keep
+    their original lowercase instead of normalizing to ''."""
+    assert normalize_shapefile_columns(["GEOID", "GEOID20", "WKT2"]) == [
+        "geoid", "geoid_2", "wkt",
+    ]
+    assert normalize_shapefile_columns(["123", "456"]) == ["123", "456"]
+
+
+def test_fetch_files_no_zero_byte_artifact_on_failure(tmp_path):
+    """A failed fetch must not strand an empty file a retry would
+    mistake for a completed download."""
+    import pytest
+
+    from opentimes_spark.io.external import fetch_files
+
+    def fetcher(url):
+        if "bad" in url:
+            raise OSError("simulated 404")
+        return b"payload"
+
+    with pytest.raises(OSError):
+        fetch_files(
+            ["http://x/a.zip", "http://x/bad.zip"],
+            str(tmp_path),
+            fetcher=fetcher,
+            max_workers=1,
+        )
+    leftover = sorted(p.name for p in tmp_path.iterdir())
+    assert "bad.zip" not in leftover
+    assert all(not n.endswith(".part") for n in leftover)

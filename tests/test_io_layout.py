@@ -647,3 +647,25 @@ def test_diff_snapshots_classifies_and_disambiguates_nulls(spark, tmp_path):
     write_snapshot(v3, root2)
     with pt.raises(ValueError, match="non-key column"):
         diff_snapshots(spark, root2, 0, 1, ["k"])
+
+
+def test_diff_snapshot_fingerprint_boundary_no_alias(spark, tmp_path):
+    """Column-boundary aliasing: ('x\\x01y','z') vs ('x','y\\x01z') used
+    to concat to the same separator-joined string; the per-column-hash
+    prefix code must see the change."""
+    from opentimes_spark.io.snapshots import diff_snapshots, write_snapshot
+
+    root = str(tmp_path / "snap")
+    old = spark.createDataFrame(
+        [(1, "x\x01y", "z")], "k int, a string, b string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", "y\x01z")], "k int, a string, b string"
+    )
+    write_snapshot(old, root)
+    write_snapshot(new, root)
+    ops = {
+        r["k"]: r["op"]
+        for r in diff_snapshots(spark, root, 0, 1, ["k"]).collect()
+    }
+    assert ops == {1: "changed"}
