@@ -101,18 +101,21 @@ def normalize_shapefile_columns(names: Sequence[str]) -> list[str]:
     trailing vintage digits from shapefile attribute names the way the
     reference does (utils/census.py:94-96: ``geoid20`` → ``geoid``).
 
-    Collisions keep the FIRST name and de-duplicate later ones with a
-    numeric suffix (``geoid``+``geoid20`` → ``geoid``, ``geoid_2``):
-    a .dbf carrying both vintages would otherwise produce a frame with
-    duplicate columns and AMBIGUOUS_REFERENCE on every select.  An
-    all-digit name (normalizes to '') keeps its original lowercase."""
+    Collisions keep the FIRST name and de-duplicate later ones with
+    appended underscores (``geoid``+``geoid20`` → ``geoid``,
+    ``geoid_``): a .dbf carrying both vintages would otherwise produce
+    a frame with duplicate columns and AMBIGUOUS_REFERENCE on every
+    select.  An all-digit name (stripping would leave '') becomes
+    ``c<digits>_``.  Both schemes preserve the function's contract
+    (property-tested): idempotent, non-digit-terminal, never empty."""
     out: list[str] = []
-    seen: dict[str, int] = {}
+    seen: set[str] = set()
     for n in names:
-        base = re.sub(r"\d+$", "", n.lower()) or n.lower()
-        k = seen.get(base, 0) + 1
-        seen[base] = k
-        out.append(base if k == 1 else f"{base}_{k}")
+        base = re.sub(r"\d+$", "", n.lower()) or f"c{n.lower()}_"
+        while base in seen:
+            base += "_"
+        seen.add(base)
+        out.append(base)
     return out
 
 

@@ -417,9 +417,9 @@ def test_normalize_collision_dedupes():
     GEOID20) must not produce duplicate columns; all-digit names keep
     their original lowercase instead of normalizing to ''."""
     assert normalize_shapefile_columns(["GEOID", "GEOID20", "WKT2"]) == [
-        "geoid", "geoid_2", "wkt",
+        "geoid", "geoid_", "wkt",
     ]
-    assert normalize_shapefile_columns(["123", "456"]) == ["123", "456"]
+    assert normalize_shapefile_columns(["123", "456"]) == ["c123_", "c456_"]
 
 
 def test_fetch_files_no_zero_byte_artifact_on_failure(tmp_path):

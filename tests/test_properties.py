@@ -66,7 +66,8 @@ def test_normalize_shapefile_columns_idempotent(names):
     once = normalize_shapefile_columns(names)
     assert normalize_shapefile_columns(once) == once
     assert all(c == c.lower() for c in once)
-    assert all(not c or not c[-1].isdigit() for c in once)
+    assert all(c and not c[-1].isdigit() for c in once)
+    assert len(set(once)) == len(once)  # collision-free by contract
 
 
 @given(
