@@ -2655,9 +2655,18 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     ll_pt: dict[int, int] = {}  # cid -> point transform of its scan
     geom: tuple | None = None
     scan_comps: list[tuple[int, int, int]] = []  # id, td, ta
+    # sequential-Huffman scans: (entropy start, scan comps, Huffman
+    # tables and restart interval AS OF this scan — DHT/DRI may appear
+    # between scans of a multi-scan file)
+    seq_scans: list[tuple[int, list, dict, int]] = []
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG: bad marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+        # marker code between segments — skip them (conformant encoders
+        # emit them; entropy-segment fill is handled separately)
+        while b[pos + 1] == 0xFF and pos + 2 < len(b):
+            pos += 1
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -2785,9 +2794,15 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 pos = _jpeg_entropy_end(b, start)
                 continue
             if not progressive:
+                # Collect EVERY scan (T.81 allows one SOS per component
+                # in sequential mode — breaking on the first silently
+                # left later components' planes at zero) and keep
+                # decoding markers; tables/DRI are snapshotted per scan.
                 scan_comps = sc
-                pos = pos + 2 + seglen
-                break
+                start = pos + 2 + seglen
+                seq_scans.append((start, sc, dict(huff), restart))
+                pos = _jpeg_entropy_end(b, start)
+                continue
             if not comps:
                 raise ValueError("JPEG: SOS before SOF")
             ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
@@ -2866,47 +2881,71 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         for cid, sh, sv, _ in comps
     }
 
-    br = _JpegBitReader(b, pos)
-    pred = {cid: 0 for cid, _, _ in scan_comps}
-    n_rst = 0
-    for mcu in range(mcu_rows * mcu_cols):
-        if restart and mcu and mcu % restart == 0:
-            br.align_and_expect_rst(n_rst)
-            n_rst = (n_rst + 1) & 7
-            pred = dict.fromkeys(pred, 0)
-        my, mx = divmod(mcu, mcu_cols)
-        for cid, td, ta in scan_comps:
+    for start, sc, huff_s, rst_s in seq_scans:
+        br = _JpegBitReader(b, start)
+        pred = {cid: 0 for cid, _, _ in sc}
+        n_rst = 0
+
+        def one_block(cid, dc_t, ac_t, tq, r0, c0):
+            zz = np.zeros(64, np.int64)
+            cat = _read_huff(br, dc_t)
+            diff = _extend(br.bits(cat), cat) if cat else 0
+            pred[cid] += diff
+            zz[0] = pred[cid]
+            k = 1
+            while k < 64:
+                sym = _read_huff(br, ac_t)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, cat = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG: AC index overflow")
+                zz[k] = _extend(br.bits(cat), cat)
+                k += 1
+            coef = np.zeros(64, np.float64)
+            coef[_ZIGZAG] = zz * qts[tq].ravel()[_ZIGZAG]
+            block = _DCT_T.T @ coef.reshape(8, 8) @ _DCT_T
+            planes[cid][r0 : r0 + 8, c0 : c0 + 8] = (
+                block + float(1 << (prec - 1))
+            )
+
+        if len(sc) == 1:
+            # T.81 A.2.2: a one-component scan is NON-interleaved — its
+            # data units tile the component's OWN block grid (no MCU
+            # padding to the frame's max sampling factors)
+            cid, td, ta = sc[0]
             sh, sv, tq = byid[cid]
-            dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
-            for by in range(sv):
-                for bx in range(sh):
-                    zz = np.zeros(64, np.int64)
-                    cat = _read_huff(br, dc_t)
-                    diff = _extend(br.bits(cat), cat) if cat else 0
-                    pred[cid] += diff
-                    zz[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        sym = _read_huff(br, ac_t)
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        run, cat = sym >> 4, sym & 0xF
-                        k += run
-                        if k > 63:
-                            raise ValueError("JPEG: AC index overflow")
-                        zz[k] = _extend(br.bits(cat), cat)
-                        k += 1
-                    coef = np.zeros(64, np.float64)
-                    coef[_ZIGZAG] = zz * qts[tq].ravel()[_ZIGZAG]
-                    block = _DCT_T.T @ coef.reshape(8, 8) @ _DCT_T
-                    r0 = (my * sv + by) * 8
-                    c0 = (mx * sh + bx) * 8
-                    planes[cid][r0 : r0 + 8, c0 : c0 + 8] = (
-                        block + float(1 << (prec - 1))
-                    )
+            dc_t, ac_t = huff_s[(0, td)], huff_s[(1, ta)]
+            cw = -(-(w * sh) // max_h)  # component width (A.1.1)
+            chh = -(-(h * sv) // max_v)
+            bw, bh = -(-cw // 8), -(-chh // 8)
+            for n in range(bh * bw):
+                if rst_s and n and n % rst_s == 0:
+                    br.align_and_expect_rst(n_rst)
+                    n_rst = (n_rst + 1) & 7
+                    pred = dict.fromkeys(pred, 0)
+                by, bx = divmod(n, bw)
+                one_block(cid, dc_t, ac_t, tq, by * 8, bx * 8)
+            continue
+        for mcu in range(mcu_rows * mcu_cols):
+            if rst_s and mcu and mcu % rst_s == 0:
+                br.align_and_expect_rst(n_rst)
+                n_rst = (n_rst + 1) & 7
+                pred = dict.fromkeys(pred, 0)
+            my, mx = divmod(mcu, mcu_cols)
+            for cid, td, ta in sc:
+                sh, sv, tq = byid[cid]
+                dc_t, ac_t = huff_s[(0, td)], huff_s[(1, ta)]
+                for by in range(sv):
+                    for bx in range(sh):
+                        one_block(
+                            cid, dc_t, ac_t, tq,
+                            (my * sv + by) * 8, (mx * sh + bx) * 8,
+                        )
 
     return _jpeg_planes_to_image(planes, comps, max_h, max_v, h, w, prec)
 
@@ -3030,23 +3069,26 @@ def decode_image(df: DataFrame, codec: str = "fake") -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            payloads = batch["payload"]
+            # materialize each payload ONCE — dims, n_bytes, and the
+            # checksum all read the same buffer (three bytes() calls
+            # per row tripled full-payload copies in the hot worker)
+            bufs = [bytes(p) for p in batch["payload"]]
             if codec == "numpy":
-                imgs = [_numpy_decode(bytes(p)) for p in payloads]
+                imgs = [_numpy_decode(p) for p in bufs]
                 dims = [(im.shape[1], im.shape[0]) for im in imgs]
             elif codec == "real":
-                imgs = [_real_decode(bytes(p)) for p in payloads]
+                imgs = [_real_decode(p) for p in bufs]
                 dims = [(im.shape[1], im.shape[0]) for im in imgs]
             else:
-                dims = [_fake_decode(bytes(p)) for p in payloads]
+                dims = [_fake_decode(p) for p in bufs]
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"],
                     "width": [w for w, _ in dims],
                     "height": [h for _, h in dims],
-                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "n_bytes": [len(p) for p in bufs],
                     "checksum": [
-                        hashlib.md5(bytes(p)).hexdigest() for p in payloads
+                        hashlib.md5(p).hexdigest() for p in bufs
                     ],
                 }
             )
@@ -3247,6 +3289,24 @@ def bilinear_resize(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray
     return out[..., 0] if gray else out
 
 
+def _to_rgb8(img: np.ndarray) -> np.ndarray:
+    """Normalize any native-decoder output to the HxWx3 uint8 shape the
+    PPM re-encode requires: grayscale (HxW or HxWx1) replicates to 3
+    channels, RGBA drops alpha (PIL convert('RGB') semantics), and
+    16-bit samples keep their high byte.  Without this, a legal
+    grayscale/RGBA/16-bit PNG killed the whole resize task on the
+    `h, w, _ = img.shape` unpack or the encode_ppm uint8-RGB assert."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif img.shape[2] == 4:
+        img = img[:, :, :3]
+    if img.dtype == np.uint16:
+        img = (img >> 8).astype(np.uint8)
+    return np.ascontiguousarray(img)
+
+
 def resize_images(
     df: DataFrame,
     target_w: int = 64,
@@ -3290,6 +3350,7 @@ def resize_images(
                 b = bytes(p)
                 if codec in ("numpy", "real"):
                     img = _numpy_decode(b) if codec == "numpy" else _real_decode(b)
+                    img = _to_rgb8(img)
                     if interpolation == "bilinear":
                         out = encode_ppm(
                             np.ascontiguousarray(
@@ -3613,25 +3674,13 @@ def _decode_ima_adpcm(
     n_blocks = len(data) // block_align
     rem = len(data) - n_blocks * block_align
     tail: np.ndarray | None = None
-    if rem:
-        # Real IMA WAV files commonly end in a legal short final block:
-        # the same 4*ch header followed by fewer (but still whole)
-        # 4*ch-byte word groups.  Decode it rather than dropping it.
-        if rem < 4 * ch:
-            # Shorter than one per-channel header: zero decodable
-            # samples in the remainder.  A web-crawled file truncated
-            # mid-write should still yield its whole blocks — drop the
-            # sub-header garbage instead of failing the whole decode.
-            return (
-                np.zeros((0, ch), dtype=np.int16)
-                if n_blocks == 0
-                else _decode_ima_blocks(
-                    np.frombuffer(
-                        data, dtype=np.uint8, count=n_blocks * block_align
-                    ).reshape(n_blocks, block_align),
-                    ch,
-                )
-            )
+    # Real IMA WAV files commonly end in a legal short final block: the
+    # same 4*ch header followed by fewer (but still whole) 4*ch-byte
+    # word groups — decode it rather than dropping it.  A remainder
+    # SHORTER than one per-channel header holds zero decodable samples
+    # (a crawl truncated mid-write): drop it and keep the whole blocks
+    # instead of failing the whole decode.
+    if rem >= 4 * ch:
         tail_len = 4 * ch + ((rem - 4 * ch) // (4 * ch)) * (4 * ch)
         tail = _decode_ima_blocks(
             np.frombuffer(
@@ -3719,7 +3768,7 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     external-library seam."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_n = 12, None, None, None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         size = int.from_bytes(b[pos + 4 : pos + 8], "little")
@@ -3728,6 +3777,10 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            # true per-channel sample count — mandatory for compressed
+            # formats, where the payload is padded to whole blocks
+            fact_n = int.from_bytes(body[0:4], "little")
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
@@ -3750,7 +3803,13 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         codes = np.frombuffer(data, dtype=np.uint8, count=n * ch)
         return table[codes].reshape(n, ch), sample_rate
     if audio_format == 0x11:  # IMA/DVI ADPCM
-        return _decode_ima_adpcm(data, ch, block_align), sample_rate
+        out = _decode_ima_adpcm(data, ch, block_align)
+        if fact_n is not None and 0 <= fact_n < out.shape[0]:
+            # drop the encoder's final-block padding: without this a
+            # 777-sample source round-trips to 1010 samples of which
+            # 233 are fabricated silence, skewing rms/active_frac
+            out = out[:fact_n]
+        return out, sample_rate
     raise NotImplementedError(
         f"WAV format tag 0x{audio_format:02x} not supported natively "
         "(PCM 8/16/24/32, float32/64, G.711 mu/A-law, IMA ADPCM are; "
@@ -3888,12 +3947,19 @@ def audio_spectral_features(
                     cum = np.cumsum(s, axis=1)
                     idx = (cum >= rolloff * t[:, None]).argmax(axis=1)
                     roll[live] = freqs[idx]
-                    # flatness over strictly-positive bins (log of 0 is
-                    # the whole point of the epsilon-free masked mean)
-                    logmean = np.where(
-                        s > 0, np.log(np.maximum(s, 1e-300)), 0.0
-                    ).sum(axis=1) / s.shape[1]
-                    flat[live] = np.exp(logmean) / (t / s.shape[1])
+                    # flatness = geometric/arithmetic mean ratio.  An
+                    # exact-zero bin makes the geometric mean 0, so
+                    # flatness is 0 by definition — treating it as
+                    # power 1 (log 0) while dividing by the full bin
+                    # count inflated flatness past 1 and flipped the
+                    # tonal/noisy ordering for pure tones
+                    has_zero = (s <= 0).any(axis=1)
+                    logmean = np.log(np.maximum(s, 1e-300)).sum(
+                        axis=1
+                    ) / s.shape[1]
+                    flat[live] = np.where(
+                        has_zero, 0.0, np.exp(logmean) / (t / s.shape[1])
+                    )
                 out["media_id"].extend([mid] * n_frames)
                 out["frame_idx"].extend(range(n_frames))
                 out["spectral_centroid_hz"].extend(

@@ -1664,3 +1664,147 @@ def test_jpeg_progressive_arithmetic_equals_baseline():
         decode_jpeg(encode_jpeg(base, quality=75, subsample=False)),
         decode_jpeg(ba),
     )
+
+
+def test_decode_jpeg_multi_scan_sequential():
+    """T.81 allows ONE SOS per component in sequential mode; the marker
+    loop used to break on the first SOS, silently leaving the other
+    component planes at zero.  Build a 3-scan 4:4:4 stream from the
+    same quantized blocks as the interleaved encode and demand pixel
+    equality."""
+    import struct
+
+    import numpy as np
+
+    from opentimes_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 24, 3), np.uint8)
+    ref = M.decode_jpeg(M.encode_jpeg(img, quality=85, subsample=False))
+    gray, h, w, samp, qt_l, qt_c, mr, mc, zzs = M._jpeg_quantized(
+        img, 85, False, 8
+    )
+    assert not gray and samp == [(1, 1)] * 3
+    codes = {
+        (0, 0): M._canonical_codes(*M._HT_DC_LUMA),
+        (1, 0): M._canonical_codes(*M._HT_AC_LUMA),
+        (0, 1): M._canonical_codes(*M._HT_DC_CHROMA),
+        (1, 1): M._canonical_codes(*M._HT_AC_CHROMA),
+    }
+
+    def seg(m, p):
+        return struct.pack(">HH", m, len(p) + 2) + p
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xFFDB, bytes([0]) + bytes(qt_l.astype(np.uint8).ravel()[M._ZIGZAG])
+    )
+    out += seg(
+        0xFFDB, bytes([1]) + bytes(qt_c.astype(np.uint8).ravel()[M._ZIGZAG])
+    )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    out += seg(0xFFC0, sof)
+    for cls, dest, (tb, tv) in (
+        (0, 0, M._HT_DC_LUMA), (1, 0, M._HT_AC_LUMA),
+        (0, 1, M._HT_DC_CHROMA), (1, 1, M._HT_AC_CHROMA),
+    ):
+        out += seg(0xFFC4, bytes([(cls << 4) | dest] + list(tb) + list(tv)))
+    for ci in range(3):
+        cls = 0 if ci == 0 else 1
+        bw = M._BitWriter()
+        M._seq_scan_pass(
+            [zzs[ci]], [(1, 1)], mr, mc, 0,
+            [M._HuffEmitter(bw, codes[(0, cls)])],
+            [M._HuffEmitter(bw, codes[(1, cls)])],
+        )
+        sos = bytes([1, ci + 1, 0 if ci == 0 else 0x11]) + b"\x00\x3f\x00"
+        out += seg(0xFFDA, sos) + bw.flush()
+    out += b"\xff\xd9"
+    got = M.decode_jpeg(bytes(out))
+    assert np.array_equal(got, ref)
+
+
+def test_decode_jpeg_header_fill_bytes():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    between segments — decode must skip them, not parse them as a
+    marker/length."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    b = encode_jpeg(img, quality=80)
+    plain = decode_jpeg(b)
+    i = b.index(b"\xff\xdb")  # first DQT
+    filled = b[:i] + b"\xff\xff\xff" + b[i:]  # three fill bytes
+    assert np.array_equal(decode_jpeg(filled), plain)
+
+
+def test_resize_images_gray_rgba_payloads(spark):
+    """resize must not crash on the shapes the native decoders
+    legitimately produce: grayscale (HxW) and RGBA PNGs."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import encode_png, resize_images
+
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 256, (20, 20), np.uint8)
+    rgba = rng.randint(0, 256, (20, 20, 4), np.uint8)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(gray))),
+         (2, "image", bytearray(encode_png(rgba)))],
+        "media_id long, kind string, payload binary",
+    )
+    for interp in ("nearest", "bilinear"):
+        out = resize_images(
+            df, target_w=8, target_h=8, codec="real", interpolation=interp
+        ).collect()
+        assert len(out) == 2 and all(len(r["payload"]) > 0 for r in out)
+
+
+def test_wav_ima_fact_chunk_trims_block_padding():
+    """The encoder pads to whole blocks and records the true count in
+    the mandatory fact chunk; decode must honor it instead of returning
+    fabricated trailing silence."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    t = np.arange(777)
+    sine = (8000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    got, sr = decode_wav(encode_wav_ima_adpcm(sine, 8000, block_align=256))
+    assert got.shape == (777, 1)
+
+
+def test_audio_flatness_in_unit_range(spark):
+    """An exact-zero power bin makes the geometric mean 0, so flatness
+    is 0 by definition — it used to be inflated past 1 (treating zero
+    bins as power 1 while dividing by the full bin count), classifying
+    pure tones as maximally noisy."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import (
+        audio_spectral_features,
+        encode_wav,
+    )
+
+    t = np.arange(4096)
+    # exact-bin tone: cancellations produce exact-zero power bins
+    tone = (12000 * np.sin(2 * np.pi * 1000 * t / 8000)).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_wav(tone, 8000)))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = audio_spectral_features(df).collect()
+    flats = [
+        r["spectral_flatness"] for r in rows
+        if r["spectral_flatness"] is not None
+    ]
+    assert flats and all(0.0 <= f <= 1.0 for f in flats)
