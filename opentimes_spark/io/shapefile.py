@@ -232,10 +232,14 @@ def read_zipped_shapefile(
                 f"{sorted(stem(n) for n in shp_names)} — extract one"
             )
         shp_name = shp_names[0]
+        # Stems compare case-insensitively to match the extension rule:
+        # 8.3-era archives routinely mix ROADS.SHP with roads.dbf, and
+        # the pairing is still unambiguous.
         dbf_name = next(
             (
                 n for n in z.namelist()
-                if n.lower().endswith(".dbf") and stem(n) == stem(shp_name)
+                if n.lower().endswith(".dbf")
+                and stem(n).lower() == stem(shp_name).lower()
             ),
             None,
         )
@@ -248,7 +252,8 @@ def read_zipped_shapefile(
         dbt_name = next(
             (
                 n for n in z.namelist()
-                if n.lower().endswith(".dbt") and stem(n) == stem(shp_name)
+                if n.lower().endswith(".dbt")
+                and stem(n).lower() == stem(shp_name).lower()
             ),
             None,
         )

@@ -166,15 +166,17 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def encode_png(img: np.ndarray) -> bytes:
     """uint8 image → non-interlaced 8-bit PNG (filter 0 rows, one
-    zlib-compressed IDAT).  Grayscale (HxW), RGB (HxWx3), or RGBA
-    (HxWx4).  Pure stdlib (struct + zlib) — the round-trip partner of
-    ``decode_png``."""
+    zlib-compressed IDAT).  Grayscale (HxW), gray+alpha (HxWx2, color
+    type 4), RGB (HxWx3), or RGBA (HxWx4).  Pure stdlib (struct +
+    zlib) — the round-trip partner of ``decode_png``."""
     import struct
 
     if img.dtype != np.uint8:
         raise ValueError("encode_png needs uint8")
     if img.ndim == 2:
         color = 0
+    elif img.ndim == 3 and img.shape[2] == 2:
+        color = 4
     elif img.ndim == 3 and img.shape[2] == 3:
         color = 2
     elif img.ndim == 3 and img.shape[2] == 4:
@@ -3292,12 +3294,16 @@ def bilinear_resize(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray
 def _to_rgb8(img: np.ndarray) -> np.ndarray:
     """Normalize any native-decoder output to the HxWx3 uint8 shape the
     PPM re-encode requires: grayscale (HxW or HxWx1) replicates to 3
-    channels, RGBA drops alpha (PIL convert('RGB') semantics), and
-    16-bit samples keep their high byte.  Without this, a legal
-    grayscale/RGBA/16-bit PNG killed the whole resize task on the
-    `h, w, _ = img.shape` unpack or the encode_ppm uint8-RGB assert."""
+    channels, gray+alpha (HxWx2 — PNG color type 4 or gray+tRNS) keeps
+    the luma channel and drops alpha, RGBA drops alpha (PIL
+    convert('RGB') semantics), and 16-bit samples keep their high
+    byte.  Without this, a legal grayscale/LA/RGBA/16-bit PNG killed
+    the whole resize task on the `h, w, _ = img.shape` unpack or the
+    encode_ppm uint8-RGB assert."""
     if img.ndim == 2:
         img = img[:, :, None]
+    if img.shape[2] == 2:
+        img = img[:, :, :1]
     if img.shape[2] == 1:
         img = np.repeat(img, 3, axis=2)
     elif img.shape[2] == 4:

@@ -221,6 +221,24 @@ def test_load_zipped_shapefile_pure_python(spark, tmp_path):
     ).tolist() == [True, False]
 
 
+def test_shapefile_mixed_case_sidecar_pairing(spark, tmp_path):
+    """8.3-era archives mix member-name cases (ROADS.SHP + roads.dbf);
+    stems must pair case-insensitively, like the extension match —
+    the pairing is still unambiguous."""
+    import zipfile
+
+    square = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0), (0.0, 0.0)]
+    zp = str(tmp_path / "mixed.zip")
+    _build_shapefile_zip(zp, [("17", "Illinois", 7, [square])])
+    with zipfile.ZipFile(zp) as z:
+        shp, dbf = z.read("state.shp"), z.read("state.dbf")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("STATE.SHP", shp)
+        z.writestr("state.dbf", dbf)
+    rows = load_zipped_shapefile(spark, zp).collect()
+    assert len(rows) == 1 and rows[0]["pop"] == 7
+
+
 def test_shapefile_to_destpoint_flow(spark, tmp_path):
     """S5 → J5 integration, the reference's shapefile→buffer→destpoint
     flow: parse the zipped state boundary, take its rings (outer +

@@ -1746,24 +1746,46 @@ def test_decode_jpeg_header_fill_bytes():
 
 def test_resize_images_gray_rgba_payloads(spark):
     """resize must not crash on the shapes the native decoders
-    legitimately produce: grayscale (HxW) and RGBA PNGs."""
+    legitimately produce: grayscale (HxW), gray+alpha (HxWx2 — PNG
+    color type 4, also what a grayscale PNG with a tRNS chunk decodes
+    to), and RGBA PNGs."""
     import numpy as np
 
     from opentimes_spark.operators.multimodal import encode_png, resize_images
 
     rng = np.random.RandomState(5)
     gray = rng.randint(0, 256, (20, 20), np.uint8)
+    la = rng.randint(0, 256, (20, 20, 2), np.uint8)
     rgba = rng.randint(0, 256, (20, 20, 4), np.uint8)
     df = spark.createDataFrame(
         [(1, "image", bytearray(encode_png(gray))),
-         (2, "image", bytearray(encode_png(rgba)))],
+         (2, "image", bytearray(encode_png(la))),
+         (3, "image", bytearray(encode_png(rgba)))],
         "media_id long, kind string, payload binary",
     )
     for interp in ("nearest", "bilinear"):
         out = resize_images(
             df, target_w=8, target_h=8, codec="real", interpolation=interp
         ).collect()
-        assert len(out) == 2 and all(len(r["payload"]) > 0 for r in out)
+        assert len(out) == 3 and all(len(r["payload"]) > 0 for r in out)
+
+
+def test_to_rgb8_la_keeps_luma_drops_alpha():
+    """HxWx2 (gray+alpha) normalizes to HxWx3 by replicating channel 0
+    and discarding alpha — PIL convert('RGB') semantics."""
+    import numpy as np
+
+    from opentimes_spark.operators.multimodal import _to_rgb8
+
+    la = np.dstack([
+        np.arange(12, dtype=np.uint8).reshape(3, 4),
+        np.full((3, 4), 200, np.uint8),
+    ])
+    rgb = _to_rgb8(la)
+    assert rgb.shape == (3, 4, 3)
+    assert (rgb[:, :, 0] == la[:, :, 0]).all()
+    assert (rgb[:, :, 1] == la[:, :, 0]).all()
+    assert (rgb[:, :, 2] == la[:, :, 0]).all()
 
 
 def test_wav_ima_fact_chunk_trims_block_padding():
