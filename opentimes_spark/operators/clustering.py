@@ -642,12 +642,25 @@ def apply_rotation(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    deterministic: bool = False,
 ) -> DataFrame:
     """(id, embedding) with every vector replaced by R·x — an
     Arrow-batched ``mapInPandas`` numpy matmul (one BLAS call per
     batch, never a per-row Python loop).  R rides the closure as a
     dim×dim float64 array — bytes, the same driver-side-model contract
-    as the k-means centroids."""
+    as the k-means centroids.
+
+    ``deterministic=True`` swaps the BLAS matmul for a dimension-
+    sequential column accumulation (the ``_lloyd_step_local``
+    discipline): dgemm splits its contraction by THREAD COUNT, so a
+    1-thread executor and a 32-thread driver disagree in the last ulp
+    — harmless for the rotation-invariant IVF-PQ consumers (L2/cosine
+    geometry is unchanged), fatal for ``opq_fit``'s driver-twin
+    bit-equality, where the near-rank-deficient Procrustes
+    cross-matrix amplifies one ulp into an O(1) different (equally
+    valid) rotation.  Costs dim² vectorized passes instead of one
+    dgemm — right for fit-sized dims, wrong for a 4096-dim encode
+    pass, hence opt-in."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -674,10 +687,29 @@ def apply_rotation(
     def rot(batches):
         for b in batches:
             x = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
-            y = x @ r.T
+            if deterministic:
+                y = _rotate_sequential(x, r)
+            else:
+                y = x @ r.T
             yield pd.DataFrame({id_col: b[id_col], vec_col: list(y)})
 
     return base.mapInPandas(rot, schema)
+
+
+def _rotate_sequential(x, r):
+    """R·x per row with every output coordinate accumulated
+    DIMENSION-SEQUENTIALLY (vectorized over rows) — thread- and
+    batch-independent, unlike dgemm; see ``apply_rotation``."""
+    import numpy as np
+
+    n, dim = x.shape
+    y = np.empty((n, dim), dtype=np.float64)
+    for jcol in range(dim):
+        acc = np.zeros(n)
+        for i in range(dim):
+            acc = acc + x[:, i] * r[jcol, i]
+        y[:, jcol] = acc
+    return y
 
 
 def _pq_reconstruction_col(pqs, vcol, dim: int):
@@ -699,13 +731,18 @@ def _pq_reconstruction_col(pqs, vcol, dim: int):
 
 def _sum_outer(df: DataFrame, xcol: str, ycol: str, dim: int):
     """Σ y·xᵀ over all rows as a dim×dim numpy array: per-partition
-    numpy partials (one BLAS syrk-shaped matmul per Arrow batch), then
-    a DRIVER-side sum over the ≤ n_partitions flattened partials in
+    numpy partials (one einsum contraction per Arrow batch), then a
+    DRIVER-side sum over the ≤ n_partitions flattened partials in
     partition-id order.  The collect is n_partitions × dim² doubles —
     bounded by cluster size, never by corpus size.  Float note: the
     partial sums fix an accumulation order per partitionING, so R is
     bit-stable for a given layout (disclosed — the SVD consumer is
-    pytest-verified, not oracle-replayed)."""
+    pytest-verified, not oracle-replayed).  einsum (optimize=False),
+    not dgemm: BLAS splits the row contraction by THREAD COUNT, so the
+    same batch gives different last-ulp sums on a 1-thread executor vs
+    a 32-thread driver — einsum's fixed single-threaded loop makes the
+    partial a function of the batch alone, which the opq_fit driver
+    twin's bit-equality contract relies on."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -731,7 +768,7 @@ def _sum_outer(df: DataFrame, xcol: str, ycol: str, dim: int):
         for b in batches:
             x = np.stack([np.asarray(v, dtype=np.float64) for v in b[xcol]])
             y = np.stack([np.asarray(v, dtype=np.float64) for v in b[ycol]])
-            acc += y.T @ x
+            acc += np.einsum("ri,rj->ij", y, x, optimize=False)
             seen = True
         if seen:
             yield pd.DataFrame(
@@ -899,6 +936,108 @@ def pca_power_from_gram(gram_scaled, iters: int = 2):
     return np.asarray(loading), lambda_est, us
 
 
+def _kmeans_fit_local(M, k: int, max_iter: int, tol: float = 0.0):
+    """``kmeans_fit``'s driver path on an already-collected (n, dim)
+    id-ordered matrix: first-k seeding, ``_lloyd_step_local`` rounds,
+    the same sequential shift fold and tol break — so a caller that
+    has the corpus in hand (the OPQ driver twin) skips the per-call
+    count/collect jobs without changing one bit of arithmetic."""
+    n = M.shape[0]
+    if k < 1 or max_iter < 1:
+        raise ValueError("kmeans_fit requires k >= 1 and max_iter >= 1")
+    if n < k:
+        raise ValueError(f"kmeans_fit: corpus has {n} rows < k={k}")
+    cents = {i + 1: [float(x) for x in M[i]] for i in range(k)}
+    assign_cents = cents
+    shift = float("inf")
+    it = 0
+    for it in range(1, max_iter + 1):
+        assign_cents = cents
+        new = _lloyd_step_local(M, cents)
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(new[cid], cents[cid]))
+            for cid in cents
+        )
+        cents = new
+        if shift <= tol:
+            break
+    return KMeansModel(
+        centroids=cents,
+        assign_centroids=assign_cents,
+        n_iter=it,
+        shift=shift,
+    )
+
+
+def _opq_fit_local(X, m: int, k: int, n_iter: int, pq_iter: int, dim: int):
+    """OPQ alternation on a driver-resident id-ordered (n, dim) float64
+    matrix — the small-corpus twin of the distributed ``opq_fit`` loop
+    (the ``kmeans_fit`` driver-cutover pattern).  Step-for-step
+    arithmetic replication of the distributed path:
+
+    - rotation: ``X @ R.T`` — the same numpy matmul ``apply_rotation``
+      runs per Arrow batch (each output row depends only on its input
+      row, so batching does not enter).
+    - PQ fit: ``_kmeans_fit_local`` per subspace slice — identical to
+      what ``pq_fit`` → ``kmeans_fit`` already does below the cutover,
+      minus the per-call count/orderBy/collect jobs.
+    - reconstruction: dimension-sequential distance folds and the
+      ascending-cid strict-< argmin — element-for-element the JVM
+      ``_nearest_struct`` expression; codewords are exact copies.
+    - cross-matrix: one ``Y.T @ X`` — ``_sum_outer``'s single-batch
+      accumulation.  Multi-partition layouts reassociate the float sum
+      (the operator's long-disclosed layout dependence); the pinned
+      equality test therefore drives the distributed path with a
+      single id-ordered partition, where both paths are bit-equal.
+    """
+    import numpy as np
+
+    rotation = np.eye(dim, dtype=np.float64)
+    sub = dim // m
+    pqs = None
+    for _ in range(n_iter):
+        xrot = _rotate_sequential(X, rotation)
+        pqs = [
+            _kmeans_fit_local(
+                xrot[:, j * sub:(j + 1) * sub], k, pq_iter, tol=0.0
+            )
+            for j in range(m)
+        ]
+        n = X.shape[0]
+        y = np.empty_like(xrot)
+        for j, model in enumerate(pqs):
+            Mj = xrot[:, j * sub:(j + 1) * sub]
+            vv = np.zeros(n)
+            for i in range(sub):
+                vv = vv + Mj[:, i] * Mj[:, i]
+            best_d = None
+            best_cid = None
+            for cid in sorted(model.centroids):
+                c = model.centroids[cid]
+                acc = np.zeros(n)
+                for i in range(sub):
+                    acc = acc + Mj[:, i] * c[i]
+                d = vv - 2.0 * acc + _self_dot(c)
+                if best_d is None:
+                    best_d = d
+                    best_cid = np.full(n, cid, dtype=np.int64)
+                else:
+                    better = d < best_d
+                    best_d = np.where(better, d, best_d)
+                    best_cid = np.where(better, cid, best_cid)
+            book = np.array(
+                [c for _cid, c in sorted(model.centroids.items())],
+                dtype=np.float64,
+            )
+            y[:, j * sub:(j + 1) * sub] = book[best_cid - 1]
+        # einsum, not dgemm — matches _sum_outer's thread-independent
+        # row-contraction order (see its float note)
+        c = np.einsum("ri,rj->ij", y, xrot, optimize=False) @ rotation
+        u, _s, vt = np.linalg.svd(c)
+        rotation = u @ vt
+    return rotation, pqs
+
+
 def opq_fit(
     corpus: DataFrame,
     m: int = 2,
@@ -908,6 +1047,7 @@ def opq_fit(
     pq_iter: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    force_distributed: bool = False,
 ):
     """Alternating OPQ: repeat (rotate corpus → fit PQ codebooks →
     reconstruct → orthogonal-Procrustes update R = U·Vᵀ from
@@ -929,7 +1069,16 @@ def opq_fit(
     covariance carries no subspace signal (isotropic data); the
     parametric eigenvalue-allocation init of Ge §3.2 is the documented
     upgrade when corpora show strong principal structure
-    (embed_gram_pca_power is the diagnostic)."""
+    (embed_gram_pca_power is the diagnostic).
+
+    Adaptive execution (the ``kmeans_fit`` cutover pattern): below
+    ``_DRIVER_LLOYD_MAX_ELEMS`` the corpus is dimension-sized and every
+    distributed pass is pure Python-worker spin-up (~14 s at sf0.1,
+    SCALE.md r9 note) — collect ONCE in id order and run
+    ``_opq_fit_local``, which replays the engine arithmetic
+    step-for-step.  ``force_distributed=True`` keeps the scale path
+    exercised (tests pin local/distributed equality on a single
+    id-ordered partition, where the cross-matrix sum has one layout)."""
     import numpy as np
 
     if dim % m:
@@ -939,8 +1088,20 @@ def opq_fit(
     base = corpus.select(
         F.col(id_col), _pq_guarded_vec(id_col, vec_col, dim).alias(vec_col)
     )
+    if not force_distributed:
+        n = base.count()
+        if n * dim <= _DRIVER_LLOYD_MAX_ELEMS:
+            rows = base.orderBy(F.col(id_col)).collect()
+            X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+            if X.size and X.shape[1] != dim:
+                raise ValueError(
+                    f"opq_fit: vector dim {X.shape[1]} != {dim}"
+                )
+            return _opq_fit_local(X, m, k, n_iter, pq_iter, dim)
     for _ in range(n_iter):
-        rotated = apply_rotation(base, rotation, dim, id_col, vec_col)
+        rotated = apply_rotation(
+            base, rotation, dim, id_col, vec_col, deterministic=True
+        )
         rotated = rotated.persist()
         try:
             pqs = pq_fit(

@@ -369,6 +369,35 @@ def test_opq_rotation_orthogonal_and_reduces_error(spark):
     assert np.array_equal(r, r2)
 
 
+def test_opq_fit_driver_twin_matches_distributed_bitwise(spark):
+    """The small-corpus driver cutover must reproduce the distributed
+    alternation BIT-FOR-BIT — rotation matrix and every codebook
+    centroid.  The distributed side runs on a single id-ordered
+    partition (n < one Arrow batch), the one layout where its
+    cross-matrix accumulation order is defined; multi-partition
+    layouts reassociate that float sum, which is the operator's
+    long-disclosed layout dependence, not a twin divergence."""
+    import numpy as np
+
+    from opentimes_spark.operators.clustering import opq_fit
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .coalesce(1)
+    )
+    r_loc, pqs_loc = opq_fit(emb, m=4, k=4, n_iter=2, dim=64, pq_iter=1)
+    r_dist, pqs_dist = opq_fit(
+        emb, m=4, k=4, n_iter=2, dim=64, pq_iter=1, force_distributed=True
+    )
+    assert np.array_equal(r_loc, r_dist)
+    assert len(pqs_loc) == len(pqs_dist)
+    for ml, md in zip(pqs_loc, pqs_dist):
+        assert ml.centroids == md.centroids
+        assert ml.assign_centroids == md.assign_centroids
+        assert ml.n_iter == md.n_iter and ml.shift == md.shift
+
+
 def test_opq_rotation_improves_on_planted_rotation_structure(spark):
     """Synthetic probe: axis-aligned 2-block pattern data mixed by a
     45° rotation.  The covariance here is ~isotropic (equal-variance

@@ -90,8 +90,22 @@ def test_state_plateaus_under_steady_ingest_with_eviction(spark, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(180)
-            all_rows.extend(state_operator_metrics(q))
+            # processAllAvailable blocks until every available file is
+            # processed regardless of host load — a bare
+            # awaitTermination(timeout) can return with the final
+            # micro-batch still settling on a contended machine and
+            # feed the plateau check a truncated series.
+            q.processAllAvailable()
+            q.awaitTermination(180)  # availableNow self-stops
+            import time as _time
+
+            slice_rows = state_operator_metrics(q)
+            deadline = _time.time() + 30
+            while not slice_rows and _time.time() < deadline:
+                _time.sleep(0.25)  # progress rows land asynchronously
+                slice_rows = state_operator_metrics(q)
+            assert slice_rows, f"slice {k}: no state-operator progress"
+            all_rows.extend(slice_rows)
 
         state_rows = [r for r in all_rows if r["state_rows"] is not None]
         assert state_rows, "no state-operator telemetry captured"
