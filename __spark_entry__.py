@@ -26,17 +26,23 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # and semantics; only dict order changes.  `tools/check.py` independently
 # replays ALL registered queries regardless of order.
 #
-# After r10: all 371 registered names have a hash-green driver row across
-# r1-r10 (CORRECTNESS_r10 was 50/50 green; the 48 r10 additions are folded
+# After r11: all 419 registered names have a hash-green driver row across
+# r1-r11 (CORRECTNESS_r11 was 50/50 green; the 48 r11 additions are folded
 # into _CERTIFIED below per the standing pattern).  _FRONT holds names
 # whose SEMANTICS/PLAN changed this round and therefore need a fresh
 # driver hash.
-# r11 re-fronts: the two connected-components consumers — the operator
-# gained a driver union-find cutover below 10^6 canonical edges (values
-# are a pure min-id set, unchanged; plan fingerprints re-baselined).
-# With 48 round-11 additions in `fresh` (41 earlier batteries + the
-# 7-query trend/audit battery), the window holds exactly 50.
-_FRONT: list[str] = ["dedup_components", "docs_dedup_cluster_purity"]
+# r12 re-fronts: the three queries whose SEMANTICS/PLAN changed this
+# round — the prefix-bounded dedup threshold sweep (values re-verified
+# hash-equal at both SFs, plan rebuilt), the theil-sen n_pairs sourcing
+# fix, and the NULLIF-guarded Hill alpha_hat.  The 12-query round-12
+# battery (concordance/survival/reliability/DoE) enters via `fresh`;
+# 3 + 12 = 15 fresh driver rows, the rest of the 50-window re-verifies
+# already-certified names.
+_FRONT: list[str] = [
+    "docs_dedup_threshold_sweep",
+    "orders_theil_sen_monthly",
+    "cust_acctbal_hill_tail",
+]
 
 
 def _ordered(mapping):
@@ -210,6 +216,30 @@ _CERTIFIED = {
     "docs_mcnemar_detectors", "cust_lorenz_revenue_deciles",
     "docs_quality_roc_auc", "docs_quality_ece", "docs_quality_brier_decomp",
     "events_cramer_von_mises", "orders_page_hinkley", "cust_stratified_kfold",
+    # r11-certified (CORRECTNESS_r11.json, 50/50 hash_match=true;
+    # the 3 r12 re-fronts excluded — they re-enter via _FRONT):
+    "lineitem_brown_forsythe", "lineitem_bartlett_linestatus",
+    "lineitem_cohens_d_quantity", "lineitem_cliffs_delta_quantity",
+    "orders_seasonal_naive_mase", "orders_smape_wape_monthly",
+    "orders_theil_u2_snaive", "orders_holt_winters_additive",
+    "events_ewma_control_chart", "docs_pass_at_k", "docs_krippendorff_alpha",
+    "docs_detector_mcc", "orders_poisson_bootstrap_ci",
+    "embed_int8_utilization", "embed_calinski_harabasz",
+    "embed_davies_bouldin", "embed_silhouette_centroid",
+    "events_key_skew_audit", "orders_partition_skew_audit",
+    "lineitem_rle_runs_monthly", "orders_bernoulli_sample_audit",
+    "events_sliding_3h_distinct_users", "nations_label_propagation",
+    "nations_ppr_from_seed", "nations_trade_triangle_support",
+    "docs_eval_overlap_report", "events_nelson_aalen",
+    "events_keep_latest_per_user_hour", "orders_diff_in_means_bootstrap",
+    "part_type_price_welch_anova", "lineitem_gini_split_gain",
+    "docs_length_jarque_bera", "part_brand_size_gtest", "orders_runs_up_down",
+    "lineitem_two_way_anova", "cust_segment_nation_residuals",
+    "docs_source_ttr_hapax", "docs_packing_efficiency_report",
+    "docs_mixture_temperature_sweep", "part_supplier_redundancy_audit",
+    "orders_mann_kendall_monthly", "docs_source_js_divergence",
+    "docs_bigram_chao1_richness", "orders_friedman_priority",
+    "events_grubbs_daily_outlier",
 }
 
 

@@ -168,13 +168,20 @@ HEADLINE = [
     # round-11 shape representatives: the at-scale Poisson bootstrap
     # (B=100 coin weights -> ONE map-side-combined aggregate; xxhash64
     # production twin of the md5-certified orders_poisson_bootstrap_ci,
-    # the dedup_minhash precedent), the dedup-threshold sweep (one
-    # bigram-Jaccard pair join, five thresholds off the pair
+    # the dedup_minhash precedent), the dedup-threshold sweep
+    # (PPJoin-prefix-bounded candidate pairs at the loosest tau since
+    # r12, exact array_intersect verify, five thresholds off the pair
     # distribution), and exact sliding-window distinct (dedup-then-
     # fan-out grid shape)
     "poisson_bootstrap_xxhash",
     "docs_dedup_threshold_sweep",
     "events_sliding_3h_distinct_users",
+    # round-12 shape representatives: the survival-grid shape (log-rank:
+    # per-user reduction, DESCENDING cumulative at-risk window on the
+    # bounded day grid, sorted-fold chi-square) and the blocking-audit
+    # shape (three Σ C(group,2) passes incl. an md5 of every document)
+    "events_logrank_two_group",
+    "docs_blocking_quality",
 ]
 
 
