@@ -3,9 +3,14 @@ entries.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [threshold]
 
-Accepts either a raw ``bench.py`` output line ({"metric": ..., "queries":
-{...}}) or a driver BENCH_r*.json wrapper (the queries dict is found
-under ``parsed``). Exit 1 when any shared query slowed by more than
+Accepts a raw ``bench.py`` output line ({"metric": ..., "queries":
+{...}}), a driver BENCH_r*.json wrapper (the queries dict is found
+under ``parsed``), or — for driver artifacts whose ``parsed`` is null
+because only a 2000-char ``tail`` survived truncation — the rows
+recoverable from that tail (the committed BENCH_FULL_r{N}.json from
+``bench.py`` itself is the full-fidelity source; the tail fallback
+exists for pre-r12 history).  Exit 1 when any shared query slowed by
+more than
 ``threshold`` (default 1.3x) — meant as a quick gate, with the caveat
 that single-host timings carry 30-40% variance (SCALE.md "Bench
 methodology"); rerun before believing a single red number.
@@ -22,8 +27,25 @@ def load(path: str) -> dict[str, float]:
         d = json.load(fh)
     if "queries" in d:
         return d["queries"]
-    if "parsed" in d and "queries" in d["parsed"]:
+    if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
         return d["parsed"]["queries"]
+    if isinstance(d.get("tail"), str):
+        # truncated driver artifact: recover whatever rows the tail kept
+        import re
+
+        rows = {
+            k: float(v)
+            for k, v in re.findall(
+                r'"([a-z_0-9]+)":\s*([0-9][0-9.]*)', d["tail"]
+            )
+            if k not in ("value", "sf")
+        }
+        if rows:
+            print(
+                f"note: {path} is a truncated driver artifact — "
+                f"recovered {len(rows)} rows from its tail"
+            )
+            return rows
     raise SystemExit(f"{path}: no queries dict found")
 
 
