@@ -195,3 +195,179 @@ def test_kuiper_opposite_shifts_exceed_ks(spark, tmp_path):
     row = QUERIES["lineitem_kuiper_flags"](spark, sf).collect()[0]
     assert row["d_plus"] == 0.5 and row["d_minus"] == 0.5
     assert row["kuiper_v"] == 1.0
+
+
+def test_dixon_q_top10_hand(spark, tmp_path):
+    """Prices 10,20,…,100: Q = (100−90)/(100−10) = 1/9, not rejected."""
+    sf = str(tmp_path)
+    rows = [
+        (i + 1, f"p{i}", "B", "T", 1, float(10 * (i + 1)))
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/part.parquet")
+    row = QUERIES["part_dixon_q_top10"](spark, sf).collect()[0]
+    assert row["dixon_q"] == pytest.approx(1.0 / 9.0, abs=1e-6)
+    assert row["reject_at_05"] == 0
+
+
+def test_woolf_or_ci_hand(spark, tmp_path):
+    """a,b,c,d = 10,20,5,40: OR = 4, CI = exp(ln4 ∓ 1.96·√0.375)."""
+    import math
+
+    sf = str(tmp_path)
+    cells = [("1-URGENT", "F", 10), ("1-URGENT", "O", 20),
+             ("3-MEDIUM", "F", 5), ("3-MEDIUM", "O", 40)]
+    rows = []
+    k = 1
+    for prio, st, c in cells:
+        for _ in range(c):
+            rows.append((k, k, st, 1.0, datetime(2024, 1, 5), prio))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    row = QUERIES["orders_woolf_or_ci"](spark, sf).collect()[0]
+    assert row["odds_ratio"] == 4.0
+    se = math.sqrt(1 / 10 + 1 / 20 + 1 / 5 + 1 / 40)
+    z = 1.959963984540054
+    assert row["ci_lo"] == pytest.approx(math.exp(math.log(4) - z * se),
+                                         abs=1e-4)
+    assert row["ci_hi"] == pytest.approx(math.exp(math.log(4) + z * se),
+                                         abs=1e-4)
+    # single-stratum Mantel-Haenszel must agree with the crude OR
+    spark.createDataFrame(
+        [(i, f"c{i}", 7, 0.0, "BUILDING") for i in range(1, k)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    mh = QUERIES["orders_mantel_haenszel_or"](spark, sf).collect()[0]
+    assert mh["n_strata"] == 1 and mh["mh_odds_ratio"] == 4.0
+
+
+def test_blocking_quality_known_dups(spark, tmp_path):
+    """4 docs, one exact-dup pair sharing a block: PC = 1,
+    RR = 1 − 1/6 (one 2-doc block, two singletons)."""
+    sf = str(tmp_path)
+    rows = [
+        (1, "same text here", "en", "a", 140),
+        (2, "same text here", "en", "b", 140),
+        (3, "unique one", "en", "a", 250),
+        (4, "another unique", "de", "a", 340),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    row = QUERIES["docs_blocking_quality"](spark, sf).collect()[0]
+    assert row["true_dup_pairs"] == 1 and row["captured_dup_pairs"] == 1
+    assert row["candidate_pairs"] == 1
+    assert row["pair_completeness"] == 1.0
+    assert row["reduction_ratio"] == pytest.approx(1 - 1 / 6, abs=1e-6)
+
+
+def test_psi_hand_computed(spark, tmp_path):
+    """Type X: 3 then 1; type Y: 1 then 3 (two days, split after day 1):
+    PSI = (0.75−0.25)ln3 + (0.25−0.75)ln(1/3) = ln3."""
+    import math
+
+    sf = str(tmp_path)
+    d1, d2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    rows = (
+        [(i, d1, i, "x", 1.0, "{}") for i in range(3)]
+        + [(3, d2, 3, "x", 1.0, "{}")]
+        + [(4, d1, 4, "y", 1.0, "{}")]
+        + [(5 + i, d2, 5 + i, "y", 1.0, "{}") for i in range(3)]
+    )
+    _write_events(spark, sf, rows)
+    row = QUERIES["events_psi_type_drift"](spark, sf).collect()[0]
+    assert row["n_first_half"] == 4 and row["n_second_half"] == 4
+    assert row["n_types_skipped"] == 0
+    assert row["psi"] == pytest.approx(math.log(3.0), abs=1e-6)
+
+
+def test_cohens_h_extreme_proportions(spark, tmp_path):
+    """p1 = 1, p2 = 0 → h = 2·arcsin(1) − 0 = π."""
+    import math
+
+    sf = str(tmp_path)
+    _write_orders(spark, sf, {
+        ("1-URGENT", 2024, 1): 5,
+        ("3-MEDIUM", 2024, 12): 5,
+    })
+    row = QUERIES["orders_cohens_h_urgent"](spark, sf).collect()[0]
+    assert row["p1"] == 1.0 and row["p2"] == 0.0
+    assert row["cohens_h"] == pytest.approx(math.pi, abs=1e-6)
+
+
+def test_hurst_two_point_series(spark, tmp_path):
+    """Daily counts (1, 3): scaled walk (−2, 2), R = 0.5, S = 1,
+    H = ln(0.5)/ln(2) = −1."""
+    sf = str(tmp_path)
+    _write_orders(spark, sf, {("1-URGENT", 2024, 1): 1})
+    # overwrite with two specific days
+    rows = [
+        (1, 1, "F", 1.0, datetime(2024, 1, 1), "1-URGENT"),
+        (2, 2, "F", 1.0, datetime(2024, 1, 2), "1-URGENT"),
+        (3, 3, "F", 1.0, datetime(2024, 1, 2), "1-URGENT"),
+        (4, 4, "F", 1.0, datetime(2024, 1, 2), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    row = QUERIES["orders_hurst_rs"](spark, sf).collect()[0]
+    assert row["rs_range"] == 0.5  # (0 − (−2))/n/n = 2/4
+    assert row["rs_sd"] == 1.0  # sqrt(2·10 − 16)/2
+    assert row["hurst_h"] == -1.0  # ln(0.5)/ln 2
+
+
+def test_jonckheere_clean_separation(spark, tmp_path):
+    """A = {1,2}, N = {3,4}, R = {5,6}: all 12 cross-group pairs
+    ascend, no ties → JT = 12 (jt2 = 24), E[JT] = (36−12)/4 = 6,
+    Var = (36·15 − 3·4·7)/72 = 19/3, z = 6/√(19/3).  This test caught
+    the 2x-scale numerator being divided by the UNSCALED σ (reported
+    2z) on first landing — the shared-misconception class the DuckDB
+    differential cannot see."""
+    import math
+
+    sf = str(tmp_path)
+    _write_lineitem(
+        spark, sf,
+        [(1, "A"), (2, "A"), (3, "N"), (4, "N"), (5, "R"), (6, "R")],
+    )
+    row = QUERIES["lineitem_jonckheere_quantity"](spark, sf).collect()[0]
+    # 3 group pairs x 4 value pairs each, all ascending, no ties
+    assert row["jt_stat_x2"] == 24
+    assert row["expected_x2"] == 6 * 6 - 3 * 4  # n² − Σn_g² = 24
+    assert row["z_score"] == pytest.approx(6.0 / math.sqrt(19.0 / 3.0),
+                                           abs=1e-6)
+
+
+def test_ordinal_association_perfect_monotone(spark, tmp_path):
+    """Priority 1↔status F, 3↔P, 5↔O (perfect monotone, no off-cells):
+    gamma = 1; tau-b < 1 (ties); Somers' D_yx = (C−D)/(P − T_x)."""
+    sf = str(tmp_path)
+    cells = [("1-URGENT", "F", 2), ("3-MEDIUM", "P", 2), ("5-LOW", "O", 2)]
+    rows = []
+    k = 1
+    for prio, st, c in cells:
+        for _ in range(c):
+            rows.append((k, k, st, 1.0, datetime(2024, 1, 5), prio))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    row = QUERIES["orders_ordinal_association"](spark, sf).collect()[0]
+    assert row["goodman_kruskal_gamma"] == 1.0
+    assert row["concordant"] == 12 and row["discordant"] == 0
+    # P = 15, T_x = 3 per margin: D_yx = 12/12 = 1, tau_b = 12/12 = 1
+    assert row["somers_d_yx"] == 1.0 and row["kendall_tau_b"] == 1.0
