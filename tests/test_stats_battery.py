@@ -371,3 +371,277 @@ def test_ordinal_association_perfect_monotone(spark, tmp_path):
     assert row["concordant"] == 12 and row["discordant"] == 0
     # P = 15, T_x = 3 per margin: D_yx = 12/12 = 1, tau_b = 12/12 = 1
     assert row["somers_d_yx"] == 1.0 and row["kendall_tau_b"] == 1.0
+
+
+# --- wave 2: expectations computed by INDEPENDENT python loops over the
+# textbook definitions (per-observation, no grid tricks), so a shared
+# grid-algebra mistake in the registered query cannot hide.
+
+
+def test_anderson_darling_matches_naive_loop(spark, tmp_path):
+    """Gaps {1, 1, 2} (active days 1,2,3,5): A² from the plain
+    per-order-statistic textbook sum must match the tie-block form."""
+    import math
+
+    sf = str(tmp_path)
+    rows = [
+        (i + 1, i + 1, "F", 1.0, datetime(2024, 1, d), "1-URGENT")
+        for i, d in enumerate([1, 2, 3, 5])
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    gaps = sorted([1, 1, 2])
+    n = len(gaps)
+    mean = sum(gaps) / n
+    s = 0.0
+    for i, g in enumerate(gaps, start=1):
+        u = 1.0 - math.exp(-g / mean)
+        u_rev = 1.0 - math.exp(-gaps[n - i] / mean)
+        s += (2 * i - 1) * (math.log(u) + math.log(1.0 - u_rev))
+    expect = -n - s / n
+    row = QUERIES["orders_anderson_darling_gaps"](spark, sf).collect()[0]
+    assert row["n_gaps"] == 3
+    assert row["ad_stat"] == pytest.approx(expect, abs=1e-5)
+
+
+def test_logrank_matches_naive_loop(spark, tmp_path):
+    """Three users, times computed per the query's rule; O−E and V from
+    the per-death-time textbook loop."""
+    sf = str(tmp_path)
+    d = lambda day: datetime(2024, 1, day)
+    rows = [
+        # user 1: click day1, purchase day3 -> grp1, t=2, event
+        (1, d(1), 1, "click", 0.0, "{}"),
+        (2, d(3), 1, "purchase", 1.0, "{}"),
+        # user 2: view day1, last day5 -> grp2, t=4, censored
+        (3, d(1), 2, "view", 0.0, "{}"),
+        (4, d(5), 2, "view", 0.0, "{}"),
+        # user 3: view day2, purchase day4 -> grp2, t=2, event
+        (5, d(2), 3, "view", 0.0, "{}"),
+        (6, d(4), 3, "purchase", 1.0, "{}"),
+    ]
+    _write_events(spark, sf, rows)
+    subjects = [(1, 2, 1), (2, 4, 0), (2, 2, 1)]  # (grp, t, event)
+    times = sorted({t for _, t, e in subjects if e})
+    ome, var = 0.0, 0.0
+    for t in times:
+        n1 = sum(1 for g, tt, _ in subjects if g == 1 and tt >= t)
+        n2 = sum(1 for g, tt, _ in subjects if g == 2 and tt >= t)
+        d1 = sum(1 for g, tt, e in subjects if g == 1 and tt == t and e)
+        dd = sum(1 for g, tt, e in subjects if tt == t and e)
+        nn = n1 + n2
+        ome += d1 - dd * n1 / nn
+        if nn > 1:
+            var += dd * (n1 / nn) * (n2 / nn) * (nn - dd) / (nn - 1)
+    row = QUERIES["events_logrank_two_group"](spark, sf).collect()[0]
+    assert row["n_g1"] == 1 and row["n_g2"] == 2
+    assert row["o_minus_e"] == pytest.approx(ome, abs=1e-6)
+    assert row["var_sum"] == pytest.approx(var, abs=1e-6)
+
+
+def test_cronbach_alpha_matches_naive_loop(spark, tmp_path):
+    """Counts matrix, alpha from the plain variance definition."""
+    sf = str(tmp_path)
+    t0 = datetime(2024, 1, 1)
+    # users x items count matrix (zeros implicit)
+    matrix = {1: {"a": 2, "b": 1}, 2: {"a": 1, "b": 2}, 3: {"a": 3, "b": 3}}
+    rows = []
+    eid = 0
+    for u, items in matrix.items():
+        for it, c in items.items():
+            for _ in range(c):
+                eid += 1
+                rows.append((eid, t0, u, it, 1.0, "{}"))
+    _write_events(spark, sf, rows)
+    users = sorted(matrix)
+    items = sorted({i for v in matrix.values() for i in v})
+    n, k = len(users), len(items)
+
+    def pvar(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+
+    item_vars = sum(
+        pvar([matrix[u].get(i, 0) for u in users]) for i in items
+    )
+    tot_var = pvar([sum(matrix[u].values()) for u in users])
+    expect = (k / (k - 1)) * (1 - item_vars / tot_var)
+    row = QUERIES["events_cronbach_alpha"](spark, sf).collect()[0]
+    assert row["cronbach_alpha"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_gumbel_matches_naive_loop(spark, tmp_path):
+    """Block maxima {10, 20}: beta, mu and return levels from plain
+    python."""
+    import math
+
+    sf = str(tmp_path)
+    rows = [
+        (1, 1, "F", 10.0, datetime(2024, 1, 5), "1-URGENT"),
+        (2, 2, "F", 20.0, datetime(2024, 2, 5), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    mx = [10.0, 20.0]
+    mean = sum(mx) / 2
+    sd = math.sqrt(sum((x - mean) ** 2 for x in mx) / 2)
+    beta = sd * math.sqrt(6.0) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    rl12 = mu - beta * math.log(-math.log(1 - 1 / 12))
+    row = QUERIES["orders_gumbel_block_maxima"](spark, sf).collect()[0]
+    assert row["gumbel_beta"] == pytest.approx(beta, abs=1e-5)
+    assert row["gumbel_mu"] == pytest.approx(mu, abs=1e-3)
+    assert row["rl_12"] == pytest.approx(rl12, abs=1e-3)
+
+
+def test_ljung_box_matches_numpy_style_loop(spark, tmp_path):
+    """Monthly counts (1,3,2,5,4): residuals of the OLS trend and
+    Q(4) from a direct python loop."""
+    sf = str(tmp_path)
+    ys = [1, 3, 2, 5, 4]
+    _write_orders(
+        spark, sf,
+        {("1-URGENT", 2024, m + 1): y for m, y in enumerate(ys)},
+    )
+    n = len(ys)
+    ts = list(range(1, n + 1))
+    st, sy = sum(ts), sum(ys)
+    stt = sum(t * t for t in ts)
+    sty = sum(t * y for t, y in zip(ts, ys))
+    den = n * stt - st * st
+    b = (n * sty - st * sy) / den
+    a = (sy * stt - st * sty) / den
+    e = [y - a - b * t for t, y in zip(ts, ys)]
+    s0 = sum(x * x for x in e)
+    q = 0.0
+    rks = []
+    for k in range(1, 5):
+        ck = sum(e[i] * e[i - k] for i in range(k, n))
+        rk = ck / s0
+        rks.append(rk)
+        q += rk * rk / (n - k)
+    q *= n * (n + 2)
+    row = QUERIES["orders_ljung_box_monthly"](spark, sf).collect()[0]
+    for i, rk in enumerate(rks, start=1):
+        assert row[f"r{i}"] == pytest.approx(rk, abs=1e-5)
+    assert row["ljung_box_q4"] == pytest.approx(q, abs=1e-4)
+
+
+def test_theil_between_two_nations(spark, tmp_path):
+    """Nation 1: two orders of 100; nation 2: one order of 200 —
+    T and MLD from the plain share formula."""
+    import math
+
+    sf = str(tmp_path)
+    orders = [
+        (1, 1, "F", 100.0, datetime(2024, 1, 5), "1-URGENT"),
+        (2, 1, "F", 100.0, datetime(2024, 1, 6), "1-URGENT"),
+        (3, 2, "F", 200.0, datetime(2024, 1, 7), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "a", 1, 0.0, "BUILDING"), (2, "b", 2, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    shares = [(2 / 3, 200 / 400), (1 / 3, 200 / 400)]  # (count, revenue)
+    t = sum(sy * math.log(sy / sc) for sc, sy in shares)
+    ml = sum(sc * math.log(sc / sy) for sc, sy in shares)
+    row = QUERIES["orders_theil_between_nations"](spark, sf).collect()[0]
+    assert row["n_nations"] == 2
+    assert row["theil_t_between"] == pytest.approx(t, abs=1e-6)
+    assert row["mld_between"] == pytest.approx(ml, abs=1e-6)
+
+
+def test_cramers_v_corrected_2x2(spark, tmp_path):
+    """2x2 with cells (30,10;10,30): chi2 = 20·…, both V's from the
+    direct python computation."""
+    import math
+
+    sf = str(tmp_path)
+    cells = [("1-URGENT", "F", 30), ("1-URGENT", "O", 10),
+             ("3-MEDIUM", "F", 10), ("3-MEDIUM", "O", 30)]
+    rows = []
+    k = 1
+    for prio, st, c in cells:
+        for _ in range(c):
+            rows.append((k, k, st, 1.0, datetime(2024, 1, 5), prio))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    n = 80
+    obs = [[30, 10], [10, 30]]
+    rs, cs = [40, 40], [40, 40]
+    chi2 = sum(
+        (obs[i][j] - rs[i] * cs[j] / n) ** 2 / (rs[i] * cs[j] / n)
+        for i in range(2) for j in range(2)
+    )
+    v = math.sqrt(chi2 / n / 1)
+    phi2c = max(0.0, chi2 / n - 1 / (n - 1))
+    rc = 2 - 1 / (n - 1)
+    vbc = math.sqrt(phi2c / (rc - 1))
+    row = QUERIES["orders_cramers_v_corrected"](spark, sf).collect()[0]
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-3)
+    assert row["cramers_v"] == pytest.approx(v, abs=1e-5)
+    assert row["cramers_v_corrected"] == pytest.approx(vbc, abs=1e-5)
+
+
+def test_bhattacharyya_disjoint_is_zero(spark, tmp_path):
+    """Segments in disjoint bucket ranges: BC = 0, Hellinger = 1."""
+    sf = str(tmp_path)
+    rows = (
+        [(i, f"b{i}", 1, 100.0 + i, "BUILDING") for i in range(5)]
+        + [(10 + i, f"m{i}", 1, 5000.0 + i, "MACHINERY") for i in range(5)]
+    )
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    row = QUERIES["cust_bhattacharyya_segments"](spark, sf).collect()[0]
+    assert row["bhattacharyya_coef"] == 0.0
+    assert row["hellinger_distance"] == 1.0
+
+
+def test_kde_zero_variance_yields_null(spark, tmp_path):
+    """All balances equal → Silverman h = 0 → densities must be NULL
+    in both engines, never an Inf/NaN divergence."""
+    sf = str(tmp_path)
+    rows = [(i, f"c{i}", 1, 500.0, "BUILDING") for i in range(4)]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    out = QUERIES["cust_epanechnikov_kde"](spark, sf).collect()
+    assert len(out) == 21
+    assert all(r["density"] is None for r in out)
+
+
+def test_seasonal_mk_two_months_three_years(spark, tmp_path):
+    """Jan counts (1,2,3) rising, Jul counts (3,2,1) falling:
+    S = 3 + (−3) = 0, Var = 2·(3·2·11)/18·18-scale → z = 0."""
+    sf = str(tmp_path)
+    counts = {}
+    for i, yr in enumerate([2022, 2023, 2024]):
+        counts[("1-URGENT", yr, 1)] = i + 1
+        counts[("1-URGENT", yr, 7)] = 3 - i
+    _write_orders(spark, sf, counts)
+    row = QUERIES["orders_seasonal_mann_kendall"](spark, sf).collect()[0]
+    assert row["n_seasons"] == 2
+    assert row["s_stat"] == 0
+    assert row["var_s"] == pytest.approx(2 * 3 * 2 * 11 / 18.0, abs=1e-4)
+    assert row["z_score"] == 0.0
