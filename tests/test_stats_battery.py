@@ -645,3 +645,199 @@ def test_seasonal_mk_two_months_three_years(spark, tmp_path):
     assert row["s_stat"] == 0
     assert row["var_s"] == pytest.approx(2 * 3 * 2 * 11 / 18.0, abs=1e-4)
     assert row["z_score"] == 0.0
+
+
+# --- wave 3: the remaining r12 statistics, including the CUSUM
+# prefix-min identity validated against the direct textbook recursion.
+
+
+def test_cusum_prefix_min_identity_vs_recursion(spark, tmp_path):
+    """Daily sums (10, 10, 22): replay the quantized tabular CUSUM
+    recursion C⁺_i = max(0, C⁺_{i−1} + x_i − μ − kσ) in exact integer
+    space and demand the query's prefix-min formulation match it."""
+    import math
+
+    sf = str(tmp_path)
+    d = lambda day: datetime(2024, 1, day)
+    rows = []
+    eid = 0
+    for day, total in [(1, 10), (2, 10), (3, 22)]:
+        eid += 1
+        rows.append((eid, d(day), eid, "x", float(total), "{}"))
+    _write_events(spark, sf, rows)
+    ys = [10, 10, 22]
+    n, s1 = len(ys), sum(ys)
+    s2 = sum(y * y for y in ys)
+    kshift = round(5e5 * math.sqrt(n * s2 - s1 * s1) / n)
+    cpos, cmax_hi = 0, 0
+    cneg, cmax_lo = 0, 0
+    hi = lo = 0
+    for y in ys:
+        dev = 10**6 * (n * y - s1)
+        cpos = max(0, cpos + dev - n * kshift)
+        cneg = max(0, cneg - dev - n * kshift)
+        cmax_hi = max(cmax_hi, cpos)
+        cmax_lo = max(cmax_lo, cneg)
+        thr = 8 * n * kshift
+        hi += cpos > thr
+        lo += cneg > thr
+    row = QUERIES["events_cusum_tabular"](spark, sf).collect()[0]
+    assert row["n_days"] == 3
+    assert row["n_ooc_high"] == hi and row["n_ooc_low"] == lo
+    assert row["max_cusum_high"] == pytest.approx(cmax_hi / (1e6 * n),
+                                                  abs=1e-4)
+    assert row["max_cusum_low"] == pytest.approx(cmax_lo / (1e6 * n),
+                                                 abs=1e-4)
+
+
+def _write_docs(spark, path, texts):
+    rows = [
+        (i + 1, t, "en", "a", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_ace_hand_computed(spark, tmp_path):
+    """Bigram frequencies {x y: 1, y z: 2, z w: 2} via one doc:
+    S_rare = 3, F1 = 1, N_rare = 5, Σr(r−1) = 4, C = 0.8,
+    γ² = max(0, 3·4/(0.8·5·4) − 1) = 0 → ACE = 0 + 3/0.8 = 3.75."""
+    sf = str(tmp_path)
+    # bigrams: "x y" once; "y z" twice; "z w" twice
+    _write_docs(spark, sf, ["x y z w", "y z w"])
+    # doc1 bigrams: x y, y z, z w ; doc2: y z, z w
+    row = QUERIES["docs_bigram_ace_richness"](spark, sf).collect()[0]
+    assert row["s_rare"] == 3 and row["f1"] == 1 and row["n_rare"] == 5
+    assert row["coverage_ace"] == pytest.approx(0.8, abs=1e-6)
+    assert row["cv_squared"] == 0.0
+    assert row["ace_richness"] == pytest.approx(3.75, abs=1e-4)
+
+
+def test_ace_all_singletons_null(spark, tmp_path):
+    """Every bigram unique → C_ace = 0 → ACE NULL (textbook
+    undefined), never a divide-by-zero."""
+    sf = str(tmp_path)
+    _write_docs(spark, sf, ["a b c", "d e f"])
+    row = QUERIES["docs_bigram_ace_richness"](spark, sf).collect()[0]
+    assert row["coverage_ace"] == 0.0
+    assert row["ace_richness"] is None
+
+
+def test_neyman_two_strata_hand(spark, tmp_path):
+    """BUILDING balances {0,10}, MACHINERY {0,30}: S = 5 and 15, equal
+    sizes → weights 10 vs 30 → allocations 250 / 750."""
+    sf = str(tmp_path)
+    rows = [
+        (1, "a", 1, 0.0, "BUILDING"), (2, "b", 1, 10.0, "BUILDING"),
+        (3, "c", 1, 0.0, "MACHINERY"), (4, "d", 1, 30.0, "MACHINERY"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    out = {r["segment"]: r for r in
+           QUERIES["cust_neyman_allocation"](spark, sf).collect()}
+    assert out["BUILDING"]["stratum_sd"] == 5.0
+    assert out["MACHINERY"]["stratum_sd"] == 15.0
+    assert out["BUILDING"]["neyman_n"] == 250
+    assert out["MACHINERY"]["neyman_n"] == 750
+
+
+def test_sen_slope_ci_three_months(spark, tmp_path):
+    """Counts (1,2,4) over consecutive months: slopes {1, 1.5, 2},
+    median 1.5; N = 3, Var(S) = 3·2·11/18, C = 1.96·√Var → ranks
+    clamp to (1, 3) → CI = (1, 2)."""
+    sf = str(tmp_path)
+    _write_orders(spark, sf, {
+        ("1-URGENT", 2024, 1): 1,
+        ("1-URGENT", 2024, 2): 2,
+        ("1-URGENT", 2024, 3): 4,
+    })
+    row = QUERIES["orders_sen_slope_ci"](spark, sf).collect()[0]
+    assert row["n_pairs"] == 3
+    assert row["sen_slope"] == 1.5
+    assert row["ci_lo"] == 1.0 and row["ci_hi"] == 2.0
+
+
+def test_stuart_tau_c_perfect_monotone(spark, tmp_path):
+    """3x3 diagonal table (2 per cell): C = 12, D = 0, m = 3 →
+    tau-c = 2·3·12/(6²·2) = 1."""
+    sf = str(tmp_path)
+    cells = [("1-URGENT", "F", 2), ("3-MEDIUM", "P", 2), ("5-LOW", "O", 2)]
+    rows = []
+    k = 1
+    for prio, st, c in cells:
+        for _ in range(c):
+            rows.append((k, k, st, 1.0, datetime(2024, 1, 5), prio))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    row = QUERIES["orders_stuart_tau_c"](spark, sf).collect()[0]
+    assert row["m_dim"] == 3
+    assert row["stuart_tau_c"] == 1.0
+
+
+def test_yule_q_y_hand(spark, tmp_path):
+    """a,b,c,d = 10,20,5,40: Q = (400−100)/500 = 0.6,
+    Y = (20−10)/(20+10) = 1/3."""
+    sf = str(tmp_path)
+    cells = [("1-URGENT", "F", 10), ("1-URGENT", "O", 20),
+             ("3-MEDIUM", "F", 5), ("3-MEDIUM", "O", 40)]
+    rows = []
+    k = 1
+    for prio, st, c in cells:
+        for _ in range(c):
+            rows.append((k, k, st, 1.0, datetime(2024, 1, 5), prio))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    row = QUERIES["orders_yule_q_y"](spark, sf).collect()[0]
+    assert row["yule_q"] == pytest.approx(0.6, abs=1e-6)
+    assert row["yule_y"] == pytest.approx(1.0 / 3.0, abs=1e-6)
+
+
+def test_robust_location_five_values(spark, tmp_path):
+    """Prices {10,20,30,40,100}: type-7 quartiles (20, 30, 40) →
+    trimean 30, midhinge 30, IQR 20, Bowley 0."""
+    sf = str(tmp_path)
+    rows = [
+        (i + 1, f"p{i}", "B", "T", 1, float(v))
+        for i, v in enumerate([10, 20, 30, 40, 100])
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/part.parquet")
+    row = QUERIES["part_robust_location_report"](spark, sf).collect()[0]
+    assert (row["q1"], row["median"], row["q3"]) == (20.0, 30.0, 40.0)
+    assert row["trimean"] == 30.0 and row["midhinge"] == 30.0
+    assert row["iqr"] == 20.0 and row["bowley_skewness"] == 0.0
+
+
+def test_qq_deciles_shifted_uniforms(spark, tmp_path):
+    """BUILDING 1..10 vs MACHINERY 11..20: every decile gap is
+    exactly 10 (type-7 interpolation on identical rank geometry)."""
+    sf = str(tmp_path)
+    rows = (
+        [(i, f"b{i}", 1, float(i), "BUILDING") for i in range(1, 11)]
+        + [(100 + i, f"m{i}", 1, float(10 + i), "MACHINERY")
+           for i in range(1, 11)]
+    )
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    out = QUERIES["cust_qq_deciles_segments"](spark, sf).collect()
+    assert len(out) == 9
+    assert all(r["qq_gap"] == 10.0 for r in out)
