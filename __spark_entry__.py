@@ -38,10 +38,13 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # battery (concordance/survival/reliability/DoE) enters via `fresh`;
 # 3 + 12 = 15 fresh driver rows, the rest of the 50-window re-verifies
 # already-certified names.
+# orders_runs_up_down joins the re-fronts late in r12: the known-value
+# gate caught its N-vs-(N-1) moment substitution (values changed).
 _FRONT: list[str] = [
     "docs_dedup_threshold_sweep",
     "orders_theil_sen_monthly",
     "cust_acctbal_hill_tail",
+    "orders_runs_up_down",
 ]
 
 

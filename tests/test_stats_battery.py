@@ -841,3 +841,138 @@ def test_qq_deciles_shifted_uniforms(spark, tmp_path):
     out = QUERIES["cust_qq_deciles_segments"](spark, sf).collect()
     assert len(out) == 9
     assert all(r["qq_gap"] == 10.0 for r in out)
+
+
+# --- wave 4: the round-11 battery gets the same independent-loop
+# treatment (3 shared-formula bugs surfaced in the r12 batch; the r11
+# batch predates this gate).
+
+
+def test_cohens_d_hand(spark, tmp_path):
+    """R = {5,7}, A = {1,3}: pooled s = √2, d = 4/√2, g = d·(1−3/7)."""
+    import math
+
+    sf = str(tmp_path)
+    _write_lineitem(
+        spark, sf, [(5, "R"), (7, "R"), (1, "A"), (3, "A")]
+    )
+    row = QUERIES["lineitem_cohens_d_quantity"](spark, sf).collect()[0]
+    d = 4.0 / math.sqrt(2.0)
+    assert row["cohens_d"] == pytest.approx(d, abs=1e-6)
+    assert row["hedges_g"] == pytest.approx(d * (1 - 3.0 / 7.0), abs=1e-6)
+
+
+def test_cliffs_delta_dominance_and_ties(spark, tmp_path):
+    """R = {3,4} strictly above A = {1,2} → δ = 1; adding a tied pair
+    pulls it below 1 (ties count to neither side)."""
+    sf = str(tmp_path)
+    _write_lineitem(
+        spark, sf, [(3, "R"), (4, "R"), (1, "A"), (2, "A")]
+    )
+    row = QUERIES["lineitem_cliffs_delta_quantity"](spark, sf).collect()[0]
+    assert row["n_gt"] == 4 and row["n_lt"] == 0
+    assert row["cliffs_delta"] == 1.0
+    _write_lineitem(
+        spark, sf, [(3, "R"), (2, "R"), (1, "A"), (2, "A")]
+    )
+    row = QUERIES["lineitem_cliffs_delta_quantity"](spark, sf).collect()[0]
+    # pairs: (3>1),(3>2),(2>1),(2=2): n_gt=3, n_lt=0, ties 1 -> 3/4
+    assert row["cliffs_delta"] == 0.75
+
+
+def test_krippendorff_alpha_hand(spark, tmp_path):
+    """Labels a = (1,1,0,0) [lang], b = (1,0,0,0) [length]: D = 1,
+    n1 = 3, N = 4 → alpha = 1 − (1/4)/(2·5·3/(8·7)) = 1 − 7/15."""
+    sf = str(tmp_path)
+    rows = [
+        (1, "x" * 400, "en", "a", 400),
+        (2, "y" * 100, "en", "a", 100),
+        (3, "z" * 100, "de", "a", 100),
+        (4, "w" * 100, "de", "a", 100),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    row = QUERIES["docs_krippendorff_alpha"](spark, sf).collect()[0]
+    do = 1.0 / 4.0
+    de = 2.0 * 5.0 * 3.0 / (8.0 * 7.0)
+    assert row["krippendorff_alpha"] == pytest.approx(1 - do / de, abs=1e-6)
+
+
+def test_chao1_hand(spark, tmp_path):
+    """Bigram freqs {1, 2, 2}: D = 3, f1 = 1, f2 = 2 →
+    chao1 = 3 + 0/(2·3) = 3; coverage = 1 − 1/5."""
+    sf = str(tmp_path)
+    _write_docs(spark, sf, ["x y z w", "y z w"])
+    row = QUERIES["docs_bigram_chao1_richness"](spark, sf).collect()[0]
+    assert row["d_obs"] == 3 and row["f1"] == 1 and row["f2"] == 2
+    assert row["chao1"] == 3.0
+    assert row["coverage"] == pytest.approx(1 - 1 / 5, abs=1e-6)
+
+
+def test_nelson_aalen_hand(spark, tmp_path):
+    """Three users: events at t=2 (two users at risk of 3) …
+    cumulative hazard from the plain per-time loop."""
+    sf = str(tmp_path)
+    d = lambda day: datetime(2024, 1, day)
+    rows = [
+        (1, d(1), 1, "view", 0.0, "{}"),
+        (2, d(3), 1, "purchase", 1.0, "{}"),   # t=2, event
+        (3, d(1), 2, "view", 0.0, "{}"),
+        (4, d(3), 2, "view", 0.0, "{}"),       # t=2, censored
+        (5, d(1), 3, "view", 0.0, "{}"),
+        (6, d(6), 3, "purchase", 1.0, "{}"),   # t=5, event
+    ]
+    _write_events(spark, sf, rows)
+    out = {r["duration_days"]: r for r in
+           QUERIES["events_nelson_aalen"](spark, sf).collect()}
+    # t=2: n_risk=3, d=1 -> H = 1/3 ; t=5: n_risk=1, d=1 -> H = 1/3+1
+    assert out[2]["n_risk"] == 3
+    assert out[2]["cum_hazard"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[5]["n_risk"] == 1
+    assert out[5]["cum_hazard"] == pytest.approx(1 / 3 + 1.0, abs=1e-6)
+
+
+def test_grubbs_hand(spark, tmp_path):
+    """Daily counts (1, 1, 4): mean 2, sample sd √3,
+    G = |4−2|/√3 at the spike day."""
+    import math
+
+    sf = str(tmp_path)
+    d = lambda day: datetime(2024, 1, day)
+    rows = []
+    eid = 0
+    for day, c in [(1, 1), (2, 1), (3, 4)]:
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, d(day), eid, "x", 1.0, "{}"))
+    _write_events(spark, sf, rows)
+    row = QUERIES["events_grubbs_daily_outlier"](spark, sf).collect()[0]
+    assert row["day"] == "2024-01-03" and row["direction"] == "above"
+    assert row["g_stat"] == pytest.approx(2.0 / math.sqrt(3.0), abs=1e-6)
+
+
+def test_runs_up_down_alternating(spark, tmp_path):
+    """Monthly revenue 1,2,1,2: signs +,−,+ → R = 3 maximal runs from
+    m = 3 differences, i.e. N = 4 observations:
+    E[R] = (2N−1)/3 = 7/3 and Var = (16N−29)/90 = 35/90."""
+    import math
+
+    sf = str(tmp_path)
+    rows = []
+    k = 1
+    for mo, total in [(1, 1.0), (2, 2.0), (3, 1.0), (4, 2.0)]:
+        rows.append((k, k, "F", total, datetime(2024, mo, 5), "1-URGENT"))
+        k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    row = QUERIES["orders_runs_up_down"](spark, sf).collect()[0]
+    assert row["n_diffs"] == 3 and row["runs"] == 3
+    assert row["expected_runs"] == pytest.approx(7.0 / 3.0, abs=1e-4)
+    assert row["z_score"] == pytest.approx(
+        (3 - 7.0 / 3.0) / math.sqrt(35.0 / 90.0), abs=1e-5
+    )
