@@ -976,3 +976,306 @@ def test_runs_up_down_alternating(spark, tmp_path):
     assert row["z_score"] == pytest.approx(
         (3 - 7.0 / 3.0) / math.sqrt(35.0 / 90.0), abs=1e-5
     )
+
+
+def test_brown_forsythe_matches_loop(spark, tmp_path):
+    """A = {1,1,3,3}, N = {5,5,5,5}: replicate the LOWER-median
+    convention and the Levene-BF F from a plain loop."""
+    sf = str(tmp_path)
+    data = [(1, "A"), (1, "A"), (3, "A"), (3, "A"),
+            (5, "N"), (5, "N"), (5, "N"), (5, "N")]
+    _write_lineitem(spark, sf, data)
+    groups = {}
+    for q, f in data:
+        groups.setdefault(f, []).append(q)
+    zs = {}
+    for f, xs in groups.items():
+        xs = sorted(xs)
+        n = len(xs)
+        # lower median: min value whose cumulative count doubles >= n
+        med = next(x for i, x in enumerate(xs, 1) if 2 * i >= n)
+        zs[f] = [abs(x - med) for x in xs]
+    allz = [z for v in zs.values() for z in v]
+    gm = sum(allz) / len(allz)
+    ssb = sum(len(v) * (sum(v) / len(v) - gm) ** 2 for v in zs.values())
+    ssw = sum(
+        (z - sum(v) / len(v)) ** 2 for v in zs.values() for z in v
+    )
+    k, n = len(zs), len(allz)
+    expect = (ssb / (k - 1)) / (ssw / (n - k))
+    row = QUERIES["lineitem_brown_forsythe"](spark, sf).collect()[0]
+    assert row["k_groups"] == 2 and row["n_total"] == 8
+    assert row["bf_f"] == pytest.approx(expect, abs=1e-5)
+
+
+def test_bartlett_matches_loop(spark, tmp_path):
+    """Statuses O = {1,3}, F = {2,6}: sample variances 2 and 8;
+    Bartlett T from the textbook loop."""
+    import math
+
+    sf = str(tmp_path)
+    rows = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 2)),
+        (2, 1, 1, 1, 3.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 2)),
+        (3, 1, 1, 1, 2.0, 10.0, 0.0, 0.0, "N", "F", datetime(2024, 1, 2)),
+        (4, 1, 1, 1, 6.0, 10.0, 0.0, 0.0, "N", "F", datetime(2024, 1, 2)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    groups = {"O": [1, 3], "F": [2, 6]}
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    sw = sum(
+        (len(v) - 1)
+        * sum((x - sum(v) / len(v)) ** 2 for x in v) / (len(v) - 1)
+        for v in groups.values()
+    )
+    slog = sum(
+        (len(v) - 1)
+        * math.log(sum((x - sum(v) / len(v)) ** 2 for x in v) / (len(v) - 1))
+        for v in groups.values()
+    )
+    sinv = sum(1.0 / (len(v) - 1) for v in groups.values())
+    t = ((n - k) * math.log(sw / (n - k)) - slog) / (
+        1.0 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1))
+    )
+    row = QUERIES["lineitem_bartlett_linestatus"](spark, sf).collect()[0]
+    assert row["bartlett_t"] == pytest.approx(t, abs=1e-5)
+
+
+def test_welch_anova_matches_loop(spark, tmp_path):
+    """Prices {1,2,3} vs {10,20,30} dollars: Welch F and
+    Satterthwaite df2 from the textbook loop in cents."""
+    sf = str(tmp_path)
+    rows = [
+        (i + 1, f"p{i}", "B", ("T1" if i < 3 else "T2"), 1, float(v))
+        for i, v in enumerate([1, 2, 3, 10, 20, 30])
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/part.parquet")
+    groups = [[100, 200, 300], [1000, 2000, 3000]]
+    ws, ms, ns = [], [], []
+    for xs in groups:
+        n = len(xs)
+        m = sum(xs) / n
+        s2 = sum((x - m) ** 2 for x in xs) / (n - 1)
+        ws.append(n / s2)
+        ms.append(m)
+        ns.append(n)
+    k = len(groups)
+    sw = sum(ws)
+    grand = sum(w * m for w, m in zip(ws, ms)) / sw
+    a = sum(w * (m - grand) ** 2 for w, m in zip(ws, ms))
+    lam = sum(
+        (1 - w / sw) ** 2 / (n - 1) for w, n in zip(ws, ns)
+    )
+    f = (a / (k - 1)) / (1 + 2 * (k - 2) * lam / (k * k - 1))
+    df2 = (k * k - 1) / (3 * lam)
+    row = QUERIES["part_type_price_welch_anova"](spark, sf).collect()[0]
+    assert row["k_groups"] == 2
+    assert row["welch_f"] == pytest.approx(f, abs=1e-4)
+    assert row["df2"] == pytest.approx(df2, abs=1e-2)
+
+
+def test_forecast_metrics_match_loop(spark, tmp_path):
+    """14 months of revenue: sMAPE/WAPE (lag 1), MASE and Theil U2
+    (lag 12 vs lag 1) from plain loops over the cents series."""
+    import math
+
+    sf = str(tmp_path)
+    ys = [100, 110, 90, 120, 130, 80, 105, 115, 95, 125, 135, 85, 102,
+          118]
+    rows = []
+    k = 1
+    for i, y in enumerate(ys):
+        yr, mo = 2023 + i // 12, i % 12 + 1
+        rows.append((k, k, "F", float(y), datetime(yr, mo, 5), "1-URGENT"))
+        k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    c = [y * 100 for y in ys]
+    # sMAPE / WAPE on lag-1
+    terms = [2 * abs(c[i] - c[i - 1]) / (c[i] + c[i - 1])
+             for i in range(1, len(c))]
+    smape = sum(terms) / len(terms)
+    wape = sum(abs(c[i] - c[i - 1]) for i in range(1, len(c))) / sum(
+        c[1:]
+    )
+    row = QUERIES["orders_smape_wape_monthly"](spark, sf).collect()[0]
+    assert row["smape"] == pytest.approx(smape, abs=1e-5)
+    assert row["wape"] == pytest.approx(wape, abs=1e-5)
+    # MASE: seasonal-naive (lag 12) over naive (lag 1)
+    mae_n = sum(abs(c[i] - c[i - 1]) for i in range(1, len(c))) / (
+        len(c) - 1
+    )
+    mae_s = sum(abs(c[i] - c[i - 12]) for i in range(12, len(c))) / (
+        len(c) - 12
+    )
+    row = QUERIES["orders_seasonal_naive_mase"](spark, sf).collect()[0]
+    assert row["mase"] == pytest.approx(mae_s / mae_n, abs=1e-5)
+    # Theil U2 over months where the seasonal forecast exists
+    sse_s = sum((c[i] - c[i - 12]) ** 2 for i in range(12, len(c)))
+    sse_n = sum((c[i] - c[i - 1]) ** 2 for i in range(12, len(c)))
+    row = QUERIES["orders_theil_u2_snaive"](spark, sf).collect()[0]
+    assert row["theil_u2"] == pytest.approx(math.sqrt(sse_s / sse_n),
+                                            abs=1e-5)
+
+
+def test_jarque_bera_matches_loop(spark, tmp_path):
+    """Lengths {100, 200, 200, 500}: JB from the plain central-moment
+    loop."""
+    sf = str(tmp_path)
+    lens = [100, 200, 200, 500]
+    _write_docs(spark, sf, ["x" * n for n in lens])
+    n = len(lens)
+    mu = sum(lens) / n
+    m2 = sum((x - mu) ** 2 for x in lens) / n
+    m3 = sum((x - mu) ** 3 for x in lens) / n
+    m4 = sum((x - mu) ** 4 for x in lens) / n
+    s = m3 / m2 ** 1.5
+    kk = m4 / m2 ** 2 - 3
+    jb = n / 6 * (s * s + kk * kk / 4)
+    row = QUERIES["docs_length_jarque_bera"](spark, sf).collect()[0]
+    assert row["skewness"] == pytest.approx(s, abs=1e-5)
+    assert row["excess_kurtosis"] == pytest.approx(kk, abs=1e-5)
+    assert row["jarque_bera"] == pytest.approx(jb, abs=1e-4)
+
+
+def test_welch_ttest_matches_loop(spark, tmp_path):
+    """Prices R = {1,2,3}, N = {10,20,30} dollars: Welch t and
+    Satterthwaite df from the plain loop in cents."""
+    import math
+
+    sf = str(tmp_path)
+    rows = [
+        (i + 1, 1, 1, 1, 1.0, float(v), 0.0, 0.0, f, "O",
+         datetime(2024, 1, 2))
+        for i, (v, f) in enumerate(
+            [(1, "R"), (2, "R"), (3, "R"), (10, "N"), (20, "N"), (30, "N")]
+        )
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    r = [100, 200, 300]
+    nn = [1000, 2000, 3000]
+
+    def stats(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        s2 = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, s2
+
+    n1, m1, v1 = stats(r)
+    n2, m2, v2 = stats(nn)
+    a1, a2 = v1 / n1, v2 / n2
+    t = (m1 - m2) / math.sqrt(a1 + a2)
+    df = (a1 + a2) ** 2 / (a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1))
+    row = QUERIES["lineitem_welch_ttest"](spark, sf).collect()[0]
+    assert row["t_welch"] == pytest.approx(t, abs=1e-5)
+    assert row["df"] == pytest.approx(df, abs=1e-2)
+
+
+def test_kruskal_wallis_matches_loop(spark, tmp_path):
+    """Buckets with ties across three priorities: H and the
+    tie-corrected H from the plain midrank loop."""
+    sf = str(tmp_path)
+    # o_totalprice // 1000 buckets: values per group
+    data = {"1-URGENT": [1, 2], "2-HIGH": [2, 3], "3-MEDIUM": [3, 3]}
+    rows = []
+    k = 1
+    for prio, vs in data.items():
+        for v in vs:
+            rows.append(
+                (k, k, "F", v * 1000.0 + 1, datetime(2024, 1, 5), prio)
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    allv = sorted(v for vs in data.values() for v in vs)
+    n = len(allv)
+    midrank = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        midrank[allv[i]] = (i + 1 + j) / 2.0
+        i = j
+    sum_rr = sum(
+        (sum(midrank[v] for v in vs)) ** 2 / len(vs)
+        for vs in data.values()
+    )
+    h = 12.0 / (n * (n + 1)) * sum_rr - 3.0 * (n + 1)
+    from collections import Counter
+
+    ties = sum(t ** 3 - t for t in Counter(allv).values())
+    h_corr = h / (1 - ties / (n ** 3 - n))
+    rows_out = QUERIES["orders_kruskal_wallis_priority"](
+        spark, sf
+    ).collect()
+    got = rows_out[0]
+    assert got["h_stat"] == pytest.approx(h, abs=1e-5)
+    # tie-corrected column name: find it dynamically
+    corr_cols = [c for c in rows_out[0].asDict() if "corr" in c or "tie" in c]
+    if corr_cols:
+        assert got[corr_cols[0]] == pytest.approx(h_corr, abs=1e-5)
+
+
+def test_kendall_tau_hours_hand(spark, tmp_path):
+    """Two hours: volume up, mean value down → one discordant pair,
+    tau-b = −1."""
+    sf = str(tmp_path)
+    rows = [
+        # hour 1: 1 event, value 5.0 (mean 5); hour 2: 2 events mean 2
+        (1, datetime(2024, 1, 1, 1, 0), 1, "x", 5.0, "{}"),
+        (2, datetime(2024, 1, 1, 2, 0), 2, "x", 2.0, "{}"),
+        (3, datetime(2024, 1, 1, 2, 30), 3, "x", 2.0, "{}"),
+    ]
+    _write_events(spark, sf, rows)
+    row = QUERIES["events_kendall_tau_hours"](spark, sf).collect()[0]
+    assert row["n_pairs"] == 1
+    assert row["concordant"] == 0 and row["discordant"] == 1
+    assert row["tau_b"] == -1.0
+
+
+def test_german_tank_hand(spark, tmp_path):
+    """Keys {2, 6} in one nation: m = 6, k = 2 →
+    estimate 6 + 6//2 − 1 = 8."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(2, 1, "F", 1.0, datetime(2024, 1, 5), "1-URGENT"),
+         (6, 1, "F", 1.0, datetime(2024, 1, 6), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "c", 7, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(7, "GERMANY", 3)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/nation.parquet")
+    row = QUERIES["orders_german_tank"](spark, sf).collect()[0]
+    assert row["n_obs"] == 2 and row["max_seen"] == 6
+    assert row["est_total"] == 8 and row["err"] == 2
