@@ -38,13 +38,16 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # battery (concordance/survival/reliability/DoE) enters via `fresh`;
 # 3 + 12 = 15 fresh driver rows, the rest of the 50-window re-verifies
 # already-certified names.
-# orders_runs_up_down joins the re-fronts late in r12: the known-value
-# gate caught its N-vs-(N-1) moment substitution (values changed).
+# orders_runs_up_down and events_ewma_control_chart join the re-fronts
+# late in r12: the known-value gate caught the former's N-vs-(N-1)
+# moment substitution and the latter's 0.0625-vs-0.5625 variance-factor
+# transposition with a y1 (not mu) init (values changed for both).
 _FRONT: list[str] = [
     "docs_dedup_threshold_sweep",
     "orders_theil_sen_monthly",
     "cust_acctbal_hill_tail",
     "orders_runs_up_down",
+    "events_ewma_control_chart",
 ]
 
 

@@ -1279,3 +1279,204 @@ def test_german_tank_hand(spark, tmp_path):
     row = QUERIES["orders_german_tank"](spark, sf).collect()[0]
     assert row["n_obs"] == 2 and row["max_seen"] == 6
     assert row["est_total"] == 8 and row["err"] == 2
+
+
+def test_friedman_matches_loop(spark, tmp_path):
+    """Two full blocks, two priorities, identical orderings: ranks
+    (1,2) in each block → Q from the plain rank-sum loop."""
+    sf = str(tmp_path)
+    rows = []
+    k = 1
+    # block = month; mean order value per (block, priority)
+    for mo in (1, 2):
+        for prio, price in [("1-URGENT", 10.0), ("2-HIGH", 20.0)]:
+            rows.append(
+                (k, k, "F", price, datetime(2024, mo, 5), prio)
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    n_blocks, kk = 2, 2
+    rank_sums = {"1-URGENT": 2, "2-HIGH": 4}
+    q = 12.0 / (n_blocks * kk * (kk + 1)) * sum(
+        v * v for v in rank_sums.values()
+    ) - 3.0 * n_blocks * (kk + 1)
+    rows_out = QUERIES["orders_friedman_priority"](spark, sf).collect()
+    got = {r["priority"]: r for r in rows_out}
+    assert got["1-URGENT"]["rank_sum"] == 2
+    assert got["2-HIGH"]["rank_sum"] == 4
+    assert rows_out[0]["q_stat"] == pytest.approx(q, abs=1e-6)
+
+
+def test_two_way_anova_matches_loop(spark, tmp_path):
+    """2x2 balanced design with a planted interaction: all four SS
+    terms and F ratios from the plain loop."""
+    sf = str(tmp_path)
+    # (flag, status) -> quantities
+    cells = {
+        ("A", "O"): [1, 3], ("A", "F"): [2, 4],
+        ("R", "O"): [5, 7], ("R", "F"): [10, 12],
+    }
+    rows = []
+    k = 1
+    for (fl, st), qs in cells.items():
+        for q in qs:
+            rows.append((k, 1, 1, 1, float(q), 10.0, 0.0, 0.0, fl, st,
+                         datetime(2024, 1, 2)))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    allv = [q for qs in cells.values() for q in qs]
+    nt = len(allv)
+    gm = sum(allv) / nt
+    sst = sum((x - gm) ** 2 for x in allv)
+    ssw = sum(
+        (x - sum(qs) / len(qs)) ** 2 for qs in cells.values() for x in qs
+    )
+    def margin(idx):
+        groups = {}
+        for key, qs in cells.items():
+            groups.setdefault(key[idx], []).extend(qs)
+        return sum(
+            len(v) * (sum(v) / len(v) - gm) ** 2 for v in groups.values()
+        )
+    ssa, ssb = margin(0), margin(1)
+    ssi = sst - ssw - ssa - ssb
+    row = QUERIES["lineitem_two_way_anova"](spark, sf).collect()[0]
+    assert row["ss_flag"] == pytest.approx(ssa, abs=1e-3)
+    assert row["ss_status"] == pytest.approx(ssb, abs=1e-3)
+    assert row["ss_interaction"] == pytest.approx(ssi, abs=1e-3)
+    assert row["ss_within"] == pytest.approx(ssw, abs=1e-3)
+    assert row["f_interaction"] == pytest.approx(
+        (ssi / 1) / (ssw / (nt - 4)), abs=1e-4
+    )
+
+
+def test_gtest_matches_loop(spark, tmp_path):
+    """2x2 brand x size-decade table: G = 2 Σ O ln(O·N/(R·C)) from the
+    plain loop."""
+    import math
+
+    sf = str(tmp_path)
+    cells = {("B1", 5): 30, ("B1", 15): 10, ("B2", 5): 10, ("B2", 15): 30}
+    rows = []
+    k = 1
+    for (br, sz), c in cells.items():
+        for _ in range(c):
+            rows.append((k, f"p{k}", br, "T", sz, 1.0))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/part.parquet")
+    n = sum(cells.values())
+    rt = {"B1": 40, "B2": 40}
+    ct = {0: 40, 1: 40}
+    g = 2 * sum(
+        o * math.log(o * n / (rt[b] * ct[s // 10]))
+        for (b, s), o in cells.items()
+    )
+    row = QUERIES["part_brand_size_gtest"](spark, sf).collect()[0]
+    assert row["g_statistic"] == pytest.approx(g, abs=1e-5)
+    assert row["df"] == 1
+
+
+def test_pass_at_k_matches_loop(spark, tmp_path):
+    """n = 10 attempts, c = 3 correct: pass@k = 1 − C(7,k)/C(10,k)
+    from math.comb."""
+    import math
+
+    sf = str(tmp_path)
+    rows = [
+        (i + 1, f"t{i}", ("en" if i < 3 else "de"), "src", 10)
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    row = QUERIES["docs_pass_at_k"](spark, sf).collect()[0]
+    for kk, col in [(1, "pass_at_1"), (5, "pass_at_5"), (10, "pass_at_10")]:
+        expect = 1 - (math.comb(7, kk) / math.comb(10, kk)
+                      if kk <= 7 else 0.0)
+        assert row[col] == pytest.approx(expect, abs=1e-6), col
+
+
+def test_ewma_chart_matches_recursion_replay(spark, tmp_path):
+    """Hourly sums (10, 10, 40): replay the textbook z_0 = mu EWMA
+    recursion with time-varying limits and demand identical counts and
+    final value.  This test caught the variance factor starting at
+    0.0625 instead of (1−λ)² = 0.5625 (digit transposition) with
+    z_1 = y_1 instead of λy_1 + (1−λ)μ."""
+    import math
+
+    sf = str(tmp_path)
+    rows = []
+    eid = 0
+    for hour, total in [(1, 10), (2, 10), (3, 40)]:
+        eid += 1
+        rows.append(
+            (eid, datetime(2024, 1, 1, hour, 30), eid, "x", float(total),
+             "{}")
+        )
+    _write_events(spark, sf, rows)
+    ys = [10, 10, 40]
+    n = len(ys)
+    mu = sum(ys) / n
+    sigma = math.sqrt(sum((y - mu) ** 2 for y in ys) / n)
+    lam = 0.25
+    z, fac, ooc = mu, 1.0, 0
+    last = None
+    for y in ys:
+        z = lam * y + (1 - lam) * z
+        fac *= (1 - lam) ** 2
+        lim = 3 * sigma * math.sqrt(lam / (2 - lam) * (1 - fac))
+        ooc += abs(z - mu) > lim
+        last = z
+    row = QUERIES["events_ewma_control_chart"](spark, sf).collect()[0]
+    assert row["n_hours"] == 3
+    assert row["mu"] == pytest.approx(mu, abs=1e-4)
+    assert row["last_ewma"] == pytest.approx(last, abs=1e-4)
+    assert row["n_out_of_control"] == ooc
+
+
+def test_page_hinkley_convention_documented(spark, tmp_path):
+    """Weekly counts (10, 10, 40): PH follows the Gama-survey
+    convention min over t ≥ 1 (NOT the CUSUM empty-prefix baseline) —
+    pinned here so the distinction with events_cusum_tabular stays
+    deliberate."""
+    sf = str(tmp_path)
+    rows = []
+    k = 1
+    for day, c in [(1, 10), (8, 10), (15, 40)]:
+        for _ in range(c):
+            rows.append(
+                (k, k, "F", 1.0, datetime(2024, 1, day), "1-URGENT")
+            )
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    # m_t with milli-quantized terms x*1000 - (S*1000)//t
+    xs = [10, 10, 40]
+    m, mmin, best = 0, None, None
+    s = 0
+    for t, x in enumerate(xs, 1):
+        s += x
+        m += x * 1000 - (s * 1000) // t
+        mmin = m if mmin is None else min(mmin, m)
+        ph = m - mmin
+        best = max(best, ph) if best is not None else ph
+    row = QUERIES["orders_page_hinkley"](spark, sf).collect()[0]
+    assert row["ph_milli"] == best
