@@ -1480,3 +1480,117 @@ def test_page_hinkley_convention_documented(spark, tmp_path):
         best = max(best, ph) if best is not None else ph
     row = QUERIES["orders_page_hinkley"](spark, sf).collect()[0]
     assert row["ph_milli"] == best
+
+
+def test_holt_winters_matches_recursion_replay(spark, tmp_path):
+    """26 months of revenue with a planted 12-month cycle: replay the
+    full additive HW triple recursion (alpha=0.5, beta=gamma=0.25,
+    m=12, two-season init) in python and demand identical level,
+    trend, MAE, and next forecast."""
+    sf = str(tmp_path)
+    ys = [100 + 10 * (i % 12) + 2 * i for i in range(26)]
+    rows = []
+    k = 1
+    for i, y in enumerate(ys):
+        yr, mo = 2020 + i // 12, i % 12 + 1
+        rows.append((k, k, "F", float(y), datetime(yr, mo, 5),
+                     "1-URGENT"))
+        k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    c = [y * 100.0 for y in ys]
+    lev = sum(c[:12]) / 12
+    tr = (sum(c[12:24]) / 12 - sum(c[:12]) / 12) / 12
+    seas = [c[i] - lev for i in range(12)]
+    sae = 0.0
+    for i in range(12, len(c)):
+        s0 = seas.pop(0)
+        sae += abs(c[i] - (lev + tr + s0))
+        new_lev = 0.5 * (c[i] - s0) + 0.5 * (lev + tr)
+        tr = 0.25 * (new_lev - lev) + 0.75 * tr
+        seas.append(0.25 * (c[i] - new_lev) + 0.75 * s0)
+        lev = new_lev
+    row = QUERIES["orders_holt_winters_additive"](spark, sf).collect()[0]
+    assert row["n_months"] == 26
+    assert row["level"] == pytest.approx(lev / 100, abs=1e-3)
+    assert row["trend"] == pytest.approx(tr / 100, abs=1e-3)
+    assert row["mae"] == pytest.approx(sae / (len(c) - 12) / 100, abs=1e-3)
+    assert row["next_forecast"] == pytest.approx(
+        (lev + tr + seas[0]) / 100, abs=1e-3
+    )
+
+
+def test_acf_matches_loop(spark, tmp_path):
+    """Monthly revenue (1,2,3,4,2): ACF at lags 1-3 from the plain
+    deviation-product loop."""
+    sf = str(tmp_path)
+    ys = [1, 2, 3, 4, 2]
+    rows = []
+    k = 1
+    for i, y in enumerate(ys):
+        rows.append((k, k, "F", float(y), datetime(2024, i + 1, 5),
+                     "1-URGENT"))
+        k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    c = [y * 100 for y in ys]
+    mu = sum(c) / len(c)
+    d = [x - mu for x in c]
+    d0 = sum(x * x for x in d)
+    out = {r["lag"]: r["acf"] for r in
+           QUERIES["orders_acf_monthly"](spark, sf).collect()}
+    for k_ in (1, 2, 3):
+        num = sum(d[i] * d[i + k_] for i in range(len(d) - k_))
+        assert out[k_] == pytest.approx(num / d0, abs=1e-6), k_
+
+
+def test_trimmed_mean_boundary_straddle(spark, tmp_path):
+    """Ten balances with ties straddling the 10% trim boundary: the
+    interval-overlap form must keep exactly the surviving copies."""
+    sf = str(tmp_path)
+    vals = [1.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0, 100.0]
+    rows = [
+        (i + 1, f"s{i}", 1, "", float(v), "c")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "s_suppkey long, s_name string, s_nationkey int, s_address string, "
+        "s_acctbal double, s_phone string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/supplier.parquet")
+    # trim 1 from each side: keep sorted[1:9]
+    kept = sorted(vals)[1:9]
+    row = QUERIES["supplier_acctbal_trimmed_mean"](spark, sf).collect()[0]
+    assert row["n_kept"] == 8
+    assert row["trimmed_mean"] == pytest.approx(sum(kept) / len(kept),
+                                                abs=1e-4)
+
+
+def test_cramer_von_mises_matches_loop(spark, tmp_path):
+    """Purchases {1,3}, views {2,4}: T from the per-observation ECDF
+    loop."""
+    sf = str(tmp_path)
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "purchase", 1.0, "{}"),
+        (2, datetime(2024, 1, 1), 2, "purchase", 3.0, "{}"),
+        (3, datetime(2024, 1, 1), 3, "view", 2.0, "{}"),
+        (4, datetime(2024, 1, 1), 4, "view", 4.0, "{}"),
+    ]
+    _write_events(spark, sf, rows)
+    p, q = [1, 3], [2, 4]
+    np_, nq = len(p), len(q)
+    combined = sorted(p + q)
+    t = 0.0
+    for x in combined:
+        f = sum(1 for v in p if v <= x) / np_
+        g = sum(1 for v in q if v <= x) / nq
+        t += (f - g) ** 2
+    t *= np_ * nq / (np_ + nq) ** 2
+    row = QUERIES["events_cramer_von_mises"](spark, sf).collect()[0]
+    assert row["cvm_t"] == pytest.approx(t, abs=1e-6)
