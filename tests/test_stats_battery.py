@@ -1594,3 +1594,50 @@ def test_cramer_von_mises_matches_loop(spark, tmp_path):
     t *= np_ * nq / (np_ + nq) ** 2
     row = QUERIES["events_cramer_von_mises"](spark, sf).collect()[0]
     assert row["cvm_t"] == pytest.approx(t, abs=1e-6)
+
+
+def test_ses_matches_recursion_replay(spark, tmp_path):
+    """Monthly revenue (1,2,4) for one priority: SES fold
+    (alpha = 0.25, s1 = y1) and the one-step-ahead MAE replayed."""
+    sf = str(tmp_path)
+    _write_orders(spark, sf, {
+        ("1-URGENT", 2024, 1): 1,
+        ("1-URGENT", 2024, 2): 2,
+        ("1-URGENT", 2024, 3): 4,
+    })
+    # _write_orders writes 100.00 per order, so monthly cent sums are
+    # 10000 x the order counts
+    cs = [10000.0, 20000.0, 40000.0]
+    s, sae = cs[0], 0.0
+    for y in cs[1:]:
+        sae += abs(y - s)
+        s = 0.25 * y + 0.75 * s
+    row = QUERIES["orders_ses_monthly_by_priority"](spark, sf).collect()[0]
+    assert row["n_months"] == 3
+    assert row["ses_level"] == pytest.approx(s / 100, abs=1e-4)
+    assert row["mae"] == pytest.approx(sae / 2 / 100, abs=1e-4)
+
+
+def test_ece_two_bins_hand(spark, tmp_path):
+    """Scores in two bins with known accuracy: per-bin confidence and
+    accuracy ppm plus the weighted ECE from a plain loop.  The score
+    is the deterministic repo quality score, so the test recomputes
+    the same bins from the query's own per-bin sums rather than
+    predicting scores — it checks the CALIBRATION algebra."""
+    sf = str(tmp_path)
+    rows = [
+        (i + 1, ("the and of to in is that for " * 6 if i < 3
+                 else "zzz qqq"), ("en" if i < 2 else "de"), "src", 200)
+        for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = QUERIES["docs_quality_ece"](spark, sf).collect()
+    total = sum(r["n"] for r in out)
+    wsum = sum(r["n"] * abs(r["conf_ppm"] - r["acc_ppm"]) for r in out)
+    for r in out:
+        assert r["acc_ppm"] == r["n_pos"] * 1000000 // r["n"]
+        assert r["gap_ppm"] == abs(r["conf_ppm"] - r["acc_ppm"])
+        assert r["ece_ppm"] == wsum // total
