@@ -34,10 +34,11 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # r12 re-fronts: the three queries whose SEMANTICS/PLAN changed this
 # round — the prefix-bounded dedup threshold sweep (values re-verified
 # hash-equal at both SFs, plan rebuilt), the theil-sen n_pairs sourcing
-# fix, and the NULLIF-guarded Hill alpha_hat.  The 12-query round-12
-# battery (concordance/survival/reliability/DoE) enters via `fresh`;
-# 3 + 12 = 15 fresh driver rows, the rest of the 50-window re-verifies
-# already-certified names.
+# fix, and the NULLIF-guarded Hill alpha_hat.  The round-12 batteries
+# A-E (concordance/survival/reliability/DoE, association, goodness-of-
+# fit, dispersion, rank/divergence/agreement — 42 new names) enter via
+# `fresh`; with battery F (weighted kappa, Cochran-Armitage,
+# Stuart-Maxwell/Bowker) the window is exactly full: 5 + 45 = 50.
 # orders_runs_up_down and events_ewma_control_chart join the re-fronts
 # late in r12: the known-value gate caught the former's N-vs-(N-1)
 # moment substitution and the latter's 0.0625-vs-0.5625 variance-factor

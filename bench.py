@@ -182,6 +182,10 @@ HEADLINE = [
     # shape (three Σ C(group,2) passes incl. an md5 of every document)
     "events_logrank_two_group",
     "docs_blocking_quality",
+    # round-12 battery E representative: the grid-self-join distance
+    # shape (MRPP — per-group 50x50 |q_i-q_j| cross products plus the
+    # all-pairs null, four exact int64 totals, flag-ordered delta fold)
+    "lineitem_mrpp_flags",
 ]
 
 

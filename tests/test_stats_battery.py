@@ -1641,3 +1641,355 @@ def test_ece_two_bins_hand(spark, tmp_path):
         assert r["acc_ppm"] == r["n_pos"] * 1000000 // r["n"]
         assert r["gap_ppm"] == abs(r["conf_ppm"] - r["acc_ppm"])
         assert r["ece_ppm"] == wsum // total
+
+
+# ---------------------------------------------------------------------------
+# Battery E (round 12): independent-loop expectations — each expected value
+# is recomputed in the test from the textbook per-observation definition
+# with plain python loops, sharing NO grid algebra with the queries.
+# ---------------------------------------------------------------------------
+
+_E_A = [1, 3, 3, 5, 8, 9, 9, 12]
+_E_R = [2, 3, 6, 6, 10, 11]
+
+
+def _midranks(values):
+    s = sorted(values)
+    pos = {}
+    for idx, v in enumerate(s):
+        pos.setdefault(v, []).append(idx + 1)
+    return {v: sum(p) / len(p) for v, p in pos.items()}
+
+
+def test_brunner_munzel_loop(spark, tmp_path):
+    """BM statistic/df/p_hat vs a direct placement-variance loop over the
+    Brunner-Munzel (2000) definition on a tied two-sample corpus."""
+    import math
+
+    sf = str(tmp_path)
+    _write_lineitem(
+        spark, sf,
+        [(q, "A") for q in _E_A] + [(q, "R") for q in _E_R],
+    )
+    x, y = _E_A, _E_R
+    nx, ny = len(x), len(y)
+    mr, mrx, mry = _midranks(x + y), _midranks(x), _midranks(y)
+    rcx_mean = sum(mr[v] for v in x) / nx
+    rcy_mean = sum(mr[v] for v in y) / ny
+    sx = sum(
+        (mr[v] - mrx[v] - rcx_mean + (nx + 1) / 2) ** 2 for v in x
+    ) / (nx - 1)
+    sy = sum(
+        (mr[v] - mry[v] - rcy_mean + (ny + 1) / 2) ** 2 for v in y
+    ) / (ny - 1)
+    w = nx * ny * (rcy_mean - rcx_mean) / (
+        (nx + ny) * math.sqrt(nx * sx + ny * sy)
+    )
+    df = (nx * sx + ny * sy) ** 2 / (
+        (nx * sx) ** 2 / (nx - 1) + (ny * sy) ** 2 / (ny - 1)
+    )
+    p_hat = (rcy_mean - (ny + 1) / 2) / nx
+    row = QUERIES["lineitem_brunner_munzel"](spark, sf).collect()[0]
+    assert row["n_flag_a"] == nx and row["n_flag_r"] == ny
+    assert row["p_hat"] == pytest.approx(p_hat, abs=1e-6)
+    assert row["bm_stat"] == pytest.approx(w, abs=1e-6)
+    assert row["df_hat"] == pytest.approx(df, abs=1e-4)
+
+
+def test_mrpp_loop(spark, tmp_path):
+    """MRPP delta / expected / agreement vs plain pairwise |x−y| loops
+    over three groups."""
+    sf = str(tmp_path)
+    groups = {"A": _E_A, "R": _E_R, "N": [4, 4, 7]}
+    _write_lineitem(
+        spark, sf,
+        [(q, f) for f, vals in groups.items() for q in vals],
+    )
+
+    def xi(vals):
+        n = len(vals)
+        return sum(abs(a - b) for a in vals for b in vals) / (n * (n - 1))
+
+    allv = [v for g in groups.values() for v in g]
+    n_tot = len(allv)
+    delta = sum(len(g) / n_tot * xi(g) for g in groups.values())
+    expected = xi(allv)
+    row = QUERIES["lineitem_mrpp_flags"](spark, sf).collect()[0]
+    assert row["n_total"] == n_tot
+    assert row["delta"] == pytest.approx(delta, abs=1e-6)
+    assert row["expected_delta"] == pytest.approx(expected, abs=1e-6)
+    assert row["agreement_a"] == pytest.approx(1 - delta / expected, abs=1e-6)
+
+
+def test_power_divergence_loop(spark, tmp_path):
+    """Freeman-Tukey / Neyman / lambda=2 members vs a direct cell loop on
+    a 2x3 grid WITH a structural zero cell (FT must add 4e there)."""
+    import math
+    from datetime import datetime
+
+    sf = str(tmp_path)
+    counts = {("1-URGENT", "F"): 12, ("1-URGENT", "O"): 5,
+              ("1-URGENT", "P"): 3, ("5-LOW", "F"): 6,
+              ("5-LOW", "O"): 9}  # (5-LOW, P) is the structural zero
+    rows, key = [], 1
+    for (prio, status), c in counts.items():
+        for _ in range(c):
+            rows.append((key, key, status, 100.0,
+                         datetime(2024, 1, 15), prio))
+            key += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+
+    prios = sorted({k[0] for k in counts})
+    stats = sorted({k[1] for k in counts})
+    n = sum(counts.values())
+    rt = {p: sum(v for k, v in counts.items() if k[0] == p) for p in prios}
+    ct = {s: sum(v for k, v in counts.items() if k[1] == s) for s in stats}
+    ft = ney = pd2 = 0.0
+    for p in prios:
+        for s in stats:
+            o = counts.get((p, s), 0)
+            e = rt[p] * ct[s] / n
+            ft += 4 * (math.sqrt(o) - math.sqrt(e)) ** 2
+            if o > 0:
+                ney += (o - e) ** 2 / o
+                pd2 += o * ((o / e) ** 2 - 1) / 3
+    row = QUERIES["orders_power_divergence"](spark, sf).collect()[0]
+    assert row["n_obs"] == n and row["n_cells"] == 6 and row["df"] == 2
+    assert row["ft_t2"] == pytest.approx(ft, abs=1e-6)
+    assert row["neyman_x2"] == pytest.approx(ney, abs=1e-6)
+    assert row["pd_lambda2"] == pytest.approx(pd2, abs=1e-6)
+
+
+def test_hodges_lehmann_loop(spark, tmp_path):
+    """HL shift and the 2.5%/97.5% pairwise-difference ordinates vs the
+    fully materialized sorted Walsh-difference list."""
+    import math
+
+    sf = str(tmp_path)
+    _write_lineitem(
+        spark, sf,
+        [(q, "A") for q in _E_A] + [(q, "R") for q in _E_R],
+    )
+    d = sorted(a - b for a in _E_A for b in _E_R)
+    t = len(d)
+    med = (d[(t + 1) // 2 - 1] + d[(t + 2) // 2 - 1]) / 2
+    row = QUERIES["lineitem_hodges_lehmann"](spark, sf).collect()[0]
+    assert row["n_pairs"] == t
+    assert row["hl_shift"] == pytest.approx(med, abs=1e-9)
+    assert row["d_p025"] == d[max(1, math.ceil(t / 40)) - 1]
+    assert row["d_p975"] == d[min(t, math.ceil(39 * t / 40)) - 1]
+
+
+def test_lepage_loop(spark, tmp_path):
+    """Lepage D vs direct midrank Wilcoxon + positional Ansari-Bradley
+    score loops (tie blocks averaged per the midrank convention)."""
+    from collections import Counter, defaultdict
+
+    sf = str(tmp_path)
+    _write_lineitem(
+        spark, sf,
+        [(q, "A") for q in _E_A] + [(q, "R") for q in _E_R],
+    )
+    x, y = _E_A, _E_R
+    n1, n2 = len(x), len(y)
+    nn = n1 + n2
+    mr = _midranks(x + y)
+    w = sum(mr[v] for v in x)
+    tiesum = sum(t ** 3 - t for t in Counter(x + y).values())
+    varw = n1 * n2 / 12 * ((nn + 1) - tiesum / (nn * (nn - 1)))
+    zw2 = (w - n1 * (nn + 1) / 2) ** 2 / varw
+    s = sorted(x + y)
+    posv = defaultdict(list)
+    for i, v in enumerate(s):
+        posv[v].append(min(i + 1, nn - i))
+    av = {v: sum(ps) / len(ps) for v, ps in posv.items()}
+    ab = sum(av[v] for v in x)
+    ssum = sum(min(p, nn + 1 - p) for p in range(1, nn + 1))
+    suma2 = sum(len(ps) * (sum(ps) / len(ps)) ** 2 for ps in posv.values())
+    varab = n1 * n2 * (nn * suma2 - ssum ** 2) / (nn ** 2 * (nn - 1))
+    zab2 = (ab - n1 * ssum / nn) ** 2 / varab
+    row = QUERIES["lineitem_lepage_flags"](spark, sf).collect()[0]
+    assert row["wilcoxon_z2"] == pytest.approx(zw2, abs=1e-6)
+    assert row["ab_z2"] == pytest.approx(zab2, abs=1e-6)
+    assert row["lepage_d"] == pytest.approx(zw2 + zab2, abs=1e-6)
+
+
+def test_fleiss_kappa_loop(spark, tmp_path):
+    """Fleiss kappa vs the per-subject P_i loop on seven 3-rater
+    subjects; orders with a line count other than 3 must be excluded."""
+    from datetime import datetime
+
+    sf = str(tmp_path)
+    subjects = [("A", "A", "A"), ("A", "N", "A"), ("R", "R", "N"),
+                ("N", "N", "N"), ("A", "R", "N"), ("R", "R", "R"),
+                ("A", "A", "N")]
+    rows = []
+    for i, s in enumerate(subjects):
+        for j, flag in enumerate(s):
+            rows.append((i + 1, 1, 1, j + 1, 5.0, 10.0, 0.0, 0.0, flag,
+                         "O", datetime(2024, 1, 2)))
+    # a 2-line and a 4-line order, both all-'A': must not enter
+    rows += [(100, 1, 1, k, 5.0, 10.0, 0.0, 0.0, "A", "O",
+              datetime(2024, 1, 2)) for k in (1, 2)]
+    rows += [(101, 1, 1, k, 5.0, 10.0, 0.0, 0.0, "A", "O",
+              datetime(2024, 1, 2)) for k in (1, 2, 3, 4)]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+
+    cats = ["A", "N", "R"]
+    ns = len(subjects)
+    tj = {c: 0 for c in cats}
+    pi = []
+    for s in subjects:
+        nij = {c: s.count(c) for c in cats}
+        for c in cats:
+            tj[c] += nij[c]
+        pi.append((sum(v * v for v in nij.values()) - 3) / 6)
+    p_bar = sum(pi) / ns
+    p_e = sum((tj[c] / (3 * ns)) ** 2 for c in cats)
+    row = QUERIES["orders_fleiss_kappa"](spark, sf).collect()[0]
+    assert row["n_subjects"] == ns
+    assert row["p_bar"] == pytest.approx(p_bar, abs=1e-6)
+    assert row["p_e"] == pytest.approx(p_e, abs=1e-6)
+    assert row["fleiss_kappa"] == pytest.approx(
+        (p_bar - p_e) / (1 - p_e), abs=1e-6
+    )
+
+
+def test_weighted_kappa_loop(spark, tmp_path):
+    """Linear/quadratic weighted kappa vs the classic weight-matrix
+    definition (p_o - p_e)/(1 - p_e) with w = 1 - (|i-j|/(k-1))^m —
+    algebraically independent of the query's penalty-ratio identity."""
+    from datetime import datetime
+
+    sf = str(tmp_path)
+    # (priority level i 0..4, price band j 0..4) -> count; bands are
+    # <50k, <100k, <150k, <250k, >=250k dollars
+    cells = {(0, 0): 10, (0, 1): 3, (1, 1): 12, (1, 2): 2, (2, 2): 8,
+             (2, 0): 4, (3, 3): 6, (3, 4): 1, (4, 4): 9, (4, 0): 2}
+    prices = [25000.0, 75000.0, 125000.0, 200000.0, 300000.0]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SO", "5-LOW"]
+    rows, key = [], 1
+    for (i, j), c in cells.items():
+        for _ in range(c):
+            rows.append((key, key, "F", prices[j],
+                         datetime(2024, 1, 15), prios[i]))
+            key += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+
+    n = sum(cells.values())
+    rk = [sum(c for (i, j), c in cells.items() if i == lvl)
+          for lvl in range(5)]
+    ck = [sum(c for (i, j), c in cells.items() if j == lvl)
+          for lvl in range(5)]
+    expect = {}
+    for m in (1, 2):
+        po = sum((1 - (abs(i - j) / 4) ** m) * c
+                 for (i, j), c in cells.items()) / n
+        pe = sum((1 - (abs(i - j) / 4) ** m) * rk[i] * ck[j]
+                 for i in range(5) for j in range(5)) / n ** 2
+        expect[m] = (po - pe) / (1 - pe)
+    row = QUERIES["orders_weighted_kappa"](spark, sf).collect()[0]
+    assert row["n_orders"] == n
+    assert row["kappa_linear"] == pytest.approx(expect[1], abs=1e-6)
+    assert row["kappa_quadratic"] == pytest.approx(expect[2], abs=1e-6)
+
+
+def test_cochran_armitage_loop(spark, tmp_path):
+    """CA trend z vs the textbook (sum s*r - p_bar*sum s*n) /
+    sqrt(p(1-p)(sum s^2 n - (sum s n)^2/N)) per-group loop."""
+    import math
+
+    sf = str(tmp_path)
+    groups = {1: (30, 5), 2: (25, 8), 3: (20, 12), 5: (10, 9)}
+    qty_flags = []
+    for v, (nv, rv) in groups.items():
+        qty_flags += [(v, "R")] * rv + [(v, "N")] * (nv - rv)
+    _write_lineitem(spark, sf, qty_flags)
+    n = sum(nv for nv, _ in groups.values())
+    r = sum(rv for _, rv in groups.values())
+    ssr = sum(v * rv for v, (_, rv) in groups.items())
+    ssn = sum(v * nv for v, (nv, _) in groups.items())
+    ss2n = sum(v * v * nv for v, (nv, _) in groups.items())
+    p = r / n
+    z = (ssr - p * ssn) / math.sqrt(
+        p * (1 - p) * (ss2n - ssn * ssn / n)
+    )
+    row = QUERIES["lineitem_cochran_armitage"](spark, sf).collect()[0]
+    assert row["n_lines"] == n and row["n_returned"] == r
+    assert row["ca_z"] == pytest.approx(z, abs=1e-6)
+
+
+def test_stuart_maxwell_matrix_inverse(spark, tmp_path):
+    """The k=3 closed form vs the DEFINING d' V^-1 d quadratic form
+    (numpy inverse over the first two categories), plus Bowker's
+    off-diagonal McNemar sum — on a hand-built 3x3 paired table."""
+    from datetime import datetime
+
+    import numpy as np
+
+    sf = str(tmp_path)
+    table = {("A", "A"): 20, ("A", "N"): 5, ("A", "R"): 3,
+             ("N", "A"): 8, ("N", "N"): 15, ("N", "R"): 4,
+             ("R", "A"): 2, ("R", "N"): 6, ("R", "R"): 30}
+    rows, key = [], 1
+    for (f1, f2), c in table.items():
+        for _ in range(c):
+            rows.append((key, 1, 1, 1, 5.0, 10.0, 0.0, 0.0, f1, "O",
+                         datetime(2024, 1, 2)))
+            rows.append((key, 1, 1, 2, 7.0, 10.0, 0.0, 0.0, f2, "O",
+                         datetime(2024, 1, 2)))
+            key += 1
+    # a 1-line order is excluded (no second rating); a 3-line order
+    # still contributes its FIRST TWO lines — (R, R) here
+    rows.append((900, 1, 1, 1, 5.0, 10.0, 0.0, 0.0, "A", "O",
+                 datetime(2024, 1, 2)))
+    rows += [(901, 1, 1, k, 5.0, 10.0, 0.0, 0.0, "R", "O",
+              datetime(2024, 1, 2)) for k in (1, 2, 3)]
+    table[("R", "R")] += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+
+    cats = ["A", "N", "R"]
+    nm = np.array(
+        [[table[(a, b)] for b in cats] for a in cats], dtype=float
+    )
+    dvec = nm.sum(axis=1) - nm.sum(axis=0)
+    v = np.zeros((2, 2))
+    for i in range(2):
+        for j in range(2):
+            v[i, j] = (
+                nm.sum(axis=1)[i] + nm.sum(axis=0)[i] - 2 * nm[i, i]
+                if i == j else -(nm[i, j] + nm[j, i])
+            )
+    sm_expected = float(dvec[:2] @ np.linalg.inv(v) @ dvec[:2])
+    bowker = sum(
+        (nm[i, j] - nm[j, i]) ** 2 / (nm[i, j] + nm[j, i])
+        for i in range(3) for j in range(i + 1, 3)
+    )
+    row = QUERIES["lineitem_marginal_homogeneity"](spark, sf).collect()[0]
+    assert row["n_pairs"] == int(nm.sum())
+    assert row["stuart_maxwell_chi2"] == pytest.approx(
+        sm_expected, abs=1e-6
+    )
+    assert row["bowker_chi2"] == pytest.approx(bowker, abs=1e-6)
