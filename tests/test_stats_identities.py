@@ -1,0 +1,308 @@
+"""Identity-fuzz gate for the grid-algebra statistics (batteries D-F).
+
+The known-value gate (`test_stats_battery.py`) pins each QUERY to fixed
+paper-verifiable corpora; this module fuzzes the underlying ALGEBRAIC
+IDENTITIES the queries rely on — closed form == brute-force definition
+over randomized inputs — in pure python (no Spark), so hundreds of
+examples cost milliseconds.  The failure class targeted is a formula
+misconception baked into both engines' shared algebra that happens to be
+correct on the few fixed corpora the known-value tests use.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, assume, settings, strategies as st
+
+
+def _approx(x):
+    return pytest.approx(x, rel=1e-9, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Stuart-Maxwell k=3 closed form vs the defining d' V^-1 d quadratic form
+# (lineitem_marginal_homogeneity)
+# ---------------------------------------------------------------------------
+
+_table3 = st.lists(st.integers(0, 30), min_size=9, max_size=9)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_table3)
+def test_stuart_maxwell_closed_form_equals_matrix_form(cells):
+    n = np.array(cells, float).reshape(3, 3)
+    s12, s13, s23 = n[0, 1] + n[1, 0], n[0, 2] + n[2, 0], n[1, 2] + n[2, 1]
+    assume(s12 > 0 and s13 > 0 and s23 > 0)
+    row, col = n.sum(1), n.sum(0)
+    d = row - col
+    v = np.array(
+        [
+            [row[0] + col[0] - 2 * n[0, 0], -s12],
+            [-s12, row[1] + col[1] - 2 * n[1, 1]],
+        ]
+    )
+    assume(abs(np.linalg.det(v)) > 1e-9)
+    expected = float(d[:2] @ np.linalg.inv(v) @ d[:2])
+    closed = (s23 * d[0] ** 2 + s13 * d[1] ** 2 + s12 * d[2] ** 2) / (
+        s12 * s13 + s12 * s23 + s13 * s23
+    )
+    assert closed == _approx(expected)
+
+
+# ---------------------------------------------------------------------------
+# Weighted-kappa penalty identity vs the classic weight-matrix definition
+# (orders_weighted_kappa)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(2, 6),
+    st.data(),
+    st.sampled_from([1, 2]),
+)
+def test_weighted_kappa_penalty_identity(k, data, power):
+    cells = {
+        (i, j): data.draw(st.integers(0, 20), label=f"c{i}{j}")
+        for i in range(k)
+        for j in range(k)
+    }
+    n = sum(cells.values())
+    rk = [sum(c for (i, _), c in cells.items() if i == lvl) for lvl in range(k)]
+    ck = [sum(c for (_, j), c in cells.items() if j == lvl) for lvl in range(k)]
+    den = sum(
+        abs(i - j) ** power * rk[i] * ck[j] for i in range(k) for j in range(k)
+    )
+    assume(n > 0 and den > 0)
+    num = sum(abs(i - j) ** power * c for (i, j), c in cells.items())
+    penalty_form = 1 - n * num / den
+    po = sum(
+        (1 - (abs(i - j) / (k - 1)) ** power) * c for (i, j), c in cells.items()
+    ) / n
+    pe = sum(
+        (1 - (abs(i - j) / (k - 1)) ** power) * rk[i] * ck[j]
+        for i in range(k)
+        for j in range(k)
+    ) / n**2
+    assert penalty_form == _approx((po - pe) / (1 - pe))
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley closed-form tie-block score sums vs positional brute force
+# (lineitem_ansari_bradley, lineitem_lepage_flags)
+# ---------------------------------------------------------------------------
+
+_counts = st.lists(st.integers(1, 6), min_size=1, max_size=8)
+
+
+def _ab_block_s2(a, b, nn):
+    """The queries' closed form: 2x-scaled sum of min(p, N+1-p) over
+    positions a..b, split at the midpoint t = (N+1)//2."""
+    t = (nn + 1) // 2
+    lo_end = min(b, t)
+    hi_start = max(a, t + 1)
+    s2 = 0
+    if a <= lo_end:
+        s2 += lo_end * (lo_end + 1) - (a - 1) * a
+    if b >= hi_start:
+        s2 += 2 * (nn + 1) * (b - hi_start + 1) - (
+            b * (b + 1) - (hi_start - 1) * hi_start
+        )
+    return s2
+
+
+@settings(max_examples=300, deadline=None)
+@given(_counts)
+def test_ansari_bradley_block_scores_closed_form(counts):
+    nn = sum(counts)
+    a = 1
+    for c in counts:
+        b = a + c - 1
+        brute = sum(2 * min(p, nn + 1 - p) for p in range(a, b + 1))
+        assert _ab_block_s2(a, b, nn) == brute
+        a = b + 1
+
+
+# ---------------------------------------------------------------------------
+# Brunner-Munzel grid algebra vs the per-observation placement loop
+# (lineitem_brunner_munzel)
+# ---------------------------------------------------------------------------
+
+
+def _midranks(values):
+    s = sorted(values)
+    pos = {}
+    for idx, v in enumerate(s):
+        pos.setdefault(v, []).append(idx + 1)
+    return {v: sum(p) / len(p) for v, p in pos.items()}
+
+
+_sample = st.lists(st.integers(1, 10), min_size=2, max_size=12)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_sample, _sample)
+def test_brunner_munzel_grid_equals_loop(x, y):
+    n1, n2 = len(x), len(y)
+    vals = sorted(set(x + y))
+    ca = {v: x.count(v) for v in vals}
+    cr = {v: y.count(v) for v in vals}
+    bp = ap = rp = 0
+    sum_car2 = sum_crr2 = 0.0
+    rows = []
+    for v in vals:
+        c = ca[v] + cr[v]
+        r2 = 2 * bp + c + 1
+        ra2 = 2 * ap + ca[v] + 1
+        rr2 = 2 * rp + cr[v] + 1
+        rows.append((v, r2, ra2, rr2))
+        sum_car2 += ca[v] * r2
+        sum_crr2 += cr[v] * r2
+        bp, ap, rp = bp + c, ap + ca[v], rp + cr[v]
+    rxm, rym = sum_car2 / (2 * n1), sum_crr2 / (2 * n2)
+    sx_grid = sum(
+        ca[v] * ((r2 - ra2) / 2 - rxm + (n1 + 1) / 2) ** 2
+        for v, r2, ra2, _ in rows
+    ) / (n1 - 1)
+    sy_grid = sum(
+        cr[v] * ((r2 - rr2) / 2 - rym + (n2 + 1) / 2) ** 2
+        for v, r2, _, rr2 in rows
+    ) / (n2 - 1)
+    mr, mrx, mry = _midranks(x + y), _midranks(x), _midranks(y)
+    rxm_loop = sum(mr[v] for v in x) / n1
+    rym_loop = sum(mr[v] for v in y) / n2
+    sx_loop = sum(
+        (mr[v] - mrx[v] - rxm_loop + (n1 + 1) / 2) ** 2 for v in x
+    ) / (n1 - 1)
+    sy_loop = sum(
+        (mr[v] - mry[v] - rym_loop + (n2 + 1) / 2) ** 2 for v in y
+    ) / (n2 - 1)
+    assert rxm == _approx(rxm_loop)
+    assert rym == _approx(rym_loop)
+    assert sx_grid == _approx(sx_loop)
+    assert sy_grid == _approx(sy_loop)
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann cumulative-weight rank selection vs the sorted Walsh list
+# (lineitem_hodges_lehmann; same idiom as the Sen-slope CI)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(_sample, _sample)
+def test_hodges_lehmann_rank_selection(x, y):
+    weights = {}
+    for a in sorted(set(x)):
+        for b in sorted(set(y)):
+            d = a - b
+            weights[d] = weights.get(d, 0) + x.count(a) * y.count(b)
+    t = sum(weights.values())
+    cum = 0
+    cumw = {}
+    for d in sorted(weights):
+        cum += weights[d]
+        cumw[d] = cum
+
+    def pick(k):
+        return min(d for d, cw in cumw.items() if cw >= k)
+
+    lst = sorted(a - b for a in x for b in y)
+    k1, k2 = (t + 1) // 2, (t + 2) // 2
+    assert (pick(k1) + pick(k2)) / 2 == _approx(
+        (lst[k1 - 1] + lst[k2 - 1]) / 2
+    )
+    klo = max(1, math.ceil(t / 40))
+    khi = min(t, math.ceil(39 * t / 40))
+    assert pick(klo) == lst[klo - 1]
+    assert pick(khi) == lst[khi - 1]
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage all-integer numerator/variance vs the textbook form
+# (lineitem_cochran_armitage)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(1, 50),
+        st.tuples(st.integers(1, 30), st.integers(0, 30)),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_cochran_armitage_integer_form(groups):
+    groups = {v: (nv, min(rv, nv)) for v, (nv, rv) in groups.items()}
+    n = sum(nv for nv, _ in groups.values())
+    r = sum(rv for _, rv in groups.values())
+    assume(0 < r < n)
+    ssr = sum(v * rv for v, (_, rv) in groups.items())
+    ssn = sum(v * nv for v, (nv, _) in groups.items())
+    ss2n = sum(v * v * nv for v, (nv, _) in groups.items())
+    var_int = r * (n - r) * (n * ss2n - ssn * ssn) / n
+    assume(var_int > 0)
+    z_int = (n * ssr - r * ssn) / math.sqrt(var_int)
+    p = r / n
+    z_loop = (ssr - p * ssn) / math.sqrt(
+        p * (1 - p) * (ss2n - ssn * ssn / n)
+    )
+    assert z_int == _approx(z_loop)
+
+
+# ---------------------------------------------------------------------------
+# MRPP grid cross product vs the per-observation pairwise loop
+# (lineitem_mrpp_flags)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.lists(st.integers(1, 10), min_size=2, max_size=10),
+                min_size=2, max_size=4))
+def test_mrpp_grid_cross_product(groups):
+    allv = [v for g in groups for v in g]
+    n_tot = len(allv)
+
+    def w_grid(vals):
+        grid = {v: vals.count(v) for v in set(vals)}
+        return sum(
+            grid[a] * grid[b] * abs(a - b) for a in grid for b in grid
+        )
+
+    def xi_loop(vals):
+        n = len(vals)
+        return sum(abs(a - b) for a in vals for b in vals) / (n * (n - 1))
+
+    delta_grid = sum(
+        w_grid(g) / (n_tot * (len(g) - 1)) for g in groups
+    )
+    delta_loop = sum(len(g) / n_tot * xi_loop(g) for g in groups)
+    assert delta_grid == _approx(delta_loop)
+    assert w_grid(allv) / (n_tot * (n_tot - 1)) == _approx(
+        xi_loop(allv)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lepage Wilcoxon 2x-scaled block identity: sum ca*(a+b) == 2 * midrank sum
+# (lineitem_lepage_flags)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(_sample, _sample)
+def test_lepage_wilcoxon_2x_block_identity(x, y):
+    vals = sorted(set(x + y))
+    mr = _midranks(x + y)
+    a = 1
+    w2 = 0
+    for v in vals:
+        c = x.count(v) + y.count(v)
+        b = a + c - 1
+        w2 += x.count(v) * (a + b)
+        a = b + 1
+    assert w2 == _approx(2 * sum(mr[v] for v in x))
