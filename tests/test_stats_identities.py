@@ -306,3 +306,174 @@ def test_lepage_wilcoxon_2x_block_identity(x, y):
         w2 += x.count(v) * (a + b)
         a = b + 1
     assert w2 == _approx(2 * sum(mr[v] for v in x))
+
+
+# ---------------------------------------------------------------------------
+# Gini mean difference / Gini coefficient from the value grid vs the
+# per-observation pairwise loop (lineitem_gini_mean_difference)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(1, 20), min_size=2, max_size=15))
+def test_gini_grid_cross_product(vals):
+    n = len(vals)
+    grid = {v: vals.count(v) for v in set(vals)}
+    w = sum(grid[a] * grid[b] * abs(a - b) for a in grid for b in grid)
+    gmd_grid = w / (n * (n - 1))
+    gmd_loop = sum(
+        abs(a - b) for a in vals for b in vals
+    ) / (n * (n - 1))
+    mean = sum(vals) / n
+    assert gmd_grid == _approx(gmd_loop)
+    # Gini coefficient: the grid's integer total w = n(n-1)*GMD and
+    # sum(vals) = n*mean, so w / (2*(n-1)*sum) == GMD / (2*mean)
+    assert w / (2.0 * (n - 1) * sum(vals)) == _approx(
+        gmd_loop / (2 * mean)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample KS: integer cross-scaled sup over the merged grid vs
+# the float ECDF sup over all observed values (cust_ks_exact_segments)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(_sample, _sample)
+def test_ks_integer_sup_equals_float_sup(x, y):
+    nx, ny = len(x), len(y)
+    vals = sorted(set(x + y))
+    cx = cy = 0
+    int_sup = 0
+    float_sup = 0.0
+    for v in vals:
+        cx += x.count(v)
+        cy += y.count(v)
+        int_sup = max(int_sup, abs(cx * ny - cy * nx))
+        float_sup = max(float_sup, abs(cx / nx - cy / ny))
+    assert int_sup / (nx * ny) == _approx(float_sup)
+
+
+# ---------------------------------------------------------------------------
+# Kuiper V = D+ + D- from the same integer grid (lineitem_kuiper_flags):
+# catches opposite-tail shifts whose single sup cancels
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(_sample, _sample)
+def test_kuiper_integer_components(x, y):
+    nx, ny = len(x), len(y)
+    vals = sorted(set(x + y))
+    cx = cy = 0
+    dp_int = dm_int = 0
+    dp_f = dm_f = 0.0
+    for v in vals:
+        cx += x.count(v)
+        cy += y.count(v)
+        dp_int = max(dp_int, cx * ny - cy * nx)
+        dm_int = max(dm_int, cy * nx - cx * ny)
+        dp_f = max(dp_f, cx / nx - cy / ny)
+        dm_f = max(dm_f, cy / ny - cx / nx)
+    assert (dp_int + dm_int) / (nx * ny) == _approx(dp_f + dm_f)
+    # Kuiper sees what KS misses only when the signed extremes differ;
+    # both formulations must agree on that, too
+    assert (dp_int + dm_int) >= max(dp_int, dm_int)
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra 2x-scaled grid statistic vs the pairwise loop —
+# the family whose z-scale bug the known-value gate caught in r12
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(st.integers(1, 8), min_size=1, max_size=8),
+                min_size=2, max_size=4))
+def test_jonckheere_2x_grid_statistic(groups):
+    jt2_grid = 0
+    for gi in range(len(groups)):
+        for gj in range(gi + 1, len(groups)):
+            a = {v: groups[gi].count(v) for v in set(groups[gi])}
+            b = {v: groups[gj].count(v) for v in set(groups[gj])}
+            jt2_grid += sum(
+                a[v] * b[w] * (2 if v < w else (1 if v == w else 0))
+                for v in a for w in b
+            )
+    jt2_loop = 0
+    for gi in range(len(groups)):
+        for gj in range(gi + 1, len(groups)):
+            for xv in groups[gi]:
+                for yv in groups[gj]:
+                    jt2_loop += 2 if xv < yv else (1 if xv == yv else 0)
+    assert jt2_grid == jt2_loop
+
+
+# ---------------------------------------------------------------------------
+# Tie-corrected Mann-Whitney AUC: midrank formula vs the defining
+# P(X>Y) + 0.5*P(X=Y) pairwise loop (docs_quality_roc_auc)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(_sample, _sample)
+def test_auc_midrank_equals_pairwise(pos, neg):
+    n1, n0 = len(pos), len(neg)
+    mr = _midranks(pos + neg)
+    rank_sum = sum(mr[v] for v in pos)
+    auc_ranks = (rank_sum - n1 * (n1 + 1) / 2) / (n1 * n0)
+    auc_pairs = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0)
+        for p in pos for q in neg
+    ) / (n1 * n0)
+    assert auc_ranks == _approx(auc_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b concordant/discordant grid counts vs the pairwise loop
+# (orders_ordinal_association)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 5), st.integers(1, 5)),
+                min_size=2, max_size=20))
+def test_tau_b_grid_counts(pairs):
+    grid = {}
+    for xy in pairs:
+        grid[xy] = grid.get(xy, 0) + 1
+    c_grid = d_grid = 0
+    cells = list(grid.items())
+    for (x1, y1), n1 in cells:
+        for (x2, y2), n2 in cells:
+            if x1 < x2 and y1 < y2:
+                c_grid += n1 * n2
+            elif x1 < x2 and y1 > y2:
+                d_grid += n1 * n2
+    c_loop = d_loop = 0
+    for i in range(len(pairs)):
+        for j in range(len(pairs)):
+            (x1, y1), (x2, y2) = pairs[i], pairs[j]
+            if x1 < x2 and y1 < y2:
+                c_loop += 1
+            elif x1 < x2 and y1 > y2:
+                d_loop += 1
+    assert (c_grid, d_grid) == (c_loop, d_loop)
+    n = len(pairs)
+    tx = sum(
+        v * (v - 1) // 2
+        for v in {x: sum(c for (a, _), c in grid.items() if a == x)
+                  for x in {p[0] for p in pairs}}.values()
+    )
+    ty = sum(
+        v * (v - 1) // 2
+        for v in {y: sum(c for (_, b), c in grid.items() if b == y)
+                  for y in {p[1] for p in pairs}}.values()
+    )
+    n_pairs = n * (n - 1) // 2
+    if n_pairs > tx and n_pairs > ty:
+        tau_b = (c_grid - d_grid) / math.sqrt(
+            (n_pairs - tx) * (n_pairs - ty)
+        )
+        assert -1.0 - 1e-9 <= tau_b <= 1.0 + 1e-9
