@@ -477,3 +477,82 @@ def test_tau_b_grid_counts(pairs):
             (n_pairs - tx) * (n_pairs - ty)
         )
         assert -1.0 - 1e-9 <= tau_b <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# CUSUM prefix-extremum identity vs the textbook recursion — the class
+# whose EMPTY-PREFIX baseline (S_0 = 0) bug the r12 gate caught
+# (events_cusum_tabular)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(-10, 10), min_size=1, max_size=30))
+def test_cusum_prefix_extremum_identity(steps):
+    # recursion: C+_i = max(0, C+_{i-1} + s_i), C-_i = max(0, C-_{i-1} - s_i)
+    cp = cm = 0
+    s = 0
+    run_min = run_max = 0  # prefix extrema INCLUDING the empty prefix S_0 = 0
+    for x in steps:
+        cp = max(0, cp + x)
+        cm = max(0, cm - x)
+        s += x
+        run_min = min(run_min, s)
+        run_max = max(run_max, s)
+    assert cp == s - run_min
+    assert cm == run_max - s
+
+
+# ---------------------------------------------------------------------------
+# EWMA control-chart closed forms vs the Montgomery recursion — the class
+# whose (1-lambda)^2 variance-factor transposition the r12 gate caught
+# (events_ewma_control_chart)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=25),
+    st.floats(0.05, 0.95),
+    st.floats(-5, 5),
+)
+def test_ewma_closed_forms(ys, lam, mu):
+    # z_i = lam*y_i + (1-lam)*z_{i-1}, z_0 = mu  (textbook init, NOT y_1)
+    z = mu
+    for i, y in enumerate(ys, start=1):
+        z = lam * y + (1 - lam) * z
+        closed = (1 - lam) ** i * mu + lam * sum(
+            (1 - lam) ** (i - j) * ys[j - 1] for j in range(1, i + 1)
+        )
+        assert z == _approx(closed)
+        # variance inflation: Var(z_i)/sigma^2 = lam/(2-lam)*(1-(1-lam)^(2i)),
+        # equivalently lam^2 * sum_{j=0}^{i-1} (1-lam)^(2j) — the factor at
+        # i=1 is lam^2, and the first RETAINED weight is (1-lam)^2
+        geo = lam * lam * sum((1 - lam) ** (2 * j) for j in range(i))
+        assert lam / (2 - lam) * (1 - (1 - lam) ** (2 * i)) == _approx(geo)
+
+
+# ---------------------------------------------------------------------------
+# Trimmed-mean rank-interval overlap vs the sorted-slice definition
+# (supplier_acctbal_trimmed_mean): boundary values straddling a trim
+# point must contribute exactly their surviving copies
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(-100, 100), min_size=1, max_size=40))
+def test_trimmed_mean_interval_overlap(vals):
+    n = len(vals)
+    k = n // 10
+    grid = {v: vals.count(v) for v in set(vals)}
+    lo = 0
+    kept_sum = kept_n = 0
+    for v in sorted(grid):
+        hi = lo + grid[v]
+        keep = max(0, min(hi, n - k) - max(lo, k))
+        kept_sum += v * keep
+        kept_n += keep
+        lo = hi
+    sliced = sorted(vals)[k:n - k]
+    assert kept_n == len(sliced)
+    assert kept_sum == sum(sliced)
