@@ -66,7 +66,7 @@ def merge_changeset(
         )
         if dup:
             d = dup[0].asDict()
-            raise AssertionError(
+            raise ValueError(
                 "changes has duplicate rows per (keys, version) — winner "
                 f"would be nondeterministic (e.g. {d}); dedupe the "
                 "changeset or pass check=False for pre-validated input"

@@ -80,7 +80,7 @@ def build_blockloc(
         )
         if dup:
             d = dup[0]
-            raise AssertionError(
+            raise ValueError(
                 "blockpop has duplicate (state,county,tract,block) keys "
                 f"(e.g. {d['state']}/{d['county']}/{d['tract']}/{d['block']}); "
                 "the left join would fan out block rows"

@@ -150,7 +150,7 @@ def test_merge_rejects_ambiguous_changeset(spark):
         [(2, "x", 1, "U"), (2, "y", 1, "U")],
         "k long, v string, version long, op string",
     )
-    with pytest.raises(AssertionError, match="nondeterministic"):
+    with pytest.raises(ValueError, match="nondeterministic"):
         merge_changeset(snap, changes, ["k"], "version")
     # same rows sail through with the escape hatch
     assert merge_changeset(snap, changes, ["k"], "version", check=False).count() == 3

@@ -69,7 +69,7 @@ def test_blockloc_state_in_join_key(spark, world):
     # duplicate dimension keys would fan out the left join: the cheap
     # dimension-side uniqueness check (equivalent to the reference's
     # row-count-preservation assert) must catch it at build time
-    with pytest.raises(AssertionError, match="duplicate"):
+    with pytest.raises(ValueError, match="duplicate"):
         build_blockloc(blocks_df, pop_df.union(pop_df.limit(1)))
 
 

@@ -14,7 +14,7 @@ Row counts and values are deliberately unchecked (most queries
 legitimately return empty or NULL frames here); the contract is only
 "no query crashes on data the schema permits".
 
-Usage: python tools/stress_degenerate.py [query ...]
+Usage: python tools/stress_degenerate.py [--constant] [query ...]
 """
 
 from __future__ import annotations
@@ -70,18 +70,48 @@ def build_corpus(spark, out_dir: str) -> None:
     _ = F
 
 
+def build_constant_corpus(spark, out_dir: str) -> None:
+    """Second adversarial class (round 12): EVERY row of every table is
+    the SAME row repeated 4x — one grid value, one group, one flag.
+    Exercises the zero-variance / single-category / empty-second-sample
+    guard paths (Var = 0 NULLIFs, n2 = 0 two-sample denominators,
+    all-ties rank grids) that the 2-row mixed corpus can slip past when
+    its two rows happen to differ."""
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(SEED_SF, f"{t}.parquet"))
+        base = df.limit(1).collect()[0].asDict()
+        if t == "documents":
+            base["text"] = "dup dup dup dup dup"
+            base["n_chars"] = len(base["text"])
+        rows = [base] * 4
+        spark.createDataFrame(rows, df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+
 def run(names: list[str] | None) -> int:
     import traceback
 
     import __spark_entry__ as entrymod
     from opentimes_spark.session import get_spark
 
+    constant = False
+    if names and names[0] == "--constant":
+        constant = True
+        names = names[1:] or None
+
     spark = get_spark("stress-degenerate")
     corpus = os.path.join(
-        tempfile.gettempdir(), "opentimes_stress_degenerate"
+        tempfile.gettempdir(),
+        "opentimes_stress_constant"
+        if constant
+        else "opentimes_stress_degenerate",
     )
     shutil.rmtree(corpus, ignore_errors=True)
-    build_corpus(spark, corpus)
+    if constant:
+        build_constant_corpus(spark, corpus)
+    else:
+        build_corpus(spark, corpus)
 
     qs = entrymod.queries()
     if names:
@@ -108,9 +138,10 @@ def run(names: list[str] | None) -> int:
             print(f"CRASH {name}: {head}", flush=True)
             if os.environ.get("STRESS_VERBOSE"):
                 traceback.print_exc()
+    label = "constant" if constant else "degenerate"
     print(
         f"\n{len(qs) - len(failures)}/{len(qs)} queries survive the "
-        f"degenerate corpus ({guards} named guard refusals)"
+        f"{label} corpus ({guards} named guard refusals)"
     )
     if failures:
         print("failing:", " ".join(sorted(failures)))
