@@ -38,7 +38,13 @@ def _hex_fixed(col: Column, width: int) -> Column:
         fits = v >= 0
     else:
         fits = (v >= 0) & (v < F.lit(16**width))
+    # NULL in → NULL key out (SQL propagation): without the explicit
+    # branch a NULL value falls into the raise_error arm with a NULL
+    # message ([USER_RAISED_EXCEPTION] null) — found by the null-row
+    # corpus probe.  Overflow on PRESENT values still raises loudly.
     return F.when(
+        v.isNull(), F.lit(None).cast("string")
+    ).when(
         fits, F.lpad(F.lower(F.hex(v)), width, "0")
     ).otherwise(
         F.raise_error(

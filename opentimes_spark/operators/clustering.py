@@ -465,6 +465,10 @@ def kmeans_fit(
         raise ValueError(f"unknown init: {init!r}")
     base = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).filter(
+        # NULL vectors carry no position — excluded like SQL aggregates
+        # skip NULLs (a None row would also break the Arrow stack)
+        F.col(id_col).isNotNull() & F.col("v").isNotNull()
     ).persist()
     try:
         seed = base.orderBy(F.col(id_col)).limit(k).collect()
@@ -571,7 +575,7 @@ def pq_codes(
         id_col=id_col, vec_col=vec_col,
     )
     sub = dim // m
-    base = corpus.select(
+    base = _drop_null_vecs(corpus, id_col, vec_col).select(
         F.col(id_col), _pq_guarded_vec(id_col, vec_col, dim).alias("v")
     )
     cols = [F.col(id_col)]
@@ -581,6 +585,15 @@ def pq_codes(
         cols.append(ns["cid"].cast("int").alias(f"code{j}"))
         err = ns["d"] if err is None else err + ns["d"]
     return base.select(*cols, err.alias("recon_err"))
+
+
+def _drop_null_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Exclude rows whose id or vector is NULL before a guarded encode:
+    a NULL vector carries no position (the SQL-aggregate exclusion
+    policy kmeans_fit uses), and letting it through would NULL the
+    slice folds and emit arbitrary argmin codes — the silent failure
+    _pq_guarded_vec exists to prevent for wrong-LENGTH vectors."""
+    return df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
 
 
 def _pq_guarded_vec(id_col: str, vec_col: str, dim: int):
@@ -611,7 +624,7 @@ def pq_fit(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
-    base = corpus.select(
+    base = _drop_null_vecs(corpus, id_col, vec_col).select(
         F.col(id_col), _pq_guarded_vec(id_col, vec_col, dim).alias("v")
     )
     models = []
@@ -680,7 +693,7 @@ def apply_rotation(
             StructField(vec_col, ArrayType(DoubleType()), False),
         ]
     )
-    base = corpus.select(
+    base = _drop_null_vecs(corpus, id_col, vec_col).select(
         F.col(id_col), _pq_guarded_vec(id_col, vec_col, dim).alias(vec_col)
     )
 
@@ -825,7 +838,7 @@ def gram_matrix(
         StructType,
     )
 
-    scaled = df.select(
+    scaled = df.filter(F.col(vec_col).isNotNull()).select(
         F.transform(
             F.col(vec_col),
             lambda el: (
@@ -1085,7 +1098,7 @@ def opq_fit(
         raise ValueError(f"dim={dim} not divisible by m={m}")
     rotation = np.eye(dim, dtype=np.float64)
     pqs = None
-    base = corpus.select(
+    base = _drop_null_vecs(corpus, id_col, vec_col).select(
         F.col(id_col), _pq_guarded_vec(id_col, vec_col, dim).alias(vec_col)
     )
     if not force_distributed:

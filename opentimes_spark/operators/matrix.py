@@ -201,15 +201,25 @@ def travel_time_matrix(
 
     spark = origins.sparkSession
     ship_package(spark)
+    # A point with a NULL id or NULL coordinate is malformed, not
+    # unroutable: it is excluded up front (the NULL-duration complement
+    # contract covers ROUTING failures only), and the output schema's
+    # non-nullable id fields stay honest.
+    _well_formed = (
+        F.col("id").isNotNull()
+        & F.col("lon").isNotNull()
+        & F.col("lat").isNotNull()
+    )
     o = origins.select(
         F.col("id").cast("string"), F.col("lon").cast("double"), F.col("lat").cast("double")
-    )
+    ).filter(_well_formed)
     d_local = (
         destinations.select(
             F.col("id").cast("string"),
             F.col("lon").cast("double"),
             F.col("lat").cast("double"),
         )
+        .filter(_well_formed)
         .orderBy("id")
         .limit(max_broadcast_destinations + 1)
         .toPandas()

@@ -427,8 +427,12 @@ def brute_force_topk_numpy(
 
     spark = queries.sparkSession
     ship_package(spark)
+    # NULL ids/vectors can't be scored — excluded like SQL aggregates
+    # skip NULLs (and np.array over ragged None rows would throw)
+    _present = F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
     qrows = (
         queries.select(id_col, vec_col)
+        .filter(_present)
         .orderBy(id_col)
         .limit(max_broadcast_queries + 1)
         .collect()
@@ -476,7 +480,7 @@ def brute_force_topk_numpy(
     # corpus side may differ) instead of hardcoding bigint
     q_id_t = queries.schema[id_col].dataType.simpleString()
     c_id_t = corpus.schema[id_col].dataType.simpleString()
-    scored = corpus.select(id_col, vec_col).mapInPandas(
+    scored = corpus.select(id_col, vec_col).filter(_present).mapInPandas(
         score, f"query_id {q_id_t}, cand_id {c_id_t}, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))

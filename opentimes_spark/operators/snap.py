@@ -97,6 +97,13 @@ def snap_points(
                 }
             )
 
+    # NULL id / coordinates cannot be snapped and would violate the
+    # non-nullable output schema — malformed points are excluded up
+    # front (same policy as travel_time_matrix).
     return points.select(
         F.col("id").cast("string"), F.col("lon").cast("double"), F.col("lat").cast("double")
+    ).filter(
+        F.col("id").isNotNull()
+        & F.col("lon").isNotNull()
+        & F.col("lat").isNotNull()
     ).mapInPandas(snap, SNAP_SCHEMA)

@@ -14,7 +14,7 @@ Row counts and values are deliberately unchecked (most queries
 legitimately return empty or NULL frames here); the contract is only
 "no query crashes on data the schema permits".
 
-Usage: python tools/stress_degenerate.py [--constant] [query ...]
+Usage: python tools/stress_degenerate.py [--constant|--nulls] [query ...]
 """
 
 from __future__ import annotations
@@ -89,29 +89,47 @@ def build_constant_corpus(spark, out_dir: str) -> None:
         ).parquet(os.path.join(out_dir, f"{t}.parquet"))
 
 
+def build_null_corpus(spark, out_dir: str) -> None:
+    """Third adversarial class (round 12): one real row plus one row of
+    ALL NULLs per table — the parquet schemas mark every column
+    nullable, so NULL rows are data the schema permits.  First probe
+    caught 8 crashes: non-nullable mapInPandas output schemas fed NULL
+    ids (OD matrix, snap), numpy stacks over None vectors (cosine,
+    gram), and raise_error/assert_true arms whose condition or message
+    goes NULL (morton keys, PQ's length guard)."""
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(SEED_SF, f"{t}.parquet"))
+        base = df.limit(1).collect()[0].asDict()
+        nulls = {k: None for k in base}
+        spark.createDataFrame([base, nulls], df.schema).coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+
+_CORPORA = {
+    "degenerate": build_corpus,
+    "constant": build_constant_corpus,
+    "nulls": build_null_corpus,
+}
+
+
 def run(names: list[str] | None) -> int:
     import traceback
 
     import __spark_entry__ as entrymod
     from opentimes_spark.session import get_spark
 
-    constant = False
-    if names and names[0] == "--constant":
-        constant = True
+    mode = "degenerate"
+    if names and names[0] in ("--constant", "--nulls"):
+        mode = names[0][2:]
         names = names[1:] or None
 
     spark = get_spark("stress-degenerate")
     corpus = os.path.join(
-        tempfile.gettempdir(),
-        "opentimes_stress_constant"
-        if constant
-        else "opentimes_stress_degenerate",
+        tempfile.gettempdir(), f"opentimes_stress_{mode}"
     )
     shutil.rmtree(corpus, ignore_errors=True)
-    if constant:
-        build_constant_corpus(spark, corpus)
-    else:
-        build_corpus(spark, corpus)
+    _CORPORA[mode](spark, corpus)
 
     qs = entrymod.queries()
     if names:
@@ -138,7 +156,7 @@ def run(names: list[str] | None) -> int:
             print(f"CRASH {name}: {head}", flush=True)
             if os.environ.get("STRESS_VERBOSE"):
                 traceback.print_exc()
-    label = "constant" if constant else "degenerate"
+    label = mode
     print(
         f"\n{len(qs) - len(failures)}/{len(qs)} queries survive the "
         f"{label} corpus ({guards} named guard refusals)"
