@@ -556,3 +556,120 @@ def test_trimmed_mean_interval_overlap(vals):
     sliced = sorted(vals)[k:n - k]
     assert kept_n == len(sliced)
     assert kept_sum == sum(sliced)
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W — Friedman chi-square relation (orders_kendall_w_priority):
+# chi2_F = k(n-1)W must hold for ANY rank table, tied or not
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(2, 5), st.integers(3, 8), st.data())
+def test_kendall_w_friedman_relation(k, n, data):
+    # k judges each assign midrank-style ranks over n objects: draw raw
+    # scores, convert to midranks per judge
+    tables = []
+    for j in range(k):
+        scores = [
+            data.draw(st.integers(0, 5), label=f"s{j}_{i}")
+            for i in range(n)
+        ]
+        mr = _midranks(scores)
+        tables.append([mr[s] for s in scores])
+    rsum = [sum(tables[j][i] for j in range(k)) for i in range(n)]
+    rbar = sum(rsum) / n
+    s = sum((r - rbar) ** 2 for r in rsum)
+    # tie correction per judge: sum(t^3 - t)
+    tcorr = 0
+    for j in range(k):
+        from collections import Counter
+
+        tcorr += sum(
+            t**3 - t for t in Counter(tables[j]).values()
+        )
+    denom = k * k * (n**3 - n) / 12 - k * tcorr / 12
+    assume(denom > 1e-12)
+    w = s / denom
+    chi2 = k * (n - 1) * w
+    assert 0 - 1e-9 <= w <= 1 + 1e-9
+    if tcorr == 0:
+        # independent check on tie-free draws: the classic Friedman
+        # formula 12/(k n(n+1)) * sum R_j^2 - 3k(n+1) must equal
+        # k(n-1)W exactly
+        classic = (
+            12.0 / (k * n * (n + 1)) * sum(r * r for r in rsum)
+            - 3.0 * k * (n + 1)
+        )
+        assert chi2 == _approx(classic)
+
+
+# ---------------------------------------------------------------------------
+# Somers' D / gamma / tau-b consistency from one (C, D, Tx, Ty) count
+# (orders_ordinal_association): all three must come from the SAME counts
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 4), st.integers(1, 4)),
+                min_size=3, max_size=15))
+def test_ordinal_association_shared_counts(pairs):
+    c = d = tx = ty = 0
+    n = len(pairs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            (x1, y1), (x2, y2) = pairs[i], pairs[j]
+            if x1 == x2 and y1 == y2:
+                continue
+            elif x1 == x2:
+                tx += 1
+            elif y1 == y2:
+                ty += 1
+            elif (x1 < x2) == (y1 < y2):
+                c += 1
+            else:
+                d += 1
+    if c + d > 0:
+        gamma = (c - d) / (c + d)
+        assert -1 <= gamma <= 1
+    if c + d + ty > 0:
+        somers_d_yx = (c - d) / (c + d + ty)
+        # |D| <= |gamma| — the tie term only shrinks the magnitude
+        if c + d > 0:
+            assert abs(somers_d_yx) <= abs((c - d) / (c + d)) + 1e-12
+    if (c + d + tx) > 0 and (c + d + ty) > 0:
+        tau_b = (c - d) / math.sqrt((c + d + tx) * (c + d + ty))
+        # tau-b is the geometric mean of the two asymmetric Somers' D
+        dyx = (c - d) / (c + d + ty)
+        dxy = (c - d) / (c + d + tx)
+        assert tau_b * tau_b == _approx(abs(dyx * dxy))
+
+
+# ---------------------------------------------------------------------------
+# Theil T decomposition: total = between + share-weighted within
+# (orders_theil_between_nations + orders_theil_index_by_nation)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.lists(st.integers(1, 100), min_size=1, max_size=8),
+                min_size=2, max_size=5))
+def test_theil_decomposition(groups):
+    allv = [v for g in groups for v in g]
+    n = len(allv)
+    mu = sum(allv) / n
+
+    def theil(vals):
+        m = sum(vals) / len(vals)
+        return sum(v / m * math.log(v / m) for v in vals) / len(vals)
+
+    total = theil(allv)
+    between = sum(
+        len(g) / n * (sum(g) / len(g) / mu)
+        * math.log(sum(g) / len(g) / mu)
+        for g in groups
+    )
+    within = sum(
+        (sum(g) / (n * mu)) * theil(g) for g in groups
+    )
+    assert total == _approx(between + within)
