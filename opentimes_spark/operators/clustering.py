@@ -463,12 +463,8 @@ def kmeans_fit(
         raise ValueError("kmeans_fit requires k >= 1 and max_iter >= 1")
     if init not in ("first-k", "kmeans||"):
         raise ValueError(f"unknown init: {init!r}")
-    base = corpus.select(
+    base = _drop_null_vecs(corpus, id_col, vec_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).filter(
-        # NULL vectors carry no position — excluded like SQL aggregates
-        # skip NULLs (a None row would also break the Arrow stack)
-        F.col(id_col).isNotNull() & F.col("v").isNotNull()
     ).persist()
     try:
         seed = base.orderBy(F.col(id_col)).limit(k).collect()

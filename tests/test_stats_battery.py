@@ -1993,3 +1993,54 @@ def test_stuart_maxwell_matrix_inverse(spark, tmp_path):
         sm_expected, abs=1e-6
     )
     assert row["bowker_chi2"] == pytest.approx(bowker, abs=1e-6)
+
+
+def test_single_row_sample_returns_null_not_crash(spark, tmp_path):
+    """nn = 1 (one 'A' line, no 'R') made the Ansari-Bradley variance
+    denominator nn^2(nn-1) exactly 0 — Spark raised ANSI
+    DIVIDE_BY_ZERO while DuckDB's double x/0 returns NULL (r12 review
+    finding).  Both the battery-D AB query and its battery-E Lepage
+    consumer must return a NULL-statistic row instead."""
+    sf = str(tmp_path)
+    _write_lineitem(spark, sf, [(5, "A")])
+    row = QUERIES["lineitem_ansari_bradley"](spark, sf).collect()[0]
+    assert row["z_score"] is None
+    row = QUERIES["lineitem_lepage_flags"](spark, sf).collect()[0]
+    assert row["ab_z2"] is None and row["lepage_d"] is None
+    # two equal rows in one group: nn = 2 -> variance 0 -> still NULL
+    _write_lineitem(spark, sf, [(5, "A"), (5, "A")])
+    row = QUERIES["lineitem_lepage_flags"](spark, sf).collect()[0]
+    assert row["lepage_d"] is None
+
+
+def test_hist_buckets_null_price_and_zero_width(spark, tmp_path):
+    """A NULL price keeps a NULL bucket (SQL propagation — neither
+    COALESCE's bucket 0 nor LEAST's null-skipping 19); an all-equal
+    corpus lands every row in bucket 0 instead of dividing by zero."""
+    from datetime import datetime
+
+    sf = str(tmp_path)
+
+    def _orders(prices):
+        rows = [
+            (i + 1, i + 1, "F", p, datetime(2024, 1, 15), "1-URGENT")
+            for i, p in enumerate(prices)
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sf}/orders.parquet"
+        )
+
+    _orders([100.0, 200.0, None])
+    got = {
+        r["bucket"]: r["n"]
+        for r in QUERIES["hist_price_buckets"](spark, sf).collect()
+    }
+    assert got[None] == 1 and got[0] == 1 and got[19] == 1
+    _orders([150.0, 150.0, 150.0])
+    rows = QUERIES["hist_price_buckets"](spark, sf).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["n"] == 3
