@@ -43,12 +43,23 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # late in r12: the known-value gate caught the former's N-vs-(N-1)
 # moment substitution and the latter's 0.0625-vs-0.5625 variance-factor
 # transposition with a y1 (not mu) init (values changed for both).
+# r13 re-fronts: the ten queries whose semantics/plan changed this
+# round — nine envelope fixes from the new magnitude-stress gate
+# (int64/2^53 edge divergences: wide DECIMAL(38,0)<->HUGEINT
+# accumulation with one deterministic double cast; the Hill <k+1 guard
+# parity) plus the part quartile panel rebuilt on the value grid
+# (VERDICT r12 nit #1).
 _FRONT: list[str] = [
-    "docs_dedup_threshold_sweep",
-    "orders_theil_sen_monthly",
-    "cust_acctbal_hill_tail",
-    "orders_runs_up_down",
-    "events_ewma_control_chart",
+    "part_robust_location_report",
+    "cust_neyman_allocation",
+    "cust_epanechnikov_kde",
+    "part_type_price_welch_anova",
+    "cust_acctbal_winsorized",
+    "events_cuped_adjusted_lift",
+    "lineitem_simpsons_check",
+    "events_hill_tail_index",
+    "orders_jackknife_mean",
+    "events_cusum_tabular",
 ]
 
 
@@ -247,6 +258,30 @@ _CERTIFIED = {
     "orders_mann_kendall_monthly", "docs_source_js_divergence",
     "docs_bigram_chao1_richness", "orders_friedman_priority",
     "events_grubbs_daily_outlier",
+    # r12-certified (CORRECTNESS_r12.json, hash_match=true):
+    "docs_dedup_threshold_sweep", "orders_theil_sen_monthly",
+    "cust_acctbal_hill_tail", "orders_runs_up_down",
+    "events_ewma_control_chart", "orders_kendall_w_priority",
+    "events_logrank_two_group", "events_cronbach_alpha",
+    "orders_gumbel_block_maxima", "orders_hurst_rs",
+    "docs_blocking_quality", "part_dixon_q_top10",
+    "docs_bigram_ace_richness", "orders_page_l_trend",
+    "orders_durbin_watson_monthly", "orders_mantel_haenszel_or",
+    "events_cochran_q", "lineitem_jonckheere_quantity",
+    "events_psi_type_drift", "orders_cohens_h_urgent",
+    "lineitem_wasserstein_flags", "orders_ljung_box_monthly",
+    "orders_ordinal_association", "cust_bhattacharyya_segments",
+    "orders_woolf_or_ci", "orders_anderson_darling_gaps",
+    "orders_stuart_tau_c", "orders_yule_q_y",
+    "lineitem_gini_mean_difference", "cust_ks_exact_segments",
+    "orders_sen_slope_ci", "orders_seasonal_mann_kendall",
+    "orders_theil_between_nations", "cust_qq_deciles_segments",
+    "lineitem_kuiper_flags", "orders_cramers_v_corrected",
+    "lineitem_ansari_bradley", "lineitem_brunner_munzel",
+    "lineitem_mrpp_flags", "orders_power_divergence",
+    "lineitem_hodges_lehmann", "lineitem_lepage_flags",
+    "orders_fleiss_kappa", "orders_weighted_kappa",
+    "lineitem_cochran_armitage", "lineitem_marginal_homogeneity",
 }
 
 
