@@ -124,6 +124,19 @@ MIXED_NULL_COLS = {
     "embeddings": ["embedding"],
 }
 
+# Group/filter keys the mixed row pins to COMMON values so it survives
+# the registry's usual predicates (returnflag IN ('A','R'), event_type
+# filters, priority/status grids) and actually reaches the NULL-measure
+# arithmetic instead of being filtered away with whatever flag the seed
+# row happened to carry.
+MIXED_PIN_COLS = {
+    "lineitem": {"l_returnflag": "A", "l_linestatus": "F"},
+    "orders": {"o_orderstatus": "F", "o_orderpriority": "1-URGENT"},
+    "customer": {"c_mktsegment": "BUILDING"},
+    "events": {"event_type": "click"},
+    "documents": {"lang": "en"},
+}
+
 
 def build_null_corpus(spark, out_dir: str) -> None:
     """Third adversarial class (round 12): one real row plus one row of
@@ -144,6 +157,7 @@ def build_null_corpus(spark, out_dir: str) -> None:
             mixed = dict(base)
             for c in MIXED_NULL_COLS[t]:
                 mixed[c] = None
+            mixed.update(MIXED_PIN_COLS.get(t, {}))
             for k in KEYS[t]:  # keep the key unique vs the base row
                 if isinstance(mixed[k], int):
                     mixed[k] = mixed[k] + 1
