@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 from opentimes_spark.functions.vectors import cosine
 
 
+def _well_formed_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Exclude rows whose id or vector is NULL before any vector op —
+    the SQL-aggregate exclusion policy (r13 nulls-compare gate): a NULL
+    vector carries no position, NULLs a fold, poisons a numpy stack, or
+    raises through the length assert.  Mirrored in every caller's
+    oracle as ``WHERE embedding IS NOT NULL``."""
+    return df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -34,6 +43,8 @@ def brute_force_topk(
     """Exact top-k cosine neighbors per query (self-matches excluded).
     Rank on the raw double; emit the rounded score. Ties broken by
     candidate id for determinism."""
+    queries = _well_formed_vecs(queries, id_col, vec_col)
+    corpus = _well_formed_vecs(corpus, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -75,6 +86,7 @@ def label_centroids(
     ``dim`` is peeked from one row when not given (bounded 1-row driver
     action; pass it explicitly in pipelines that know their schema).
     """
+    corpus = _well_formed_vecs(corpus, label_col, vec_col)
     if dim is None:
         first = corpus.select(vec_col).first()
         if first is None:
@@ -107,6 +119,8 @@ def ivf_topk(
     """ANN top-k probing only the ``n_probe`` centroids nearest to each
     query. Corpus rows are assigned to their own label's centroid (the
     storage-partitioning key at scale)."""
+    queries = _well_formed_vecs(queries, id_col, vec_col)
+    corpus = _well_formed_vecs(corpus, id_col, vec_col)
     cents = label_centroids(corpus, label_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     probe_w = Window.partitionBy("query_id").orderBy(
@@ -149,6 +163,7 @@ def embedding_neardup_pairs(
     ``block_col`` (label/centroid) so the self-join is per-block rather
     than full n² — the standard scale pattern: cluster first, compare
     within clusters."""
+    corpus = _well_formed_vecs(corpus, id_col, vec_col)
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
@@ -196,6 +211,9 @@ def write_ivf_index(
     (the dot product) per candidate pair instead of three — results stay
     bit-identical because the stored double equals what the inline
     ``cosine`` would recompute."""
+    corpus = _well_formed_vecs(corpus, id_col, vec_col).filter(
+        F.col(label_col).isNotNull()
+    )
     from opentimes_spark.functions.vectors import norm
 
     (
@@ -233,6 +251,7 @@ def write_ivf_index_kmeans(
     ``write_ivf_index``; the k fitted centroids land in
     ``<path>/_centroids`` from the driver (k x dim — bytes).  Same
     storage contract, so ``ivf_topk_probe`` works unchanged."""
+    corpus = _well_formed_vecs(corpus, id_col, vec_col)
     from opentimes_spark.functions.vectors import norm
     from opentimes_spark.operators.clustering import assign_expr, kmeans_fit
 
@@ -350,6 +369,7 @@ def ivf_topk_probe(
     read from the index, the query norm is computed once per probe row
     before the join.  Same output contract (and bit-identical scores)
     as ``ivf_topk``."""
+    queries = _well_formed_vecs(queries, id_col, vec_col)
     from opentimes_spark.functions.vectors import dot, norm
 
     cents = read_ivf_centroids(spark, index_path)
@@ -420,6 +440,8 @@ def brute_force_topk_numpy(
     sequential summation), so this variant is rows-only for the oracle
     — ``brute_force_topk`` stays the hash-checked twin.
     """
+    queries = _well_formed_vecs(queries, id_col, vec_col)
+    corpus = _well_formed_vecs(corpus, id_col, vec_col)
     import numpy as np
     import pandas as pd
 
@@ -615,6 +637,8 @@ def srp_lsh_topk(
     corpus equi-join).  Versus IVF this needs no index build/centroids —
     signatures are per-row expressions — at the cost of recall being
     governed by (n_planes/n_tables, n_tables) instead of n_probe."""
+    queries = _well_formed_vecs(queries, id_col, vec_col)
+    corpus = _well_formed_vecs(corpus, id_col, vec_col)
     planes = srp_sign_planes(n_planes, dim)
     sig_q = srp_signatures(queries, planes, n_tables, id_col, vec_col).withColumnsRenamed(
         {"id": "query_id"}
@@ -1481,6 +1505,8 @@ def twonn_intrinsic_dim(
     query-id order — all replayable by the oracle.  Cost is
     O(|sample| * corpus): run on a query SAMPLE, never corpus-wide.
     Returns one row: (n_queries, sum_ln_mu, dim_est)."""
+    queries = _well_formed_vecs(queries, id_col, vec_col)
+    corpus = _well_formed_vecs(corpus, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -1521,8 +1547,14 @@ def twonn_intrinsic_dim(
             lambda acc, s: acc + s["ln_mu"],
         ).alias("s"),
     )
+    # empty-fold parity: with no valid (d1, d2) pair Spark's fold gives
+    # 0.0 where the oracle's list() gives NULL; with all-tied distances
+    # s is genuinely 0 and the division must NULL in both engines
     return folded.select(
         F.col("n_queries").cast("long").alias("n_queries"),
-        F.round(F.col("s"), 6).alias("sum_ln_mu"),
-        F.round(F.col("n_queries") / F.col("s"), 4).alias("dim_est"),
+        F.when(F.col("n_queries") > 0, F.round(F.col("s"), 6))
+        .alias("sum_ln_mu"),
+        F.round(
+            F.col("n_queries") / F.nullif(F.col("s"), F.lit(0.0)), 4
+        ).alias("dim_est"),
     )
