@@ -186,6 +186,14 @@ HEADLINE = [
     # shape (MRPP — per-group 50x50 |q_i-q_j| cross products plus the
     # all-pairs null, four exact int64 totals, flag-ordered delta fold)
     "lineitem_mrpp_flags",
+    # round-13 battery G representatives: the shared-probit normal-
+    # scores shape (Fligner-Killeen: per-group grid medians, combined
+    # |dev| midranks, the Acklam expression evaluated once per grid
+    # cell then quantized to exact ints) and the paired-measurement
+    # shape (Lin's CCC: orders<->lineitem-sum join, wide-exact moment
+    # sums, two double divisions)
+    "lineitem_fligner_killeen",
+    "orders_lin_ccc",
 ]
 
 
