@@ -246,3 +246,23 @@ def test_fligner_killeen_pipeline_vs_python(spark, tmp_path):
     row = QUERIES["lineitem_fligner_killeen"](spark, sf).collect()[0]
     assert row["n_groups"] == 2
     assert row["fk_stat"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_klotz_pipeline_vs_python(spark, tmp_path):
+    """A={1,4}, R={2,3}: Klotz scores are squared VdW scores quantized
+    at 1e9 AFTER squaring; recompute T, E, z from the same Acklam ppf
+    in pure Python."""
+    sf = str(tmp_path)
+    _write_lineitem(spark, sf, [(1, "A"), (4, "A"), (2, "R"), (3, "R")])
+    n = 4
+    kq = {r: round(ppf_py(r / (n + 1)) ** 2 * 1e9) for r in (1, 2, 3, 4)}
+    t = kq[1] + kq[4]          # group A holds ranks 1 and 4
+    s1 = sum(kq.values())
+    s2 = sum(v * v for v in kq.values())
+    e = 2 * (s1 / n)
+    var = (2 * 2 / (n * (n - 1.0))) * (s2 - s1 * s1 / n)
+    row = QUERIES["lineitem_klotz_dispersion"](spark, sf).collect()[0]
+    assert row["klotz_t"] == pytest.approx(t / 1e9, abs=1e-6)
+    assert row["expected"] == pytest.approx(e / 1e9, abs=1e-6)
+    assert row["z_score"] == pytest.approx(
+        (t - e) / var ** 0.5, abs=1e-6)
