@@ -436,6 +436,32 @@ def kmeans_parallel_init(
     return {i + 1: list(c) for i, c in enumerate(seeds)}
 
 
+def _local_lloyd(
+    local, cents: dict[int, list[float]], max_iter: int, tol: float
+) -> tuple[dict[int, list[float]], dict[int, list[float]], int, float]:
+    """The driver-resident Lloyd loop shared by ``kmeans_fit``'s local
+    path and ``pq_fit``'s single-collect fast path — ONE implementation
+    so the two can never drift by an ulp.  Returns
+    (centroids, assign_centroids, n_iter, shift) with the exact loop
+    semantics of the distributed twin (assign_cents is the PRE-update
+    centroids of the last iteration; shift is the max squared centroid
+    movement)."""
+    assign_cents = cents
+    shift = float("inf")
+    it = 0
+    for it in range(1, max_iter + 1):
+        assign_cents = cents
+        new = _lloyd_step_local(local, cents)
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(new[cid], cents[cid]))
+            for cid in cents
+        )
+        cents = new
+        if shift <= tol:
+            break
+    return cents, assign_cents, it, shift
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 8,
@@ -444,6 +470,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "first-k",
+    dim: int | None = None,
 ) -> KMeansModel:
     """Lloyd's algorithm with convergence-based stopping.
 
@@ -458,16 +485,60 @@ def kmeans_fit(
     deterministic k-means|| oversampling pass (``kmeans_parallel_init``)
     first, the production mode when arbitrary first-k seeds would land
     inside one cluster.
+
+    ``dim`` is an optional hint (r14): when the caller knows the vector
+    width, one cheap no-sort probe (``limit(rows_max+1).count()`` —
+    LocalLimit early-stops the scan) decides local-vs-distributed up
+    front, and the local path folds seed + count + collect into ONE
+    ordered collect — 1 driver job instead of 3, which is most of a
+    small-corpus fit's wall clock (each sub-second job is pure
+    scheduling floor).  Without the hint the classic 3-job path runs
+    unchanged.  Values are bit-identical either way (same seed rows,
+    same ``_local_lloyd``).
     """
     if k < 1 or max_iter < 1:
         raise ValueError("kmeans_fit requires k >= 1 and max_iter >= 1")
     if init not in ("first-k", "kmeans||"):
         raise ValueError(f"unknown init: {init!r}")
-    base = _drop_null_vecs(corpus, id_col, vec_col).select(
+    base0 = _drop_null_vecs(corpus, id_col, vec_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).persist()
+    )
+    seed = None
+    if dim is not None and init == "first-k":
+        # ONE TakeOrderedAndProject job replaces seed + count + collect
+        # (each sub-second job is pure scheduling floor on a small
+        # corpus).  On overflow the probe has shuffled at most
+        # numPartitions x rows_max id-sorted rows once — a bounded,
+        # one-time cutover cost — and its first k rows are exactly the
+        # distributed path's seed, so only count() remains there.
+        rows_max = _DRIVER_LLOYD_MAX_ELEMS // max(dim, 1)
+        rows = (
+            base0.orderBy(F.col(id_col)).limit(rows_max + 1).collect()
+            if rows_max >= k
+            else []
+        )
+        if rows and len(rows) < k:  # probe saw the WHOLE corpus: < k rows
+            raise ValueError(f"kmeans_fit: corpus has {len(rows)} rows < k={k}")
+        if rows:
+            seed = rows[:k]
+        if rows and len(rows) <= rows_max:
+            import numpy as np
+
+            local = np.array([r["v"] for r in rows], dtype=np.float64)
+            cents = {i + 1: list(local[i]) for i in range(k)}
+            cents, assign_cents, it, shift = _local_lloyd(
+                local, cents, max_iter, tol
+            )
+            return KMeansModel(
+                centroids=cents,
+                assign_centroids=assign_cents,
+                n_iter=it,
+                shift=shift,
+            )
+    base = base0.persist()
     try:
-        seed = base.orderBy(F.col(id_col)).limit(k).collect()
+        if seed is None:
+            seed = base.orderBy(F.col(id_col)).limit(k).collect()
         if len(seed) < k:
             raise ValueError(
                 f"kmeans_fit: corpus has {len(seed)} rows < k={k}"
@@ -506,20 +577,25 @@ def kmeans_fit(
         # summation, whose different reassociation could flip a
         # rounded-cosine downstream.  Equality with the distributed
         # loop is pinned by tests and the kmeans-family oracle replay.
-        local = None
-        dim = len(seed[0]["v"])
-        if n * dim <= _DRIVER_LLOYD_MAX_ELEMS:
+        vec_dim = len(seed[0]["v"])
+        if n * vec_dim <= _DRIVER_LLOYD_MAX_ELEMS:
             import numpy as np
 
             rows = base.orderBy(F.col(id_col)).collect()
             local = np.array([r["v"] for r in rows], dtype=np.float64)
+            cents, assign_cents, it, shift = _local_lloyd(
+                local, cents, max_iter, tol
+            )
+            return KMeansModel(
+                centroids=cents,
+                assign_centroids=assign_cents,
+                n_iter=it,
+                shift=shift,
+            )
         for it in range(1, max_iter + 1):
             assign_cents = cents
-            if local is not None:
-                new = _lloyd_step_local(local, cents)
-            else:
-                assigned = _assign_broadcast(work, cents)
-                new = _mean_update(assigned, cents)
+            assigned = _assign_broadcast(work, cents)
+            new = _mean_update(assigned, cents)
             shift = max(
                 sum((a - b) ** 2 for a, b in zip(new[cid], cents[cid]))
                 for cid in cents
@@ -628,13 +704,51 @@ def pq_fit(
 ) -> list[KMeansModel]:
     """Fit the ``m`` per-subspace codebooks behind ``pq_codes`` and
     return them — the handle an IVF-PQ probe needs to build per-query
-    ADC lookup tables without refitting."""
+    ADC lookup tables without refitting.
+
+    Small corpora (≤ ``_DRIVER_LLOYD_MAX_ELEMS`` elements, decided by
+    one no-sort early-stop probe) collect the FULL vectors once and fit
+    all ``m`` subspaces from driver-side numpy slices via the shared
+    ``_local_lloyd`` — 2 driver jobs total instead of 3 per subspace
+    (r14: the per-subspace job floor, not the math, dominated the
+    encode bench row).  Slicing a float64 row is exact, the seed rows
+    are the same k smallest ids, and the loop is the same function, so
+    the codebooks are bit-identical to the per-subspace path; above the
+    threshold the per-subspace ``kmeans_fit`` keeps full parallelism."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
     base = _drop_null_vecs(corpus, id_col, vec_col).select(
         F.col(id_col), _pq_guarded_vec(id_col, vec_col, dim).alias("v")
     )
+    rows_max = _DRIVER_LLOYD_MAX_ELEMS // max(dim, 1)
+    rows = (
+        base.orderBy(F.col(id_col)).limit(rows_max + 1).collect()
+        if rows_max >= k
+        else []
+    )
+    if rows and len(rows) < k:  # probe saw the WHOLE corpus: < k rows
+        raise ValueError(f"kmeans_fit: corpus has {len(rows)} rows < k={k}")
+    if rows and len(rows) <= rows_max:
+        import numpy as np
+
+        full = np.array([r["v"] for r in rows], dtype=np.float64)
+        models = []
+        for j in range(m):
+            local = np.ascontiguousarray(full[:, j * sub : (j + 1) * sub])
+            cents = {i + 1: list(local[i]) for i in range(k)}
+            cents, assign_cents, it, shift = _local_lloyd(
+                local, cents, max_iter, 0.0
+            )
+            models.append(
+                KMeansModel(
+                    centroids=cents,
+                    assign_centroids=assign_cents,
+                    n_iter=it,
+                    shift=shift,
+                )
+            )
+        return models
     models = []
     for j in range(m):
         subdf = base.select(

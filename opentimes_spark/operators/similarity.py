@@ -553,68 +553,64 @@ def srp_signatures(
     sign of <v, s_p> (left-fold in DOUBLE, bit-identical to the oracle's
     list_dot_product); each table packs its contiguous plane-group into
     an integer bucket key.  Zero-shuffle: pure per-row expressions.
+    NULL-id/NULL-vector rows emit no signature rows (r13 policy: a NULL
+    vector carries no position) — handled inside the projection, no
+    filter pass.
 
-    Built as ONE nested higher-order expression — planes ride a single
-    2-D array literal and `transform` iterates them engine-side.  The
-    naive form (a Python loop emitting 16 separate fold subtrees of 64
-    scalar literals each) cost ~2s of DRIVER time per query build in
-    py4j construction + analysis; this tree is ~50 nodes and builds in
-    milliseconds, which is also what keeps a 1000-plane config usable."""
+    Built as ONE nested higher-order expression shipped as a single
+    expr() string — planes ride a 2-D array literal and `transform`
+    iterates them engine-side.  The naive form (a Python loop emitting
+    16 separate fold subtrees of 64 scalar literals each) cost ~2s of
+    DRIVER time per query build in py4j construction + analysis; the
+    python-lambda HOF builders still cost ~1,800 round trips (~0.65s);
+    one parsed string is one round trip and builds in milliseconds,
+    which is also what keeps a 1000-plane config usable."""
     if len(planes) % n_tables:
         raise ValueError(f"{len(planes)} planes not divisible by {n_tables} tables")
     per = len(planes) // n_tables
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # one SQL-parsed literal: F.lit(nested_list) still creates every
-    # element as its own py4j Column; expr() ships one string and the
-    # JVM parser builds the array<array<double>> literal in one hop
-    rows = ",".join(
+    dim = len(planes[0])
+    # The WHOLE projection ships as two expr() strings: the python-lambda
+    # HOF builders (transform/aggregate/zip_with) cost ~30 py4j round
+    # trips EACH to register their lambdas, ~1,800 per build — measured
+    # at ~0.65 s of driver time per query construction at 16 planes.
+    # One SQL string is one round trip; the JVM parser builds the same
+    # Catalyst tree (same fold order, same doubles — values unchanged).
+    planes_lit = "array(" + ",".join(
         "array(" + ",".join(f"{float(x)}D" for x in p) + ")" for p in planes
+    ) + ")"
+    # NULL-exclusion folded into the projection (r13 nulls policy — a
+    # NULL id/vector carries no position): NULL `_bits` flows to NULL
+    # buckets, and posexplode(NULL) emits no rows, so malformed rows
+    # drop without a separate Filter pass over the vector column.
+    #
+    # dimension guard: a vector shorter/longer than the planes would
+    # null-pad zip_with, NULL the fold, and the IF's else-0 would
+    # silently collapse every row into bucket 0 (quadratic join, wrong
+    # recall).  assert_true returns NULL on pass, raises per-row on a
+    # present-but-misshapen vector.
+    bits_sql = (
+        f"CASE WHEN `{id_col}` IS NULL OR `{vec_col}` IS NULL THEN NULL "
+        f"WHEN assert_true(size(`{vec_col}`) = {dim}, concat("
+        f"'srp_signatures: embedding length != plane dim {dim} at id=', "
+        f"CAST(`{id_col}` AS STRING))) IS NULL THEN "
+        f"transform({planes_lit}, p -> CASE WHEN aggregate("
+        f"zip_with(transform(`{vec_col}`, x -> CAST(x AS DOUBLE)), p, "
+        f"(x, w) -> x * w), 0.0D, (a, x) -> a + x) >= 0 "
+        f"THEN 1 ELSE 0 END) END"
     )
-    planes_lit = F.expr(f"array({rows})")
-    bits = F.transform(
-        planes_lit,
-        lambda p: F.when(
-            F.aggregate(
-                F.zip_with(v, p, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    pow2 = F.lit([float(1 << i) for i in range(per)])
-    buckets = F.transform(
-        F.sequence(F.lit(0), F.lit(n_tables - 1)),
-        lambda t: F.aggregate(
-            F.zip_with(
-                F.slice(F.col("_bits"), t * per + 1, per), pow2, lambda b, w: b * w
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ).cast("long"),
-    )
+    pow2_lit = "array(" + ",".join(f"{float(1 << i)}D" for i in range(per)) + ")"
     # stage the bit vector as a real column: HOF subtrees are interpreted
     # and not CSE'd, so packing straight off `bits` would re-run all
     # n_planes folds once PER TABLE
-    #
-    # dimension guard: a vector shorter/longer than the planes would
-    # null-pad zip_with, NULL the fold, and otherwise(0) would silently
-    # collapse every row into bucket 0 (quadratic join, wrong recall).
-    # assert_true returns NULL on pass and raises per-row on violation.
-    dim = len(planes[0])
-    guard = F.assert_true(
-        F.size(F.col(vec_col)) == dim,
-        F.concat(
-            F.lit(f"srp_signatures: embedding length != plane dim {dim} at id="),
-            F.col(id_col).cast("string"),
-        ),
+    buckets_sql = (
+        f"CASE WHEN `_bits` IS NULL THEN NULL ELSE "
+        f"transform(sequence(0, {n_tables - 1}), t -> CAST(aggregate("
+        f"zip_with(slice(`_bits`, t * {per} + 1, {per}), {pow2_lit}, "
+        f"(b, w) -> b * w), 0.0D, (a, x) -> a + x) AS BIGINT)) END"
     )
-    return (
-        corpus.select(
-            F.col(id_col).alias("id"),
-            F.when(guard.isNull(), bits).alias("_bits"),
-        )
-        .select("id", F.posexplode(buckets).alias("table_id", "bucket"))
-    )
+    return corpus.select(
+        F.col(id_col).alias("id"), F.expr(bits_sql).alias("_bits")
+    ).select("id", F.posexplode(F.expr(buckets_sql)).alias("table_id", "bucket"))
 
 
 def srp_lsh_topk(
@@ -636,9 +632,14 @@ def srp_lsh_topk(
     scored once; vectors re-attach by id afterwards (queries broadcast,
     corpus equi-join).  Versus IVF this needs no index build/centroids —
     signatures are per-row expressions — at the cost of recall being
-    governed by (n_planes/n_tables, n_tables) instead of n_probe."""
-    queries = _well_formed_vecs(queries, id_col, vec_col)
-    corpus = _well_formed_vecs(corpus, id_col, vec_col)
+    governed by (n_planes/n_tables, n_tables) instead of n_probe.
+
+    NULL policy (r13, value-gated): the signature projection itself
+    drops NULL-id/NULL-vector rows (posexplode of the NULL bucket array
+    emits nothing), so the bucket branch needs no separate filter pass;
+    the vector re-attach keeps the explicit `_well_formed_vecs` guard so
+    a duplicate id with a NULL vector can never reach the cosine
+    rescore."""
     planes = srp_sign_planes(n_planes, dim)
     sig_q = srp_signatures(queries, planes, n_tables, id_col, vec_col).withColumnsRenamed(
         {"id": "query_id"}
@@ -652,6 +653,8 @@ def srp_lsh_topk(
         .select("query_id", "cand_id")
         .distinct()
     )
+    queries = _well_formed_vecs(queries, id_col, vec_col)
+    corpus = _well_formed_vecs(corpus, id_col, vec_col)
     qv = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     )
@@ -717,7 +720,7 @@ def ivfpq_topk(
     sub = dim // m
     coarse = kmeans_fit(
         corpus, k=coarse_k, max_iter=coarse_iter, tol=0.0,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, dim=dim,
     )
     pqs = pq_fit(
         corpus, m=m, k=pq_k, max_iter=pq_iter, dim=dim,
@@ -846,7 +849,7 @@ def write_ivfpq_index(
         corpus = apply_rotation(corpus, rotation, dim, id_col, vec_col)
     coarse = kmeans_fit(
         corpus, k=coarse_k, max_iter=coarse_iter, tol=0.0,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, dim=dim,
     )
     pqs = pq_fit(
         corpus, m=m, k=pq_k, max_iter=pq_iter, dim=dim,
