@@ -98,15 +98,30 @@ def curate(spark: SparkSession, args: argparse.Namespace) -> dict:
     )
     from opentimes_spark.plans.incremental import run_stage
 
+    import time
+
     src = os.path.join(args.sf_dir, "documents.parquet")
     out = args.out
-    manifest: dict = {"stages": {}}
+    # stage_seconds: wall clock between checkpoint boundaries (r14,
+    # VERDICT r13 #6) — the e2e bench row is checkpoint-I/O-dominated
+    # and host-banded; per-stage splits in the manifest (and from there
+    # in BENCH_FULL) turn a ±40% band on the total into a localizable
+    # signal.  Each figure covers build + checkpoint write + the
+    # recorded count for that stage.
+    manifest: dict = {"stages": {}, "stage_seconds": {}}
+    _t0 = [time.perf_counter()]
+
+    def mark(name: str) -> None:
+        now = time.perf_counter()
+        manifest["stage_seconds"][name] = round(now - _t0[0], 3)
+        _t0[0] = now
 
     def record(name: str, df, skipped: bool) -> None:
         manifest["stages"][name] = {
             "rows": df.count(),
             "skipped": skipped,
         }
+        mark(name)
 
     def path(name: str) -> str:
         return os.path.join(out, name)
@@ -207,6 +222,7 @@ def curate(spark: SparkSession, args: argparse.Namespace) -> dict:
                 "rows": stage_rows[name],
                 "skipped": skipped,
             }
+    mark("prefilter")  # fused quality+gopher+boilerplate: one boundary
     quality_upstream = path("prefilter")
 
     def build_exact():

@@ -20,7 +20,12 @@ edges), which always compares Spark vs DuckDB VALUES, and a
 corpus (e.g. ``--nulls --compare`` machine-checks NULL-ordering parity).
 
 Usage: python tools/stress_degenerate.py
-           [--constant|--nulls|--magnitude] [--compare] [query ...]
+           [--constant|--nulls|--magnitude] [--compare] [--out FILE]
+           [query ...]
+
+``--out FILE`` (round 14) writes the per-query statuses as a JSON round
+artifact (STRESS_r{N}_{mode}.json) so gate results diff across rounds
+like BENCH/CORRECTNESS instead of living only in SCALE.md prose.
 """
 
 from __future__ import annotations
@@ -266,13 +271,15 @@ def run(names: list[str] | None) -> int:
     import __spark_entry__ as entrymod
     from opentimes_spark.session import get_spark
 
-    mode, compare_values = "degenerate", False
+    mode, compare_values, out_path = "degenerate", False, None
     while names and names[0].startswith("--"):
         flag = names.pop(0)
         if flag in ("--constant", "--nulls", "--magnitude"):
             mode = flag[2:]
         elif flag == "--compare":
             compare_values = True
+        elif flag == "--out":
+            out_path = names.pop(0)
         else:
             raise SystemExit(f"unknown flag {flag}")
     names = names or None
@@ -308,6 +315,7 @@ def run(names: list[str] | None) -> int:
         qs = {n: qs[n] for n in names}
     failures: list[str] = []
     guards = approx = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         try:
             df = fn(spark, corpus)
@@ -317,6 +325,10 @@ def run(names: list[str] | None) -> int:
                     ddf = con.execute(oracles[name]).df()
                 except Exception as exc:  # noqa: BLE001
                     failures.append(name)
+                    results[name] = {
+                        "status": "DUCKERR",
+                        "detail": str(exc).splitlines()[0][:200],
+                    }
                     print(f"DUCKERR {name}: "
                           f"{str(exc).splitlines()[0][:200]}", flush=True)
                     continue
@@ -330,24 +342,38 @@ def run(names: list[str] | None) -> int:
                 hard = [p for p in problems if "APPROX ONLY" not in p]
                 if hard:
                     failures.append(name)
+                    results[name] = {
+                        "status": "DIVERGE",
+                        "detail": "; ".join(p[:160] for p in problems[:3]),
+                    }
                     print(f"DIVERGE {name}:", flush=True)
                     for p in problems:
                         print(f"      {p}")
                 elif problems:
                     approx += 1
+                    results[name] = {
+                        "status": "APPROX",
+                        "detail": problems[0][:160],
+                    }
                     print(f"APPROX {name}: "
                           f"{problems[0][:160]}", flush=True)
                 else:
+                    results[name] = {"status": "OK", "rows": len(sdf)}
                     print(f"OK    {name}: {len(sdf)} rows (hash-equal)",
                           flush=True)
             else:
                 n = df.count()
+                results[name] = {"status": "OK", "rows": n}
                 print(f"OK    {name}: {n} rows", flush=True)
         except ValueError as exc:
             # The engine's own precondition idiom (k > corpus rows,
             # empty index, ...) — a NAMED refusal is correct behavior
             # on degenerate data; only unnamed engine crashes fail.
             guards += 1
+            results[name] = {
+                "status": "GUARD",
+                "detail": str(exc).splitlines()[0][:160],
+            }
             print(
                 f"GUARD {name}: {str(exc).splitlines()[0][:160]}",
                 flush=True,
@@ -355,6 +381,7 @@ def run(names: list[str] | None) -> int:
         except Exception as exc:  # noqa: BLE001 - the gate's whole point
             failures.append(name)
             head = str(exc).splitlines()[0][:200]
+            results[name] = {"status": "CRASH", "detail": head}
             print(f"CRASH {name}: {head}", flush=True)
             if os.environ.get("STRESS_VERBOSE"):
                 traceback.print_exc()
@@ -365,6 +392,29 @@ def run(names: list[str] | None) -> int:
         + (f", {approx} approx-only warnings" if compare_values else "")
         + ")"
     )
+    if out_path:
+        # Round-14 (VERDICT r13 #2): the gates' results become diffable
+        # round artifacts, like BENCH/CORRECTNESS, instead of prose.
+        import json
+
+        payload = {
+            "mode": mode,
+            "compare_values": compare_values,
+            "total": len(qs),
+            "survive": len(qs) - len(failures),
+            "guards": sorted(
+                n for n, r in results.items() if r["status"] == "GUARD"
+            ),
+            "approx": sorted(
+                n for n, r in results.items() if r["status"] == "APPROX"
+            ),
+            "failures": sorted(failures),
+            "queries": results,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=False)
+            fh.write("\n")
+        print(f"wrote {out_path}")
     if failures:
         print("failing:", " ".join(sorted(failures)))
         return 1
