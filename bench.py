@@ -194,6 +194,14 @@ HEADLINE = [
     # sums, two double divisions)
     "lineitem_fligner_killeen",
     "orders_lin_ccc",
+    # round-14 battery H representatives: the 2-D-grid half-join
+    # concordance shape with the full tie-corrected Var(S) (tau-b
+    # z-test: 50x11 cells, every cubic count term wide-then-double)
+    # and the post-hoc pairwise-contrast shape (Tukey-Kramer HSD:
+    # per-group exact moment sums, grid self-join on priority pairs,
+    # studentized-range literal cutpoints)
+    "lineitem_taub_ztest",
+    "orders_tukey_hsd_priority",
 ]
 
 

@@ -525,7 +525,12 @@ def kmeans_fit(
             import numpy as np
 
             local = np.array([r["v"] for r in rows], dtype=np.float64)
-            cents = {i + 1: list(local[i]) for i in range(k)}
+            # python floats, not np.float64: assign_centroids may flow
+            # into createDataFrame (index writes), whose DoubleType
+            # rejects numpy scalars
+            cents = {
+                i + 1: [float(x) for x in local[i]] for i in range(k)
+            }
             cents, assign_cents, it, shift = _local_lloyd(
                 local, cents, max_iter, tol
             )
@@ -736,7 +741,9 @@ def pq_fit(
         models = []
         for j in range(m):
             local = np.ascontiguousarray(full[:, j * sub : (j + 1) * sub])
-            cents = {i + 1: list(local[i]) for i in range(k)}
+            cents = {
+                i + 1: [float(x) for x in local[i]] for i in range(k)
+            }
             cents, assign_cents, it, shift = _local_lloyd(
                 local, cents, max_iter, 0.0
             )

@@ -666,3 +666,26 @@ def test_kmeans_fit_distributed_path_matches_driver_path(spark, monkeypatch):
     for cid in m_driver.centroids:
         for x, y in zip(m_driver.centroids[cid], m_dist.centroids[cid]):
             assert abs(x - y) <= 1e-12 * max(abs(x), 1.0)
+
+
+def test_kmeans_fast_path_centroids_are_python_floats(spark):
+    """The r14 single-collect fast path seeds centroids from numpy rows;
+    they must land as python floats — assign_centroids flows into
+    createDataFrame (index writes), whose DoubleType rejects np.float64
+    (caught live by the magnitude gate on kmeans_lloyd_2iter)."""
+    from opentimes_spark.operators.clustering import kmeans_fit, pq_fit
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    model = kmeans_fit(emb, k=2, max_iter=1, tol=0.0, dim=2)
+    for cents in (model.centroids, model.assign_centroids):
+        for vec in cents.values():
+            assert all(type(x) is float for x in vec), cents
+    # createDataFrame with an explicit DoubleType schema is the crash
+    # surface — must not raise
+    assert model.centroids_df(spark).count() == 2
+    for m in pq_fit(emb, m=2, k=2, max_iter=1, dim=2):
+        for vec in m.assign_centroids.values():
+            assert all(type(x) is float for x in vec)

@@ -239,8 +239,52 @@ def build_magnitude_corpus(spark, out_dir: str) -> None:
                 "p_retailprice", mag_price(F.col("p_partkey")))
         elif t == "events":
             df = df.withColumn("value", mag_price(F.col("event_id")))
-        # region/nation/documents/embeddings: copied unchanged — text
-        # and vector ops have no integer-magnitude envelope.
+        elif t == "documents":
+            # r14 (VERDICT r13 #7): token/gram/postings counts are
+            # int64 sums too.  Each base doc is replicated 16x with
+            # text = a SHARED 3-token phrase (gram df ~ 8k across the
+            # corpus — tf/df/cooccur counts at the ~10^4 grain of the
+            # ask) + the doc's own distinctive tail (cross-base Jaccard
+            # stays low, so prefix-bounded pair joins still prune —
+            # only the 16-replica groups are true dups).  Replicas
+            # share IDENTICAL text: exact-dedup groups of 16, C(16,2)
+            # pair counts, hot-band LSH buckets.  n_chars stays
+            # len(text) — the magnitude stress is count replication,
+            # not inconsistent metadata.
+            rep = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("rep")
+            # tails are SYNTHESIZED per base doc (u<id>a .. u<id>e) —
+            # the sf0.001 texts share a small vocabulary, so keeping
+            # original tokens leaked cross-base Jaccard above pair
+            # thresholds and degenerated every pair join to ~n^2
+            # (measured: 7.8M result rows).  With unique tails only
+            # the 3 shared tokens overlap across bases.
+            tail = F.concat_ws(
+                " ",
+                *[
+                    F.format_string(f"u%d{ch}", F.col("doc_id"))
+                    for ch in "abcde"
+                ],
+            )
+            df = df.select("*", rep).select(
+                (F.col("doc_id") * 16 + F.col("rep")).alias("doc_id"),
+                F.concat(F.lit("lorem ipsum dolor "), tail).alias("text"),
+                "lang", "source",
+            ).withColumn("n_chars", F.length("text")).select(
+                *[f.name for f in df.schema.fields]
+            )
+        elif t == "embeddings":
+            # lock-step with documents: vec_id = base*16 + rep so the
+            # doc_id = vec_id joins (semdedup, curation) keep full
+            # coverage; vectors are copied verbatim — 16 exact
+            # duplicates per base vector is the hot-cluster /
+            # all-ties-topk shape (vector math itself is double
+            # throughout, no integer envelope).
+            rep = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("rep")
+            df = df.select("*", rep).select(
+                (F.col("vec_id") * 16 + F.col("rep")).alias("vec_id"),
+                "embedding", "label",
+            ).select(*[f.name for f in df.schema.fields])
+        # region/nation: copied unchanged.
         df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{t}.parquet"))
 
