@@ -52,25 +52,25 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # the window carries ZERO re-fronts.  _FRONT instead holds the 40
 # STALEST certifications computed from the CORRECTNESS_r01..r13
 # artifacts themselves (latest round containing each name): the 11
-# names whose latest driver row is r02 and the 19 alphabetically-first
-# of the 45 whose latest row is r03.  Batteries H and I (20 new
-# queries) enter via `fresh`: 30 + 20 = exactly 50.  The remaining 26
-# r03-era names rotate in next round.  Name/semantics-preserving dict
-# reorder only.
+# names whose latest driver row is r02 and the 18 alphabetically-first
+# of the 45 whose latest row is r03.  Batteries H and I plus the DSIR
+# selection operator (21 new queries) enter via `fresh`: 29 + 21 =
+# exactly 50.  The remaining 27 r03-era names rotate in next round.
+# Name/semantics-preserving dict reorder only.
 _FRONT: list[str] = [
     # latest driver row r02:
     "agg_cube", "agg_grouping_sets", "agg_percentiles",
     "json_extract_props", "od_missing_pairs", "pivot_status_by_priority",
     "sessionize_events", "udaf_grouped_agg", "udtf_explode_struct",
     "union_all_sources", "window_first_last",
-    # latest driver row r03 (first 19 alphabetically):
+    # latest driver row r03 (first 18 alphabetically):
     "agg_array_collect", "agg_filtered_conditional", "array_higher_order",
     "cenloc_build", "corpus_filter_pipeline", "decontaminate_spans",
     "dedup_keep_corpus", "dedup_spans_exact", "destpoint_polygon",
     "docs_embedding_profile", "embed_quantize_int8",
     "events_attribution_join", "events_rollup_multires",
     "hist_price_buckets", "join_asof_events", "join_full_outer",
-    "join_null_safe", "join_right_outer", "map_status_counts",
+    "join_null_safe", "join_right_outer",
 ]
 
 

@@ -430,3 +430,67 @@ def test_levene_mean_vs_python(spark, tmp_path):
     r = QUERIES["lineitem_levene_mean_discount"](spark, sf).collect()[0]
     assert r["n_groups"] == k
     assert r["levene_w"] == pytest.approx(w, abs=1e-6)
+
+
+# --- 11. DSIR importance weights (LLM-pipeline selection) ---------------------
+
+
+def _write_documents(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/documents.parquet")
+
+
+def test_dsir_importance_vs_python(spark, tmp_path):
+    """Hashed-unigram importance weights replicated independently
+    (hashlib md5 buckets, Laplace-smoothed log ratio)."""
+    import hashlib
+
+    sf = str(tmp_path)
+    docs = [
+        (1, "alpha beta alpha", "en", "src01"),
+        (2, "gamma gamma delta", "en", "src02"),
+        (3, "alpha delta", "en", "src03"),
+        (10, "alpha alpha beta", "en", "src19"),  # target
+        (11, "beta beta", "en", "src19"),
+    ]
+    _write_documents(spark, sf,
+                     [(i, t, lg, s, len(t)) for i, t, lg, s in docs])
+
+    def bucket(tok):
+        h = hashlib.md5(f"dsir:{tok}".encode()).hexdigest()[:8]
+        return int(h, 16) % 64
+
+    tgt: dict[int, int] = {}
+    raw: dict[int, int] = {}
+    per_doc: dict[int, dict[int, int]] = {}
+    for i, t, _lg, s in docs:
+        for tok in t.lower().split():
+            b = bucket(tok)
+            if s == "src19":
+                tgt[b] = tgt.get(b, 0) + 1
+            else:
+                raw[b] = raw.get(b, 0) + 1
+                per_doc.setdefault(i, {})[b] = (
+                    per_doc.get(i, {}).get(b, 0) + 1)
+    pt, qt = sum(tgt.values()), sum(raw.values())
+    expected = {}
+    for i, cs in per_doc.items():
+        lw = 0.0
+        for b in sorted(cs):
+            lp = math.log((tgt.get(b, 0) + 1) / (pt + 64))
+            lq = math.log((raw.get(b, 0) + 1) / (qt + 64))
+            lw += cs[b] * (lp - lq)
+        expected[i] = lw
+    got = {r["doc_id"]: r for r in
+           QUERIES["docs_dsir_importance"](spark, sf).collect()}
+    assert set(got) == set(expected)
+    for i, lw in expected.items():
+        assert got[i]["log_weight"] == pytest.approx(lw, abs=1e-6)
+    order = sorted(expected, key=lambda i: (-expected[i], i))
+    assert [r[0] for r in sorted(
+        ((g["rnk"], i) for i, g in got.items()))] == list(range(1, 4))
+    assert [i for _, i in sorted(
+        ((g["rnk"], i) for i, g in got.items()))] == order
