@@ -332,8 +332,12 @@ def run(names: list[str] | None) -> int:
         compare_values = True
 
     spark = get_spark("stress-degenerate")
+    # per-PID corpus dir: two concurrent gate runs of the same mode
+    # otherwise race the rmtree+rebuild and one reads half-built
+    # parquet (caught live in r14 — a full-registry run recorded 98
+    # phantom failures while a subset run rebuilt the shared dir)
     corpus = os.path.join(
-        tempfile.gettempdir(), f"opentimes_stress_{mode}"
+        tempfile.gettempdir(), f"opentimes_stress_{mode}_{os.getpid()}"
     )
     shutil.rmtree(corpus, ignore_errors=True)
     _CORPORA[mode](spark, corpus)
@@ -459,6 +463,7 @@ def run(names: list[str] | None) -> int:
             json.dump(payload, fh, indent=1, sort_keys=False)
             fh.write("\n")
         print(f"wrote {out_path}")
+    shutil.rmtree(corpus, ignore_errors=True)
     if failures:
         print("failing:", " ".join(sorted(failures)))
         return 1
