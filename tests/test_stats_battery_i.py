@@ -494,3 +494,177 @@ def test_dsir_importance_vs_python(spark, tmp_path):
         ((g["rnk"], i) for i, g in got.items()))] == list(range(1, 4))
     assert [i for _, i in sorted(
         ((g["rnk"], i) for i, g in got.items()))] == order
+
+
+# --- Battery J: KN scoring, Duncan ranges, Light's kappa, records -------------
+
+
+def test_kneser_ney_vs_python(spark, tmp_path):
+    """Interpolated Kneser-Ney bigram model (d = 0.75) self-scored per
+    source, replicated by an independent Python loop."""
+    sf = str(tmp_path)
+    docs = [
+        (1, "a b a c", "en", "src01"),
+        (2, "b a b c", "en", "src01"),
+        (3, "c c a b", "en", "src02"),
+    ]
+    _write_documents(spark, sf,
+                     [(i, t, lg, s, len(t)) for i, t, lg, s in docs])
+    # train on ALL docs
+    from collections import Counter
+
+    bi = Counter()
+    for _i, t, _lg, _s in docs:
+        ws = t.split()
+        for j in range(len(ws) - 1):
+            bi[(ws[j], ws[j + 1])] += 1
+    c1 = Counter()  # c(w1, .)
+    n1f = Counter()  # N1+(w1, .)
+    n1b = Counter()  # N1+(. , w2)
+    for (w1, w2), c in bi.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    btypes = len(bi)
+    d = 0.75
+
+    def pkn(w1, w2):
+        cont = n1b[w2] / btypes
+        lam = d * n1f[w1] / c1[w1]
+        return max(bi[(w1, w2)] - d, 0.0) / c1[w1] + lam * cont
+
+    import math as _m
+
+    expected = {}
+    for _i, t, _lg, s in docs:
+        ws = t.split()
+        for j in range(len(ws) - 1):
+            q = _m.floor(_m.log(pkn(ws[j], ws[j + 1])) * 1e9 + 0.5)
+            k, n = expected.get(s, (0, 0))
+            expected[s] = (k + q, n + 1)
+    rows = {r["source"]: r for r in
+            QUERIES["score_bigram_kneser_ney"](spark, sf).collect()}
+    for s, (qsum, n) in expected.items():
+        assert rows[s]["n_bigrams"] == n
+        assert rows[s]["avg_logprob"] == pytest.approx(
+            qsum / (1e9 * n), abs=1e-6)
+
+
+def test_duncan_range_hand(spark, tmp_path):
+    """Means 1.5 / 4 / 10 (same corpus as the HSD test): MSW = 1.5,
+    se = sqrt(MSW/2 * (1/2+1/2)) = 0.866025.  Duncan r(2, inf) =
+    2.772, r(3, inf) = 2.918.  Adjacent spans: |4-1.5|/se = 2.887 >
+    2.772 sig; |10-4|/se = 6.93 sig; full span 9.81 > 2.918 sig."""
+    sf = str(tmp_path)
+    rows, key = [], 1
+    for prio, vals in [("1-URGENT", [1, 2]), ("2-HIGH", [3, 5]),
+                       ("3-MEDIUM", [9, 11])]:
+        for v in vals:
+            rows.append((key, key, "F", float(v),
+                         datetime(2024, 1, 5), prio))
+            key += 1
+    _write_orders(spark, sf, rows)
+    out = {(r["prio_lo"], r["prio_hi"]): r
+           for r in QUERIES["orders_duncan_range"](spark, sf).collect()}
+    assert len(out) == 3
+    r12 = out[("1-URGENT", "2-HIGH")]
+    assert r12["span"] == 2
+    assert r12["q_stat"] == pytest.approx(2.886751, abs=1e-6)
+    assert r12["r_crit"] == pytest.approx(2.772, abs=1e-9)
+    assert bool(r12["significant"]) is True
+    r13 = out[("1-URGENT", "3-MEDIUM")]
+    assert r13["span"] == 3
+    assert r13["r_crit"] == pytest.approx(2.918, abs=1e-9)
+    assert bool(r13["significant"]) is True
+
+
+def test_duncan_containment_rule(spark, tmp_path):
+    """Step-down containment: if the FULL range is non-significant, a
+    contained pair that is raw-significant must still be declared
+    non-significant.  Groups 1-URGENT={0,20}, 2-HIGH={9,11},
+    3-MEDIUM={10,12}: huge within-group variance makes the full range
+    NS, and every contained range inherits NS."""
+    sf = str(tmp_path)
+    rows, key = [], 1
+    for prio, vals in [("1-URGENT", [0, 20]), ("2-HIGH", [9, 11]),
+                       ("3-MEDIUM", [10, 12])]:
+        for v in vals:
+            rows.append((key, key, "F", float(v),
+                         datetime(2024, 1, 5), prio))
+            key += 1
+    _write_orders(spark, sf, rows)
+    out = QUERIES["orders_duncan_range"](spark, sf).collect()
+    assert all(not r["significant"] for r in out)
+
+
+def test_light_kappa_vs_python(spark, tmp_path):
+    """Light's kappa = mean pairwise Cohen's kappa over the three
+    line-flag 'raters' of exactly-3-line orders, replicated
+    independently."""
+    sf = str(tmp_path)
+    triples = [("A", "A", "A"), ("A", "A", "N"), ("N", "N", "N"),
+               ("N", "R", "N"), ("R", "R", "R"), ("A", "N", "R"),
+               ("R", "R", "A"), ("A", "A", "A")]
+    rows = []
+    for ok, (f1, f2, f3) in enumerate(triples, start=1):
+        for ln, f in enumerate((f1, f2, f3), start=1):
+            rows.append((ok, ln, 1, 0.0, f))
+    _write_lineitem(spark, sf, rows)
+
+    def cohen(pairs):
+        from collections import Counter
+
+        n = len(pairs)
+        tab = Counter(pairs)
+        po = sum(v for (x, y), v in tab.items() if x == y) / n
+        ma = Counter(x for x, _ in pairs)
+        mb = Counter(y for _, y in pairs)
+        pe = sum(ma[c] * mb.get(c, 0) for c in ma) / (n * n)
+        return (po - pe) / (1 - pe)
+
+    k12 = cohen([(a, b) for a, b, _ in triples])
+    k13 = cohen([(a, c) for a, _, c in triples])
+    k23 = cohen([(b, c) for _, b, c in triples])
+    light = (k12 + k13 + k23) / 3.0
+    r = QUERIES["orders_light_kappa"](spark, sf).collect()[0]
+    assert r["n_subjects"] == len(triples)
+    assert r["kappa_12"] == pytest.approx(k12, abs=1e-6)
+    assert r["kappa_13"] == pytest.approx(k13, abs=1e-6)
+    assert r["kappa_23"] == pytest.approx(k23, abs=1e-6)
+    assert r["light_kappa"] == pytest.approx(light, abs=1e-6)
+
+
+def test_foster_stuart_increasing(spark, tmp_path):
+    """Monthly counts 1..6: every month after the first is an upper
+    record, none lower -> U = 5, L = 0, D = 5,
+    Var(D) = sum_{t=2..6} 1/t = 1.45, z = 5/sqrt(1.45) = 4.152274."""
+    sf = str(tmp_path)
+    rows, key = [], 1
+    for mo in range(1, 7):
+        for _ in range(mo):
+            rows.append((key, key, "F", 10.0, datetime(2024, mo, 10),
+                         "1-URGENT"))
+            key += 1
+    _write_orders(spark, sf, rows)
+    r = QUERIES["orders_foster_stuart"](spark, sf).collect()[0]
+    assert r["u_records"] == 5 and r["l_records"] == 0
+    assert r["d_stat"] == 5
+    var = sum(1.0 / t for t in range(2, 7))
+    assert r["z_score"] == pytest.approx(5 / math.sqrt(var), abs=1e-6)
+
+
+def test_foster_stuart_mixed(spark, tmp_path):
+    """Counts 3,1,9,2,5: records after t=1 — t=2 lower (1<3), t=3
+    upper (9>3), t=4 none, t=5 none -> U=1, L=1, D=0, z=0."""
+    sf = str(tmp_path)
+    rows, key = [], 1
+    for mo, k in enumerate([3, 1, 9, 2, 5], start=1):
+        for _ in range(k):
+            rows.append((key, key, "F", 10.0, datetime(2024, mo, 10),
+                         "1-URGENT"))
+            key += 1
+    _write_orders(spark, sf, rows)
+    r = QUERIES["orders_foster_stuart"](spark, sf).collect()[0]
+    assert r["u_records"] == 1 and r["l_records"] == 1
+    assert r["d_stat"] == 0
+    assert r["z_score"] == pytest.approx(0.0, abs=1e-9)
