@@ -46,31 +46,29 @@ from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # r13 re-fronts were the ten envelope fixes from the magnitude gate;
 # all ten are hash-green in CORRECTNESS_r13 and fold into _CERTIFIED.
 #
-# r14 window (VERDICT r13 #1 — rotation RE-KEYED ON LATEST-ROW AGE):
-# no certified query's values or semantics changed this round (the
-# srp/kmeans/pq driver-overhead work is bit-identical, verified), so
-# the window carries ZERO re-fronts.  _FRONT instead holds the 40
-# STALEST certifications computed from the CORRECTNESS_r01..r13
-# artifacts themselves (latest round containing each name): the 11
-# names whose latest driver row is r02 and the 18 alphabetically-first
-# of the 45 whose latest row is r03.  Batteries H and I plus the DSIR
-# selection operator (21 new queries) enter via `fresh`: 29 + 21 =
-# exactly 50.  The remaining 27 r03-era names rotate in next round.
+# r15 window (VERDICT r14 #1/#3): _FRONT = the 4 queries added AFTER
+# the r14 gate freeze (no driver row anywhere — they lead the window so
+# HEAD's test_registry tripwire goes green the moment CORRECTNESS_r15
+# lands) + ALL 27 names whose LATEST driver row is still r03 (computed
+# from the CORRECTNESS_r01..r14 artifacts; this finishes the r03-era
+# burn-down — post-r15 the oldest latest-row age is r04).  Battery J
+# (19 new queries) enters via `fresh`: 31 + 19 = exactly 50.
 # Name/semantics-preserving dict reorder only.
 _FRONT: list[str] = [
-    # latest driver row r02:
-    "agg_cube", "agg_grouping_sets", "agg_percentiles",
-    "json_extract_props", "od_missing_pairs", "pivot_status_by_priority",
-    "sessionize_events", "udaf_grouped_agg", "udtf_explode_struct",
-    "union_all_sources", "window_first_last",
-    # latest driver row r03 (first 18 alphabetically):
-    "agg_array_collect", "agg_filtered_conditional", "array_higher_order",
-    "cenloc_build", "corpus_filter_pipeline", "decontaminate_spans",
-    "dedup_keep_corpus", "dedup_spans_exact", "destpoint_polygon",
-    "docs_embedding_profile", "embed_quantize_int8",
-    "events_attribution_join", "events_rollup_multires",
-    "hist_price_buckets", "join_asof_events", "join_full_outer",
-    "join_null_safe", "join_right_outer",
+    # post-r14-gate additions (no driver row yet):
+    "orders_duncan_range", "orders_foster_stuart", "orders_light_kappa",
+    "score_bigram_kneser_ney",
+    # latest driver row r03 (all 27 remaining):
+    "map_status_counts", "mix_sources_weighted", "orders_cdc_merge",
+    "pack_sequences", "points_snap_operator", "points_snapped",
+    "q3_shipping_priority", "q6_forecast_revenue", "sample_stratified",
+    "sample_systematic", "set_except_all", "set_intersect_all",
+    "sim_ivf_topk", "sketch_kmv_distinct", "subquery_exists",
+    "subquery_scalar", "text_repetition", "text_scrub_pii",
+    "text_tfidf_topk", "text_tokens_bpe", "tokens_posexplode",
+    "udtf_python_split_geoid", "unpivot_balance_metrics", "vocab_topk",
+    "weighted_centroid_groups", "window_distribution_ranks",
+    "window_range_frame",
 ]
 
 
@@ -314,6 +312,20 @@ _CERTIFIED = {
     "scalar_strings", "set_except", "set_intersect",
     "set_union_distinct", "text_tokens", "window_lag_lead",
     "window_moving_sum", "window_ntile", "window_rank",
+    # r14-certified (CORRECTNESS_r14.json, 50/50 hash_match=true —
+    # 29 stalest-by-latest-row-age rotation slots + the 21 fresh
+    # battery H/I + DSIR names below):
+    "orders_tukey_hsd_priority", "lineitem_jonckheere_pairwise",
+    "lineitem_cucconi_flags", "lineitem_cuzick_trend",
+    "lineitem_brown_mood_median", "orders_goodman_kruskal_lambda",
+    "orders_dagostino_k2", "lineitem_mrpp_rank_discount",
+    "cust_freeman_tukey_segments", "lineitem_taub_ztest",
+    "orders_breslow_day", "lineitem_bhapkar_mh",
+    "orders_cox_stuart_monthly", "orders_bartels_rvn_monthly",
+    "lineitem_hartley_cochran", "lineitem_geary_kurtosis",
+    "nations_moran_geary_balance", "orders_breusch_pagan_monthly",
+    "orders_chow_break_monthly", "lineitem_levene_mean_discount",
+    "docs_dsir_importance",
 }
 
 

@@ -733,7 +733,7 @@ def pq_fit(
         else []
     )
     if rows and len(rows) < k:  # probe saw the WHOLE corpus: < k rows
-        raise ValueError(f"kmeans_fit: corpus has {len(rows)} rows < k={k}")
+        raise ValueError(f"pq_fit: corpus has {len(rows)} rows < k={k}")
     if rows and len(rows) <= rows_max:
         import numpy as np
 

@@ -323,6 +323,8 @@ def run(names: list[str] | None) -> int:
         elif flag == "--compare":
             compare_values = True
         elif flag == "--out":
+            if not names:
+                raise SystemExit("usage: --out FILE (missing FILE operand)")
             out_path = names.pop(0)
         else:
             raise SystemExit(f"unknown flag {flag}")
@@ -340,130 +342,134 @@ def run(names: list[str] | None) -> int:
         tempfile.gettempdir(), f"opentimes_stress_{mode}_{os.getpid()}"
     )
     shutil.rmtree(corpus, ignore_errors=True)
-    _CORPORA[mode](spark, corpus)
+    # try/finally (ADVICE r14): an exception mid-run (e.g. KeyError on
+    # an unknown query name) must not leak the per-PID corpus dir.
+    try:
+        _CORPORA[mode](spark, corpus)
 
-    check = _load_check() if compare_values else None
-    con = None
-    if compare_values:
-        import duckdb
+        check = _load_check() if compare_values else None
+        con = None
+        if compare_values:
+            import duckdb
 
-        # Spark writes each table as a DIRECTORY of part files; the
-        # testdata layout check.py targets is a single file per table.
-        con = duckdb.connect()
-        for t in TABLES:
-            p = os.path.join(corpus, f"{t}.parquet")
-            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
-            )
-    oracles = entrymod.oracle_sql() if compare_values else {}
+            # Spark writes each table as a DIRECTORY of part files; the
+            # testdata layout check.py targets is a single file per table.
+            con = duckdb.connect()
+            for t in TABLES:
+                p = os.path.join(corpus, f"{t}.parquet")
+                pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
+                )
+        oracles = entrymod.oracle_sql() if compare_values else {}
 
-    qs = entrymod.queries()
-    if names:
-        qs = {n: qs[n] for n in names}
-    failures: list[str] = []
-    guards = approx = 0
-    results: dict[str, dict] = {}
-    for name, fn in qs.items():
-        try:
-            df = fn(spark, corpus)
-            if compare_values and name in oracles:
-                sdf = df.toPandas()
-                try:
-                    ddf = con.execute(oracles[name]).df()
-                except Exception as exc:  # noqa: BLE001
-                    failures.append(name)
-                    results[name] = {
-                        "status": "DUCKERR",
-                        "detail": str(exc).splitlines()[0][:200],
-                    }
-                    print(f"DUCKERR {name}: "
-                          f"{str(exc).splitlines()[0][:200]}", flush=True)
-                    continue
-                problems = check.compare(name, sdf, ddf)
-                # On the magnitude corpus the hash-strictness of the
-                # sf0.01 driver gate does not apply: values past 2^53
-                # may round differently per engine at the last digit.
-                # Exact parity is still the norm (the double-moment
-                # forms convert identical exact sums); approx-only is a
-                # warning, a true value MISMATCH fails.
-                hard = [p for p in problems if "APPROX ONLY" not in p]
-                if hard:
-                    failures.append(name)
-                    results[name] = {
-                        "status": "DIVERGE",
-                        "detail": "; ".join(p[:160] for p in problems[:3]),
-                    }
-                    print(f"DIVERGE {name}:", flush=True)
-                    for p in problems:
-                        print(f"      {p}")
-                elif problems:
-                    approx += 1
-                    results[name] = {
-                        "status": "APPROX",
-                        "detail": problems[0][:160],
-                    }
-                    print(f"APPROX {name}: "
-                          f"{problems[0][:160]}", flush=True)
+        qs = entrymod.queries()
+        if names:
+            qs = {n: qs[n] for n in names}
+        failures: list[str] = []
+        guards = approx = 0
+        results: dict[str, dict] = {}
+        for name, fn in qs.items():
+            try:
+                df = fn(spark, corpus)
+                if compare_values and name in oracles:
+                    sdf = df.toPandas()
+                    try:
+                        ddf = con.execute(oracles[name]).df()
+                    except Exception as exc:  # noqa: BLE001
+                        failures.append(name)
+                        results[name] = {
+                            "status": "DUCKERR",
+                            "detail": str(exc).splitlines()[0][:200],
+                        }
+                        print(f"DUCKERR {name}: "
+                              f"{str(exc).splitlines()[0][:200]}", flush=True)
+                        continue
+                    problems = check.compare(name, sdf, ddf)
+                    # On the magnitude corpus the hash-strictness of the
+                    # sf0.01 driver gate does not apply: values past 2^53
+                    # may round differently per engine at the last digit.
+                    # Exact parity is still the norm (the double-moment
+                    # forms convert identical exact sums); approx-only is a
+                    # warning, a true value MISMATCH fails.
+                    hard = [p for p in problems if "APPROX ONLY" not in p]
+                    if hard:
+                        failures.append(name)
+                        results[name] = {
+                            "status": "DIVERGE",
+                            "detail": "; ".join(p[:160] for p in problems[:3]),
+                        }
+                        print(f"DIVERGE {name}:", flush=True)
+                        for p in problems:
+                            print(f"      {p}")
+                    elif problems:
+                        approx += 1
+                        results[name] = {
+                            "status": "APPROX",
+                            "detail": problems[0][:160],
+                        }
+                        print(f"APPROX {name}: "
+                              f"{problems[0][:160]}", flush=True)
+                    else:
+                        results[name] = {"status": "OK", "rows": len(sdf)}
+                        print(f"OK    {name}: {len(sdf)} rows (hash-equal)",
+                              flush=True)
                 else:
-                    results[name] = {"status": "OK", "rows": len(sdf)}
-                    print(f"OK    {name}: {len(sdf)} rows (hash-equal)",
-                          flush=True)
-            else:
-                n = df.count()
-                results[name] = {"status": "OK", "rows": n}
-                print(f"OK    {name}: {n} rows", flush=True)
-        except ValueError as exc:
-            # The engine's own precondition idiom (k > corpus rows,
-            # empty index, ...) — a NAMED refusal is correct behavior
-            # on degenerate data; only unnamed engine crashes fail.
-            guards += 1
-            results[name] = {
-                "status": "GUARD",
-                "detail": str(exc).splitlines()[0][:160],
-            }
-            print(
-                f"GUARD {name}: {str(exc).splitlines()[0][:160]}",
-                flush=True,
-            )
-        except Exception as exc:  # noqa: BLE001 - the gate's whole point
-            failures.append(name)
-            head = str(exc).splitlines()[0][:200]
-            results[name] = {"status": "CRASH", "detail": head}
-            print(f"CRASH {name}: {head}", flush=True)
-            if os.environ.get("STRESS_VERBOSE"):
-                traceback.print_exc()
-    label = mode
-    print(
-        f"\n{len(qs) - len(failures)}/{len(qs)} queries survive the "
-        f"{label} corpus ({guards} named guard refusals"
-        + (f", {approx} approx-only warnings" if compare_values else "")
-        + ")"
-    )
-    if out_path:
-        # Round-14 (VERDICT r13 #2): the gates' results become diffable
-        # round artifacts, like BENCH/CORRECTNESS, instead of prose.
-        import json
+                    n = df.count()
+                    results[name] = {"status": "OK", "rows": n}
+                    print(f"OK    {name}: {n} rows", flush=True)
+            except ValueError as exc:
+                # The engine's own precondition idiom (k > corpus rows,
+                # empty index, ...) — a NAMED refusal is correct behavior
+                # on degenerate data; only unnamed engine crashes fail.
+                guards += 1
+                results[name] = {
+                    "status": "GUARD",
+                    "detail": str(exc).splitlines()[0][:160],
+                }
+                print(
+                    f"GUARD {name}: {str(exc).splitlines()[0][:160]}",
+                    flush=True,
+                )
+            except Exception as exc:  # noqa: BLE001 - the gate's whole point
+                failures.append(name)
+                head = str(exc).splitlines()[0][:200]
+                results[name] = {"status": "CRASH", "detail": head}
+                print(f"CRASH {name}: {head}", flush=True)
+                if os.environ.get("STRESS_VERBOSE"):
+                    traceback.print_exc()
+        label = mode
+        print(
+            f"\n{len(qs) - len(failures)}/{len(qs)} queries survive the "
+            f"{label} corpus ({guards} named guard refusals"
+            + (f", {approx} approx-only warnings" if compare_values else "")
+            + ")"
+        )
+        if out_path:
+            # Round-14 (VERDICT r13 #2): the gates' results become diffable
+            # round artifacts, like BENCH/CORRECTNESS, instead of prose.
+            import json
 
-        payload = {
-            "mode": mode,
-            "compare_values": compare_values,
-            "total": len(qs),
-            "survive": len(qs) - len(failures),
-            "guards": sorted(
-                n for n, r in results.items() if r["status"] == "GUARD"
-            ),
-            "approx": sorted(
-                n for n, r in results.items() if r["status"] == "APPROX"
-            ),
-            "failures": sorted(failures),
-            "queries": results,
-        }
-        with open(out_path, "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=False)
-            fh.write("\n")
-        print(f"wrote {out_path}")
-    shutil.rmtree(corpus, ignore_errors=True)
+            payload = {
+                "mode": mode,
+                "compare_values": compare_values,
+                "total": len(qs),
+                "survive": len(qs) - len(failures),
+                "guards": sorted(
+                    n for n, r in results.items() if r["status"] == "GUARD"
+                ),
+                "approx": sorted(
+                    n for n, r in results.items() if r["status"] == "APPROX"
+                ),
+                "failures": sorted(failures),
+                "queries": results,
+            }
+            with open(out_path, "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=False)
+                fh.write("\n")
+            print(f"wrote {out_path}")
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
     if failures:
         print("failing:", " ".join(sorted(failures)))
         return 1
