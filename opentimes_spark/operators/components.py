@@ -27,7 +27,7 @@ round so plans don't grow exponentially.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -43,19 +43,39 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
+# The two star steps are WINDOW-form (r15): the original groupBy+join
+# shape referenced its input twice (once for the per-node min, once to
+# re-attach it), so each star cost a join with both sides shuffled AND —
+# because the intermediate is not materialized — the upstream star's
+# whole pipeline was planned and executed once per reference: one
+# contraction round ran 11 Exchanges / 4 SortMergeJoins over 12 scans of
+# the checkpointed edge set.  A window over ``u`` computes the same
+# per-node min in the SAME exchange that distributes the rows, and the
+# "neighbors + self" fan-out is an in-row explode, so a full round is
+# now one linear 3-Exchange pipeline (large-star window → small-star
+# window → final distinct) with zero joins.  Both steps emit exactly
+# the same edge SETS as the join form (pinned by test); large-star's
+# per-row duplicates — two lower neighbors of v sharing one min — are
+# deduplicated by small-star's terminal distinct, bounded per node by
+# its degree (the same transient volume the old join produced before
+# its own distinct).
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """(v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u})."""
-    sym = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    mins = sym.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("m")
-    )
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    w = Window.partitionBy("u")
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -63,27 +83,52 @@ def _small_star(edges: DataFrame) -> DataFrame:
     """Edges oriented large→small; every node u links Γ⁻(u) ∪ {u} to
     m = min(Γ⁻(u)) (all out-neighbors are < u, so m is the overall min).
     """
-    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-    moved = (
-        edges.join(mins, "u")
-        .filter(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    w = Window.partitionBy("u")
+    base = edges.withColumn("m", F.min("v").over(w))
+    return (
+        base.select(
+            F.explode(
+                F.when(
+                    F.col("v") != F.col("m"),
+                    F.array(
+                        F.struct(
+                            F.col("v").alias("u"), F.col("m").alias("v")
+                        ),
+                        F.struct(
+                            F.col("u").alias("u"), F.col("m").alias("v")
+                        ),
+                    ),
+                ).otherwise(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("u"), F.col("m").alias("v")
+                        )
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
     )
-    kept = mins.select(F.col("u"), F.col("m").alias("v"))
-    return moved.union(kept).distinct()
 
 
-def _checksum(edges: DataFrame):
-    """Order-independent 129-bit edge-set fingerprint in ONE pass:
-    (count, sum of xxhash64, xor of xxhash64)."""
+def _observed_checkpoint(edges: DataFrame):
+    """Eager localCheckpoint + order-independent 129-bit edge-set
+    fingerprint (count, sum of xxhash64, xor of xxhash64) riding the
+    SAME materialization job via ``observe`` — the per-round fixpoint
+    check costs no extra pass over the edges (r15; it used to be a
+    separate aggregate job per round)."""
     h = F.xxhash64(F.col("u"), F.col("v"))
-    row = edges.agg(
+    obs = Observation()
+    out = edges.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         # decimal(38,0) sum: immune to ANSI long-overflow at any edge count
         F.sum(h.cast("decimal(38,0)")).alias("s"),
         F.bit_xor(h).alias("x"),
-    ).collect()[0]
-    return (row["n"], row["s"], row["x"])
+    ).localCheckpoint(eager=True)
+    row = obs.get
+    return out, (row["n"], row["s"], row["x"])
 
 
 # Above this canonical-edge count the star-contraction loop runs
@@ -188,8 +233,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e = _canonical(raw).localCheckpoint(eager=True)
-    prev = _checksum(e)
+    e, prev = _observed_checkpoint(_canonical(raw))
     # Size the ITERATION's shuffle parallelism to the edge count: each
     # round is ~6 tiny shuffles, and localCheckpoint defeats AQE's
     # cross-round partition coalescing, so at small edge counts the
@@ -204,8 +248,7 @@ def connected_components(
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         for _ in range(max_iter):
-            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-            cur = _checksum(e)
+            e, cur = _observed_checkpoint(_small_star(_large_star(e)))
             if cur == prev:
                 # fixpoint: e is a star forest rooted at component minima
                 labelled = e.groupBy("u").agg(F.min("v").alias("component_id"))
