@@ -199,8 +199,13 @@ def connected_components(
     # path's node/canonical builds all read these partitions instead
     # of re-executing the upstream lineage (which the pre-cutover code
     # paid twice — once for the node distinct, once for canonical).
-    raw = raw.localCheckpoint(eager=True)
-    if not force_distributed and raw.count() <= _DRIVER_CC_MAX_EDGES:
+    # r15: the cutover count rides the checkpoint materialization via
+    # observe() — previously a second (shuffle-free but full-scan) job.
+    _obs = Observation()
+    raw = raw.observe(_obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    if not force_distributed and _obs.get["n"] <= _DRIVER_CC_MAX_EDGES:
         spark = edges.sparkSession
         pdf = raw.toPandas()
         us, vs = pdf["u"].tolist(), pdf["v"].tolist()
