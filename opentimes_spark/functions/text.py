@@ -255,7 +255,10 @@ def bm25_scores(
         F.col(id_col),
         F.size(toks).alias("dl"),
         *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(terms)],
-    )
+        # stats + the scored join re-planned the tf projection (a full
+        # tokenize pass) per reference; materialize it once so the cost
+        # really is the documented single corpus pass (r15 pattern)
+    ).localCheckpoint(eager=True)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
