@@ -100,7 +100,7 @@ def test_state_plateaus_under_steady_ingest_with_eviction(spark, tmp_path):
             import time as _time
 
             slice_rows = state_operator_metrics(q)
-            deadline = _time.time() + 30
+            deadline = _time.time() + 90  # progress rows lag under load
             while not slice_rows and _time.time() < deadline:
                 _time.sleep(0.25)  # progress rows land asynchronously
                 slice_rows = state_operator_metrics(q)
@@ -114,7 +114,24 @@ def test_state_plateaus_under_steady_ingest_with_eviction(spark, tmp_path):
         # is a generous per-slice ceiling that 5x total ingest would
         # blow through if eviction leaked
         budget = 4 * (2 * per_slice + per_slice // 4 + 1)
-        summary = assert_state_plateau(state_rows, per_batch_bound=budget)
+        # Each slice restarts the query (new run_id), so a run normally
+        # holds 2 state-bearing batches: the data batch plus a trailing
+        # no-data batch that commits the advanced watermark and evicts.
+        # That trailing batch is SCHEDULING-DEPENDENT — under host load
+        # availableNow can stop after the data batch and leave eviction
+        # to the next slice's data batch (r15 VERIFY saw this flake).
+        # Ask for the 2-batch-deep check only when some run actually
+        # carries 2 batches; the budget bound + the cross-slice
+        # total_removed accounting below hold either way.
+        deepest = max(
+            len({r["batch_id"] for r in state_rows
+                 if (r["query_id"], r["run_id"]) == key})
+            for key in {(r["query_id"], r["run_id"]) for r in state_rows}
+        )
+        summary = assert_state_plateau(
+            state_rows, per_batch_bound=budget,
+            min_batches=min(2, deepest),
+        )
         assert summary["total_removed"] > 0  # eviction actually ran
         # growth-without-eviction would show as a tail above one slice
         total_ingested = 5 * (2 * per_slice + per_slice // 4 + 1)
@@ -130,7 +147,7 @@ def test_state_plateaus_under_steady_ingest_with_eviction(spark, tmp_path):
         # progress row may land shortly after awaitTermination returns)
         import time
 
-        deadline = time.time() + 10
+        deadline = time.time() + 60  # listener thread can lag under load
         while time.time() < deadline:
             tele = read_state_telemetry(spark, jsonl)
             if tele.count() == len(listener.rows):
