@@ -230,6 +230,7 @@ def bm25_scores(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ):
     """Okapi BM25 over a FIXED query-term set, with the idf kept as the
     rational Robertson ratio (N - df + 0.5)/(df + 0.5) rather than its
@@ -257,8 +258,15 @@ def bm25_scores(
         *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(terms)],
         # stats + the scored join re-planned the tf projection (a full
         # tokenize pass) per reference; materialize it once so the cost
-        # really is the documented single corpus pass (r15 pattern)
-    ).localCheckpoint(eager=True)
+        # really is the documented single corpus pass (r15 pattern).
+        # materialize=False keeps the helper lazy for explain-only
+        # callers (r15 ADVICE: a library function should not execute a
+        # Spark job at construction unless the caller opted in).
+    )
+    if materialize:
+        from opentimes_spark.materialize import mz_proxy
+
+        base = mz_proxy(base)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

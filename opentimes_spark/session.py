@@ -54,7 +54,14 @@ def get_spark(
         # "what's wrong" #3); a context-level conf, so set at build time
         .config("spark.ui.showConsoleProgress", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # r16: the materialize.py 'checkpoint' strategy (reliable DFS
+    # checkpoints for fact-width proxies at deployment) needs a
+    # checkpoint dir; opt-in via env so local runs pay nothing.
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+    return spark
 
 
 def ship_package(spark: SparkSession) -> None:

@@ -76,6 +76,14 @@ def fingerprint(df) -> dict[str, int]:
 
 
 def build_all(sf_dir: str) -> dict[str, dict[str, int]]:
+    # r16 (ADVICE r15): fingerprint with materialization OFF so the
+    # tripwire covers the full pre-checkpoint plan (an eager
+    # localCheckpoint collapses everything upstream to 'Scan
+    # ExistingRDD', hiding the scans/joins/exchanges inside ~260
+    # checkpoint boundaries) — and so building fingerprints never
+    # executes the materialization jobs eager checkpoints imply.
+    os.environ["SPARK_GRAFT_MATERIALIZE"] = "off"
+
     import __spark_entry__ as entrymod
     from opentimes_spark.session import get_spark
 
