@@ -23,6 +23,13 @@ This tool:
      where "substantive" = duck >= 0.15 s at sf0.1 (the r14 verdict's
      rule, recomputed on this host).
 
+Round 16 (VERDICT r15 #7): replicated documents get a unique tail token
+keyed on (text md5, replica) so the pair-join text/dedup families are
+tractable at sf1 on the DuckDB side too, and oracle-less bench-only
+rows (stress twins, xxhash production twins) are timed spark-only so
+the genuinely-parallel rows and the dedup family appear in the
+artifact.
+
 Usage: python tools/bench_sf1.py [--out FILE] [--skip-build] [query ...]
 """
 
@@ -36,7 +43,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/opentimes_sf1")
+# r16 dir (the r15 corpus replicated text VERBATIM; see build())
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/opentimes_sf1_r16")
 REPLICAS = 10
 OFFSET = 10_000_000_000
 
@@ -77,6 +85,25 @@ def build(spark) -> None:
             d = df
             for c in KEYED[t]:
                 d = d.withColumn(c, F.col(c) + F.lit(r * OFFSET))
+            if t == "documents" and r:
+                # r16 (VERDICT r15 #7): verbatim replication made every
+                # replica of a doc an EXACT duplicate, so the pair-join
+                # dedup oracles exploded combinatorially on the DuckDB
+                # side (dedup groups of 10, C(10,2) pairs each).  The
+                # magnitude corpus's unique-tail construction fixes it:
+                # append one tail token keyed on (text hash, replica) —
+                # within a replica, exact-dup groups stay exact-dup
+                # groups (same text → same tail), across replicas all
+                # texts become distinct, so dup-group sizes stay at the
+                # sf0.1 distribution while the corpus grows 10x.
+                tail = F.concat(
+                    F.lit(" u"),
+                    F.substring(F.md5(F.col("text")), 1, 8),
+                    F.lit(f"r{r}"),
+                )
+                d = d.withColumn("text", F.concat(F.col("text"), tail))
+                if "n_chars" in d.columns:
+                    d = d.withColumn("n_chars", F.length("text"))
             reps.append(d)
         allr = reps[0]
         for d in reps[1:]:
@@ -133,7 +160,7 @@ def main() -> int:
             names.append(a)
 
     import bench as benchmod
-    from opentimes_spark.plans.queries import ORACLE_SQL, QUERIES
+    from opentimes_spark.plans.queries import BENCH_ONLY, ORACLE_SQL, QUERIES
     from opentimes_spark.session import get_spark
 
     spark = get_spark("bench-sf1")
@@ -141,8 +168,12 @@ def main() -> int:
     if not skip_build:
         build(spark)
 
+    # r16: include oracle-less rows (bench-only stress twins, xxhash
+    # production twins) spark-only — the scaling story needs the
+    # genuinely-parallel rows and the dedup family even where DuckDB
+    # has no twin to race.
     rows = names or [
-        n for n in benchmod.HEADLINE if n in QUERIES and n in ORACLE_SQL
+        n for n in benchmod.HEADLINE if n in QUERIES or n in BENCH_ONLY
     ]
     result: dict = {"sf0.1": {}, "sf1": {}, "replicas": REPLICAS}
     for scale, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
@@ -153,11 +184,16 @@ def main() -> int:
         time_duck(con, ORACLE_SQL["q1_pricing_summary"])
         per = {}
         for n in rows:
+            fn = QUERIES.get(n) or BENCH_ONLY[n]
             try:
-                s = time_spark(QUERIES[n], spark, sf_dir)
+                s = time_spark(fn, spark, sf_dir)
             except Exception as exc:  # noqa: BLE001
                 per[n] = {"error": str(exc).splitlines()[0][:160]}
                 print(f"ERR spark {scale} {n}", flush=True)
+                continue
+            if n not in ORACLE_SQL:
+                per[n] = {"spark": s}
+                print(f"{scale} {n}: spark {s}s (no oracle)", flush=True)
                 continue
             try:
                 d = time_duck(con, ORACLE_SQL[n])
