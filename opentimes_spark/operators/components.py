@@ -266,6 +266,20 @@ def connected_components(
     session_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(8, min(int(session_parts), int(prev[0]) // 50_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    # r16 round-batching experiment (measured, REJECTED): checkpointing
+    # every TWO rounds halves the per-round job/observe/build overhead,
+    # but a phase probe on the 1e5-edge path graph decomposed a round
+    # as ~0.24s Python DataFrame build + ~0.04s planning + ~0.55s
+    # execution + ~0.1s checkpoint — and re-executing the SAME physical
+    # plan costs the same 0.55s, i.e. the round is bound by the
+    # per-stage execution floor of its two window exchanges, not by the
+    # checkpoint.  A 2-rounds-per-checkpoint unit timed 1.56-1.91s vs
+    # 2x0.85-0.94s for two single-round units (no saving), and the
+    # 3-pair interleaved bench A/B sat inside the noise band both ways.
+    # 1 loop partition instead of 8 measured WORSE (2.4s/round), and
+    # codegen-off changed nothing, so the floor is not task count or
+    # JIT.  The unbatched loop stays: one checkpoint per round also
+    # keeps fixpoint detection exact.
     try:
         for _ in range(max_iter):
             e, cur = _observed_checkpoint(_small_star(_large_star(e)))
